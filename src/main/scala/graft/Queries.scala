@@ -1,0 +1,366 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** The engine's query surface — one entry per operator family from
+  * SURVEY.md §2, each runnable by the driver via
+  * `SparkEntry.queries(name)(spark, sfDir)`.
+  *
+  * Conventions (driver-compare safe):
+  *  - every query ends in a fully deterministic ORDER BY (total order);
+  *  - monetary / double aggregates go through per-row DECIMAL casts so sums
+  *    are exact and order-independent — a float sum's low bits would depend
+  *    on partition merge order and could never hash-match the DuckDB oracle;
+  *  - column names are aliased identically here and in the oracle SQL;
+  *  - integer-typed outputs are aligned (Spark LongType <-> DuckDB BIGINT;
+  *    DuckDB integer SUM/row_number results are cast explicitly).
+  *
+  * Scale notes are on each query: the same plans hold on a 1000-executor
+  * cluster — small dims are broadcast, aggregations are partial (map-side
+  * combine), filters/projections push to the parquet scan.
+  */
+object Queries {
+
+  private def dec(c: Column, prec: Int, scale: Int): Column =
+    c.cast(s"decimal($prec,$scale)")
+
+  // ---------------------------------------------------------------- scans
+
+  /** Scan + projection + predicate pushdown: both the range filter and the
+    * IN filter reach the parquet reader (PushedFilters in explain). */
+  def scanFilterProject(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .filter($"n_chars".between(100, 400) && $"lang".isin("en", "de", "es"))
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  // ----------------------------------------------------------- aggregates
+
+  /** TPC-H Q1-style wide aggregate: map-side partial agg, one shuffle on
+    * the (tiny-cardinality) grouping key. */
+  def aggPricing(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dec(sum(dec($"l_quantity", 18, 2)), 18, 2).as("sum_qty"),
+        dec(sum(dec($"l_extendedprice", 18, 2)), 18, 2).as("sum_price"),
+        dec(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 18, 4)), 18, 4)
+          .as("sum_disc_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** GROUP BY + COUNT + COUNT(DISTINCT) — the reference README's flagship
+    * aggregate shape (`/root/reference/README.md:216-222`). */
+  def countDistinctByLang(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"source").as("n_sources"))
+      .orderBy($"lang")
+  }
+
+  // -------------------------------------------------------------- filters
+
+  /** IN-list filter (`/root/reference/README.md:225-232` shape). */
+  def filterIn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "customer")
+      .filter($"c_mktsegment".isin("BUILDING", "AUTOMOBILE") && $"c_acctbal" > 5000.0)
+      .select($"c_custkey", $"c_name", $"c_mktsegment", dec($"c_acctbal", 18, 2).as("acctbal"))
+      .orderBy($"c_custkey")
+  }
+
+  /** LIKE filter (`/root/reference/README.md:236-241` shape). */
+  def filterLike(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .filter($"text".like("%merge join%"))
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- joins
+
+  /** orders ⋈ customer rollup. The join shuffles on o_custkey/c_custkey;
+    * at scale AQE picks broadcast automatically if customer fits. */
+  def joinOrdersCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables(spark, sfDir, "orders")
+    val customer = Tables(spark, sfDir, "customer")
+    orders.join(customer, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("order_cnt"),
+        dec(sum(dec($"o_totalprice", 18, 2)), 18, 2).as("total_price"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** 5-way star join: revenue per region/nation. nation+region are tiny
+    * dims — broadcast explicitly so only the fact-side lineitem⋈orders
+    * shuffle remains; customer is mid-sized (AQE decides). */
+  def joinStarRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lineitem = Tables(spark, sfDir, "lineitem")
+    val orders = Tables(spark, sfDir, "orders")
+    val customer = Tables(spark, sfDir, "customer")
+    val nation = Tables(spark, sfDir, "nation")
+    val region = Tables(spark, sfDir, "region")
+    lineitem
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        dec(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 18, 4)), 18, 4)
+          .as("revenue"),
+        count(lit(1)).as("line_cnt"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Left-semi join: customers having at least one URGENT order. */
+  def semiJoinUrgent(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables(spark, sfDir, "customer")
+    val urgent = Tables(spark, sfDir, "orders").filter($"o_orderpriority" === "1-URGENT")
+    customer.join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Left-anti join: customers with no order above 400k. */
+  def antiJoinBigSpenders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables(spark, sfDir, "customer")
+    val big = Tables(spark, sfDir, "orders").filter($"o_totalprice" > 400000.0)
+    customer.join(big, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+      .orderBy($"c_custkey")
+  }
+
+  // -------------------------------------------------------------- windows
+
+  /** Top-3 orders per customer via row_number — the argmax window shape
+    * used by the scalable similarity path (SURVEY §2.4). One shuffle on
+    * the partition key; no driver-side collect. */
+  def windowTopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables(spark, sfDir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"o_custkey", $"rnk", $"o_orderkey", dec($"o_totalprice", 18, 2).as("price"))
+      .orderBy($"o_custkey", $"rnk")
+  }
+
+  /** lag() per-user previous event — streaming-ish sequence analytics. */
+  def windowLagEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables(spark, sfDir, "events")
+      .withColumn("prev_event_id", lag($"event_id", 1).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"prev_event_id")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  // ------------------------------------------------------------ sort/topk
+
+  /** Global top-k: Spark plans TakeOrderedAndProject — no full sort. */
+  def topKOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "orders")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(25)
+      .select($"o_orderkey", dec($"o_totalprice", 18, 2).as("price"))
+  }
+
+  // ------------------------------------------------------------- set ops
+
+  /** INTERSECT / EXCEPT over customer vs (rich-)supplier nations. */
+  def setOpsNations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val custN = Tables(spark, sfDir, "customer").select($"c_nationkey".as("k"))
+    val richSuppN = Tables(spark, sfDir, "supplier")
+      .filter($"s_acctbal" > 5000.0).select($"s_nationkey".as("k"))
+    val both = custN.intersect(richSuppN).withColumn("tag", lit("both"))
+    val custOnly = custN.except(richSuppN).withColumn("tag", lit("cust_only"))
+    both.unionByName(custOnly).select($"tag", $"k").orderBy($"tag", $"k")
+  }
+
+  // ------------------------------------------------------- string / json
+
+  /** split_part cracking of a composite string — the README's
+    * `"<title> - <category>"` pattern (`/root/reference/README.md:249-264`). */
+  def splitPartCrack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .withColumn("composite", concat($"lang", lit(" - "), $"source"))
+      .select(
+        $"doc_id",
+        split_part($"composite", lit(" - "), lit(1)).as("lang_part"),
+        split_part($"composite", lit(" - "), lit(2)).as("source_part"))
+      .orderBy($"doc_id")
+  }
+
+  /** Crack the numeric field out of the events JSON props and aggregate. */
+  def jsonPropsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "events")
+      .withColumn("k", regexp_extract($"props", "([0-9]+)", 1).cast("bigint"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
+      .orderBy($"event_type")
+  }
+
+  // ------------------------------------------------------ time aggregates
+
+  /** Tumbling-window (hourly) event rollup — the batch shape of the
+    * streaming windowed aggregation. */
+  def eventsHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "events")
+      .withColumn("h", date_trunc("hour", $"ts"))
+      .groupBy($"h", $"event_type")
+      .agg(count(lit(1)).as("n"), dec(sum(dec($"value", 18, 4)), 18, 4).as("sum_value"))
+      .orderBy($"h", $"event_type")
+  }
+
+  // ----------------------------------------------------------- text stats
+
+  /** Whitespace token statistics per language (exact-SQL-expressible slice
+    * of the text-analysis operator family). */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .withColumn("toks", split(trim($"text"), " "))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size($"toks").cast("bigint")).as("total_tokens"),
+        sum(size(array_distinct($"toks")).cast("bigint")).as("total_distinct_tokens"))
+      .orderBy($"lang")
+  }
+
+  /** Regex (BPE-ish) token counting: letter runs, digit runs, punctuation. */
+  def tokenCountRegex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    Tables(spark, sfDir, "documents")
+      .select(
+        $"doc_id",
+        size(regexp_extract_all($"text", lit(pat), lit(0))).cast("bigint").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact deduplication: keep the lowest doc_id per identical text. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .groupBy($"text")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies")
+      .orderBy($"keep_id")
+  }
+
+  // ----------------------------------------------------------- embeddings
+
+  /** Brute-force cosine top-5 neighbors for the first 10 vectors.
+    * The 10-row query side is broadcast; the big side streams — at 100 TB
+    * this is one scan, no shuffle. Float arrays are cast to double before
+    * the dot product so scores are reproducible across engines. */
+  def knnBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate($"v", lit(0.0), (a, x) => a + x * x)))
+    val q = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    val scored = emb
+      .join(broadcast(q), $"vec_id" =!= $"qid")
+      .withColumn("dot", aggregate(zip_with($"qv", $"v", _ * _), lit(0.0), (a, x) => a + x))
+      .withColumn("score", $"dot" / ($"qn" * $"nrm"))
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"vec_id".asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"qid", $"rnk", $"vec_id".as("nid"))
+      .orderBy($"qid", $"rnk")
+  }
+
+  // ----------------------------------------------------------------- view
+
+  /** CREATE VIEW + filtered select over it (`/root/reference/README.md:270-287`). */
+  def viewHighValue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 250000.0)
+      .createOrReplaceTempView("high_value_orders")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM high_value_orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  // ----------------------------------------------- standardize_title (UDF)
+
+  /** Flagship: standardize a title-ish slice of every document
+    * (`/root/reference/README.md:204-210`). No DuckDB oracle: the local
+    * oracle is DuckDB 1.0.0, which cannot load the reference's v1.3.2+
+    * extension builds — semantics are pinned by the golden unit tests
+    * instead. */
+  def stdScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Tables(spark, sfDir, "documents")
+      .withColumn("title", substring($"text", 1, 40))
+      .select($"doc_id", $"title", GraftFunctions.standardize_title($"title").as("std"))
+      .orderBy($"doc_id")
+  }
+
+  /** README flagship analytics: GROUP BY standardized title + COUNT +
+    * COUNT(DISTINCT ...) (`/root/reference/README.md:216-222`). */
+  def stdGroupCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .withColumn("std", GraftFunctions.standardize_title(substring($"text", 1, 40)))
+      .groupBy($"std")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"lang").as("n_langs"))
+      .orderBy($"n_docs".desc, $"std".asc)
+  }
+
+  /** IN + LIKE filters over the standardized column
+    * (`/root/reference/README.md:225-241`). */
+  def stdFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .withColumn("std", GraftFunctions.standardize_title(substring($"text", 1, 40)))
+      .filter($"std".like("%Worker%") ||
+        $"std".isin("Data Strategist - Data Scientists", "Poet - Writers and Authors"))
+      .select($"doc_id", $"std")
+      .orderBy($"doc_id")
+  }
+
+  /** Category rollup by cracking the composite output with split_part
+    * (`/root/reference/README.md:259-264`). */
+  def stdCategoryRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .withColumn("std", GraftFunctions.standardize_title(substring($"text", 1, 40)))
+      .withColumn("category", split_part($"std", lit(" - "), lit(2)))
+      .groupBy($"category")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"category".asc)
+  }
+}

@@ -41,7 +41,7 @@ object GraftFunctions {
     else {
       val idx = TitleStandardizer.index
       val (ti, tv) = idx.queryVector(Tokenize.tokenizeAndStem(s))
-      val inv = idx.termToIdx.map(_.swap)
+      val inv = idx.idxToTerm // per-JVM lazy inverse, no per-row rebuild
       ti.indices.map(k => inv(ti(k)) -> tv(k)).toMap
     }
   }

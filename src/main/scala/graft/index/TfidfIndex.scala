@@ -38,6 +38,14 @@ final class TfidfIndex(
 
   val numTerms: Int = docFreqByIdx.length
 
+  /** term id → term string, inverse of `termToIdx`. Built once per JVM —
+    * never rebuild this inside a per-row code path. */
+  @transient lazy val idxToTerm: Array[String] = {
+    val arr = new Array[String](numTerms)
+    termToIdx.foreach { case (t, i) => arr(i) = t }
+    arr
+  }
+
   /** term id → (doc ids ascending, weights). Rebuilt lazily per JVM. */
   @transient lazy val postings: (Array[Array[Int]], Array[Array[Double]]) = {
     val counts = new Array[Int](numTerms)

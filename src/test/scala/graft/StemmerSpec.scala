@@ -83,10 +83,17 @@ class StemmerSpec extends AnyFunSuite {
   }
 
   test("stemming is idempotent over the dictionary-ish vocabulary") {
-    vectors.foreach { case (in, _) =>
+    // Porter2 is not idempotent in general — these four re-stem under the
+    // official Snowball algorithm (ugli->ug, earli->ear, onli->on,
+    // agre->agr), so they are excluded; the rest must be stable.
+    val knownNonIdempotent = Set("ugly", "early", "only", "agreed")
+    val bad = vectors.iterator.map(_._1).filterNot(knownNonIdempotent).map { in =>
       val once = EnglishStemmer.stem(in)
-      assert(EnglishStemmer.stem(once) == once || true) // informational only
-    }
+      (in, once, EnglishStemmer.stem(once))
+    }.collect { case (in, once, twice) if once != twice =>
+      s"$in: $once -> $twice"
+    }.toSeq
+    assert(bad.isEmpty, s"\nnon-idempotent stems:\n${bad.mkString("\n")}")
   }
 
   test("tokenizer: \\w+ with ascii lowercase") {
