@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, TextAnalysis}
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Knn, SimilarityJoin}
 
 /** The engine's query surface — one entry per operator family from
   * SURVEY.md §2, each runnable by the driver via
@@ -362,5 +364,96 @@ object Queries {
       .groupBy($"category")
       .agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"category".asc)
+  }
+
+  // -------------------------------------------- §2.4 scale operators
+
+  /** standardize_title via the shuffle-based inverted-index join — the
+    * 100 TB path; must agree with the per-row UDF (cross-checked in
+    * SimilarityJoinSpec). */
+  def similarityJoinStd(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .withColumn("title", substring($"text", 1, 40))
+    SimilarityJoin.standardizeViaJoin(docs, "doc_id", "title")
+      .orderBy($"doc_id")
+  }
+
+  /** MinHash-LSH fuzzy dedup clusters (cluster_id = smallest member id). */
+  def dedupFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.fuzzyClusters(Tables(spark, sfDir, "documents"), "doc_id", "text", 0.8)
+      .orderBy($"doc_id")
+  }
+
+  /** SimHash fingerprints (near-dup banding is exercised in DedupSpec). */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", Dedup.simhashUdf($"text").as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact n-gram Jaccard: 20 most-similar document pairs. */
+  def ngramJaccardTop(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.ngramJaccardPairs(Tables(spark, sfDir, "documents"), "doc_id", "text", n = 2)
+      .orderBy($"jaccard".desc, $"id_a".asc, $"id_b".asc)
+      .limit(20)
+  }
+
+  /** LSH-bucketed approximate kNN (same shape as q19; recall measured in
+    * KnnSpec against the brute-force baseline). */
+  def knnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    Knn.lshTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** Embedding near-dup: 20 globally most-similar pairs by exact cosine —
+    * oracle-checked (ints only; ordering by score is scale-stable). */
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Knn.topSimilarPairs(Tables(spark, sfDir, "embeddings"), "vec_id", "embedding", 20)
+      .select($"id_a", $"id_b")
+  }
+
+  /** Language-ID heuristic over document text. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", TextAnalysis.langIdUdf($"text").as("detected_lang"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality metrics + scalar score per document (pure builtin columns). */
+  def qualityScores(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .withColumn("m", TextAnalysis.qualityMetrics($"text"))
+      .select($"doc_id", $"m.n_tokens".as("n_tokens"),
+        $"m.type_token_ratio".as("type_token_ratio"),
+        TextAnalysis.qualityScore($"text").as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Rolling-hash document fingerprints. */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", TextAnalysis.fingerprintUdf($"text").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  /** Multimodal plumbing: binary payload column → partition-local feature
+    * extraction (decode stubbed; schema/batching real). */
+  def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.extractFeatures(
+      Multimodal.fromDocuments(Tables(spark, sfDir, "documents")))
+      .toDF()
+      .select($"media_id", $"format", $"feature_dim", $"features")
+      .orderBy($"media_id")
   }
 }

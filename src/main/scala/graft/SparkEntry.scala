@@ -47,7 +47,17 @@ object SparkEntry {
     "q30_std_scan" -> (Queries.stdScan _),
     "q31_std_group_count" -> (Queries.stdGroupCount _),
     "q32_std_filter" -> (Queries.stdFilter _),
-    "q33_std_category_rollup" -> (Queries.stdCategoryRollup _)
+    "q33_std_category_rollup" -> (Queries.stdCategoryRollup _),
+    "q34_similarity_join" -> (Queries.similarityJoinStd _),
+    "q35_dedup_fuzzy" -> (Queries.dedupFuzzy _),
+    "q36_dedup_simhash" -> (Queries.dedupSimhash _),
+    "q37_ngram_jaccard" -> (Queries.ngramJaccardTop _),
+    "q38_knn_lsh" -> (Queries.knnLsh _),
+    "q39_lang_id" -> (Queries.langId _),
+    "q40_quality_scores" -> (Queries.qualityScores _),
+    "q41_fingerprints" -> (Queries.fingerprints _),
+    "q43_embedding_neardup" -> (Queries.embeddingNearDup _),
+    "q44_multimodal_features" -> (Queries.multimodalFeatures _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -170,6 +180,13 @@ object SparkEntry {
         |  (SELECT user_id, event_id, event_type,
         |     lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
         |   FROM events) t
-        |WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin
+        |WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin,
+    "q43_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS score
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b FROM s ORDER BY score DESC, id_a, id_b LIMIT 20""".stripMargin
   )
 }

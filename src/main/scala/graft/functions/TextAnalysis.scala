@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/** Text-analysis operators for training-data pipelines (builder brief):
+  * language ID, quality scoring, token counting, document fingerprinting.
+  *
+  * Everything that Spark builtins can express is a pure `Column` (stays
+  * inside whole-stage codegen); only language ID and the rolling-hash
+  * fingerprint are Scala UDFs (per-row pure functions — embarrassingly
+  * parallel, no state beyond small static profile tables).
+  */
+object TextAnalysis {
+
+  // -------------------------------------------------------- language id
+
+  /** Tiny stopword profiles (top function words) per language. Static and
+    * public-knowledge; good enough for a scoring heuristic. */
+  private val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "of", "and", "to", "a", "in", "is", "that", "for", "it",
+      "on", "with", "as", "was", "at", "by", "an", "be", "this", "are"),
+    "de" -> Set("der", "die", "das", "und", "in", "den", "von", "zu", "mit",
+      "sich", "des", "auf", "für", "ist", "im", "dem", "nicht", "ein", "eine", "als"),
+    "es" -> Set("de", "la", "que", "el", "en", "y", "a", "los", "se", "del",
+      "las", "un", "por", "con", "no", "una", "su", "para", "es", "al"),
+    "fr" -> Set("de", "la", "le", "et", "les", "des", "en", "un", "du", "une",
+      "que", "est", "pour", "qui", "dans", "a", "par", "plus", "pas", "au"),
+    "it" -> Set("di", "e", "il", "la", "che", "in", "un", "per", "del", "una",
+      "con", "non", "sono", "da", "si", "le", "dei", "al", "come", "dello"))
+
+  /** Best-scoring language by stopword hit ratio; "und" (undetermined)
+    * when nothing matches. Deterministic tie-break: lexicographic. */
+  def detectLang(text: String): String = {
+    if (text == null) return "und"
+    val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (toks.isEmpty) return "und"
+    var best = "und"
+    var bestScore = 0
+    profiles.toSeq.sortBy(_._1).foreach { case (lang, stops) =>
+      var s = 0
+      toks.foreach(t => if (stops(t)) s += 1)
+      if (s > bestScore) { bestScore = s; best = lang }
+    }
+    best
+  }
+
+  val langIdUdf = udf((s: String) => detectLang(s))
+
+  // ------------------------------------------------------ quality score
+
+  /** Quality metrics as a flat struct of codegen-friendly builtins:
+    * lengths, token stats, punctuation/digit/space ratios, stopword ratio
+    * proxy, type-token ratio. All pure Column expressions. */
+  def qualityMetrics(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    val nChars = length(text).cast("double")
+    val nToks = size(toks).cast("double")
+    struct(
+      length(text).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      (size(array_distinct(toks)).cast("double") / nullif(nToks, lit(0.0))).as("type_token_ratio"),
+      (nChars / nullif(nToks, lit(0.0))).as("chars_per_token"),
+      (length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
+        nullif(nChars, lit(0.0))).as("punct_ratio"),
+      (length(regexp_replace(text, "[^0-9]", "")).cast("double") /
+        nullif(nChars, lit(0.0))).as("digit_ratio"),
+      (length(regexp_replace(text, "[^ ]", "")).cast("double") /
+        nullif(nChars, lit(0.0))).as("space_ratio"))
+  }
+
+  /** Scalar quality score in [0,1]: penalize extreme length, high punct /
+    * digit density, low lexical diversity. A simple monotone blend —
+    * pipelines threshold it. */
+  def qualityScore(text: Column): Column = {
+    val m = qualityMetrics(text)
+    val lenOk = when(m("n_tokens").between(5, 10000), lit(1.0))
+      .otherwise(lit(0.25))
+    val punctOk = lit(1.0) - least(m("punct_ratio") * 4.0, lit(1.0))
+    val digitOk = lit(1.0) - least(m("digit_ratio") * 4.0, lit(1.0))
+    val diversity = least(coalesce(m("type_token_ratio"), lit(0.0)) * 2.0, lit(1.0))
+    round((lenOk * 0.4 + punctOk * 0.2 + digitOk * 0.2 + diversity * 0.2), 6)
+  }
+
+  // ------------------------------------------------------ token counting
+
+  /** Whitespace token count (pure builtin). */
+  def tokenCountWs(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation —
+    * the standard "~chars/4" proxy without a vocab file. */
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  // ------------------------------------------------------- fingerprint
+
+  /** Order-sensitive 64-bit rolling polynomial hash over normalized
+    * (lowercased, whitespace-collapsed) tokens. Equal normalized content ⇒
+    * equal fingerprint; used for shift-tolerant chunk fingerprinting. */
+  def fingerprint64(text: String): Long = {
+    if (text == null) return 0L
+    var h = 1125899906842597L // large prime seed
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    var i = 0
+    while (i < toks.length) {
+      h = h * 31L + MurmurHash3.stringHash(toks(i), 0).toLong
+      i += 1
+    }
+    h
+  }
+
+  val fingerprintUdf = udf((s: String) => fingerprint64(s))
+}

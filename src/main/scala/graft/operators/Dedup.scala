@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/** Deduplication operators for large-scale text pipelines (builder brief:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard). All are pure shuffle-based
+  * DataFrame plans: per-row signatures are computed map-side (deterministic
+  * hashing, no randomness, no driver state), candidate generation goes
+  * through band-bucket equi-joins (never an all-pairs cartesian), and
+  * clustering is iterative smallest-id label propagation — each piece
+  * scales to a 1000-executor cluster unchanged.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Keep the lowest-id row per exact duplicate group of `keyCols`.
+    * One hash-aggregate shuffle on the dedup key. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ----------------------------------------------------------- minhash
+
+  /** Word n-gram shingles of a whitespace-tokenized, lowercased text. */
+  private def shingles(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) { if (toks.isEmpty) Array.empty else Array(toks.mkString(" ")) }
+    else toks.sliding(n).map(_.mkString(" ")).toArray
+  }
+
+  /** MinHash signature: for seed i, min over shingles of murmur3(shingle, i).
+    * Deterministic; identical texts ⇒ identical signatures. */
+  private def minhashSig(text: String, n: Int, numHashes: Int): Array[Int] = {
+    val sh = shingles(text, n)
+    val sig = Array.fill(numHashes)(Int.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val s = sh(i)
+      var h = 0
+      while (h < numHashes) {
+        val v = MurmurHash3.stringHash(s, h)
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Candidate near-duplicate pairs via MinHash + LSH banding.
+    *
+    * signature (map-side UDF) → explode `bands` band-hashes (rows × bands)
+    * → equi-join on (band, hash) via a groupBy bucket self-pairing →
+    * verify: estimated Jaccard = fraction of agreeing signature positions
+    * ≥ `threshold`. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    */
+  def minhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val sigUdf = udf((s: String) => minhashSig(s, shingleSize, numHashes))
+    val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+
+    // band b's key hashes signature positions [b*r, (b+1)*r)
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => $"sig"(b * rowsPerBand + r))
+      struct(lit(b).as("band"), hash(slice: _*).as("bh"))
+    }
+    val buckets = sigs
+      .withColumn("bk", explode(array(bandCols: _*)))
+      .select($"bk.band".as("band"), $"bk.bh".as("bh"), $"id", $"sig")
+
+    // pairs sharing any band bucket; DISTINCT before verification so a pair
+    // colliding in several bands is verified once
+    val a = buckets.select($"band", $"bh", $"id".as("id_a"), $"sig".as("sig_a"))
+    val b = buckets.select($"band", $"bh", $"id".as("id_b"), $"sig".as("sig_b"))
+    val cand = a.join(b, Seq("band", "bh")).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"sig_a", $"sig_b")
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .withColumn("est_jaccard",
+        aggregate(zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
+      .filter($"est_jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"est_jaccard")
+  }
+
+  // ----------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens (tf-weighted sign sum). */
+  private def simhash64(text: String): Long = {
+    if (text == null) return 0L
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = (MurmurHash3.stringHash(toks(i), 0).toLong << 32) |
+        (MurmurHash3.stringHash(toks(i), 1).toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  val simhashUdf = udf((s: String) => simhash64(s))
+
+  /** SimHash near-duplicate pairs with Hamming distance ≤ maxDistance.
+    * Pigeonhole banding: split the 64-bit hash into `maxDistance + 1`
+    * blocks — any pair within distance must agree exactly on ≥1 block, so
+    * candidates come from block equi-joins, never an all-pairs scan. */
+  def simhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val blocks = maxDistance + 1
+    val width = 64 / blocks
+
+    val hashed = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sh"))
+    val blockCols = (0 until blocks).map { i =>
+      val lo = i * width
+      val w = if (i == blocks - 1) 64 - lo else width
+      struct(lit(i).as("blk"),
+        shiftright($"sh", lo).bitwiseAND(lit((1L << w) - 1)).as("bv"))
+    }
+    val keyed = hashed.withColumn("k", explode(array(blockCols: _*)))
+      .select($"k.blk".as("blk"), $"k.bv".as("bv"), $"id", $"sh")
+
+    val a = keyed.select($"blk", $"bv", $"id".as("id_a"), $"sh".as("sh_a"))
+    val b = keyed.select($"blk", $"bv", $"id".as("id_b"), $"sh".as("sh_b"))
+    a.join(b, Seq("blk", "bv")).filter($"id_a" < $"id_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
+      .filter($"hamming" <= maxDistance)
+      .select($"id_a", $"id_b", $"hamming")
+  }
+
+  // ----------------------------------------------- exact n-gram jaccard
+
+  /** Exact Jaccard over distinct word n-grams, computed by an inverted
+    * gram join (|A∩B| from co-occurring grams; sizes joined back in) —
+    * no cartesian, no per-pair UDF. Returns all co-occurring pairs with
+    * their exact jaccard; filter/threshold downstream. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gramsUdf = udf((s: String) => shingles(s, n).distinct)
+    val grams = df.select(col(idCol).as("id"), explode(gramsUdf(col(textCol))).as("gram"))
+    val sizes = grams.groupBy($"id").agg(count(lit(1)).as("sz"))
+
+    val inter = grams.withColumnRenamed("id", "id_a")
+      .join(grams.withColumnRenamed("id", "id_b"), "gram")
+      .filter($"id_a" < $"id_b")
+      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.select($"id".as("id_a"), $"sz".as("sz_a")), "id_a")
+      .join(sizes.select($"id".as("id_b"), $"sz".as("sz_b")), "id_b")
+      .withColumn("jaccard", $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter"))
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  // ------------------------------------------------ connected components
+
+  /** Smallest-id label propagation over an undirected pair list.
+    * Iterative join+min-aggregate; converges in O(diameter) rounds (dup
+    * clusters are tiny, so a handful). At cluster scale each round is one
+    * shuffle; checkpoint every few rounds to cut lineage. */
+  def connectedComponents(
+      vertices: DataFrame, // one column: "id"
+      edges: DataFrame,    // columns: "id_a", "id_b"
+      maxIter: Int = 10): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val sym = edges.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionByName(edges.select($"id_b".as("src"), $"id_a".as("dst")))
+
+    var labels = vertices.select($"id", $"id".as("label"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), "dst")
+        .groupBy($"src".as("id")).agg(min($"nl").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select($"id", least($"label", coalesce($"nmin", $"label")).as("label"))
+        .localCheckpoint(true) // cut lineage; avoids exponential replans
+      val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter($"label" =!= $"old").limit(1).count()
+      labels = updated
+      converged = changed == 0L
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end fuzzy dedup: MinHash-LSH candidates → exact components →
+    * (id, cluster_id) where cluster_id is the smallest member id. */
+  def fuzzyClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = minhashCandidatePairs(df, idCol, textCol, threshold = threshold)
+    connectedComponents(df.select(col(idCol).as("id")), pairs)
+      .select($"id".as(idCol), $"label".as("cluster_id"))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`) — builder brief §similarity-search.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k, query side broadcast, data
+  *    side streamed — the correctness baseline (also oracle-checked as
+  *    q19 through `Queries.knnBruteForce`).
+  *  - [[lshTopK]]: random-hyperplane LSH — data side is bucketed by
+  *    sign-pattern signatures (computed map-side from deterministic
+  *    hash-derived hyperplanes, no driver state), candidates come from
+  *    bucket equi-joins across `tables` independent hash tables, and only
+  *    candidates get exact cosine rerank. At 100 TB the all-pairs scan of
+  *    the brute path is impossible; this path's cost is
+  *    O(rows × tables) signature work + bucket-local joins.
+  */
+object Knn {
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * murmur3 of (table, bit, dim) scaled — reproducible across JVMs,
+    * no RNG state to ship. */
+  private def planeComponent(table: Int, bit: Int, dim: Int): Double = {
+    val h = MurmurHash3.productHash((table, bit, dim))
+    (h.toDouble / Int.MaxValue.toDouble)
+  }
+
+  /** Sign-pattern signature of `v` for one hash table: `bits` sign bits. */
+  private def signature(v: Array[Double], table: Int, bits: Int): Int = {
+    var sig = 0
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) { dot += v(d) * planeComponent(table, b, d); d += 1 }
+      if (dot >= 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
+  private val sigsUdf = udf { (v: Seq[Double], tables: Int, bits: Int) =>
+    val arr = v.toArray
+    (0 until tables).map(t => signature(arr, t, bits)).toArray
+  }
+
+  private def withVecAndNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate($"v", lit(0.0), (a, x) => a + x * x)))
+  }
+
+  /** Exact cosine top-k of each row in `queries` against `data`.
+    * `queries` must be small (it is broadcast); `data` streams. */
+  def bruteForceTopK(
+      data: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val d = withVecAndNorm(data, idCol, vecCol)
+    val q = withVecAndNorm(queries, idCol, vecCol)
+      .select($"id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"id".asc)
+    d.join(broadcast(q), $"id" =!= $"qid")
+      .withColumn("dot", aggregate(zip_with($"qv", $"v", _ * _), lit(0.0), (a, x) => a + x))
+      .withColumn("score", $"dot" / ($"qn" * $"nrm"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"qid", $"rnk", $"id".as("nid"), $"score")
+  }
+
+  /** LSH-bucketed approximate cosine top-k: candidates share a bucket with
+    * the query in ≥1 of `tables` hash tables; exact rerank on candidates.
+    *
+    * Tuning: recall per table ≈ (1 - θ/π)^bits, so `bits` should grow with
+    * log(n) to keep buckets small — ~6 at 10³ rows, 16–20 at 10⁹ (where
+    * each of 2^bits buckets still holds thousands of vectors per table and
+    * the bucket join stays shuffle-friendly). More `tables` buys recall
+    * linearly in cost. */
+  def lshTopK(
+      data: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      tables: Int = 16, bits: Int = 6): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+
+    def bucketed(df: DataFrame) =
+      withVecAndNorm(df, idCol, vecCol)
+        .withColumn("sigs", sigsUdf($"v", lit(tables), lit(bits)))
+        .select($"id", $"v", $"nrm", posexplode($"sigs").as(Seq("tbl", "sig")))
+
+    val db = bucketed(data)
+    val qb = bucketed(queries)
+      .select($"tbl", $"sig", $"id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+
+    val cand = db.join(qb, Seq("tbl", "sig"))
+      .filter($"id" =!= $"qid")
+      .dropDuplicates("qid", "id") // collapses multi-table collisions
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"id".asc)
+    cand
+      .withColumn("dot", aggregate(zip_with($"qv", $"v", _ * _), lit(0.0), (a, x) => a + x))
+      .withColumn("score", $"dot" / ($"qn" * $"nrm"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"qid", $"rnk", $"id".as("nid"), $"score")
+  }
+
+  /** Embedding near-duplicate detection: globally most-similar pairs by
+    * exact cosine. `data` self-joined via broadcast of its (small) probe
+    * side is only for local scale — at 100 TB use [[lshTopK]] with
+    * data-as-queries instead. Returns the top `limit` pairs. */
+  def topSimilarPairs(data: DataFrame, idCol: String, vecCol: String, limit: Int): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val d = withVecAndNorm(data, idCol, vecCol)
+    val a = d.select($"id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
+    val b = d.select($"id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
+    a.join(b, $"id_a" < $"id_b")
+      .withColumn("dot", aggregate(zip_with($"va", $"vb", _ * _), lit(0.0), (a2, x) => a2 + x))
+      .withColumn("score", $"dot" / ($"na" * $"nb"))
+      .orderBy($"score".desc, $"id_a".asc, $"id_b".asc)
+      .limit(limit)
+      .select($"id_a", $"id_b", $"score")
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dict.TitleDictionary
+import graft.functions.TitleStandardizer
+import graft.text.Tokenize
+
+/** DataFrame-native TF-IDF cosine similarity join against the bundled BLS
+  * dictionary — the shuffle-based scale path for `standardize_title`
+  * (SURVEY.md §2.4). Where the per-row UDF brute-forces the dictionary per
+  * input, this plan generalizes to an arbitrarily large query side:
+  *
+  *   query rows
+  *     → qvec UDF (per-row sparse TF-IDF vector, per-JVM index — no
+  *       broadcast of unbounded state, no driver collect)
+  *     → explode terms
+  *     → equi-join on term against the dictionary postings DataFrame
+  *       (~60k rows — broadcast, so the big side never shuffles here)
+  *     → groupBy(query, doc) partial dot-products (map-side combine)
+  *     → row_number window top-k per query (desc score, asc doc id — the
+  *       reference's strict-`>`/lowest-index argmax, `/root/reference/src/utils.rs:173-181`)
+  *
+  * The only shuffles are keyed by query id — at 100 TB this is one
+  * aggregation + one window over well-distributed keys; nothing is
+  * proportional to (queries × dictionary).
+  */
+object SimilarityJoin {
+
+  /** Per-row sparse query vector over the dictionary vocabulary:
+    * array of (term id, weight) + precomputed norm. */
+  private val qvecUdf = udf { (s: String) =>
+    if (s == null) Array.empty[(Int, Double)]
+    else {
+      val (ti, tv) = TitleStandardizer.index.queryVector(Tokenize.tokenizeAndStem(s))
+      ti.zip(tv)
+    }
+  }
+
+  /** Dictionary postings as a DataFrame: one row per (term, doc) weight.
+    * Small (≈60k rows) and static — built once from the per-JVM index. */
+  def dictPostings(spark: SparkSession): DataFrame = {
+    val idx = TitleStandardizer.index
+    val rows = for {
+      d <- (0 until idx.numDocs).iterator
+      k <- idx.docIdx(d).indices.iterator
+    } yield (idx.docIdx(d)(k), d, idx.docVal(d)(k), idx.docNorms(d))
+    spark.createDataFrame(rows.toSeq).toDF("term", "doc_id", "dw", "doc_norm")
+  }
+
+  /** Dictionary dimension: doc id → alias string → BLS category. */
+  def dictDocs(spark: SparkSession): DataFrame = {
+    val corpus = TitleDictionary.corpus
+    val rows = corpus.indices.map { d =>
+      val alias = corpus(d)
+      (d, alias, TitleDictionary.categoryOf(alias))
+    }
+    spark.createDataFrame(rows).toDF("doc_id", "alias", "category")
+  }
+
+  /** Top-k dictionary matches per input row.
+    *
+    * @param queries   input DataFrame
+    * @param idCol     unique row id column
+    * @param textCol   raw text column to match
+    * @param k         matches per row
+    * @param keepUnmatched if true, rows whose query vector is empty
+    *   (all-OOV/empty input) fall back to dictionary doc 0 with score 0.0 —
+    *   the reference's `-0.0` strict-`>` fallback semantics.
+    * @return (idCol, rnk, match_doc_id, alias, category, score)
+    */
+  def topK(
+      queries: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 1,
+      keepUnmatched: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+
+    val q = queries
+      .select(col(idCol).as("qid"), qvecUdf(col(textCol)).as("qv"))
+      .withColumn("qnorm", sqrt(aggregate($"qv", lit(0.0), (a, x) => a + x("_2") * x("_2"))))
+
+    val exploded = q
+      .filter(size($"qv") > 0)
+      .select($"qid", $"qnorm", explode($"qv").as("tw"))
+      .select($"qid", $"qnorm", $"tw._1".as("term"), $"tw._2".as("qw"))
+
+    val scored = exploded
+      .join(broadcast(dictPostings(spark)), "term")
+      .groupBy($"qid", $"doc_id")
+      .agg(first($"qnorm").as("qnorm"), first($"doc_norm").as("doc_norm"),
+        sum($"qw" * $"dw").as("dot"))
+      .withColumn("score",
+        when($"doc_norm" > 0.0 && $"qnorm" > 0.0, $"dot" / ($"doc_norm" * $"qnorm"))
+          .otherwise(lit(0.0)))
+
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id".asc)
+    val top = scored
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"qid", $"rnk", $"doc_id", $"score")
+
+    val withFallback =
+      if (!keepUnmatched) top
+      else {
+        // all-OOV rows: reference argmax keeps doc 0 under strict `>` vs -0.0
+        val unmatched = q.join(top.select($"qid"), Seq("qid"), "left_anti")
+          .select($"qid", lit(1).as("rnk"), lit(0).as("doc_id"), lit(0.0).as("score"))
+        top.unionByName(unmatched)
+      }
+
+    withFallback
+      .join(broadcast(dictDocs(spark)), "doc_id")
+      // rename the dictionary id so it can never collide with idCol
+      .select(col("qid").as(idCol), $"rnk", $"doc_id".as("match_doc_id"),
+        $"alias", $"category", $"score")
+  }
+
+  /** Convenience: the reference's `"<alias> - <category>"` composite via the
+    * scalable path (top-1). */
+  def standardizeViaJoin(queries: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    topK(queries, idCol, textCol, k = 1)
+      .select(col(idCol), concat($"alias", lit(" - "), $"category").as("std"))
+  }
+}

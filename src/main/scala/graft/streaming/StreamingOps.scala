@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.GraftFunctions
+
+/** Structured Streaming surface (SURVEY §2.3 streaming row): the
+  * reference's function is stateless per batch, so it lifts directly onto
+  * a streaming DataFrame; windowed aggregation + watermarking and a
+  * mapGroupsWithState session accumulator cover the stateful shapes a
+  * production events stream needs. All transforms are expressed on the
+  * streaming DataFrame — the same code runs `readStream` → `writeStream`
+  * on a cluster; specs drive them with MemoryStream.
+  */
+object StreamingOps {
+
+  /** Stateless standardize-title over a streaming frame with a `title`
+    * column — identical plan to the batch path. */
+  def standardizeStream(stream: DataFrame): DataFrame =
+    stream.withColumn("std", GraftFunctions.standardize_title(col("title")))
+
+  /** Tumbling-window counts with a watermark for late data: the streaming
+    * twin of `Queries.eventsHourly`. */
+  def windowedEventCounts(
+      events: DataFrame, // columns: ts TIMESTAMP, event_type STRING, value DOUBLE
+      windowLen: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom state via mapGroupsWithState: running per-user totals.
+    * State is one tiny struct per key — partitioned by user, no driver
+    * state, scales with the key space. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserTotals(userId, n, tot)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import SparkSuiteBase.spark
+
+  // 1/2 exact dups; 3 near-dup of 1 (one word changed); 4/5 unrelated; 6
+  // chains to 3 (transitivity)
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (4L, "completely different content about spark distributed query engines"),
+      (5L, "yet another unrelated sentence mentioning parquet columnar storage"),
+      (6L, "a quick brown fox jumps over the lazy cat again and again today")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps lowest id per duplicate group") {
+    import spark.implicits._
+    val kept = Dedup.exact(fixture, "doc_id", Seq("text"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val pairs = Dedup.minhashCandidatePairs(fixture, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact duplicates must collide")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), "near-dup must surface")
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) && Set(a, b).contains(5L) },
+      "unrelated docs must not pair")
+    // identical texts ⇒ identical signatures ⇒ est_jaccard 1.0
+    val exact = Dedup.minhashCandidatePairs(fixture, "doc_id", "text", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((1L, 2L)))
+  }
+
+  test("fuzzyClusters groups transitively with smallest-id labels") {
+    val labels = Dedup.fuzzyClusters(fixture, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L, "exact dups share cluster 1")
+    assert(labels(3L) == 1L, "near-dup joins cluster 1")
+    assert(labels(4L) == 4L && labels(5L) == 5L, "unrelated stay singleton")
+  }
+
+  test("simhash: near-dups within small hamming distance; banding finds them") {
+    val hs = fixture.select(org.apache.spark.sql.functions.col("doc_id"),
+      Dedup.simhashUdf(org.apache.spark.sql.functions.col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L), "identical text ⇒ identical simhash")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) <= 8, "near-dup ⇒ close simhash")
+    assert(java.lang.Long.bitCount(hs(4L) ^ hs(5L)) > 8, "unrelated ⇒ distant simhash")
+
+    val pairs = Dedup.simhashCandidatePairs(fixture, "doc_id", "text", maxDistance = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard is exact") {
+    val pairs = Dedup.ngramJaccardPairs(fixture, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0, "identical texts ⇒ jaccard 1.0")
+    // docs 1 and 3 differ in one word of 13 ⇒ 2 of the 12 bigrams change:
+    // |A∩B| = 10, |A∪B| = 14 ⇒ 10/14
+    assert(math.abs(pairs((1L, 3L)) - 10.0 / 14.0) < 1e-12)
+  }
+
+  test("connected components: chain propagates smallest id") {
+    import spark.implicits._
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{UserEvent, UserTotals}
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkSuiteBase.spark
+
+  test("stateless standardize over a stream matches the batch goldens") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = StreamingOps.standardizeStream(in.toDF().withColumnRenamed("value", "title"))
+    val q = out.writeStream.format("memory").queryName("std_stream").outputMode("append").start()
+    in.addData("robotics engineer", "poet")
+    q.processAllAvailable()
+    val got = spark.table("std_stream").collect()
+      .map(r => r.getAs[String]("title") -> r.getAs[String]("std")).toMap
+    q.stop()
+    assert(got("robotics engineer") == "Robotics Engineer - Engineers, All Other")
+    assert(got("poet") == "Poet - Writers and Authors")
+  }
+
+  test("watermarked tumbling-window counts aggregate per window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val out = StreamingOps.windowedEventCounts(events, "1 hour", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("win_stream")
+      .outputMode("update").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData(
+      (t("2024-01-01 10:05:00"), "click", 1.0),
+      (t("2024-01-01 10:55:00"), "click", 2.0),
+      (t("2024-01-01 11:05:00"), "click", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_stream")
+      .select(col("window.start").cast("string"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(rows.contains(("2024-01-01 10:00:00", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 11:00:00", 1L, 4.0)))
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val out = StreamingOps.runningUserTotals(in.toDS())
+    val q = out.writeStream.format("memory").queryName("state_stream")
+      .outputMode("update").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData(UserEvent(1L, t("2024-01-01 00:00:00"), 10.0))
+    q.processAllAvailable()
+    in.addData(UserEvent(1L, t("2024-01-01 00:01:00"), 5.0),
+      UserEvent(2L, t("2024-01-01 00:02:00"), 7.0))
+    q.processAllAvailable()
+    val last = spark.table("state_stream").as[UserTotals].collect()
+      .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+    q.stop()
+    assert(last(1L) == UserTotals(1L, 2L, 15.0))
+    assert(last(2L) == UserTotals(2L, 1L, 7.0))
+  }
+}
