@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM once (codegen, parquet reader, shuffle machinery) so the
+    // per-query numbers measure steady-state throughput, not first-query
+    // JIT compilation. Uses the cheapest real query; not counted.
+    try SparkEntry.queries.toSeq.sortBy(_._1).headOption.foreach(_._2(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Full materialization through a noop sink: every column is produced

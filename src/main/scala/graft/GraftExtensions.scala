@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.DotProduct
+
+/** Session-extension entry point — the Spark analog of the reference
+  * extension's install hook (`/root/reference/src/lib.rs:80-87`): start a
+  * session with `spark.sql.extensions=graft.GraftExtensions` and the
+  * engine's native expressions resolve in SQL without any imperative
+  * registration call. (The UDF surface still registers through
+  * `GraftFunctions.register`, which is also invoked lazily by the
+  * operators that need it.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+  }
+}

@@ -279,23 +279,14 @@ object Queries {
 
   /** Brute-force cosine top-5 neighbors for the first 10 vectors.
     * The 10-row query side is broadcast; the big side streams — at 100 TB
-    * this is one scan, no shuffle. Float arrays are cast to double before
-    * the dot product so scores are reproducible across engines. */
+    * this is one scan, no shuffle. Float arrays are cast to double and the
+    * dot product runs through the codegen'd [[graft.expressions.DotProduct]]
+    * expression (same left-to-right summation order as the DuckDB oracle). */
   def knnBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables(spark, sfDir, "embeddings")
-      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate($"v", lit(0.0), (a, x) => a + x * x)))
-    val q = emb.filter($"vec_id" < 10)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
-    val scored = emb
-      .join(broadcast(q), $"vec_id" =!= $"qid")
-      .withColumn("dot", aggregate(zip_with($"qv", $"v", _ * _), lit(0.0), (a, x) => a + x))
-      .withColumn("score", $"dot" / ($"qn" * $"nrm"))
-    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"vec_id".asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 5)
-      .select($"qid", $"rnk", $"vec_id".as("nid"))
+    Knn.bruteForceTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
+      .select($"qid", $"rnk", $"nid")
       .orderBy($"qid", $"rnk")
   }
 
@@ -394,10 +385,11 @@ object Queries {
       .orderBy($"doc_id")
   }
 
-  /** Exact n-gram Jaccard: 20 most-similar document pairs. */
+  /** 20 most-similar document pairs by exact n-gram Jaccard, LSH-candidate
+    * pruned (the all-pairs gram join is quadratic on low-entropy corpora). */
   def ngramJaccardTop(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Dedup.ngramJaccardPairs(Tables(spark, sfDir, "documents"), "doc_id", "text", n = 2)
+    Dedup.ngramJaccardTopK(Tables(spark, sfDir, "documents"), "doc_id", "text", n = 2)
       .orderBy($"jaccard".desc, $"id_a".asc, $"id_b".asc)
       .limit(20)
   }
@@ -434,7 +426,7 @@ object Queries {
       .withColumn("m", TextAnalysis.qualityMetrics($"text"))
       .select($"doc_id", $"m.n_tokens".as("n_tokens"),
         $"m.type_token_ratio".as("type_token_ratio"),
-        TextAnalysis.qualityScore($"text").as("quality"))
+        TextAnalysis.qualityScoreFromMetrics($"m").as("quality"))
       .orderBy($"doc_id")
   }
 

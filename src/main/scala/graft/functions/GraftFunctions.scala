@@ -54,5 +54,7 @@ object GraftFunctions {
     spark.udf.register("tokenize_words", tokenizeUdf)
     spark.udf.register("tokenize_stem", tokenizeStem)
     spark.udf.register("tfidf_vec", tfidfVec)
+    // native codegen'd expression on the SQL surface: graft_dot(a, b)
+    graft.expressions.VectorExpressions.ensureRegistered(spark)
   }
 }

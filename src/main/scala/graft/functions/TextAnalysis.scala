@@ -72,11 +72,10 @@ object TextAnalysis {
         nullif(nChars, lit(0.0))).as("space_ratio"))
   }
 
-  /** Scalar quality score in [0,1]: penalize extreme length, high punct /
-    * digit density, low lexical diversity. A simple monotone blend —
-    * pipelines threshold it. */
-  def qualityScore(text: Column): Column = {
-    val m = qualityMetrics(text)
+  /** Scalar quality score in [0,1] from a precomputed [[qualityMetrics]]
+    * struct — share one metrics column instead of re-deriving the text
+    * expressions (halves the codegen tree). */
+  def qualityScoreFromMetrics(m: Column): Column = {
     val lenOk = when(m("n_tokens").between(5, 10000), lit(1.0))
       .otherwise(lit(0.25))
     val punctOk = lit(1.0) - least(m("punct_ratio") * 4.0, lit(1.0))
@@ -84,6 +83,11 @@ object TextAnalysis {
     val diversity = least(coalesce(m("type_token_ratio"), lit(0.0)) * 2.0, lit(1.0))
     round((lenOk * 0.4 + punctOk * 0.2 + digitOk * 0.2 + diversity * 0.2), 6)
   }
+
+  /** Scalar quality score in [0,1]: penalize extreme length, high punct /
+    * digit density, low lexical diversity. A simple monotone blend —
+    * pipelines threshold it. */
+  def qualityScore(text: Column): Column = qualityScoreFromMetrics(qualityMetrics(text))
 
   // ------------------------------------------------------ token counting
 

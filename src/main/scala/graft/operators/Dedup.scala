@@ -186,6 +186,31 @@ object Dedup {
       .select($"id_a", $"id_b", $"jaccard")
   }
 
+  /** Scale path for "most-similar pairs by exact n-gram Jaccard":
+    * MinHash-LSH candidate generation (cheap, recall ~1 for high-Jaccard
+    * pairs) → exact Jaccard rerank on candidates via `array_intersect` —
+    * never the quadratic all-co-occurring-pairs gram join, which explodes
+    * on low-entropy corpora where every gram is high-frequency. */
+  def ngramJaccardTopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      candidateThreshold: Double = 0.2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gramsUdf = udf((s: String) => shingles(s, n).distinct)
+    val withGrams = df.select(col(idCol).as("id"), gramsUdf(col(textCol)).as("grams"))
+    minhashCandidatePairs(df, idCol, textCol,
+        shingleSize = n, threshold = candidateThreshold)
+      .join(withGrams.select($"id".as("id_a"), $"grams".as("ga")), "id_a")
+      .join(withGrams.select($"id".as("id_b"), $"grams".as("gb")), "id_b")
+      .withColumn("inter", size(array_intersect($"ga", $"gb")))
+      .withColumn("jaccard",
+        $"inter".cast("double") / (size($"ga") + size($"gb") - $"inter"))
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
   // ------------------------------------------------ connected components
 
   /** Smallest-id label propagation over an undirected pair list.
@@ -221,7 +246,12 @@ object Dedup {
   }
 
   /** End-to-end fuzzy dedup: MinHash-LSH candidates → exact components →
-    * (id, cluster_id) where cluster_id is the smallest member id. */
+    * (id, cluster_id) where cluster_id is the smallest member id.
+    *
+    * Label propagation runs only over vertices that appear in some
+    * candidate pair — on a deduped-ish corpus that subgraph is a tiny
+    * fraction of the data, so the iterative rounds never touch the full
+    * table; singletons get cluster_id = id via one left join at the end. */
   def fuzzyClusters(
       df: DataFrame,
       idCol: String,
@@ -230,7 +260,12 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val pairs = minhashCandidatePairs(df, idCol, textCol, threshold = threshold)
-    connectedComponents(df.select(col(idCol).as("id")), pairs)
-      .select($"id".as(idCol), $"label".as("cluster_id"))
+      .localCheckpoint(true) // computed once; reused as edges and vertex set
+    val touched = pairs.select($"id_a".as("id"))
+      .unionByName(pairs.select($"id_b".as("id"))).distinct()
+    val labels = connectedComponents(touched, pairs)
+    df.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select($"id".as(idCol), coalesce($"label", $"id").as("cluster_id"))
   }
 }

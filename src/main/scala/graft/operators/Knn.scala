@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 
 import scala.util.hashing.MurmurHash3
 
+import graft.expressions.VectorExpressions.dot
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`) — builder brief §similarity-search.
   *
@@ -54,7 +56,7 @@ object Knn {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate($"v", lit(0.0), (a, x) => a + x * x)))
+      .withColumn("nrm", sqrt(dot(spark)($"v", $"v")))
   }
 
   /** Exact cosine top-k of each row in `queries` against `data`.
@@ -69,8 +71,7 @@ object Knn {
       .select($"id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
     val w = Window.partitionBy($"qid").orderBy($"score".desc, $"id".asc)
     d.join(broadcast(q), $"id" =!= $"qid")
-      .withColumn("dot", aggregate(zip_with($"qv", $"v", _ * _), lit(0.0), (a, x) => a + x))
-      .withColumn("score", $"dot" / ($"qn" * $"nrm"))
+      .withColumn("score", dot(spark)($"qv", $"v") / ($"qn" * $"nrm"))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= k)
       .select($"qid", $"rnk", $"id".as("nid"), $"score")
@@ -105,8 +106,7 @@ object Knn {
       .dropDuplicates("qid", "id") // collapses multi-table collisions
     val w = Window.partitionBy($"qid").orderBy($"score".desc, $"id".asc)
     cand
-      .withColumn("dot", aggregate(zip_with($"qv", $"v", _ * _), lit(0.0), (a, x) => a + x))
-      .withColumn("score", $"dot" / ($"qn" * $"nrm"))
+      .withColumn("score", dot(spark)($"qv", $"v") / ($"qn" * $"nrm"))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= k)
       .select($"qid", $"rnk", $"id".as("nid"), $"score")
@@ -123,8 +123,7 @@ object Knn {
     val a = d.select($"id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
     val b = d.select($"id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
     a.join(b, $"id_a" < $"id_b")
-      .withColumn("dot", aggregate(zip_with($"va", $"vb", _ * _), lit(0.0), (a2, x) => a2 + x))
-      .withColumn("score", $"dot" / ($"na" * $"nb"))
+      .withColumn("score", dot(spark)($"va", $"vb") / ($"na" * $"nb"))
       .orderBy($"score".desc, $"id_a".asc, $"id_b".asc)
       .limit(limit)
       .select($"id_a", $"id_b", $"score")

@@ -71,6 +71,14 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(pairs((1L, 3L)) - 10.0 / 14.0) < 1e-12)
   }
 
+  test("ngram jaccard top-k (LSH-pruned) finds the same high pairs as exact") {
+    val approx = Dedup.ngramJaccardTopK(fixture, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(approx((1L, 2L)) == 1.0)
+    assert(math.abs(approx((1L, 3L)) - 10.0 / 14.0) < 1e-12,
+      "exact jaccard must survive the candidate pruning")
+  }
+
   test("connected components: chain propagates smallest id") {
     import spark.implicits._
     val vertices = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
