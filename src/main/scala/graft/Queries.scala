@@ -403,6 +403,14 @@ object Queries {
       .orderBy($"qid", $"rnk")
   }
 
+  /** IVF approximate kNN (k-means coarse quantizer + probe). */
+  def knnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    Knn.ivfTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
+      .orderBy($"qid", $"rnk")
+  }
+
   /** Embedding near-dup: 20 globally most-similar pairs by exact cosine —
     * oracle-checked (ints only; ordering by score is scale-stable). */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {

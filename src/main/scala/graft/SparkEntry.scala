@@ -53,6 +53,7 @@ object SparkEntry {
     "q36_dedup_simhash" -> (Queries.dedupSimhash _),
     "q37_ngram_jaccard" -> (Queries.ngramJaccardTop _),
     "q38_knn_lsh" -> (Queries.knnLsh _),
+    "q42_knn_ivf" -> (Queries.knnIvf _),
     "q39_lang_id" -> (Queries.langId _),
     "q40_quality_scores" -> (Queries.qualityScores _),
     "q41_fingerprints" -> (Queries.fingerprints _),

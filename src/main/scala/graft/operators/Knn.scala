@@ -112,6 +112,77 @@ object Knn {
       .select($"qid", $"rnk", $"id".as("nid"), $"score")
   }
 
+  /** IVF (inverted-file) approximate top-k: a deterministic k-means coarse
+    * quantizer partitions the data into `nCells` cells; queries probe the
+    * `nProbe` nearest cells and exact-rerank only those candidates.
+    *
+    * Training keeps only k×dim doubles on the driver (the model — same
+    * footprint as any learned index); assignment and search are pure
+    * map-side work plus one bucket equi-join. Determinism: centroids are
+    * initialized from the first `nCells` rows by id and refined a fixed
+    * number of Lloyd iterations — no RNG. At 100 TB you train on a sample
+    * and raise nCells so each cell stays executor-sized. */
+  def ivfTopK(
+      data: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 5): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+
+    val d = withVecAndNorm(data, idCol, vecCol).cache()
+
+    // --- train: deterministic Lloyd iterations on normalized vectors
+    var centroids: Array[Array[Double]] = d.orderBy($"id".asc).limit(nCells)
+      .select($"v").collect().map(_.getSeq[Double](0).toArray)
+    def nearestUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var dist = 0.0; var i = 0
+        val cv = cs(c)
+        while (i < arr.length) { val t = arr(i) - cv(i); dist += t * t; i += 1 }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      best
+    }
+    var iter = 0
+    while (iter < iterations) {
+      val assigned = d.withColumn("cell", nearestUdf(centroids)($"v"))
+      val updated = assigned.groupBy($"cell")
+        .agg(array((0 until centroids(0).length).map(i =>
+          avg($"v"(i))): _*).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+      iter += 1
+    }
+
+    // --- assign cells; queries probe the nProbe nearest cells
+    val cells = d.withColumn("cell", nearestUdf(centroids)($"v"))
+    val probesUdf = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      centroids.indices.map { c =>
+        var dist = 0.0; var i = 0
+        val cv = centroids(c)
+        while (i < arr.length) { val t = arr(i) - cv(i); dist += t * t; i += 1 }
+        (dist, c)
+      }.sorted.take(nProbe).map(_._2).toArray
+    }
+    val qcells = withVecAndNorm(queries, idCol, vecCol)
+      .withColumn("cell", explode(probesUdf($"v")))
+      .select($"cell", $"id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"id".asc)
+    val out = cells.join(qcells, Seq("cell"))
+      .filter($"id" =!= $"qid")
+      .withColumn("score", dot(spark)($"qv", $"v") / ($"qn" * $"nrm"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"qid", $"rnk", $"id".as("nid"), $"score")
+    out // d stays cached for the session (tiny: id + vec + norm)
+  }
+
   /** Embedding near-duplicate detection: globally most-similar pairs by
     * exact cosine. `data` self-joined via broadcast of its (small) probe
     * side is only for local scale — at 100 TB use [[lshTopK]] with

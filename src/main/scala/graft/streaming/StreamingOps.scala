@@ -32,6 +32,42 @@ object StreamingOps {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class OpenSession(start: Long, last: Long, n: Int)
+  final case class ClosedSession(user_id: Long, start_ts: java.sql.Timestamp,
+      end_ts: java.sql.Timestamp, n_events: Int)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: events for a user
+    * extend the open session; a gap larger than `gapMinutes` closes it and
+    * emits the completed session. State per key is one tiny struct. */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          val times = rows.map(_.ts.getTime).toArray.sorted
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var cur = state.getOption
+          times.foreach { t =>
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                closed += ClosedSession(userId,
+                  new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n)
+                cur = Some(OpenSession(t, t, 1))
+              case None =>
+                cur = Some(OpenSession(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

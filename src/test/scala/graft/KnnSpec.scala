@@ -43,6 +43,18 @@ class KnnSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("IVF recall@5 vs brute force is usable (>= 0.5 on sf0.001) and deterministic") {
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val exact = keyset(Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    val a = keyset(Knn.ivfTopK(emb, queries, "vec_id", "embedding", k = 5))
+    val b = keyset(Knn.ivfTopK(emb, queries, "vec_id", "embedding", k = 5))
+    assert(a == b, "IVF must be deterministic (fixed init, fixed iterations)")
+    val recall = (exact & a).size.toDouble / exact.size
+    info(f"IVF recall@5 = $recall%.2f (nProbe=4/16 cells)")
+    assert(recall >= 0.5, f"recall $recall%.2f too low")
+  }
+
   test("topSimilarPairs: ordered, deduped, id_a < id_b") {
     val rows = Knn.topSimilarPairs(emb, "vec_id", "embedding", 10).collect()
     assert(rows.length == 10)

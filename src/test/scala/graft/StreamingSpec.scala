@@ -47,6 +47,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 11:00:00", 1L, 4.0)))
   }
 
+  test("flatMapGroupsWithState sessionizes by gap across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamingOps.{ClosedSession, SessionEvent}
+    val in = MemoryStream[SessionEvent]
+    val out = StreamingOps.sessionize(in.toDS(), gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData(
+      SessionEvent(1L, t("2024-01-01 10:00:00")),
+      SessionEvent(1L, t("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    // second batch: within-gap extension, then a 2h jump closes the session
+    in.addData(
+      SessionEvent(1L, t("2024-01-01 10:20:00")),
+      SessionEvent(1L, t("2024-01-01 12:30:00")))
+    q.processAllAvailable()
+    val sessions = spark.table("sess_stream").as[ClosedSession].collect()
+    q.stop()
+    assert(sessions.length == 1)
+    val s = sessions.head
+    assert(s.user_id == 1L && s.n_events == 3)
+    assert(s.start_ts == t("2024-01-01 10:00:00") && s.end_ts == t("2024-01-01 10:20:00"))
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
