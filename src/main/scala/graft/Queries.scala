@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Knn, SimilarityJoin}
+import graft.operators.{AsOfJoin, Dedup, Knn, SimilarityJoin}
 
 /** The engine's query surface — one entry per operator family from
   * SURVEY.md §2, each runnable by the driver via
@@ -126,6 +126,41 @@ object Queries {
           .as("revenue"),
         count(lit(1)).as("line_cnt"))
       .orderBy($"r_name", $"n_name")
+  }
+
+  /** ROLLUP over the star join: revenue at (region, nation), (region, ALL)
+    * and (ALL, ALL) grain — grouping-set aggregation (S6 extension).
+    * NULL grouping slots are coalesced to 'ALL' so ordering is
+    * engine-independent. */
+  def rollupRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(spark, sfDir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables(spark, sfDir, "region")), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("order_cnt"),
+        dec(sum(dec($"o_totalprice", 18, 2)), 18, 2).as("total_price"))
+      .select(
+        coalesce($"r_name", lit("ALL")).as("rname"),
+        coalesce($"n_name", lit("ALL")).as("nname"),
+        $"order_cnt", $"total_price")
+      .orderBy($"rname", $"nname")
+  }
+
+  /** As-of (point-in-time) join: each purchase gets the user's most recent
+    * click at-or-before it — the leak-free feature-lookup primitive. */
+  def asofPurchaseClick(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"))
+    AsOfJoin.asOf(purchases, clicks, "user_id", "ts", Seq("click_id"))
+      .select($"event_id", $"user_id", $"asof_click_id")
+      .orderBy($"event_id")
   }
 
   /** Left-semi join: customers having at least one URGENT order. */
@@ -443,6 +478,22 @@ object Queries {
     import spark.implicits._
     Tables(spark, sfDir, "documents")
       .select($"doc_id", TextAnalysis.fingerprintUdf($"text").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  /** Text-pipeline UDF family end-to-end: tokenize+stem, sparse TF-IDF
+    * vector (MapType), single-token stemming. */
+  def textUdfs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Tables(spark, sfDir, "documents")
+      .withColumn("title", substring($"text", 1, 40))
+      .select(
+        $"doc_id",
+        GraftFunctions.tokenizeStem($"title").as("stemmed_tokens"),
+        GraftFunctions.tfidfVec($"title").as("tfidf"),
+        GraftFunctions.stemEn(element_at(GraftFunctions.tokenizeUdf($"title"), 1))
+          .as("first_stem"))
       .orderBy($"doc_id")
   }
 

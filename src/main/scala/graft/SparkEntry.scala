@@ -44,6 +44,8 @@ object SparkEntry {
     "q19_knn_bruteforce" -> (Queries.knnBruteForce _),
     "q20_view_high_value" -> (Queries.viewHighValue _),
     "q21_window_lag_events" -> (Queries.windowLagEvents _),
+    "q22_rollup_revenue" -> (Queries.rollupRevenue _),
+    "q23_asof_join" -> (Queries.asofPurchaseClick _),
     "q30_std_scan" -> (Queries.stdScan _),
     "q31_std_group_count" -> (Queries.stdGroupCount _),
     "q32_std_filter" -> (Queries.stdFilter _),
@@ -58,7 +60,8 @@ object SparkEntry {
     "q40_quality_scores" -> (Queries.qualityScores _),
     "q41_fingerprints" -> (Queries.fingerprints _),
     "q43_embedding_neardup" -> (Queries.embeddingNearDup _),
-    "q44_multimodal_features" -> (Queries.multimodalFeatures _)
+    "q44_multimodal_features" -> (Queries.multimodalFeatures _),
+    "q45_text_udfs" -> (Queries.textUdfs _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -182,6 +185,22 @@ object SparkEntry {
         |     lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
         |   FROM events) t
         |WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin,
+    "q22_rollup_revenue" ->
+      """SELECT coalesce(r_name, 'ALL') AS rname, coalesce(n_name, 'ALL') AS nname,
+        |  COUNT(*) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY rname, nname""".stripMargin,
+    "q23_asof_join" ->
+      """SELECT p.event_id, p.user_id, c.event_id AS asof_click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q43_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
