@@ -20,5 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("standardize_title"),
+      new ExpressionInfo(classOf[graft.expressions.StandardizeTitleExpr].getName,
+        "standardize_title"),
+      (exprs: Seq[Expression]) => graft.expressions.StandardizeTitleExpr(exprs.head)))
   }
 }

@@ -353,7 +353,7 @@ object Queries {
     GraftFunctions.register(spark)
     Tables(spark, sfDir, "documents")
       .withColumn("title", substring($"text", 1, 40))
-      .select($"doc_id", $"title", GraftFunctions.standardize_title($"title").as("std"))
+      .select($"doc_id", $"title", call_function("standardize_title", $"title").as("std"))
       .orderBy($"doc_id")
   }
 
@@ -361,8 +361,9 @@ object Queries {
     * COUNT(DISTINCT ...) (`/root/reference/README.md:216-222`). */
   def stdGroupCount(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    GraftFunctions.register(spark)
     Tables(spark, sfDir, "documents")
-      .withColumn("std", GraftFunctions.standardize_title(substring($"text", 1, 40)))
+      .withColumn("std", call_function("standardize_title", substring($"text", 1, 40)))
       .groupBy($"std")
       .agg(count(lit(1)).as("n_docs"), countDistinct($"lang").as("n_langs"))
       .orderBy($"n_docs".desc, $"std".asc)
@@ -372,8 +373,9 @@ object Queries {
     * (`/root/reference/README.md:225-241`). */
   def stdFilter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    GraftFunctions.register(spark)
     Tables(spark, sfDir, "documents")
-      .withColumn("std", GraftFunctions.standardize_title(substring($"text", 1, 40)))
+      .withColumn("std", call_function("standardize_title", substring($"text", 1, 40)))
       .filter($"std".like("%Worker%") ||
         $"std".isin("Data Strategist - Data Scientists", "Poet - Writers and Authors"))
       .select($"doc_id", $"std")
@@ -384,8 +386,9 @@ object Queries {
     * (`/root/reference/README.md:259-264`). */
   def stdCategoryRollup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    GraftFunctions.register(spark)
     Tables(spark, sfDir, "documents")
-      .withColumn("std", GraftFunctions.standardize_title(substring($"text", 1, 40)))
+      .withColumn("std", call_function("standardize_title", substring($"text", 1, 40)))
       .withColumn("category", split_part($"std", lit(" - "), lit(2)))
       .groupBy($"category")
       .agg(count(lit(1)).as("n"))

@@ -54,7 +54,10 @@ object GraftFunctions {
     spark.udf.register("tokenize_words", tokenizeUdf)
     spark.udf.register("tokenize_stem", tokenizeStem)
     spark.udf.register("tfidf_vec", tfidfVec)
-    // native codegen'd expression on the SQL surface: graft_dot(a, b)
+    // native codegen'd expressions on the SQL surface. standardize_title is
+    // re-registered over the UDF: same semantics (both call
+    // TitleStandardizer.standardize), minus the ScalaUDF encoder round-trip.
     graft.expressions.VectorExpressions.ensureRegistered(spark)
+    graft.expressions.StandardizeTitleExpr.ensureRegistered(spark)
   }
 }
