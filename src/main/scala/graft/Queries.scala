@@ -408,6 +408,22 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** Fully distributed similarity join (no driver-side index): documents
+    * matched against the dictionary corpus loaded as a plain DataFrame —
+    * the shape that scales when BOTH sides are large. */
+  def similarityJoinGeneric(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .withColumn("title", substring($"text", 1, 40))
+      .select($"doc_id", $"title")
+    val corpusDf = graft.dict.TitleDictionary.corpus.zipWithIndex
+      .map { case (alias, i) => (i.toLong, alias) }.toSeq
+      .toDF("alias_id", "alias")
+    SimilarityJoin.topKAgainst(docs, "doc_id", "title", corpusDf, "alias_id", "alias", k = 1)
+      .select($"doc_id", $"rnk", $"alias_id")
+      .orderBy($"doc_id")
+  }
+
   /** MinHash-LSH fuzzy dedup clusters (cluster_id = smallest member id). */
   def dedupFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

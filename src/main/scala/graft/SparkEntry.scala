@@ -61,7 +61,8 @@ object SparkEntry {
     "q41_fingerprints" -> (Queries.fingerprints _),
     "q43_embedding_neardup" -> (Queries.embeddingNearDup _),
     "q44_multimodal_features" -> (Queries.multimodalFeatures _),
-    "q45_text_udfs" -> (Queries.textUdfs _)
+    "q45_text_udfs" -> (Queries.textUdfs _),
+    "q46_similarity_join_generic" -> (Queries.similarityJoinGeneric _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same

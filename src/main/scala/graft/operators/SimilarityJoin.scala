@@ -120,6 +120,73 @@ object SimilarityJoin {
         $"alias", $"category", $"score")
   }
 
+  /** Fully distributed TF-IDF similarity join against an ARBITRARY right
+    * DataFrame — no driver-side index at all. Both sides scale: the
+    * vocabulary (term → df → idf) is computed with one aggregation over
+    * the right side, weights/norms with map-side math, and matching with
+    * the same inverted-index equi-join + windowed argmax as [[topK]].
+    *
+    * Numeric semantics match the reference formula exactly (tf = count /
+    * total-token-count with OOV counted in the denominator, idf =
+    * ln(N/df) unsmoothed), so joining against the dictionary corpus as a
+    * plain DataFrame reproduces [[topK]] — asserted in SimilarityJoinSpec.
+    *
+    * @return (leftId, rnk, rightId, score)
+    */
+  def topKAgainst(
+      left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      k: Int = 1): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val tokensUdf = udf((s: String) =>
+      if (s == null) Array.empty[String] else Tokenize.tokenizeAndStem(s))
+
+    val rTok = right
+      .select(col(rightId).as("rid"), tokensUdf(col(rightText)).as("toks"))
+      .withColumn("len", size($"toks"))
+    val numDocs = rTok.count() // one scalar to the driver (metadata)
+
+    // term counts per right doc → df → idf; weights w = (cnt/len)·idf
+    val rTerms = rTok
+      .select($"rid", $"len", explode($"toks").as("term"))
+      .groupBy($"rid", $"len", $"term").agg(count(lit(1)).as("cnt"))
+    val idf = rTerms.groupBy($"term")
+      .agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(numDocs.toDouble) / $"df"))
+    val rWeights = rTerms.join(idf, "term")
+      .withColumn("dw", ($"cnt".cast("double") / $"len") * $"idf")
+    val rNorms = rWeights.groupBy($"rid")
+      .agg(sqrt(sum($"dw" * $"dw")).as("doc_norm"))
+    val postings = rWeights.join(rNorms, "rid")
+      .select($"term", $"rid", $"dw", $"doc_norm")
+
+    // left query vectors reuse the right side's idf; OOV terms drop out of
+    // the join but stay in the tf denominator (token-count `len`)
+    val lTerms = left
+      .select(col(leftId).as("qid"), tokensUdf(col(leftText)).as("toks"))
+      .withColumn("len", size($"toks"))
+      .select($"qid", $"len", explode($"toks").as("term"))
+      .groupBy($"qid", $"len", $"term").agg(count(lit(1)).as("cnt"))
+    val lWeights = lTerms.join(idf, "term")
+      .withColumn("qw", ($"cnt".cast("double") / $"len") * $"idf")
+    val lNorms = lWeights.groupBy($"qid").agg(sqrt(sum($"qw" * $"qw")).as("qnorm"))
+    val queriesW = lWeights.join(lNorms, "qid").select($"term", $"qid", $"qw", $"qnorm")
+
+    val scored = queriesW.join(postings, "term")
+      .groupBy($"qid", $"rid")
+      .agg(first($"qnorm").as("qnorm"), first($"doc_norm").as("doc_norm"),
+        sum($"qw" * $"dw").as("dot"))
+      .withColumn("score",
+        when($"doc_norm" > 0.0 && $"qnorm" > 0.0, $"dot" / ($"doc_norm" * $"qnorm"))
+          .otherwise(lit(0.0)))
+
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"rid".asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"qid".as(leftId), $"rnk", $"rid".as(rightId), $"score")
+  }
+
   /** Convenience: the reference's `"<alias> - <category>"` composite via the
     * scalable path (top-1). */
   def standardizeViaJoin(queries: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -45,6 +45,39 @@ class SimilarityJoinSpec extends AnyFunSuite {
     assert(out(3L) == TitleStandardizer.standardize("1234 !!"))
   }
 
+  test("topKAgainst (fully distributed TF-IDF) reproduces the dictionary path") {
+    import spark.implicits._
+    import graft.dict.TitleDictionary
+    val docs = Tables(spark, sfDir, "documents")
+      .withColumn("title", substring($"text", 1, 40))
+      .select($"doc_id", $"title")
+      .limit(120)
+      .cache()
+    val corpusDf = TitleDictionary.corpus.zipWithIndex
+      .map { case (alias, i) => (i.toLong, alias) }.toSeq
+      .toDF("alias_id", "alias")
+
+    val generic = SimilarityJoin.topKAgainst(
+      docs, "doc_id", "title", corpusDf, "alias_id", "alias", k = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("alias_id"), r.getAs[Double]("score"))).toMap
+    val viaDict = SimilarityJoin.topK(docs, "doc_id", "title", k = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("match_doc_id").toLong, r.getAs[Double]("score"))).toMap
+
+    // OOV rows fall back to doc 0 only in the dictionary path (generic has
+    // no fallback contract); compare on matched rows
+    val common = generic.keySet & viaDict.keySet
+    assert(common.nonEmpty)
+    val disagreements = common.toSeq.filter { id =>
+      generic(id)._1 != viaDict(id)._1 &&
+        math.abs(generic(id)._2 - viaDict(id)._2) > 1e-9
+    }
+    assert(disagreements.isEmpty,
+      s"material disagreements (not float-tie artifacts): ${disagreements.take(5)}")
+    docs.unpersist()
+  }
+
   test("topK returns k ranked matches with lowest-index tie-breaks") {
     import spark.implicits._
     val df = Seq((1L, "software engineer")).toDF("id", "title")
