@@ -300,6 +300,22 @@ object Queries {
 
   // ---------------------------------------------------------------- dedup
 
+  /** Corpus-wide token heavy hitters via the Misra–Gries sketch UDAF —
+    * capacity exceeds the corpus vocabulary here, so counts are exact and
+    * DuckDB-oracle-checked; at 100 TB you shrink capacity and trade
+    * bounded undercount for a fixed-size-per-partition aggregation. */
+  def heavyHitterTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hh = udaf(new graft.functions.HeavyHitters(4096))
+    Tables(spark, sfDir, "documents")
+      .select(split(trim($"text"), " ").as("toks"))
+      .agg(hh($"toks").as("hh"))
+      .select(explode($"hh").as("tc"))
+      .select($"tc._1".as("token"), $"tc._2".as("cnt"))
+      .orderBy($"cnt".desc, $"token".asc)
+      .limit(20)
+  }
+
   /** Exact deduplication: keep the lowest doc_id per identical text. */
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -62,7 +62,8 @@ object SparkEntry {
     "q43_embedding_neardup" -> (Queries.embeddingNearDup _),
     "q44_multimodal_features" -> (Queries.multimodalFeatures _),
     "q45_text_udfs" -> (Queries.textUdfs _),
-    "q46_similarity_join_generic" -> (Queries.similarityJoinGeneric _)
+    "q46_similarity_join_generic" -> (Queries.similarityJoinGeneric _),
+    "q47_heavy_hitters" -> (Queries.heavyHitterTokens _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -202,6 +203,10 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q47_heavy_hitters" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(str_split(trim(text), ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
     "q43_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
