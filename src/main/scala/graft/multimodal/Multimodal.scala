@@ -62,6 +62,37 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation decodes, resamples to
+    * `targetW`×`targetH` and re-encodes; this transforms the payload
+    * deterministically (truncate/patch) so the metadata/payload contract —
+    * new dimensions travel WITH the new bytes — is exercised for real. */
+  def resizeStub(media: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val p = if (r.payload == null) Array.emptyByteArray
+          else r.payload.take(math.max(1, math.min(r.payload.length, targetW * targetH)))
+        r.copy(payload = p, width = targetW, height = targetH)
+      }
+    }
+  }
+
+  final case class Frame(media_id: Long, frame_no: Int, payload: Array[Byte])
+
+  /** STUB frame sampling: one media row explodes into every `stride`-th
+    * "frame" (payload slices stand in for decoded frames). The 1→N row
+    * shape is the real contract — downstream per-frame feature extraction
+    * and dedup operate on the exploded rows, partitioned by media_id. */
+  def frameSampleStub(media: Dataset[MediaRecord], stride: Int, frameSize: Int = 16): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      if (r.payload == null || r.payload.isEmpty) Iterator.empty
+      else r.payload.grouped(frameSize).zipWithIndex.collect {
+        case (bytes, i) if i % stride == 0 => Frame(r.media_id, i, bytes)
+      }
+    }
+  }
+
   /** Wrap a text DataFrame as fake media records (payload = utf-8 bytes) —
     * lets the binary-column pipeline run against the documents table. */
   def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {

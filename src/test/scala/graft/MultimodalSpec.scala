@@ -21,6 +21,24 @@ class MultimodalSpec extends AnyFunSuite {
       .forall { case (x, y) => x.features.sameElements(y.features) })
   }
 
+  test("resize updates metadata and payload together") {
+    val media = Multimodal.fromDocuments(Tables(spark, sfDir, "documents"))
+    val resized = Multimodal.resizeStub(media, 8, 4).collect()
+    assert(resized.forall(r => r.width == 8 && r.height == 4))
+    assert(resized.forall(_.payload.length <= 32))
+  }
+
+  test("frame sampling explodes one media row into strided frames") {
+    val media = Multimodal.fromDocuments(Tables(spark, sfDir, "documents"))
+    val frames = Multimodal.frameSampleStub(media, stride = 2, frameSize = 16)
+    val byMedia = frames.collect().groupBy(_.media_id)
+    assert(byMedia.nonEmpty)
+    byMedia.values.foreach { fs =>
+      assert(fs.forall(_.frame_no % 2 == 0), "only every 2nd frame sampled")
+      assert(fs.map(_.frame_no).distinct.length == fs.length)
+    }
+  }
+
   test("decode stub is a pure function of bytes") {
     val a = Multimodal.decodeStub("same bytes".getBytes("UTF-8"), 8)
     val b = Multimodal.decodeStub("same bytes".getBytes("UTF-8"), 8)
