@@ -516,6 +516,21 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** Full multimodal pipeline: binary payloads → strided frame sampling
+    * (1→N explode) → per-frame features → exact duplicate-frame groups.
+    * Decode stubbed; partitioning/batching/schema real. */
+  def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.fromDocuments(Tables(spark, sfDir, "documents"))
+    val frames = Multimodal.frameSampleStub(media, stride = 2, frameSize = 16)
+    frames
+      .withColumn("frame_hash", xxhash64($"payload"))
+      .groupBy($"frame_hash")
+      .agg(count(lit(1)).as("n_frames"), countDistinct($"media_id").as("n_media"))
+      .orderBy($"n_frames".desc, $"frame_hash".asc)
+      .limit(50) // head of the dup-frame distribution (singletons rank last)
+  }
+
   /** Text-pipeline UDF family end-to-end: tokenize+stem, sparse TF-IDF
     * vector (MapType), single-token stemming. */
   def textUdfs(spark: SparkSession, sfDir: String): DataFrame = {

@@ -63,7 +63,8 @@ object SparkEntry {
     "q44_multimodal_features" -> (Queries.multimodalFeatures _),
     "q45_text_udfs" -> (Queries.textUdfs _),
     "q46_similarity_join_generic" -> (Queries.similarityJoinGeneric _),
-    "q47_heavy_hitters" -> (Queries.heavyHitterTokens _)
+    "q47_heavy_hitters" -> (Queries.heavyHitterTokens _),
+    "q48_multimodal_frames" -> (Queries.multimodalFrames _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same

@@ -5,6 +5,19 @@ import org.apache.spark.sql.SparkSessionExtensions
 
 class GraftExtensionsSpec extends AnyFunSuite {
 
+  test("function is absent before registration, present after (reference negative test)") {
+    // mirrors test/sql/title_mapper.test:5-9 — calling standardize_title
+    // before LOAD must fail with a missing-function error
+    val fresh = SparkSuiteBase.spark.newSession() // own function registry
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      fresh.sql("SELECT standardize_title('poet')").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("standardize_title"))
+    graft.functions.GraftFunctions.register(fresh)
+    val out = fresh.sql("SELECT standardize_title('poet') AS s").collect().head.getString(0)
+    assert(out == "Poet - Writers and Authors")
+  }
+
   test("extension injects graft_dot as a resolvable function builder") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
