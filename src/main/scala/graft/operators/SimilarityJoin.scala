@@ -107,10 +107,13 @@ object SimilarityJoin {
     val withFallback =
       if (!keepUnmatched) top
       else {
-        // all-OOV rows: reference argmax keeps doc 0 under strict `>` vs -0.0
-        val unmatched = q.join(top.select($"qid"), Seq("qid"), "left_anti")
-          .select($"qid", lit(1).as("rnk"), lit(0).as("doc_id"), lit(0.0).as("score"))
-        top.unionByName(unmatched)
+        // all-OOV rows: reference argmax keeps doc 0 under strict `>` vs
+        // -0.0. One left join + coalesce (cheaper than anti-join + union).
+        q.select($"qid").join(top, Seq("qid"), "left")
+          .select($"qid",
+            coalesce($"rnk", lit(1)).as("rnk"),
+            coalesce($"doc_id", lit(0)).as("doc_id"),
+            coalesce($"score", lit(0.0)).as("score"))
       }
 
     withFallback
