@@ -163,6 +163,62 @@ object Queries {
       .orderBy($"event_id")
   }
 
+  /** Range (interval) join: clicks within the hour before each purchase,
+    * per user — equi-key join with a band predicate. */
+  def rangeJoinClicksBeforePurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id".as("p_user"), $"ts".as("p_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id"))
+    purchases
+      .join(clicks,
+        $"p_user" === $"c_user" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts",
+        "left")
+      .groupBy($"event_id")
+      .agg(count($"click_id").as("clicks_before"))
+      .orderBy($"event_id")
+  }
+
+  /** Character-class statistics (pure integer outputs). */
+  def charCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select(
+        $"doc_id",
+        length($"text").as("n_chars"),
+        length(regexp_replace($"text", "[^0-9]", "")).as("n_digits"),
+        length(regexp_replace($"text", "[^ ]", "")).as("n_spaces"),
+        length(regexp_replace($"text", "[^aeiou]", "")).as("n_vowels"))
+      .orderBy($"doc_id")
+  }
+
+  /** Date-part extraction + aggregation over order timestamps. */
+  def ordersByYear(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "orders")
+      .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
+      .agg(count(lit(1)).as("n"),
+        dec(sum(dec($"o_totalprice", 18, 2)), 18, 2).as("total"))
+      .orderBy($"yr", $"mo")
+  }
+
+  /** String-function battery: case, substring, concat, length, trim. */
+  def stringFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "customer")
+      .select(
+        $"c_custkey",
+        upper(substring($"c_name", 1, 4)).as("prefix_up"),
+        lower($"c_mktsegment").as("seg_lo"),
+        concat($"c_mktsegment", lit("#"), $"c_custkey".cast("string")).as("tagged"),
+        length($"c_name").as("name_len"))
+      .filter($"c_custkey" <= 500)
+      .orderBy($"c_custkey")
+  }
+
   /** Left-semi join: customers having at least one URGENT order. */
   def semiJoinUrgent(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

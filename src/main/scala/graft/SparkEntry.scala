@@ -46,6 +46,10 @@ object SparkEntry {
     "q21_window_lag_events" -> (Queries.windowLagEvents _),
     "q22_rollup_revenue" -> (Queries.rollupRevenue _),
     "q23_asof_join" -> (Queries.asofPurchaseClick _),
+    "q24_range_join" -> (Queries.rangeJoinClicksBeforePurchase _),
+    "q25_char_counts" -> (Queries.charCounts _),
+    "q26_orders_by_year" -> (Queries.ordersByYear _),
+    "q27_string_funcs" -> (Queries.stringFuncs _),
     "q30_std_scan" -> (Queries.stdScan _),
     "q31_std_group_count" -> (Queries.stdGroupCount _),
     "q32_std_filter" -> (Queries.stdFilter _),
@@ -204,6 +208,35 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q24_range_join" ->
+      """SELECT p.event_id, CAST(COUNT(c.click_id) AS BIGINT) AS clicks_before
+        |FROM (SELECT event_id, user_id AS p_user, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id AS c_user, ts AS c_ts, event_id AS click_id
+        |           FROM events WHERE event_type = 'click') c
+        |  ON p.p_user = c.c_user
+        | AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    "q25_char_counts" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER) AS n_digits,
+        |  CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS INTEGER) AS n_spaces,
+        |  CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS INTEGER) AS n_vowels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q26_orders_by_year" ->
+      """SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
+        |  CAST(date_part('month', o_orderdate) AS INTEGER) AS mo,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
+    "q27_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(substr(c_name, 1, 4)) AS prefix_up,
+        |  lower(c_mktsegment) AS seg_lo,
+        |  c_mktsegment || '#' || CAST(c_custkey AS VARCHAR) AS tagged,
+        |  CAST(length(c_name) AS INTEGER) AS name_len
+        |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin,
     "q47_heavy_hitters" ->
       """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(str_split(trim(text), ' ')) AS token FROM documents) t
