@@ -219,6 +219,20 @@ object Queries {
       .orderBy($"c_custkey")
   }
 
+  /** Pivot: customer counts per nation pivoted across market segments.
+    * Spark's `pivot()` plans the same conditional aggregation the oracle
+    * spells out with CASE WHEN. */
+  def pivotSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "customer")
+      .groupBy($"c_nationkey")
+      .pivot($"c_mktsegment",
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"c_nationkey")
+  }
+
   /** Left-semi join: customers having at least one URGENT order. */
   def semiJoinUrgent(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -50,6 +50,7 @@ object SparkEntry {
     "q25_char_counts" -> (Queries.charCounts _),
     "q26_orders_by_year" -> (Queries.ordersByYear _),
     "q27_string_funcs" -> (Queries.stringFuncs _),
+    "q28_pivot_segments" -> (Queries.pivotSegments _),
     "q30_std_scan" -> (Queries.stdScan _),
     "q31_std_group_count" -> (Queries.stdGroupCount _),
     "q32_std_filter" -> (Queries.stdFilter _),
@@ -237,6 +238,14 @@ object SparkEntry {
         |  c_mktsegment || '#' || CAST(c_custkey AS VARCHAR) AS tagged,
         |  CAST(length(c_name) AS INTEGER) AS name_len
         |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin,
+    "q28_pivot_segments" ->
+      """SELECT c_nationkey,
+        |  CAST(COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS BIGINT) AS "AUTOMOBILE",
+        |  CAST(COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS BIGINT) AS "BUILDING",
+        |  CAST(COUNT(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END) AS BIGINT) AS "FURNITURE",
+        |  CAST(COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS BIGINT) AS "HOUSEHOLD",
+        |  CAST(COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS BIGINT) AS "MACHINERY"
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q47_heavy_hitters" ->
       """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(str_split(trim(text), ' ')) AS token FROM documents) t
