@@ -74,6 +74,35 @@ class StreamingSpec extends AnyFunSuite {
     streamed.foreach { case (k, n) => assert(batchAgg(k) == n, s"window $k mismatch") }
   }
 
+  test("late data beyond the watermark is dropped from closed windows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val out = StreamingOps.windowedEventCounts(events, "1 hour", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("late_stream")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: populate 10:00 window; advance event time far enough that
+    // the watermark (max ts - 10 min) passes the end of the 10:00 window
+    in.addData((t("2024-01-01 10:05:00"), "click", 1.0))
+    q.processAllAvailable()
+    in.addData((t("2024-01-01 12:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    // batch 3: a LATE event for the (closed) 10:00 window — must be dropped
+    in.addData((t("2024-01-01 10:30:00"), "click", 99.0))
+    q.processAllAvailable()
+    in.addData((t("2024-01-01 14:00:00"), "click", 1.0)) // close 12:00 too
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_stream")
+      .select(col("window.start").cast("string"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val w10 = rows.filter(_._1 == "2024-01-01 10:00:00").toSeq
+    assert(w10 == Seq(("2024-01-01 10:00:00", 1L, 1.0)),
+      s"late 10:30 event must not reopen the closed 10:00 window: ${w10.toSeq}")
+  }
+
   test("flatMapGroupsWithState sessionizes by gap across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
