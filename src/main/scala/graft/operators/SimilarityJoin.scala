@@ -145,15 +145,17 @@ object SimilarityJoin {
     val tokensUdf = udf((s: String) =>
       if (s == null) Array.empty[String] else Tokenize.tokenizeAndStem(s))
 
+    val numDocs = right.count() // one scalar to the driver (metadata)
     val rTok = right
       .select(col(rightId).as("rid"), tokensUdf(col(rightText)).as("toks"))
       .withColumn("len", size($"toks"))
-    val numDocs = rTok.count() // one scalar to the driver (metadata)
 
-    // term counts per right doc → df → idf; weights w = (cnt/len)·idf
+    // term counts per right doc → df → idf; weights w = (cnt/len)·idf.
+    // Cached: consumed twice (df/idf aggregation and the weight join).
     val rTerms = rTok
       .select($"rid", $"len", explode($"toks").as("term"))
       .groupBy($"rid", $"len", $"term").agg(count(lit(1)).as("cnt"))
+      .cache()
     val idf = rTerms.groupBy($"term")
       .agg(count(lit(1)).as("df"))
       .withColumn("idf", log(lit(numDocs.toDouble) / $"df"))
