@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Knn, SimilarityJoin}
+
+/** Dev utility: run the §2.4 scale operators on synthetic data 100–1000×
+  * the testdata size, on all cores — the local stand-in for "would this
+  * survive a 100× scale-up". Data is generated distributively from
+  * hash-derived tokens (no driver-side materialization, no RNG state).
+  *
+  * Usage: runMain graft.tools.ScaleSmoke [nDocs] [nVecs]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(1000000)
+    val nVecs = args.drop(1).headOption.map(_.toInt).getOrElse(200000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def time[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    // --- documents: 16 hash-derived tokens from a 10k-word ZIPF-ish vocab
+    // (token id = 10000·u³ — few very common words, long rare tail, like
+    // real text; uniform weights are prefix-filtering's worst case and
+    // unrepresentative). 5% of rows share a seed in blocks of 20 ⇒ planted
+    // exact-dup clusters.
+    def zipfToken(i: Int) = {
+      val u = pmod(xxhash64($"seed", lit(i)), lit(10000L)).cast("double") / 10000.0
+      concat(lit("w"), floor(u * u * u * 10000.0).cast("long"))
+    }
+    val docs = spark.range(nDocs.toLong)
+      .withColumn("seed", when(pmod($"id", lit(100L)) < 5, $"id" - pmod($"id", lit(20L))).otherwise($"id"))
+      .withColumn("text", concat_ws(" ", (0 until 16).map(zipfToken): _*))
+      .select($"id", $"text")
+    docs.cache(); docs.count()
+
+    if (!sys.env.contains("SCALE_ONLY_SIMJOIN")) {
+    time(s"minhash dedup candidates ($nDocs docs)") {
+      val pairs = Dedup.minhashCandidatePairs(docs, "id", "text", threshold = 0.9)
+      println(s"  candidate dup pairs: ${pairs.count()}")
+    }
+    time(s"fuzzy clusters ($nDocs docs)") {
+      val clusters = Dedup.fuzzyClusters(docs, "id", "text", threshold = 0.9)
+      val nonSingleton = clusters.filter($"cluster_id" =!= $"id").count()
+      println(s"  rows re-labelled into clusters: $nonSingleton")
+    }
+    time(s"simhash candidates ($nDocs docs)") {
+      println(s"  pairs: ${Dedup.simhashCandidatePairs(docs, "id", "text", 3).count()}")
+    }
+    }
+
+    // --- similarity join: 100k left vs 100k right over the same vocab
+    val simN = math.min(nDocs / 10, 100000)
+    val left = docs.limit(simN).select($"id".as("lid"), $"text".as("ltext"))
+    val right = docs.limit(simN).select($"id".as("rid"), $"text".as("rtext"))
+    time(s"threshold similarity join ($simN x $simN, tau=0.5, prefix-filtered)") {
+      val top = SimilarityJoin.thresholdJoin(
+        left, "lid", "ltext", right, "rid", "rtext", k = 1, minScore = 0.5,
+        maxDf = sys.env.getOrElse("SCALE_MAXDF", "1000").toDouble)
+      println(s"  matched rows: ${top.count()}")
+    }
+    if (sys.env.contains("SCALE_EXACT_JOIN")) // quadratic baseline, opt-in
+      time(s"generic similarity join ($simN x $simN)") {
+        val top = SimilarityJoin.topKAgainst(left, "lid", "ltext", right, "rid", "rtext", k = 1)
+        println(s"  matched rows: ${top.count()}")
+      }
+
+    // --- embeddings: hash-derived 64-dim vectors
+    val vecs = spark.range(nVecs.toLong)
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64($"id", i), lit(2000L)) - 1000.0) / 1000.0))
+      .select($"id".as("vec_id"), $"embedding")
+    vecs.cache(); vecs.count()
+    val queries = vecs.filter($"vec_id" < 100)
+    time(s"knn LSH ($nVecs vectors, 100 queries, bits=10 tables=8)") {
+      println(s"  results: ${Knn.lshTopK(vecs, queries, "vec_id", "embedding", 5, tables = 8, bits = 10).count()}")
+    }
+    time(s"knn IVF ($nVecs vectors, 100 queries, 64 cells probe 8)") {
+      println(s"  results: ${Knn.ivfTopK(vecs, queries, "vec_id", "embedding", 5, nCells = 64, nProbe = 8, iterations = 3).count()}")
+    }
+    spark.stop()
+  }
+}

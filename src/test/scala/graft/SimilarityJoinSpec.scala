@@ -78,6 +78,42 @@ class SimilarityJoinSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("thresholdJoin (prefix-filtered) finds every exact match above tau") {
+    import spark.implicits._
+    import graft.dict.TitleDictionary
+    val tau = 0.4
+    val docs = Tables(spark, sfDir, "documents")
+      .withColumn("title", substring($"text", 1, 40))
+      .select($"doc_id", $"title")
+      .limit(150)
+      .cache()
+    val corpusDf = TitleDictionary.corpus.zipWithIndex
+      .map { case (alias, i) => (i.toLong, alias) }.toSeq
+      .toDF("alias_id", "alias")
+
+    val exact = SimilarityJoin.topKAgainst(
+      docs, "doc_id", "title", corpusDf, "alias_id", "alias", k = 1)
+      .filter($"score" >= tau)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("alias_id"), r.getAs[Double]("score"))).toMap
+    val pruned = SimilarityJoin.thresholdJoin(
+      docs, "doc_id", "title", corpusDf, "alias_id", "alias", k = 1, minScore = tau)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("alias_id"), r.getAs[Double]("score"))).toMap
+
+    assert(exact.nonEmpty, "test needs some matches above tau")
+    // losslessness: every exact above-threshold match survives pruning with
+    // the same winner (scores may differ in final ulps — different
+    // accumulation order)
+    exact.foreach { case (id, (alias, score)) =>
+      assert(pruned.contains(id), s"doc $id lost by prefix filtering")
+      val (pAlias, pScore) = pruned(id)
+      assert(pAlias == alias || math.abs(pScore - score) < 1e-9,
+        s"doc $id: pruned winner $pAlias/$pScore vs exact $alias/$score")
+    }
+    docs.unpersist()
+  }
+
   test("topK returns k ranked matches with lowest-index tie-breaks") {
     import spark.implicits._
     val df = Seq((1L, "software engineer")).toDF("id", "title")
