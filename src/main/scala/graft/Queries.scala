@@ -510,6 +510,23 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** Threshold similarity join (prefix-filter + df-cap candidate pruning)
+    * — the linear-scaling variant of q46; see SCALE.md for the 1M-row
+    * measurements that motivated it. */
+  def similarityJoinThreshold(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .withColumn("title", substring($"text", 1, 40))
+      .select($"doc_id", $"title")
+    val corpusDf = graft.dict.TitleDictionary.corpus.zipWithIndex
+      .map { case (alias, i) => (i.toLong, alias) }.toSeq
+      .toDF("alias_id", "alias")
+    SimilarityJoin.thresholdJoin(
+        docs, "doc_id", "title", corpusDf, "alias_id", "alias", k = 1, minScore = 0.3)
+      .select($"doc_id", $"rnk", $"alias_id")
+      .orderBy($"doc_id")
+  }
+
   /** MinHash-LSH fuzzy dedup clusters (cluster_id = smallest member id). */
   def dedupFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

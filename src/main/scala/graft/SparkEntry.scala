@@ -69,7 +69,8 @@ object SparkEntry {
     "q45_text_udfs" -> (Queries.textUdfs _),
     "q46_similarity_join_generic" -> (Queries.similarityJoinGeneric _),
     "q47_heavy_hitters" -> (Queries.heavyHitterTokens _),
-    "q48_multimodal_frames" -> (Queries.multimodalFrames _)
+    "q48_multimodal_frames" -> (Queries.multimodalFrames _),
+    "q49_similarity_join_threshold" -> (Queries.similarityJoinThreshold _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
