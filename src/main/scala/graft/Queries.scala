@@ -576,6 +576,15 @@ object Queries {
       .select($"id_a", $"id_b")
   }
 
+  /** Embedding near-dup clustering end-to-end: LSH candidate pairs above
+    * a cosine threshold → smallest-id connected components. */
+  def embeddingDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Knn.nearDupClusters(Tables(spark, sfDir, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.95)
+      .orderBy($"vec_id")
+  }
+
   /** Language-ID heuristic over document text. */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

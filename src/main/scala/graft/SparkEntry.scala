@@ -70,7 +70,8 @@ object SparkEntry {
     "q46_similarity_join_generic" -> (Queries.similarityJoinGeneric _),
     "q47_heavy_hitters" -> (Queries.heavyHitterTokens _),
     "q48_multimodal_frames" -> (Queries.multimodalFrames _),
-    "q49_similarity_join_threshold" -> (Queries.similarityJoinThreshold _)
+    "q49_similarity_join_threshold" -> (Queries.similarityJoinThreshold _),
+    "q50_embedding_dedup_clusters" -> (Queries.embeddingDedupClusters _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same

@@ -183,6 +183,43 @@ object Knn {
     out // d stays cached for the session (tiny: id + vec + norm)
   }
 
+  /** Embedding near-duplicate PAIRS above a cosine threshold via LSH
+    * self-bucketing — no all-pairs scan: candidates share a bucket in ≥1
+    * table, exact cosine filters them. Scale shape of [[topSimilarPairs]]. */
+  def nearDupPairs(
+      data: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, tables: Int = 16, bits: Int = 6): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val bucketed = withVecAndNorm(data, idCol, vecCol)
+      .withColumn("sigs", sigsUdf($"v", lit(tables), lit(bits)))
+      .select($"id", $"v", $"nrm", posexplode($"sigs").as(Seq("tbl", "sig")))
+    val a = bucketed.select($"tbl", $"sig", $"id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
+    val b = bucketed.select($"tbl", $"sig", $"id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
+    a.join(b, Seq("tbl", "sig"))
+      .filter($"id_a" < $"id_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("score", dot(spark)($"va", $"vb") / ($"na" * $"nb"))
+      .filter($"score" >= minCosine)
+      .select($"id_a", $"id_b", $"score")
+  }
+
+  /** Embedding near-dup CLUSTERS: [[nearDupPairs]] edges → smallest-id
+    * connected components (cluster_id = smallest member id). */
+  def nearDupClusters(
+      data: DataFrame, idCol: String, vecCol: String, minCosine: Double): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val pairs = nearDupPairs(data, idCol, vecCol, minCosine)
+      .select($"id_a", $"id_b").localCheckpoint(true)
+    val touched = pairs.select($"id_a".as("id"))
+      .unionByName(pairs.select($"id_b".as("id"))).distinct()
+    val labels = Dedup.connectedComponents(touched, pairs)
+    data.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select($"id".as(idCol), coalesce($"label", $"id").as("cluster_id"))
+  }
+
   /** Embedding near-duplicate detection: globally most-similar pairs by
     * exact cosine. `data` self-joined via broadcast of its (small) probe
     * side is only for local scale — at 100 TB use [[lshTopK]] with

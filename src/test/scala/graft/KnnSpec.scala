@@ -55,6 +55,26 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall $recall%.2f too low")
   }
 
+  test("nearDupClusters groups planted duplicate vectors") {
+    import spark.implicits._
+    // 3 groups of identical vectors (cosine 1.0) + unrelated singletons
+    val base = emb.limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val planted = base.take(3).flatMap { case (id, v) =>
+      Seq((id, v), (id + 1000L, v), (id + 2000L, v))
+    } ++ base.drop(3).map { case (id, v) => (id + 5000L, v) }
+    val df = planted.toSeq.toDF("vec_id", "embedding")
+    val clusters = Knn.nearDupClusters(df, "vec_id", "embedding", minCosine = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    base.take(3).foreach { case (id, _) =>
+      assert(clusters(id) == id && clusters(id + 1000L) == id && clusters(id + 2000L) == id,
+        s"planted triplet of $id must share cluster $id")
+    }
+    base.drop(3).foreach { case (id, _) =>
+      assert(clusters(id + 5000L) == id + 5000L, s"singleton ${id + 5000L} must stay alone")
+    }
+  }
+
   test("topSimilarPairs: ordered, deduped, id_a < id_b") {
     val rows = Knn.topSimilarPairs(emb, "vec_id", "embedding", 10).collect()
     assert(rows.length == 10)
