@@ -219,6 +219,20 @@ object Queries {
       .orderBy($"c_custkey")
   }
 
+  /** Correlated scalar subquery (Catalyst rewrites it to an aggregate +
+    * left outer join): per-customer order count and max price inline. */
+  def scalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+        |  CAST((SELECT MAX(o_totalprice) FROM orders
+        |        WHERE o_custkey = c_custkey) AS DECIMAL(18,2)) AS max_price
+        |FROM customer
+        |WHERE c_custkey <= 300
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Pivot: customer counts per nation pivoted across market segments.
     * Spark's `pivot()` plans the same conditional aggregation the oracle
     * spells out with CASE WHEN. */

@@ -51,6 +51,7 @@ object SparkEntry {
     "q26_orders_by_year" -> (Queries.ordersByYear _),
     "q27_string_funcs" -> (Queries.stringFuncs _),
     "q28_pivot_segments" -> (Queries.pivotSegments _),
+    "q29_scalar_subquery" -> (Queries.scalarSubquery _),
     "q30_std_scan" -> (Queries.stdScan _),
     "q31_std_group_count" -> (Queries.stdGroupCount _),
     "q32_std_filter" -> (Queries.stdFilter _),
@@ -248,6 +249,14 @@ object SparkEntry {
         |  CAST(COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS BIGINT) AS "HOUSEHOLD",
         |  CAST(COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS BIGINT) AS "MACHINERY"
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q29_scalar_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+        |  CAST((SELECT MAX(o_totalprice) FROM orders
+        |        WHERE o_custkey = c_custkey) AS DECIMAL(18,2)) AS max_price
+        |FROM customer
+        |WHERE c_custkey <= 300
+        |ORDER BY c_custkey""".stripMargin,
     "q47_heavy_hitters" ->
       """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(str_split(trim(text), ' ')) AS token FROM documents) t
