@@ -282,6 +282,27 @@ object Queries {
       .orderBy($"o_custkey", $"rnk")
   }
 
+  /** Window-function battery: ranking family, navigation functions and a
+    * running-sum frame over one named window. */
+  def windowBattery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  lead(o_orderkey) OVER w AS next_key,
+        |  first_value(o_orderkey) OVER w AS best_key,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(18,2)) AS running_total
+        |FROM orders
+        |WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rnk""".stripMargin)
+  }
+
   /** lag() per-user previous event — streaming-ish sequence analytics. */
   def windowLagEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -52,6 +52,7 @@ object SparkEntry {
     "q27_string_funcs" -> (Queries.stringFuncs _),
     "q28_pivot_segments" -> (Queries.pivotSegments _),
     "q29_scalar_subquery" -> (Queries.scalarSubquery _),
+    "q51_window_battery" -> (Queries.windowBattery _),
     "q30_std_scan" -> (Queries.stdScan _),
     "q31_std_group_count" -> (Queries.stdGroupCount _),
     "q32_std_filter" -> (Queries.stdFilter _),
@@ -257,6 +258,21 @@ object SparkEntry {
         |FROM customer
         |WHERE c_custkey <= 300
         |ORDER BY c_custkey""".stripMargin,
+    "q51_window_battery" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  lead(o_orderkey) OVER w AS next_key,
+        |  first_value(o_orderkey) OVER w AS best_key,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(18,2)) AS running_total
+        |FROM orders
+        |WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rnk""".stripMargin,
     "q47_heavy_hitters" ->
       """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(str_split(trim(text), ' ')) AS token FROM documents) t
