@@ -30,6 +30,16 @@ object Queries {
   private def dec(c: Column, prec: Int, scale: Int): Column =
     c.cast(s"decimal($prec,$scale)")
 
+  /** Exact decimal → BIGINT minor units (cents). Decimal×100 is exact, and
+    * an int64 output column hashes identically in every engine/arrow/pandas
+    * representation — unlike DECIMAL, whose stringification ('5.70' vs
+    * '5.7') differs between a decimal128 parquet read and a float64 oracle
+    * frame. Used for every driver-compared money column. */
+  private def cents(c: Column): Column = (c * lit(100)).cast("bigint")
+
+  /** Same, at scale 4 (1e-4 minor units). */
+  private def e4(c: Column): Column = (c * lit(10000)).cast("bigint")
+
   // ---------------------------------------------------------------- scans
 
   /** Scan + projection + predicate pushdown: both the range filter and the
@@ -48,13 +58,18 @@ object Queries {
     * the (tiny-cardinality) grouping key. */
   def aggPricing(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Money columns are emitted as BIGINT minor units (cents / 1e-4 units):
+    // the per-row DECIMAL cast + decimal SUM is exact and order-independent,
+    // and the integer output is representation-proof across engines (a
+    // DECIMAL output column hash-mismatches when one side renders '5.70'
+    // and the other '5.7' — same value, different string).
     Tables(spark, sfDir, "lineitem")
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        dec(sum(dec($"l_quantity", 18, 2)), 18, 2).as("sum_qty"),
-        dec(sum(dec($"l_extendedprice", 18, 2)), 18, 2).as("sum_price"),
-        dec(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 18, 4)), 18, 4)
-          .as("sum_disc_price"),
+        cents(sum(dec($"l_quantity", 18, 2))).as("sum_qty_c"),
+        cents(sum(dec($"l_extendedprice", 18, 2))).as("sum_price_c"),
+        e4(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 18, 4)))
+          .as("sum_disc_price_e4"),
         count(lit(1)).as("cnt"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -76,7 +91,8 @@ object Queries {
     import spark.implicits._
     Tables(spark, sfDir, "customer")
       .filter($"c_mktsegment".isin("BUILDING", "AUTOMOBILE") && $"c_acctbal" > 5000.0)
-      .select($"c_custkey", $"c_name", $"c_mktsegment", dec($"c_acctbal", 18, 2).as("acctbal"))
+      .select($"c_custkey", $"c_name", $"c_mktsegment",
+        cents(dec($"c_acctbal", 18, 2)).as("acctbal_c"))
       .orderBy($"c_custkey")
   }
 
@@ -97,11 +113,16 @@ object Queries {
     import spark.implicits._
     val orders = Tables(spark, sfDir, "orders")
     val customer = Tables(spark, sfDir, "customer")
+    // DECIMAL-typed coverage query: the aggregate stays exact decimal
+    // arithmetic end-to-end; the driver-visible column is its canonical
+    // decimal rendering (CAST AS STRING keeps the full scale — '….80' —
+    // in both engines, where a raw DECIMAL column's pandas repr would not).
     orders.join(customer, $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(
         count(lit(1)).as("order_cnt"),
-        dec(sum(dec($"o_totalprice", 18, 2)), 18, 2).as("total_price"))
+        dec(sum(dec($"o_totalprice", 18, 2)), 18, 2).cast("string")
+          .as("total_price_str"))
       .orderBy($"c_mktsegment")
   }
 
@@ -122,8 +143,8 @@ object Queries {
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        dec(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 18, 4)), 18, 4)
-          .as("revenue"),
+        e4(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 18, 4)))
+          .as("revenue_e4"),
         count(lit(1)).as("line_cnt"))
       .orderBy($"r_name", $"n_name")
   }
@@ -141,11 +162,11 @@ object Queries {
       .rollup($"r_name", $"n_name")
       .agg(
         count(lit(1)).as("order_cnt"),
-        dec(sum(dec($"o_totalprice", 18, 2)), 18, 2).as("total_price"))
+        cents(sum(dec($"o_totalprice", 18, 2))).as("total_price_c"))
       .select(
         coalesce($"r_name", lit("ALL")).as("rname"),
         coalesce($"n_name", lit("ALL")).as("nname"),
-        $"order_cnt", $"total_price")
+        $"order_cnt", $"total_price_c")
       .orderBy($"rname", $"nname")
   }
 
@@ -201,7 +222,7 @@ object Queries {
     Tables(spark, sfDir, "orders")
       .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
       .agg(count(lit(1)).as("n"),
-        dec(sum(dec($"o_totalprice", 18, 2)), 18, 2).as("total"))
+        cents(sum(dec($"o_totalprice", 18, 2))).as("total_c"))
       .orderBy($"yr", $"mo")
   }
 
@@ -226,8 +247,9 @@ object Queries {
     spark.sql(
       """SELECT c_custkey,
         |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
-        |  CAST((SELECT MAX(o_totalprice) FROM orders
-        |        WHERE o_custkey = c_custkey) AS DECIMAL(18,2)) AS max_price
+        |  CAST(CAST((SELECT MAX(o_totalprice) FROM orders
+        |        WHERE o_custkey = c_custkey) AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS max_price_c
         |FROM customer
         |WHERE c_custkey <= 300
         |ORDER BY c_custkey""".stripMargin)
@@ -278,7 +300,8 @@ object Queries {
     Tables(spark, sfDir, "orders")
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 3)
-      .select($"o_custkey", $"rnk", $"o_orderkey", dec($"o_totalprice", 18, 2).as("price"))
+      .select($"o_custkey", $"rnk", $"o_orderkey",
+        cents(dec($"o_totalprice", 18, 2)).as("price_c"))
       .orderBy($"o_custkey", $"rnk")
   }
 
@@ -296,7 +319,7 @@ object Queries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS DECIMAL(18,2)) AS running_total
+        |    * 100 AS BIGINT) AS running_total_c
         |FROM orders
         |WHERE o_custkey <= 100
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
@@ -322,7 +345,7 @@ object Queries {
     Tables(spark, sfDir, "orders")
       .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
       .limit(25)
-      .select($"o_orderkey", dec($"o_totalprice", 18, 2).as("price"))
+      .select($"o_orderkey", cents(dec($"o_totalprice", 18, 2)).as("price_c"))
   }
 
   // ------------------------------------------------------------- set ops
@@ -369,11 +392,14 @@ object Queries {
     * streaming windowed aggregation. */
   def eventsHourly(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Hour bucket goes out as epoch micros (BIGINT): a TIMESTAMP column's
+    // pandas dtype differs between the parquet read (ns) and the oracle
+    // frame (us), so the integer form is the representation-proof one.
     Tables(spark, sfDir, "events")
-      .withColumn("h", date_trunc("hour", $"ts"))
-      .groupBy($"h", $"event_type")
-      .agg(count(lit(1)).as("n"), dec(sum(dec($"value", 18, 4)), 18, 4).as("sum_value"))
-      .orderBy($"h", $"event_type")
+      .withColumn("h_us", unix_micros(date_trunc("hour", $"ts")))
+      .groupBy($"h_us", $"event_type")
+      .agg(count(lit(1)).as("n"), e4(sum(dec($"value", 18, 4))).as("sum_value_e4"))
+      .orderBy($"h_us", $"event_type")
   }
 
   // ----------------------------------------------------------- text stats
@@ -456,7 +482,7 @@ object Queries {
     spark.sql(
       """SELECT o_orderpriority,
         |       COUNT(*) AS n,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_c
         |FROM high_value_orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)
@@ -514,6 +540,22 @@ object Queries {
       .groupBy($"category")
       .agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"category".asc)
+  }
+
+  /** Flagship-function golden row: standardize the reference's own 105-title
+    * example corpus (`/root/reference/examples/test_query.sql:3-112`, which
+    * includes the 5 published sqllogictest vectors,
+    * `/root/reference/test/sql/title_mapper.test:17-41`) and compare against
+    * the pinned expected strings. The oracle side is a pure VALUES table of
+    * the same fixture — engine-independent, so the flagship semantics get a
+    * driver-green CORRECTNESS row even though the local DuckDB cannot load
+    * the reference extension binary. */
+  def stdGolden(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    GoldenCorpus.titles.toDF("title")
+      .select($"title", call_function("standardize_title", $"title").as("std"))
+      .orderBy($"title")
   }
 
   // -------------------------------------------- §2.4 scale operators
@@ -663,29 +705,45 @@ object Queries {
   }
 
   /** Text-pipeline UDF family end-to-end: tokenize+stem, sparse TF-IDF
-    * vector (MapType), single-token stemming. */
+    * vector (MapType), single-token stemming. The array/map intermediates
+    * are projected to scalars (count, hash, looked-up weight) — the driver's
+    * pandas-based row sort cannot hash ndarray cells, so the compare-facing
+    * schema must be scalar-only; the full collections are still computed and
+    * pinned by `TextUdfSpec`. */
   def textUdfs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
     Tables(spark, sfDir, "documents")
       .withColumn("title", substring($"text", 1, 40))
+      .withColumn("stemmed_tokens", GraftFunctions.tokenizeStem($"title"))
+      .withColumn("tfidf", GraftFunctions.tfidfVec($"title"))
+      .withColumn("first_stem",
+        GraftFunctions.stemEn(element_at(GraftFunctions.tokenizeUdf($"title"), 1)))
       .select(
         $"doc_id",
-        GraftFunctions.tokenizeStem($"title").as("stemmed_tokens"),
-        GraftFunctions.tfidfVec($"title").as("tfidf"),
-        GraftFunctions.stemEn(element_at(GraftFunctions.tokenizeUdf($"title"), 1))
-          .as("first_stem"))
+        size($"stemmed_tokens").as("n_stems"),
+        xxhash64(concat_ws("", $"stemmed_tokens")).as("stems_hash"),
+        size($"tfidf").as("tfidf_card"),
+        round(coalesce(element_at($"tfidf", $"first_stem"), lit(0.0)), 6)
+          .as("first_stem_weight"),
+        $"first_stem")
       .orderBy($"doc_id")
   }
 
   /** Multimodal plumbing: binary payload column → partition-local feature
-    * extraction (decode stubbed; schema/batching real). */
+    * extraction (decode stubbed; schema/batching real). The feature vector
+    * is projected to scalars (dim, hash, first element) for the driver
+    * compare — pandas cannot sort/hash ndarray cells; `MultimodalSpec`
+    * asserts the full vectors. */
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Multimodal.extractFeatures(
       Multimodal.fromDocuments(Tables(spark, sfDir, "documents")))
       .toDF()
-      .select($"media_id", $"format", $"feature_dim", $"features")
+      .select($"media_id", $"format", $"feature_dim",
+        xxhash64(concat_ws("", $"features".cast("array<string>")))
+          .as("features_hash"),
+        round(element_at($"features", 1), 6).as("f0"))
       .orderBy($"media_id")
   }
 }

@@ -73,7 +73,8 @@ object SparkEntry {
     "q47_heavy_hitters" -> (Queries.heavyHitterTokens _),
     "q48_multimodal_frames" -> (Queries.multimodalFrames _),
     "q49_similarity_join_threshold" -> (Queries.similarityJoinThreshold _),
-    "q50_embedding_dedup_clusters" -> (Queries.embeddingDedupClusters _)
+    "q50_embedding_dedup_clusters" -> (Queries.embeddingDedupClusters _),
+    "q52_std_golden" -> (Queries.stdGolden _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -86,15 +87,15 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q02_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_c,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_disc_price_e4,
         |  COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q03_filter_in" ->
       """SELECT c_custkey, c_name, c_mktsegment,
-        |  CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_c
         |FROM customer
         |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') AND c_acctbal > 5000.0
         |ORDER BY c_custkey""".stripMargin,
@@ -103,12 +104,13 @@ object SparkEntry {
         |WHERE text LIKE '%merge join%' ORDER BY doc_id""".stripMargin,
     "q05_join_orders_customer" ->
       """SELECT c_mktsegment, COUNT(*) AS order_cnt,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |       AS VARCHAR) AS total_price_str
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q06_join_star_revenue" ->
       """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
         |  COUNT(*) AS line_cnt
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -127,14 +129,16 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |ORDER BY c_custkey""".stripMargin,
     "q09_window_top_orders" ->
-      """SELECT o_custkey, rnk, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_custkey, rnk, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |        CAST(row_number() OVER (PARTITION BY o_custkey
         |          ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
         |      FROM orders) t
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
     "q10_topk_orders" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
     "q11_count_distinct_lang" ->
       """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
@@ -156,8 +160,9 @@ object SparkEntry {
         |   SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0) b
         |ORDER BY tag, k""".stripMargin,
     "q14_events_hourly" ->
-      """SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+      """SELECT CAST(epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS BIGINT) AS h_us,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_value_e4
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q15_json_props_agg" ->
       """SELECT event_type, COUNT(*) AS n,
@@ -188,7 +193,7 @@ object SparkEntry {
         |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "q20_view_high_value" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_c
         |FROM orders WHERE o_totalprice > 250000.0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q21_window_lag_events" ->
@@ -200,7 +205,7 @@ object SparkEntry {
     "q22_rollup_revenue" ->
       """SELECT coalesce(r_name, 'ALL') AS rname, coalesce(n_name, 'ALL') AS nname,
         |  COUNT(*) AS order_cnt,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_price_c
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -233,7 +238,7 @@ object SparkEntry {
       """SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
         |  CAST(date_part('month', o_orderdate) AS INTEGER) AS mo,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_c
         |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
     "q27_string_funcs" ->
       """SELECT c_custkey,
@@ -253,8 +258,9 @@ object SparkEntry {
     "q29_scalar_subquery" ->
       """SELECT c_custkey,
         |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
-        |  CAST((SELECT MAX(o_totalprice) FROM orders
-        |        WHERE o_custkey = c_custkey) AS DECIMAL(18,2)) AS max_price
+        |  CAST(CAST((SELECT MAX(o_totalprice) FROM orders
+        |        WHERE o_custkey = c_custkey) AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS max_price_c
         |FROM customer
         |WHERE c_custkey <= 300
         |ORDER BY c_custkey""".stripMargin,
@@ -268,7 +274,7 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS DECIMAL(18,2)) AS running_total
+        |    * 100 AS BIGINT) AS running_total_c
         |FROM orders
         |WHERE o_custkey <= 100
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
@@ -277,6 +283,9 @@ object SparkEntry {
       """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(str_split(trim(text), ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    // Flagship standardize_title golden: the oracle is the pinned fixture
+    // itself (VALUES table) — engine-independent; see Queries.stdGolden.
+    "q52_std_golden" -> GoldenCorpus.oracleValuesSql,
     "q43_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
