@@ -573,7 +573,12 @@ object Queries {
 
   /** Fully distributed similarity join (no driver-side index): documents
     * matched against the dictionary corpus loaded as a plain DataFrame —
-    * the shape that scales when BOTH sides are large. */
+    * the shape that scales when BOTH sides are large. Candidate generation
+    * runs through the df-capped prefix-filtered path (the exact
+    * all-co-occurrence join is quadratic — measured 764 s at 100k×100k —
+    * and lives on as the spec-only cross-check baseline `topKAgainst`);
+    * rows whose every term is df-capped/OOV fall back to alias 0, the
+    * reference's all-OOV fallback semantics. */
   def similarityJoinGeneric(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, sfDir, "documents")
@@ -582,8 +587,13 @@ object Queries {
     val corpusDf = graft.dict.TitleDictionary.corpus.zipWithIndex
       .map { case (alias, i) => (i.toLong, alias) }.toSeq
       .toDF("alias_id", "alias")
-    SimilarityJoin.topKAgainst(docs, "doc_id", "title", corpusDf, "alias_id", "alias", k = 1)
-      .select($"doc_id", $"rnk", $"alias_id")
+    val matched = SimilarityJoin.thresholdJoin(
+        docs, "doc_id", "title", corpusDf, "alias_id", "alias", k = 1,
+        minScore = 0.0, maxDf = 150)
+    docs.select($"doc_id").join(matched, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"rnk", lit(1)).as("rnk"),
+        coalesce($"alias_id", lit(0L)).as("alias_id"))
       .orderBy($"doc_id")
   }
 
@@ -645,12 +655,21 @@ object Queries {
       .orderBy($"qid", $"rnk")
   }
 
-  /** Embedding near-dup: 20 globally most-similar pairs by exact cosine —
-    * oracle-checked (ints only; ordering by score is scale-stable). */
+  /** Embedding near-dup probe: each probe vector's EXACT nearest neighbor
+    * over the whole corpus, globally ranked, top 20 — oracle-checked (ints
+    * only). The probe side is bounded (100 rows, broadcast) so the plan is
+    * one corpus scan with no shuffle — linear at any scale, unlike a global
+    * exact top-pairs query, which is inherently n² on unstructured data
+    * (this corpus's true top-20 pairs sit at cosine 0.43–0.60, far below
+    * any LSH-recoverable band; the unbounded-both-sides dedup surface is
+    * q50's thresholded LSH clustering instead). */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Knn.topSimilarPairs(Tables(spark, sfDir, "embeddings"), "vec_id", "embedding", 20)
-      .select($"id_a", $"id_b")
+    val emb = Tables(spark, sfDir, "embeddings")
+    Knn.bruteForceTopK(emb, emb.filter($"vec_id" < 100), "vec_id", "embedding", k = 1)
+      .orderBy($"score".desc, $"qid".asc, $"nid".asc)
+      .limit(20)
+      .select($"qid".as("id_a"), $"nid".as("id_b"))
   }
 
   /** Embedding near-dup clustering end-to-end: LSH candidate pairs above

@@ -289,9 +289,14 @@ object SparkEntry {
     "q43_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS score
-        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b FROM s ORDER BY score DESC, id_a, id_b LIMIT 20""".stripMargin
+        |s AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+        |        list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS score
+        |      FROM n q JOIN n x ON q.vec_id < 100 AND x.vec_id <> q.vec_id),
+        |r AS (SELECT qid, nid, score,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY score DESC, nid) AS rnk
+        |      FROM s)
+        |SELECT qid AS id_a, nid AS id_b FROM r WHERE rnk = 1
+        |ORDER BY score DESC, qid, nid LIMIT 20""".stripMargin
   )
 }

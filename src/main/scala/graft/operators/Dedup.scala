@@ -227,6 +227,10 @@ object Dedup {
       .unionByName(edges.select($"id_b".as("src"), $"id_a".as("dst")))
 
     var labels = vertices.select($"id", $"id".as("label"))
+    // Fast path: no edges → every vertex is its own component. Skips the
+    // per-iteration checkpoint+count machinery entirely — on an already-
+    // deduped corpus (zero candidate pairs) this is the common case.
+    if (edges.isEmpty) return labels
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {

@@ -205,12 +205,19 @@ object Knn {
   }
 
   /** Embedding near-dup CLUSTERS: [[nearDupPairs]] edges → smallest-id
-    * connected components (cluster_id = smallest member id). */
+    * connected components (cluster_id = smallest member id).
+    *
+    * Defaults to 12 signature bits (4096 buckets/table), not [[lshTopK]]'s
+    * 6: clustering targets HIGH-cosine pairs (θ/π small), where per-table
+    * match probability stays high even at 12 bits — e.g. cosine ≥ 0.95 ⇒
+    * recall ≈ 1-(1-0.9^12)^16 ≈ 0.995 — while buckets shrink 64×, which is
+    * what keeps the self-join linear on corpora WITHOUT many duplicates. */
   def nearDupClusters(
-      data: DataFrame, idCol: String, vecCol: String, minCosine: Double): DataFrame = {
+      data: DataFrame, idCol: String, vecCol: String, minCosine: Double,
+      tables: Int = 16, bits: Int = 12): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
-    val pairs = nearDupPairs(data, idCol, vecCol, minCosine)
+    val pairs = nearDupPairs(data, idCol, vecCol, minCosine, tables, bits)
       .select($"id_a", $"id_b").localCheckpoint(true)
     val touched = pairs.select($"id_a".as("id"))
       .unionByName(pairs.select($"id_b".as("id"))).distinct()
@@ -220,10 +227,14 @@ object Knn {
       .select($"id".as(idCol), coalesce($"label", $"id").as("cluster_id"))
   }
 
-  /** Embedding near-duplicate detection: globally most-similar pairs by
-    * exact cosine. `data` self-joined via broadcast of its (small) probe
-    * side is only for local scale — at 100 TB use [[lshTopK]] with
-    * data-as-queries instead. Returns the top `limit` pairs. */
+  /** SPEC-ONLY exact baseline: globally most-similar pairs by exact cosine
+    * over ALL n² pairs (BroadcastNestedLoopJoin). Deliberately NOT wired
+    * into any `SparkEntry.queries` plan — exact global top pairs over
+    * unstructured data is inherently quadratic (on this corpus the true
+    * top-20 sit at cosine 0.43–0.60, far below any LSH-recoverable band),
+    * so the shipped surface bounds one side instead
+    * ([[bruteForceTopK]] with a probe set, `Queries.embeddingNearDup`) or
+    * thresholds high ([[nearDupPairs]], `Queries.embeddingDedupClusters`). */
   def topSimilarPairs(data: DataFrame, idCol: String, vecCol: String, limit: Int): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._

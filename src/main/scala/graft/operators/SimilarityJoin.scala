@@ -235,18 +235,17 @@ object SimilarityJoin {
       .withColumn("len", size($"toks"))
       .select($"rid", $"len", explode($"toks").as("term"))
       .groupBy($"rid", $"len", $"term").agg(count(lit(1)).as("cnt"))
-      .cache()
     val idf = rTerms.groupBy($"term").agg(count(lit(1)).as("df"))
       .withColumn("idf", log(lit(numDocs.toDouble) / $"df"))
+    // (term, rid, dw, df): consumed by norms, candidate postings AND the
+    // scoring join — cached so the tokenize+agg pipeline runs once.
     val rWeights = rTerms.join(idf, "term")
       .withColumn("dw", ($"cnt".cast("double") / $"len") * $"idf")
+      .select($"term", $"df", $"rid", $"dw")
+      .cache()
     val rNorms = rWeights.groupBy($"rid").agg(sqrt(sum($"dw" * $"dw")).as("doc_norm"))
-    // full doc vectors as maps (for exact candidate scoring) + postings
-    val rVecs = rWeights.groupBy($"rid")
-      .agg(map_from_arrays(collect_list($"term"), collect_list($"dw")).as("dvec"))
-      .join(rNorms, "rid")
     // candidate-generation postings exclude ultra-common terms (they still
-    // participate in scoring via the full vector maps)
+    // participate in exact scoring through the rWeights join below)
     val dfCap = if (maxDf <= 1.0) math.max(1.0, maxDf * numDocs) else maxDf
     val postings = rWeights.filter($"df" <= dfCap).select($"term", $"rid")
 
@@ -257,50 +256,47 @@ object SimilarityJoin {
       .groupBy($"qid", $"len", $"term").agg(count(lit(1)).as("cnt"))
     val lWeights = lTerms.join(idf, "term")
       .withColumn("qw", ($"cnt".cast("double") / $"len") * $"idf")
-    val lVecs = lWeights.groupBy($"qid")
-      .agg(map_from_arrays(collect_list($"term"), collect_list($"qw")).as("qvec"))
-      .withColumn("qnorm",
-        sqrt(aggregate(map_values($"qvec"), lit(0.0), (a, x) => a + x * x)))
+      .select($"term", $"qid", $"qw")
+      .cache() // consumed by norms, prefix selection AND scoring
+    val lNorms = lWeights.groupBy($"qid").agg(sqrt(sum($"qw" * $"qw")).as("qnorm"))
 
-    // prefix terms per query: smallest head (by weight desc) such that the
-    // remaining normalized tail sums below τ
-    val prefixUdf = udf { (qvec: Map[String, Double], qnorm: Double) =>
-      if (qvec.isEmpty || !(qnorm > 0.0)) Array.empty[String]
-      else {
-        val sorted = qvec.toArray.sortBy { case (t, w) => (-w, t) }
-        var tail = sorted.iterator.map(_._2 / qnorm).sum
-        val prefix = Array.newBuilder[String]
-        var i = 0
-        while (i < sorted.length && tail >= minScore) {
-          prefix += sorted(i)._1
-          tail -= sorted(i)._2 / qnorm
-          i += 1
-        }
-        prefix.result()
-      }
-    }
+    // Prefix-filter term selection (AllPairs/PPJoin family) as pure window
+    // algebra — no per-row vector maps, no UDF: sort a query's terms by
+    // weight desc; term i stays in the prefix iff the NORMALIZED tail
+    // starting at i, (Σ_all qw − Σ_{j<i} qw)/‖q‖, could still reach τ — a
+    // doc sharing only later terms can never hit minScore. One shuffle,
+    // keyed by qid.
+    val wq = Window.partitionBy($"qid").orderBy($"qw".desc, $"term".asc)
+    val prefixTerms = lWeights
+      .join(lNorms, "qid")
+      .filter($"qnorm" > 0.0)
+      .withColumn("head",
+        coalesce(sum($"qw").over(wq.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .withColumn("total", sum($"qw").over(Window.partitionBy($"qid")))
+      .filter(($"total" - $"head") / $"qnorm" >= minScore)
+      .select($"qid", $"term")
 
-    val candidates = lVecs
-      .select($"qid", explode(prefixUdf($"qvec", $"qnorm")).as("term"))
+    val candidates = prefixTerms
       .join(postings, "term") // df-capped: common prefix terms match nothing
       .select($"qid", $"rid")
       .dropDuplicates("qid", "rid")
 
-    val sparseDot = udf { (a: Map[String, Double], b: Map[String, Double]) =>
-      val (small, big) = if (a.size <= b.size) (a, b) else (b, a)
-      // deterministic order: accumulate in sorted-key order
-      small.toArray.sortBy(_._1).foldLeft(0.0) { case (acc, (t, w)) =>
-        acc + big.getOrElse(t, 0.0) * w
-      }
-    }
-
-    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"rid".asc)
-    candidates
-      .join(lVecs, "qid")
-      .join(rVecs, "rid")
+    // Exact scoring straight from the postings: candidates × their shared
+    // terms via two codegen'd equi-joins + a partial-aggregated dot — no
+    // map columns, no per-pair UDF allocation.
+    val scored = candidates
+      .join(lWeights, "qid")
+      .join(rWeights.select($"term", $"rid", $"dw"), Seq("term", "rid"))
+      .groupBy($"qid", $"rid")
+      .agg(sum($"qw" * $"dw").as("dot"))
+      .join(lNorms, "qid")
+      .join(rNorms, "rid")
       .withColumn("score",
         when($"doc_norm" > 0.0 && $"qnorm" > 0.0,
-          sparseDot($"qvec", $"dvec") / ($"doc_norm" * $"qnorm")).otherwise(lit(0.0)))
+          $"dot" / ($"doc_norm" * $"qnorm")).otherwise(lit(0.0)))
+
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"rid".asc)
+    scored
       .filter($"score" >= minScore)
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= k)
