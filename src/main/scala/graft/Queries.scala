@@ -402,6 +402,27 @@ object Queries {
       .orderBy($"h_us", $"event_type")
   }
 
+  /** Batch-mode contract of the streaming sessionizer: gap-based sessions
+    * (30 min) over the events table through the SAME
+    * flatMapGroupsWithState code path the MemoryStream specs pin — in
+    * batch mode every group arrives in one call with empty state, so
+    * closed sessions are exactly the gap-split runs minus each user's
+    * trailing open session. Timestamps go out as epoch millis (the
+    * sessionizer's own precision — java.sql.Timestamp.getTime), ints only.
+    * One shuffle, keyed by user. */
+  def sessionizeBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"user_id", $"ts")
+      .as[graft.streaming.StreamingOps.SessionEvent]
+    graft.streaming.StreamingOps.sessionize(ev, gapMinutes = 30).toDF()
+      .select($"user_id",
+        unix_millis($"start_ts").as("start_ms"),
+        unix_millis($"end_ts").as("end_ms"),
+        $"n_events")
+      .orderBy($"user_id", $"start_ms")
+  }
+
   // ----------------------------------------------------------- text stats
 
   /** Whitespace token statistics per language (exact-SQL-expressible slice
@@ -636,6 +657,20 @@ object Queries {
     Dedup.ngramJaccardTopK(Tables(spark, sfDir, "documents"), "doc_id", "text", n = 2)
       .orderBy($"jaccard".desc, $"id_a".asc, $"id_b".asc)
       .limit(20)
+  }
+
+  /** Exact n-gram Jaccard, oracle-checked: top-20 most-similar (probe,
+    * other) pairs by exact bigram Jaccard, probe side bounded (doc_id <
+    * 50). Integer outputs (intersection/union sizes) — the float jaccard
+    * only orders, computed as one identical IEEE division in both
+    * engines. */
+  def ngramJaccardExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.ngramJaccardProbe(Tables(spark, sfDir, "documents"), "doc_id", "text",
+        n = 2, probeMax = 50L)
+      .orderBy($"jaccard".desc, $"id_a".asc, $"id_b".asc)
+      .limit(20)
+      .select($"id_a", $"id_b", $"inter", $"un")
   }
 
   /** LSH-bucketed approximate kNN (same shape as q19; recall measured in

@@ -74,7 +74,9 @@ object SparkEntry {
     "q48_multimodal_frames" -> (Queries.multimodalFrames _),
     "q49_similarity_join_threshold" -> (Queries.similarityJoinThreshold _),
     "q50_embedding_dedup_clusters" -> (Queries.embeddingDedupClusters _),
-    "q52_std_golden" -> (Queries.stdGolden _)
+    "q52_std_golden" -> (Queries.stdGolden _),
+    "q53_ngram_jaccard_exact" -> (Queries.ngramJaccardExact _),
+    "q54_sessionize" -> (Queries.sessionizeBatch _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -286,6 +288,56 @@ object SparkEntry {
     // Flagship standardize_title golden: the oracle is the pinned fixture
     // itself (VALUES table) — engine-independent; see Queries.stdGolden.
     "q52_std_golden" -> GoldenCorpus.oracleValuesSql,
+    // Same gram definition as Dedup.shingles: lowercase, split \s+, drop
+    // empties, word bigrams (or the whole token string when < n tokens),
+    // distinct. Ints out; the float jaccard (one IEEE division) only orders.
+    "q53_ngram_jaccard_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+        |         WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+        |    END) AS gs
+        |  FROM toks),
+        |g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM g a JOIN g b ON a.gram = b.gram
+        |  WHERE a.doc_id < 50 AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |    CAST(sa.sz + sb.sz - inter AS BIGINT) AS un,
+        |    CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jac
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, inter, un FROM j
+        |ORDER BY jac DESC, id_a, id_b LIMIT 20""".stripMargin,
+    // Gap-based sessionization (30 min) at the sessionizer's own millis
+    // precision; each user's trailing open session is not emitted.
+    "q54_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |o AS (SELECT user_id, t,
+        |        lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM e),
+        |s AS (SELECT user_id, t,
+        |        CASE WHEN pt IS NULL OR t - pt > 1800000 THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |g AS (SELECT user_id, t,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        |          ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+        |sess AS (SELECT user_id, sid, MIN(t) AS start_ms, MAX(t) AS end_ms,
+        |           CAST(COUNT(*) AS INTEGER) AS n_events
+        |         FROM g GROUP BY 1, 2),
+        |last AS (SELECT user_id, MAX(sid) AS last_sid FROM sess GROUP BY 1)
+        |SELECT s.user_id, s.start_ms, s.end_ms, s.n_events
+        |FROM sess s JOIN last l ON s.user_id = l.user_id AND s.sid < l.last_sid
+        |ORDER BY s.user_id, s.start_ms""".stripMargin,
     "q43_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

@@ -186,6 +186,34 @@ object Dedup {
       .select($"id_a", $"id_b", $"jaccard")
   }
 
+  /** Exact n-gram Jaccard of a bounded probe slice (`id < probeMax`)
+    * against the whole corpus: pairs (a, b) with a < b, a in the probe set,
+    * sharing ≥1 distinct gram. Inverted gram equi-join — candidate count is
+    * probes × gram-sharing docs (linear in the corpus for a fixed probe
+    * set), and any pair with Jaccard > 0 necessarily shares a gram, so the
+    * result is exact. Returns (id_a, id_b, inter, un, jaccard). */
+  def ngramJaccardProbe(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, probeMax: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gramsUdf = udf((s: String) => shingles(s, n).distinct)
+    val grams = df.select(col(idCol).as("id"), explode(gramsUdf(col(textCol))).as("gram"))
+    val sizes = grams.groupBy($"id").agg(count(lit(1)).as("sz"))
+
+    val inter = grams.filter($"id" < probeMax).select($"id".as("id_a"), $"gram")
+      .join(grams.select($"id".as("id_b"), $"gram"), "gram")
+      .filter($"id_b" > $"id_a")
+      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.select($"id".as("id_a"), $"sz".as("sz_a")), "id_a")
+      .join(sizes.select($"id".as("id_b"), $"sz".as("sz_b")), "id_b")
+      .withColumn("un", $"sz_a" + $"sz_b" - $"inter")
+      .withColumn("jaccard", $"inter".cast("double") / $"un")
+      .select($"id_a", $"id_b", $"inter", $"un", $"jaccard")
+  }
+
   /** Scale path for "most-similar pairs by exact n-gram Jaccard":
     * MinHash-LSH candidate generation (cheap, recall ~1 for high-Jaccard
     * pairs) → exact Jaccard rerank on candidates via `array_intersect` —
