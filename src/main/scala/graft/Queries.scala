@@ -735,6 +735,23 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** Quality scoring, oracle-checked: the exact metric/blend formulas
+    * replicated in DuckDB SQL. Both engines evaluate the same IEEE double
+    * expression tree (no display rounding), so the float64 outputs are
+    * bit-identical; token semantics mirror Spark's `split(trim(x),'\s+')`
+    * (an empty text yields one empty token on both sides). */
+  def qualityExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .withColumn("m", TextAnalysis.qualityMetrics($"text"))
+      .select($"doc_id",
+        $"m.n_tokens".as("n_tokens"),
+        $"m.n_distinct_tokens".as("n_distinct"),
+        $"m.type_token_ratio".as("ttr"),
+        TextAnalysis.qualityScoreRaw($"m").as("quality"))
+      .orderBy($"doc_id")
+  }
+
   /** Rolling-hash document fingerprints. */
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -76,7 +76,8 @@ object SparkEntry {
     "q50_embedding_dedup_clusters" -> (Queries.embeddingDedupClusters _),
     "q52_std_golden" -> (Queries.stdGolden _),
     "q53_ngram_jaccard_exact" -> (Queries.ngramJaccardExact _),
-    "q54_sessionize" -> (Queries.sessionizeBatch _)
+    "q54_sessionize" -> (Queries.sessionizeBatch _),
+    "q55_quality_exact" -> (Queries.qualityExact _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -319,6 +320,28 @@ object SparkEntry {
         |  JOIN sizes sb ON sb.doc_id = id_b)
         |SELECT id_a, id_b, inter, un FROM j
         |ORDER BY jac DESC, id_a, id_b LIMIT 20""".stripMargin,
+    // Exact mirror of TextAnalysis.qualityMetrics/qualityScoreRaw: same
+    // token semantics (split(trim(x),'\s+') — empty text gives one empty
+    // token), same regex classes (Java \p{Punct} = RE2 [[:punct:]], ASCII),
+    // same IEEE expression tree → bit-identical float64 outputs.
+    "q55_quality_exact" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS INTEGER) AS n_distinct,
+        |    CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |      / nullif(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 0.0) AS ttr,
+        |    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0
+        |      / nullif(length(text) * 1.0, 0.0) AS punct_ratio,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+        |      / nullif(length(text) * 1.0, 0.0) AS digit_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_distinct, ttr,
+        |  (CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.25 END) * 0.4
+        |    + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2
+        |    + (1.0 - least(digit_ratio * 4.0, 1.0)) * 0.2
+        |    + least(coalesce(ttr, 0.0) * 2.0, 1.0) * 0.2 AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
     // Gap-based sessionization (30 min) at the sessionizer's own millis
     // precision; each user's trailing open session is not emitted.
     "q54_sessionize" ->

@@ -72,17 +72,25 @@ object TextAnalysis {
         nullif(nChars, lit(0.0))).as("space_ratio"))
   }
 
-  /** Scalar quality score in [0,1] from a precomputed [[qualityMetrics]]
-    * struct — share one metrics column instead of re-deriving the text
-    * expressions (halves the codegen tree). */
-  def qualityScoreFromMetrics(m: Column): Column = {
+  /** The quality blend WITHOUT the final display rounding: every term is a
+    * fixed-shape tree of IEEE double ops, so the value is bit-identical
+    * across engines that evaluate the same formula (the DuckDB oracle of
+    * `q55_quality_exact` does) — `round(x, 6)` is engine-specific
+    * (shortest-repr HALF_UP vs scaled arithmetic) and is applied only in
+    * the display variant below. */
+  def qualityScoreRaw(m: Column): Column = {
     val lenOk = when(m("n_tokens").between(5, 10000), lit(1.0))
       .otherwise(lit(0.25))
     val punctOk = lit(1.0) - least(m("punct_ratio") * 4.0, lit(1.0))
     val digitOk = lit(1.0) - least(m("digit_ratio") * 4.0, lit(1.0))
     val diversity = least(coalesce(m("type_token_ratio"), lit(0.0)) * 2.0, lit(1.0))
-    round((lenOk * 0.4 + punctOk * 0.2 + digitOk * 0.2 + diversity * 0.2), 6)
+    lenOk * 0.4 + punctOk * 0.2 + digitOk * 0.2 + diversity * 0.2
   }
+
+  /** Scalar quality score in [0,1] from a precomputed [[qualityMetrics]]
+    * struct — share one metrics column instead of re-deriving the text
+    * expressions (halves the codegen tree). */
+  def qualityScoreFromMetrics(m: Column): Column = round(qualityScoreRaw(m), 6)
 
   /** Scalar quality score in [0,1]: penalize extreme length, high punct /
     * digit density, low lexical diversity. A simple monotone blend —

@@ -90,6 +90,16 @@ object ScaleSmoke {
     time(s"knn IVF ($nVecs vectors, 100 queries, 64 cells probe 8)") {
       println(s"  results: ${Knn.ivfTopK(vecs, queries, "vec_id", "embedding", 5, nCells = 64, nProbe = 8, iterations = 3).count()}")
     }
+    // planted identical-vector triplets (cosine 1.0) on top of the random
+    // cloud: clustering must find exactly these and nothing else
+    val planted = vecs.limit(1000)
+      .select(explode(array(lit(0L), lit(10000000L), lit(20000000L))).as("off"), $"vec_id", $"embedding")
+      .select(($"vec_id" + $"off").as("vec_id"), $"embedding")
+      .unionByName(vecs.filter($"vec_id" >= 1000))
+    time(s"embedding near-dup clusters ($nVecs+2k vectors, 16 tables x 12 bits)") {
+      val cl = Knn.nearDupClusters(planted, "vec_id", "embedding", minCosine = 0.999)
+      println(s"  rows clustered to a smaller id: ${cl.filter($"cluster_id" =!= $"vec_id").count()} (expect 2000)")
+    }
     spark.stop()
   }
 }
