@@ -386,6 +386,41 @@ object Queries {
       .orderBy($"event_type")
   }
 
+  /** CSV source/sink end-to-end: scalar document columns round-trip
+    * through a CSV write+read (header, explicit schema on read — schema
+    * inference at 100 TB means a second full scan), then aggregate. The
+    * oracle runs the same aggregate on the original parquet, so the green
+    * row proves the CSV path is lossless. */
+  def csvSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    spark.read
+      .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+      .option("header", "true").csv(dir)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("total_chars"))
+      .orderBy($"lang", $"source")
+  }
+
+  /** JSON-lines source/sink end-to-end: same shape as [[csvSource]] over
+    * the orders table (dates survive as ISO strings; re-parsed on read). */
+  def jsonSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", year($"o_orderdate").as("yr"))
+      .write.mode("overwrite").json(dir)
+    spark.read
+      .schema("o_orderkey BIGINT, o_orderpriority STRING, yr INT")
+      .json(dir)
+      .groupBy($"o_orderpriority", $"yr")
+      .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+      .orderBy($"o_orderpriority", $"yr")
+  }
+
   // ------------------------------------------------------ time aggregates
 
   /** Tumbling-window (hourly) event rollup — the batch shape of the
@@ -594,12 +629,12 @@ object Queries {
 
   /** Fully distributed similarity join (no driver-side index): documents
     * matched against the dictionary corpus loaded as a plain DataFrame —
-    * the shape that scales when BOTH sides are large. Candidate generation
-    * runs through the df-capped prefix-filtered path (the exact
-    * all-co-occurrence join is quadratic — measured 764 s at 100k×100k —
-    * and lives on as the spec-only cross-check baseline `topKAgainst`);
-    * rows whose every term is df-capped/OOV fall back to alias 0, the
-    * reference's all-OOV fallback semantics. */
+    * the shape that scales when BOTH sides are large. The postings join is
+    * df-capped (absolute cap 50) so per-term fanout — and therefore total
+    * work — is linear in the corpus; the uncapped exact all-co-occurrence
+    * join (764 s at 100k×100k, SCALE.md) is the spec-only cross-check
+    * baseline. Rows whose every term is df-capped/OOV fall back to alias
+    * 0, the reference's all-OOV fallback semantics. */
   def similarityJoinGeneric(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, sfDir, "documents")
@@ -608,9 +643,8 @@ object Queries {
     val corpusDf = graft.dict.TitleDictionary.corpus.zipWithIndex
       .map { case (alias, i) => (i.toLong, alias) }.toSeq
       .toDF("alias_id", "alias")
-    val matched = SimilarityJoin.thresholdJoin(
-        docs, "doc_id", "title", corpusDf, "alias_id", "alias", k = 1,
-        minScore = 0.0, maxDf = 150)
+    val matched = SimilarityJoin.topKAgainst(
+        docs, "doc_id", "title", corpusDf, "alias_id", "alias", k = 1, maxDf = 50)
     docs.select($"doc_id").join(matched, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"rnk", lit(1)).as("rnk"),

@@ -77,7 +77,9 @@ object SparkEntry {
     "q52_std_golden" -> (Queries.stdGolden _),
     "q53_ngram_jaccard_exact" -> (Queries.ngramJaccardExact _),
     "q54_sessionize" -> (Queries.sessionizeBatch _),
-    "q55_quality_exact" -> (Queries.qualityExact _)
+    "q55_quality_exact" -> (Queries.qualityExact _),
+    "q56_csv_source" -> (Queries.csvSource _),
+    "q57_json_source" -> (Queries.jsonSource _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -320,6 +322,17 @@ object SparkEntry {
         |  JOIN sizes sb ON sb.doc_id = id_b)
         |SELECT id_a, id_b, inter, un FROM j
         |ORDER BY jac DESC, id_a, id_b LIMIT 20""".stripMargin,
+    // The Spark side round-trips through CSV/JSON files first; the oracle
+    // aggregates the original parquet — green ⇒ the file formats are
+    // lossless for these columns.
+    "q56_csv_source" ->
+      """SELECT lang, source, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q57_json_source" ->
+      """SELECT o_orderpriority, CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
+        |  COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Exact mirror of TextAnalysis.qualityMetrics/qualityScoreRaw: same
     // token semantics (split(trim(x),'\s+') — empty text gives one empty
     // token), same regex classes (Java \p{Punct} = RE2 [[:punct:]], ASCII),

