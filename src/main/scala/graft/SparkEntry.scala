@@ -322,6 +322,36 @@ object SparkEntry {
         |  JOIN sizes sb ON sb.doc_id = id_b)
         |SELECT id_a, id_b, inter, un FROM j
         |ORDER BY jac DESC, id_a, id_b LIMIT 20""".stripMargin,
+    // Language-ID oracle: the UDF's exact algorithm in SQL — lowercase,
+    // split \W+ (ASCII word chars in BOTH engines — Java \w and RE2 \w; the
+    // profile entry 'für' is unreachable on both sides for the same
+    // reason), count every token occurrence that hits a profile word,
+    // argmax with lexicographic tie-break, 'und' when nothing scores.
+    // Green ⇒ the langIdUdf itself is driver-verified.
+    "q39_lang_id" ->
+      ("""WITH profiles(lang, word) AS (VALUES """ +
+        graft.functions.TextAnalysis.profileSeq.map { case (l, w) =>
+          s"('$l', '$w')"
+        }.mkString(", ") +
+        """),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\W+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |hits AS (
+        |  SELECT t.doc_id, p.lang, COUNT(*) AS n
+        |  FROM toks t JOIN profiles p ON t.tok = p.word
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rk
+        |  FROM hits WHERE n > 0)
+        |SELECT d.doc_id,
+        |  coalesce(b.lang, 'und') AS detected_lang
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, lang FROM best WHERE rk = 1) b
+        |  ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""").stripMargin,
     // The Spark side round-trips through CSV/JSON files first; the oracle
     // aggregates the original parquet — green ⇒ the file formats are
     // lossless for these columns.

@@ -31,6 +31,11 @@ object TextAnalysis {
     "it" -> Set("di", "e", "il", "la", "che", "in", "un", "per", "del", "una",
       "con", "non", "sono", "da", "si", "le", "dei", "al", "come", "dello"))
 
+  /** Profile pairs in deterministic order — consumed by the q39 oracle
+    * SQL (VALUES table) so the SQL mirror and the UDF share one source. */
+  def profileSeq: Seq[(String, String)] =
+    profiles.toSeq.sortBy(_._1).flatMap { case (l, ws) => ws.toSeq.sorted.map(l -> _) }
+
   /** Best-scoring language by stopword hit ratio; "und" (undetermined)
     * when nothing matches. Deterministic tie-break: lexicographic. */
   def detectLang(text: String): String = {
