@@ -485,6 +485,19 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic content-stable train/val/test split (90/5/5 by id
+    * hash), oracle-checked per row: the md5-bucket assignment is identical
+    * in every engine, so the oracle recomputes each row's split label and
+    * the per-split rollup. */
+  def splitStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Sampling.deterministicSplit(
+        Tables(spark, sfDir, "documents"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select($"doc_id", $"split")
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- dedup
 
   /** Corpus-wide token heavy hitters via the Misra–Gries sketch UDAF —

@@ -79,7 +79,8 @@ object SparkEntry {
     "q54_sessionize" -> (Queries.sessionizeBatch _),
     "q55_quality_exact" -> (Queries.qualityExact _),
     "q56_csv_source" -> (Queries.csvSource _),
-    "q57_json_source" -> (Queries.jsonSource _)
+    "q57_json_source" -> (Queries.jsonSource _),
+    "q58_train_split" -> (Queries.splitStats _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -363,6 +364,16 @@ object SparkEntry {
       """SELECT o_orderpriority, CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
         |  COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Deterministic split oracle: md5 hex is engine-identical, so each
+    // row's train/val/test assignment is recomputed exactly. Thresholds
+    // are floor(cum*65536) as 4-hex-char lowercase strings (0.9 -> 'e666',
+    // 0.95 -> 'f333'), compared lexicographically.
+    "q58_train_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Exact mirror of TextAnalysis.qualityMetrics/qualityScoreRaw: same
     // token semantics (split(trim(x),'\s+') — empty text gives one empty
     // token), same regex classes (Java \p{Punct} = RE2 [[:punct:]], ASCII),

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+/** Deterministic splitting/sampling contract: proportions track weights,
+  * every row gets exactly one label, assignments are content-stable (the
+  * same id keeps its split when the corpus grows — the property
+  * randomSplit lacks), and hashSample is a subset-by-growth. */
+class SamplingSpec extends AnyFunSuite {
+  import SparkSuiteBase.spark
+
+  test("split: complete, disjoint, proportional, and stable under growth") {
+    import spark.implicits._
+    val small = spark.range(0L, 10000L).toDF("id")
+    val big = spark.range(0L, 30000L).toDF("id")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+    val s = Sampling.deterministicSplit(small, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s.size == 10000) // exactly one label per row
+    val byLabel = s.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(math.abs(byLabel("train") / 10000.0 - 0.9) < 0.02)
+    assert(math.abs(byLabel("val") / 10000.0 - 0.05) < 0.01)
+    assert(math.abs(byLabel("test") / 10000.0 - 0.05) < 0.01)
+
+    // growth stability: the first 10k ids keep their assignment in a 30k corpus
+    val g = Sampling.deterministicSplit(big, "id", splits)
+      .filter($"id" < 10000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(g == s, "existing rows must not move when the corpus grows")
+  }
+
+  test("hashSample: deterministic fraction, monotone under growth") {
+    import spark.implicits._
+    val df = spark.range(0L, 20000L).toDF("id")
+    val kept = Sampling.hashSample(df, "id", 0.1).collect().map(_.getLong(0)).toSet
+    assert(math.abs(kept.size / 20000.0 - 0.1) < 0.01)
+    // a kept row is kept again; a second draw at higher fraction is a superset
+    val keptAgain = Sampling.hashSample(df, "id", 0.1).collect().map(_.getLong(0)).toSet
+    assert(keptAgain == kept)
+    val more = Sampling.hashSample(df, "id", 0.25).collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(more))
+  }
+}
