@@ -48,6 +48,7 @@ object Sampling {
     * runs, engines and data growth (a row once kept is always kept). */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0)
-    df.filter(bucket(col(idCol)) < lit(hexThreshold(fraction)))
+    if (fraction >= 1.0) df // 'ffff' is a valid bucket; < threshold would drop it
+    else df.filter(bucket(col(idCol)) < lit(hexThreshold(fraction)))
   }
 }

@@ -77,6 +77,20 @@ object ScaleSmoke {
         println(s"  matched rows: ${top.count()}")
       }
 
+    if (!sys.env.contains("SCALE_ONLY_SIMJOIN")) {
+    time(s"probe n-gram jaccard ($nDocs docs, 50 probes)") {
+      val top = graft.operators.Dedup.ngramJaccardProbe(docs, "id", "text", 2, 50L)
+        .orderBy(desc("jaccard"), $"id_a", $"id_b").limit(20)
+      println(s"  top pairs: ${top.count()}")
+    }
+    time(s"deterministic split ($nDocs docs)") {
+      val counts = graft.operators.Sampling.deterministicSplit(
+          docs, "id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy($"split").count().collect()
+      println(s"  ${counts.map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")}")
+    }
+    }
+
     // --- embeddings: hash-derived 64-dim vectors
     val vecs = spark.range(nVecs.toLong)
       .withColumn("embedding", transform(sequence(lit(0), lit(63)),
