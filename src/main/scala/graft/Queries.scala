@@ -184,6 +184,24 @@ object Queries {
       .orderBy($"event_id")
   }
 
+  /** As-of join with staleness tolerance: each purchase gets the user's
+    * most recent click, but only if it happened within the last hour —
+    * the feature-store freshness contract (stale state must read as
+    * absent, not as a silently old value). Same single key-shuffle plan
+    * as q23. */
+  def asofToleranceClick(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"))
+    AsOfJoin.asOfWithin(purchases, clicks, "user_id", "ts", Seq("click_id"),
+        expr("INTERVAL 1 HOUR"))
+      .select($"event_id", $"user_id", $"asof_click_id")
+      .orderBy($"event_id")
+  }
+
   /** Range (interval) join: clicks within the hour before each purchase,
     * per user — equi-key join with a band predicate. */
   def rangeJoinClicksBeforePurchase(spark: SparkSession, sfDir: String): DataFrame = {

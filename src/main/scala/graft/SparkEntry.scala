@@ -80,7 +80,8 @@ object SparkEntry {
     "q55_quality_exact" -> (Queries.qualityExact _),
     "q56_csv_source" -> (Queries.csvSource _),
     "q57_json_source" -> (Queries.jsonSource _),
-    "q58_train_split" -> (Queries.splitStats _)
+    "q58_train_split" -> (Queries.splitStats _),
+    "q59_asof_tolerance" -> (Queries.asofToleranceClick _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -223,6 +224,21 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // Tolerance-bounded as-of: nearest click at-or-before, masked NULL if
+    // older than 1 hour. ts cast to micros TIMESTAMP so both engines
+    // compare at the same precision; tie-break = max click_id at equal ts
+    // (matches the window sort in AsOfJoin).
+    "q59_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, c.click_id AS asof_click_id
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS click_id
+        |           FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |QUALIFY row_number() OVER (PARTITION BY p.event_id
+        |  ORDER BY c.ts DESC, c.click_id DESC) = 1
         |ORDER BY p.event_id""".stripMargin,
     "q24_range_join" ->
       """SELECT p.event_id, CAST(COUNT(c.click_id) AS BIGINT) AS clicks_before

@@ -65,4 +65,30 @@ object AsOfJoin {
       .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
         payload.map(c => col(s"$prefix$c")): _*)
   }
+
+  /** As-of join with a staleness tolerance: the match must satisfy
+    * `left.ts - tolerance <= right.ts <= left.ts`; older state comes back
+    * NULL. Exact by construction: the plain as-of match is the NEAREST
+    * at-or-before right row, so if it falls outside the tolerance window
+    * nothing inside the window exists — masking it is the correct answer,
+    * and the plan stays the same single key-shuffle.
+    *
+    * @param tolerance an interval Column, e.g. `expr("INTERVAL 1 HOUR")`
+    */
+  def asOfWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      payload: Seq[String],
+      tolerance: Column,
+      prefix: String = "asof_"): DataFrame = {
+    require(!payload.contains(tsCol), s"$tsCol is carried implicitly")
+    val joined = asOf(left, right, keyCol, tsCol, payload :+ tsCol, prefix)
+    val fresh = col(s"$prefix$tsCol").isNotNull &&
+      col(s"$prefix$tsCol") >= col(tsCol) - tolerance
+    payload.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"$prefix$c", when(fresh, col(s"$prefix$c")))
+    }.drop(s"$prefix$tsCol")
+  }
 }
