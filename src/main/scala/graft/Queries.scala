@@ -170,6 +170,24 @@ object Queries {
       .orderBy($"rname", $"nname")
   }
 
+  /** CUBE grouping sets with GROUPING() markers: revenue at every
+    * (segment, priority) grain incl. both marginals and the grand total —
+    * the other grouping-set shape next to q22's ROLLUP. Same single
+    * exchange after grouping-set expansion. */
+  def cubeRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+        |  coalesce(o_orderpriority, 'ALL') AS prio,
+        |  CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+        |ORDER BY seg, prio""".stripMargin)
+  }
+
   /** As-of (point-in-time) join: each purchase gets the user's most recent
     * click at-or-before it — the leak-free feature-lookup primitive. */
   def asofPurchaseClick(spark: SparkSession, sfDir: String): DataFrame = {
@@ -334,6 +352,11 @@ object Queries {
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
         |  lead(o_orderkey) OVER w AS next_key,
         |  first_value(o_orderkey) OVER w AS best_key,
+        |  nth_value(o_orderkey, 2) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key,
+        |  percent_rank() OVER w AS pct_rnk,
+        |  cume_dist() OVER w AS cume,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

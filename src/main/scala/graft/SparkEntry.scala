@@ -81,7 +81,8 @@ object SparkEntry {
     "q56_csv_source" -> (Queries.csvSource _),
     "q57_json_source" -> (Queries.jsonSource _),
     "q58_train_split" -> (Queries.splitStats _),
-    "q59_asof_tolerance" -> (Queries.asofToleranceClick _)
+    "q59_asof_tolerance" -> (Queries.asofToleranceClick _),
+    "q60_cube_revenue" -> (Queries.cubeRevenue _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -219,6 +220,16 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY rname, nname""".stripMargin,
+    "q60_cube_revenue" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+        |  coalesce(o_orderpriority, 'ALL') AS prio,
+        |  CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+        |ORDER BY seg, prio""".stripMargin,
     "q23_asof_join" ->
       """SELECT p.event_id, p.user_id, c.event_id AS asof_click_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -293,6 +304,11 @@ object SparkEntry {
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
         |  lead(o_orderkey) OVER w AS next_key,
         |  first_value(o_orderkey) OVER w AS best_key,
+        |  nth_value(o_orderkey, 2) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key,
+        |  percent_rank() OVER w AS pct_rnk,
+        |  cume_dist() OVER w AS cume,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
