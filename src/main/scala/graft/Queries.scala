@@ -402,6 +402,21 @@ object Queries {
     both.unionByName(custOnly).select($"tag", $"k").orderBy($"tag", $"k")
   }
 
+  /** Multiset set-ops (ALL variants keep duplicates): nation keys of
+    * customers vs rich suppliers, bag semantics — the other half of q13's
+    * set-semantics INTERSECT/EXCEPT. */
+  def setOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val custN = Tables(spark, sfDir, "customer").select($"c_nationkey".as("k"))
+    val richSuppN = Tables(spark, sfDir, "supplier")
+      .filter($"s_acctbal" > 5000.0).select($"s_nationkey".as("k"))
+    val inter = custN.intersectAll(richSuppN).withColumn("tag", lit("inter_all"))
+    val diff = custN.exceptAll(richSuppN).withColumn("tag", lit("except_all"))
+    inter.unionByName(diff)
+      .groupBy($"tag", $"k").agg(count(lit(1)).as("n"))
+      .orderBy($"tag", $"k")
+  }
+
   // ------------------------------------------------------- string / json
 
   /** split_part cracking of a composite string — the README's

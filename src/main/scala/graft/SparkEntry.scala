@@ -82,7 +82,8 @@ object SparkEntry {
     "q57_json_source" -> (Queries.jsonSource _),
     "q58_train_split" -> (Queries.splitStats _),
     "q59_asof_tolerance" -> (Queries.asofToleranceClick _),
-    "q60_cube_revenue" -> (Queries.cubeRevenue _)
+    "q60_cube_revenue" -> (Queries.cubeRevenue _),
+    "q61_setops_all" -> (Queries.setOpsAll _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -167,6 +168,18 @@ object SparkEntry {
         |   EXCEPT
         |   SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0) b
         |ORDER BY tag, k""".stripMargin,
+    "q61_setops_all" ->
+      """SELECT tag, k, COUNT(*) AS n FROM (
+        |  SELECT 'inter_all' AS tag, k FROM
+        |    (SELECT c_nationkey AS k FROM customer
+        |     INTERSECT ALL
+        |     SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0) a
+        |  UNION ALL
+        |  SELECT 'except_all' AS tag, k FROM
+        |    (SELECT c_nationkey AS k FROM customer
+        |     EXCEPT ALL
+        |     SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0) b) t
+        |GROUP BY tag, k ORDER BY tag, k""".stripMargin,
     "q14_events_hourly" ->
       """SELECT CAST(epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS BIGINT) AS h_us,
         |  event_type, COUNT(*) AS n,
