@@ -17,6 +17,28 @@ class PlanAuditSpec extends AnyFunSuite {
     * (vec_id < 10 / < 100), so work is O(corpus × probes) = one scan. */
   private val boundedProbeBnlj = Set("q19_knn_bruteforce", "q43_embedding_neardup")
 
+  test("filters and projections reach the parquet scan (pushdown + pruning)") {
+    def scanDetail(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+
+    val q01 = scanDetail("q01_scan_filter_project")
+    assert(q01.contains("GreaterThanOrEqual(n_chars,100)") &&
+      q01.contains("In(lang, "), s"q01 range/IN filters must be pushed:\n$q01")
+    assert(q01.contains(
+      "struct<doc_id:bigint,lang:string,source:string,n_chars:bigint>"),
+      "q01 must read exactly its 4 projected columns")
+
+    val q02 = scanDetail("q02_agg_pricing")
+    assert(q02.contains("struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_returnflag:string,l_linestatus:string>"),
+      "q02 must read exactly the 5 columns the aggregate needs")
+
+    val q03 = scanDetail("q03_filter_in")
+    assert(q03.contains("GreaterThan(c_acctbal,5000.0)"),
+      "q03 numeric predicate must be pushed to the scan")
+  }
+
   test("no shipped query plans a cartesian product / unbounded nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
