@@ -137,8 +137,19 @@ object Knn {
 
     val d = withVecAndNorm(data, idCol, vecCol).cache()
 
-    // --- train: deterministic Lloyd iterations on normalized vectors
-    var centroids: Array[Array[Double]] = d.orderBy($"id".asc).limit(nCells)
+    // --- train on a bounded deterministic sample (~100 points per cell):
+    // at cluster scale each Lloyd iteration over the FULL data would be a
+    // full scan ×iterations; the quantizer only needs a representative
+    // sample, and the md5-hash sample is retry/engine-stable so training
+    // stays deterministic. Assignment and search still cover all of `d`.
+    val n = d.count()
+    val sampleCap = nCells.toLong * 100L
+    val dTrain =
+      if (n <= sampleCap) d
+      else Sampling.hashSample(d, "id", sampleCap.toDouble / n).cache()
+
+    // deterministic Lloyd iterations on normalized vectors
+    var centroids: Array[Array[Double]] = dTrain.orderBy($"id".asc).limit(nCells)
       .select($"v").collect().map(_.getSeq[Double](0).toArray)
     def nearestUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
       val arr = v.toArray
@@ -155,7 +166,7 @@ object Knn {
     }
     var iter = 0
     while (iter < iterations) {
-      val assigned = d.withColumn("cell", nearestUdf(centroids)($"v"))
+      val assigned = dTrain.withColumn("cell", nearestUdf(centroids)($"v"))
       val updated = assigned.groupBy($"cell")
         .agg(array((0 until centroids(0).length).map(i =>
           avg($"v"(i))): _*).as("c"))
