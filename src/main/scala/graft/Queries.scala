@@ -855,6 +855,28 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** The composed training-data preprocessing pipeline, oracle-checked
+    * END-TO-END: exact dedup (keep lowest id per text) → quality filter
+    * (bit-identical blend, threshold 0.5) → language filter → content-
+    * stable train/val/test split → per-split rollup. Each stage is a
+    * shuffle-keyed or map-side operator; the oracle mirrors every stage in
+    * SQL, so the whole composition — not just the pieces — is verified. */
+  def pipelineE2E(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val deduped = Dedup.exact(docs, "doc_id", Seq("text"))
+    val filtered = deduped
+      .withColumn("m", TextAnalysis.qualityMetrics($"text"))
+      .filter(TextAnalysis.qualityScoreRaw($"m") >= 0.5 && $"lang" === "en")
+    graft.operators.Sampling.deterministicSplit(filtered, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length($"text")).cast("bigint").as("total_chars"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy($"split")
+  }
+
   /** Rolling-hash document fingerprints. */
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

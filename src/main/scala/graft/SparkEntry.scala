@@ -83,7 +83,8 @@ object SparkEntry {
     "q58_train_split" -> (Queries.splitStats _),
     "q59_asof_tolerance" -> (Queries.asofToleranceClick _),
     "q60_cube_revenue" -> (Queries.cubeRevenue _),
-    "q61_setops_all" -> (Queries.setOpsAll _)
+    "q61_setops_all" -> (Queries.setOpsAll _),
+    "q62_pipeline_e2e" -> (Queries.pipelineE2E _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -409,6 +410,41 @@ object SparkEntry {
       """SELECT o_orderpriority, CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
         |  COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // End-to-end pipeline oracle: every stage (dedup keep-first, quality
+    // blend, lang filter, md5 split, rollup) mirrored in SQL — verifies
+    // the COMPOSITION, not just the operators.
+    "q62_pipeline_e2e" ->
+      """WITH deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |m AS (
+        |  SELECT doc_id, text, lang, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |      / nullif(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 0.0) AS ttr,
+        |    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0
+        |      / nullif(length(text) * 1.0, 0.0) AS punct_ratio,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+        |      / nullif(length(text) * 1.0, 0.0) AS digit_ratio
+        |  FROM deduped),
+        |scored AS (
+        |  SELECT doc_id, text, lang, source,
+        |    (CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.25 END) * 0.4
+        |      + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2
+        |      + (1.0 - least(digit_ratio * 4.0, 1.0)) * 0.2
+        |      + least(coalesce(ttr, 0.0) * 2.0, 1.0) * 0.2 AS quality
+        |  FROM m),
+        |kept AS (
+        |  SELECT doc_id, text, source,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM scored WHERE quality >= 0.5 AND lang = 'en')
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM kept GROUP BY split ORDER BY split""".stripMargin,
     // Deterministic split oracle: md5 hex is engine-identical, so each
     // row's train/val/test assignment is recomputed exactly. Thresholds
     // are floor(cum*65536) as 4-hex-char lowercase strings (0.9 -> 'e666',
