@@ -572,6 +572,22 @@ object Queries {
       .limit(20)
   }
 
+  /** Approximate aggregates — the 100 TB shapes of COUNT(DISTINCT) and
+    * percentiles: HyperLogLog++ (fixed-size sketch per partition, no
+    * exact-distinct shuffle explosion) and approx_percentile
+    * (Greenwald-Khanna). No oracle: sketch estimates are engine-specific;
+    * `ApproxAggSpec` bounds them against the exact answers instead. */
+  def approxAggs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .groupBy($"lang")
+      .agg(
+        approx_count_distinct($"source", 0.02).as("approx_sources"),
+        countDistinct($"source").as("exact_sources"),
+        approx_percentile($"n_chars", lit(0.5), lit(1000)).as("approx_median_chars"))
+      .orderBy($"lang")
+  }
+
   /** Exact deduplication: keep the lowest doc_id per identical text. */
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -84,7 +84,8 @@ object SparkEntry {
     "q59_asof_tolerance" -> (Queries.asofToleranceClick _),
     "q60_cube_revenue" -> (Queries.cubeRevenue _),
     "q61_setops_all" -> (Queries.setOpsAll _),
-    "q62_pipeline_e2e" -> (Queries.pipelineE2E _)
+    "q62_pipeline_e2e" -> (Queries.pipelineE2E _),
+    "q63_approx_aggs" -> (Queries.approxAggs _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
