@@ -588,6 +588,22 @@ object Queries {
       .orderBy($"lang")
   }
 
+  /** Sequence packing, oracle-checked: whitespace token counts → greedy
+    * concat-then-chunk packing into 256-token contexts across 8 shards →
+    * per-pack rollup. Pack assignment is sharded window algebra (no
+    * global sort); the oracle recomputes every pack id. */
+  def sequencePacking(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val withToks = Tables(spark, sfDir, "documents")
+      .select($"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("bigint").as("n_toks"))
+    graft.operators.Packing.greedyPack(withToks, "doc_id", "n_toks",
+        ctxLen = 256, nShards = 8)
+      .groupBy($"shard", $"pack")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("pack_tokens"))
+      .orderBy($"shard", $"pack")
+  }
+
   /** Exact deduplication: keep the lowest doc_id per identical text. */
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -85,7 +85,8 @@ object SparkEntry {
     "q60_cube_revenue" -> (Queries.cubeRevenue _),
     "q61_setops_all" -> (Queries.setOpsAll _),
     "q62_pipeline_e2e" -> (Queries.pipelineE2E _),
-    "q63_approx_aggs" -> (Queries.approxAggs _)
+    "q63_approx_aggs" -> (Queries.approxAggs _),
+    "q64_sequence_packing" -> (Queries.sequencePacking _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -411,6 +412,23 @@ object SparkEntry {
       """SELECT o_orderpriority, CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
         |  COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Sequence-packing oracle: same sharded cumsum + integer floor
+    // division (Spark `div` = DuckDB `//` on non-negative BIGINTs).
+    "q64_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_toks,
+        |    SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_end
+        |  FROM t),
+        |p AS (SELECT shard, CAST((cum_end - n_toks) // 256 AS BIGINT) AS pack,
+        |        n_toks FROM c)
+        |SELECT shard, pack, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS pack_tokens
+        |FROM p GROUP BY shard, pack ORDER BY shard, pack""".stripMargin,
     // End-to-end pipeline oracle: every stage (dedup keep-first, quality
     // blend, lang filter, md5 split, rollup) mirrored in SQL — verifies
     // the COMPOSITION, not just the operators.
