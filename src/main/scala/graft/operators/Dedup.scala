@@ -75,26 +75,31 @@ object Dedup {
     import spark.implicits._
 
     val sigUdf = udf((s: String) => minhashSig(s, shingleSize, numHashes))
-    val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+    // cached: consumed by band bucketing AND the post-dedup verification
+    // join — recomputing would double the (dominant) signature CPU
+    val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig")).cache()
 
     // band b's key hashes signature positions [b*r, (b+1)*r)
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => $"sig"(b * rowsPerBand + r))
       struct(lit(b).as("band"), hash(slice: _*).as("bh"))
     }
+    // Bucket join on IDS ONLY (the exploded frame and the candidate
+    // shuffle move ~20-byte rows, not 256-byte signature arrays); DISTINCT
+    // before verification so a pair colliding in several bands is verified
+    // once, with signatures attached only to the deduped pairs.
     val buckets = sigs
       .withColumn("bk", explode(array(bandCols: _*)))
-      .select($"bk.band".as("band"), $"bk.bh".as("bh"), $"id", $"sig")
-
-    // pairs sharing any band bucket; DISTINCT before verification so a pair
-    // colliding in several bands is verified once
-    val a = buckets.select($"band", $"bh", $"id".as("id_a"), $"sig".as("sig_a"))
-    val b = buckets.select($"band", $"bh", $"id".as("id_b"), $"sig".as("sig_b"))
-    val cand = a.join(b, Seq("band", "bh")).filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", $"sig_a", $"sig_b")
+      .select($"bk.band".as("band"), $"bk.bh".as("bh"), $"id")
+    val cand = buckets.select($"band", $"bh", $"id".as("id_a"))
+      .join(buckets.select($"band", $"bh", $"id".as("id_b")), Seq("band", "bh"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
       .dropDuplicates("id_a", "id_b")
 
     cand
+      .join(sigs.select($"id".as("id_a"), $"sig".as("sig_a")), "id_a")
+      .join(sigs.select($"id".as("id_b"), $"sig".as("sig_b")), "id_b")
       .withColumn("est_jaccard",
         aggregate(zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
