@@ -449,7 +449,10 @@ object Queries {
     * row proves the CSV path is lossless. */
   def csvSource(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // dir is per-application: two concurrent sessions against the same
+    // sfDir must not clobber each other's files mid-read
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+      s"${spark.sparkContext.applicationId}_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
     Tables(spark, sfDir, "documents")
       .select($"doc_id", $"lang", $"source", $"n_chars")
       .write.mode("overwrite").option("header", "true").csv(dir)
@@ -465,7 +468,8 @@ object Queries {
     * the orders table (dates survive as ISO strings; re-parsed on read). */
   def jsonSource(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
+      s"${spark.sparkContext.applicationId}_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
     Tables(spark, sfDir, "orders")
       .select($"o_orderkey", $"o_orderpriority", year($"o_orderdate").as("yr"))
       .write.mode("overwrite").json(dir)

@@ -27,13 +27,18 @@ object AsOfJoin {
     * @param payload   right-side columns to carry (others dropped)
     * @param prefix    prefix for carried right columns in the output
     */
-  def asOf(
+  /** Internal: left rows + `__match`, the matched right ROW as one struct
+    * (fields: `__mts` = its timestamp, then the payload columns). Carrying
+    * the whole row atomically — rather than a per-column
+    * `last(ignoreNulls)` — matters when payload columns can be NULL: a
+    * per-column carry would stitch values from DIFFERENT right rows (and
+    * break any freshness judgment on the matched timestamp). */
+  private def asOfMatch(
       left: DataFrame,
       right: DataFrame,
       keyCol: String,
       tsCol: String,
-      payload: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      payload: Seq[String]): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
 
@@ -48,22 +53,34 @@ object AsOfJoin {
         payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) ++
         leftCols.map(c => col(c).as(s"__l_$c"))): _*)
 
-    // payload columns join the sort key (after ts/side) so equal-timestamp
-    // right rows resolve deterministically across runs
+    val tagged = taggedRight.unionByName(taggedLeft)
+      .withColumn("__pstruct",
+        when($"__side" === 0,
+          struct($"__ts".as("__mts") +: payload.map(c => col(s"__p_$c").as(c)): _*)))
+
+    // the struct joins the sort key (after ts/side): equal-timestamp right
+    // rows resolve deterministically (lexicographic over payload values)
     val w = Window.partitionBy($"__k")
-      .orderBy($"__ts".asc +: $"__side".asc +:
-        payload.map(c => col(s"__p_$c").asc_nulls_first): _*)
+      .orderBy($"__ts".asc, $"__side".asc, $"__pstruct".asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = taggedRight.unionByName(taggedLeft)
-      .select(
-        (Seq($"__k", $"__ts", $"__side") ++
-          payload.map(c => last(col(s"__p_$c"), ignoreNulls = true).over(w).as(s"$prefix$c")) ++
-          leftCols.map(c => col(s"__l_$c"))): _*)
+    tagged
+      .withColumn("__match", last($"__pstruct", ignoreNulls = true).over(w))
+      .filter($"__side" === 1)
+      .select(leftCols.map(c => col(s"__l_$c").as(c)) :+ col("__match"): _*)
+  }
 
-    carried.filter($"__side" === 1)
-      .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
-        payload.map(c => col(s"$prefix$c")): _*)
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      payload: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    asOfMatch(left, right, keyCol, tsCol, payload)
+      .select(leftCols.map(col) ++
+        payload.map(c => col("__match").getField(c).as(s"$prefix$c")): _*)
   }
 
   /** As-of join with a staleness tolerance: the match must satisfy
@@ -83,12 +100,15 @@ object AsOfJoin {
       payload: Seq[String],
       tolerance: Column,
       prefix: String = "asof_"): DataFrame = {
-    require(!payload.contains(tsCol), s"$tsCol is carried implicitly")
-    val joined = asOf(left, right, keyCol, tsCol, payload :+ tsCol, prefix)
-    val fresh = col(s"$prefix$tsCol").isNotNull &&
-      col(s"$prefix$tsCol") >= col(tsCol) - tolerance
-    payload.foldLeft(joined) { (df, c) =>
-      df.withColumn(s"$prefix$c", when(fresh, col(s"$prefix$c")))
-    }.drop(s"$prefix$tsCol")
+    val leftCols = left.columns.toSeq
+    // freshness is judged on the matched ROW's own timestamp (a struct
+    // field, atomic with its payload) — a NULL payload column in the
+    // nearest row can never un-mask an older row's value
+    val fresh = col("__match").isNotNull &&
+      col("__match").getField("__mts") >= col(tsCol) - tolerance
+    asOfMatch(left, right, keyCol, tsCol, payload)
+      .select(leftCols.map(col) ++
+        payload.map(c =>
+          when(fresh, col("__match").getField(c)).as(s"$prefix$c")): _*)
   }
 }

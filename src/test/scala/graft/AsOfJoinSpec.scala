@@ -34,6 +34,34 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(4L).isEmpty, "key with no right rows gets null")
   }
 
+  test("NULL payload in the nearest row is carried as-is and never un-masked by older rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // nearest row (10:00) has a NULL payload; an older row (08:00) has A.
+    // The matched ROW is atomic: asOf must return NULL (nearest row's own
+    // value), and asOfWithin(1h) must also return NULL for a 10:30 probe —
+    // a per-column carry would leak the 2.5h-stale A as "fresh".
+    val right = Seq(
+      (1L, ts("2024-01-01 08:00:00"), Option("A")),
+      (1L, ts("2024-01-01 10:00:00"), None: Option[String])
+    ).toDF("k", "ts", "v")
+    val left = Seq((100L, 1L, ts("2024-01-01 10:30:00"))).toDF("probe_id", "k", "ts")
+
+    val plain = AsOfJoin.asOf(left, right, "k", "ts", Seq("v")).collect()
+    assert(plain.head.isNullAt(plain.head.fieldIndex("asof_v")),
+      "nearest row's NULL payload must be returned, not an older row's value")
+
+    val within = AsOfJoin.asOfWithin(left, right, "k", "ts", Seq("v"),
+      expr("INTERVAL 1 HOUR")).collect()
+    assert(within.head.isNullAt(within.head.fieldIndex("asof_v")))
+
+    // and a fresh non-null nearest row still comes through under tolerance
+    val right2 = Seq((1L, ts("2024-01-01 10:00:00"), Option("B"))).toDF("k", "ts", "v")
+    val within2 = AsOfJoin.asOfWithin(left, right2, "k", "ts", Seq("v"),
+      expr("INTERVAL 1 HOUR")).collect()
+    assert(within2.head.getAs[String]("asof_v") == "B")
+  }
+
   test("left rows and columns are preserved exactly") {
     import spark.implicits._
     val l = Seq((1L, "a", ts("2024-01-01 00:00:01"))).toDF("id", "tag", "ts")

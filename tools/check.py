@@ -43,6 +43,12 @@ def main(sf_dir, out_dir):
     ok = bad = rows_only = 0
     qdirs = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # An oracle query whose Spark run crashed writes NO output dir
+    # (Verify catches per-query exceptions) — that must read as FAIL, not
+    # silently vanish from the loop.
+    for name in sorted(set(oracle) - set(qdirs)):
+        print(f"FAIL {name}: oracle entry but no Spark output (query crashed?)")
+        bad += 1
     for name in qdirs:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         try:
