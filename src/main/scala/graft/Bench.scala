@@ -26,10 +26,17 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver stores only the final ~2000 chars of output; a 64-query map
+    // with full names and 9-digit values overflows that window and the JSON
+    // head gets truncated (BENCH_r03 arrived unparseable). Keys are therefore
+    // the qNN prefix (unique by construction) and values 3-decimal seconds —
+    // ~1 kB for 64 queries, with ample headroom. Full names go to stderr.
+    def f(v: Double): String = "%.3f".format(v)
+    results.toSeq.sortBy(_._1).foreach { case (k, v) => System.err.println(s"[bench] $k ${f(v)}s") }
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
