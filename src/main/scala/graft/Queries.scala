@@ -978,4 +978,41 @@ object Queries {
         round(element_at($"features", 1), 6).as("f0"))
       .orderBy($"media_id")
   }
+
+  // -------------------------------------------------- corpus hygiene
+
+  /** Gopher-style rule battery (Rae et al. 2021 table A1 re-expressed as
+    * integer arithmetic): per-doc word/char/stopword/duplicate-n-gram
+    * counts and the keep decision. Pure map-side Column algebra — no
+    * shuffle, no UDF; the oracle recomputes every metric in DuckDB. */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.CorpusFilters
+      .gopherRules(Tables(spark, sfDir, "documents"), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  /** Cross-document chunk-level exact dedup (the CCNet/RefinedWeb line
+    * dedup, chunked to 10-token windows): global first occurrence wins,
+    * documents reassembled in order. The cleaned text is compared via md5
+    * (identical hex in both engines); chunk counts compare as BIGINT. */
+  def chunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.CorpusFilters
+      .chunkDedup(Tables(spark, sfDir, "documents"), "doc_id", "text", chunkTokens = 10)
+      .select($"doc_id", $"n_chunks", $"n_kept",
+        md5($"cleaned".cast("binary")).as("cleaned_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Train/test contamination scan: distinct 3-gram overlap of every test
+    * doc against the whole train split (deterministic md5 split, so both
+    * engines agree on membership); contaminated = ≥ half the grams shared. */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.CorpusFilters
+      .contamination(Tables(spark, sfDir, "documents"), "doc_id", "text",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), n = 3)
+      .orderBy($"doc_id")
+  }
 }

@@ -86,7 +86,10 @@ object SparkEntry {
     "q61_setops_all" -> (Queries.setOpsAll _),
     "q62_pipeline_e2e" -> (Queries.pipelineE2E _),
     "q63_approx_aggs" -> (Queries.approxAggs _),
-    "q64_sequence_packing" -> (Queries.sequencePacking _)
+    "q64_sequence_packing" -> (Queries.sequencePacking _),
+    "q65_gopher_rules" -> (Queries.gopherRules _),
+    "q66_chunk_dedup" -> (Queries.chunkDedup _),
+    "q67_contamination" -> (Queries.contamination _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -526,6 +529,101 @@ object SparkEntry {
         |          ORDER BY score DESC, nid) AS rnk
         |      FROM s)
         |SELECT qid AS id_a, nid AS id_b FROM r WHERE rnk = 1
-        |ORDER BY score DESC, qid, nid LIMIT 20""".stripMargin
+        |ORDER BY score DESC, qid, nid LIMIT 20""".stripMargin,
+    // Gopher rule battery: every metric is integer arithmetic over the
+    // same token/gram definitions as CorpusFilters (split \s+ lowercased,
+    // empties dropped; n-grams space-joined) — engine-exact.
+    "q65_gopher_rules" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct_words,
+        |    CAST(coalesce(list_sum(list_transform(ts, t -> len(t))), 0) AS BIGINT) AS n_word_chars,
+        |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST(len(list_filter(ts, t ->
+        |      t IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stopwords,
+        |    CASE WHEN len(ts) < 2 THEN []::VARCHAR[]
+        |         ELSE list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) END AS g2,
+        |    CASE WHEN len(ts) < 3 THEN []::VARCHAR[]
+        |         ELSE list_transform(range(1, len(ts)-1),
+        |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS g3
+        |  FROM toks),
+        |r AS (
+        |  SELECT doc_id, n_words, n_distinct_words, n_word_chars, n_alpha_words, n_stopwords,
+        |    CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) AS dup_2grams,
+        |    CAST(len(g2) AS BIGINT) AS n_2grams,
+        |    CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS dup_3grams,
+        |    CAST(len(g3) AS BIGINT) AS n_3grams
+        |  FROM m)
+        |SELECT *, CAST(
+        |    n_words BETWEEN 50 AND 100000
+        |    AND n_word_chars BETWEEN 3 * n_words AND 10 * n_words
+        |    AND n_alpha_words * 10 >= n_words * 8
+        |    AND n_stopwords >= 1
+        |    AND dup_2grams * 5 < n_2grams AS BOOLEAN) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // Chunk dedup: global first occurrence (doc_id, pos) wins; rebuild in
+    // order; md5 hex is identical across engines. Chunk cap is derived
+    // from the data, not hard-coded.
+    "q66_chunk_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         array_to_string(list_slice(ts, i*10+1, i*10+10), ' ') AS chunk
+        |  FROM toks, (SELECT unnest(range(0, (SELECT max((len(ts) + 9) // 10) FROM toks))) AS i)
+        |  WHERE i < (len(ts) + 9) // 10),
+        |flagged AS (
+        |  SELECT doc_id, pos, chunk,
+        |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |  FROM chunks),
+        |rebuilt AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |         coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS cleaned
+        |  FROM flagged GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(r.n_chunks, 0) AS n_chunks,
+        |       coalesce(r.n_kept, 0) AS n_kept,
+        |       md5(coalesce(r.cleaned, '')) AS cleaned_md5
+        |FROM toks t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // Contamination: md5 split (same rule as q58), distinct 3-grams of
+    // each test doc joined against all train grams.
+    "q67_contamination" ->
+      """WITH split AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, split,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM split WHERE split IN ('train','test')),
+        |grams AS (
+        |  SELECT doc_id, split, unnest(list_distinct(
+        |    CASE WHEN len(ts) < 3 THEN []::VARCHAR[]
+        |         ELSE list_transform(range(1, len(ts)-1),
+        |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END)) AS gram
+        |  FROM toks),
+        |train_grams AS (SELECT DISTINCT gram FROM grams WHERE split = 'train'),
+        |test_docs AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM grams WHERE split = 'test' GROUP BY doc_id),
+        |shared AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM grams g JOIN train_grams t ON g.gram = t.gram
+        |  WHERE g.split = 'test' GROUP BY g.doc_id)
+        |SELECT d.doc_id, d.n_grams,
+        |       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+        |       CAST(coalesce(s.n_shared, 0) * 2 >= d.n_grams AS BOOLEAN) AS contaminated
+        |FROM test_docs d LEFT JOIN shared s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

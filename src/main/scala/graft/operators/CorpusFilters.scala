@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators for LLM training-data pipelines: rule-based
+  * quality filtering (the Gopher/MassiveText heuristics), cross-document
+  * chunk-level exact deduplication (the CCNet/RefinedWeb line-dedup shape)
+  * and train/test contamination detection by n-gram overlap.
+  *
+  * Design notes for 100 TB:
+  *  - The rule battery is pure per-row Column algebra (split + higher-order
+  *    array functions) — map-side only, no shuffle, no UDF, no state.
+  *  - Chunk dedup shuffles twice, both times on bounded keys: once by chunk
+  *    text (the global duplicate count — exactly how web-scale line dedup
+  *    is run), once by doc id (reassembly). Chunks are ≤ `chunkTokens`
+  *    tokens, so no key is unbounded; skew on a viral chunk is capped by
+  *    the aggregation being a count/min, which combines map-side.
+  *  - Contamination joins the test side's distinct grams against the
+  *    train side's distinct grams — an equi-join on the gram, never a
+  *    cartesian; the train gram set is the big side and stays distributed.
+  *
+  * All outputs are integers/booleans/md5 hex so every operator is
+  * DuckDB-oracle-checkable bit-for-bit (see SparkEntry q65–q67).
+  *
+  * Heuristics follow the published Gopher rules (Rae et al. 2021,
+  * "Scaling Language Models", table A1) re-expressed as integer
+  * arithmetic so both engines compare exactly:
+  * word count bounds, mean word length bounds, alphabetic-word fraction,
+  * stopword presence, duplicate-2-gram fraction.
+  */
+object CorpusFilters {
+
+  /** Gopher's stopword list (table A1: "must contain ≥ 2 of ..."). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Lowercased whitespace tokens with empties dropped — mirrors DuckDB's
+    * `list_filter(string_split_regex(lower(x),'\s+'), t -> t <> '')`. */
+  def words(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Word n-grams joined by single spaces, 1-based positions — mirrors
+    * DuckDB `list_transform(range(1, len(ts)-(n-2)), i -> ts[i] || ' ' ...)`
+    * (empty when the doc has fewer than n words). */
+  def wordNGrams(ts: Column, n: Int): Column = {
+    require(n >= 1)
+    when(size(ts) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + lit(k))): _*)))
+  }
+
+  /** Per-document rule metrics, all BIGINT: word counts, character mass,
+    * alphabetic/stopword hits, duplicate 2-/3-gram counts. */
+  def gopherMetrics(text: Column): Column = {
+    val ts = words(text)
+    val g2 = wordNGrams(ts, 2)
+    val g3 = wordNGrams(ts, 3)
+    struct(
+      size(ts).cast("bigint").as("n_words"),
+      size(array_distinct(ts)).cast("bigint").as("n_distinct_words"),
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).as("n_word_chars"),
+      size(filter(ts, t => t.rlike("[a-z]"))).cast("bigint").as("n_alpha_words"),
+      size(filter(ts, t => t.isin(GopherStopwords: _*))).cast("bigint").as("n_stopwords"),
+      (size(g2) - size(array_distinct(g2))).cast("bigint").as("dup_2grams"),
+      size(g2).cast("bigint").as("n_2grams"),
+      (size(g3) - size(array_distinct(g3))).cast("bigint").as("dup_3grams"),
+      size(g3).cast("bigint").as("n_3grams"))
+  }
+
+  /** The keep/drop decision over [[gopherMetrics]], pure integer
+    * comparisons (no float thresholds ⇒ engine-exact):
+    * 50 ≤ words ≤ 100k; mean word length in [3,10]; ≥80% words contain a
+    * letter; ≥1 stopword; duplicate-2-gram fraction < 20%. */
+  def gopherKeep(m: Column): Column =
+    m("n_words").between(50L, 100000L) &&
+      m("n_word_chars").between(m("n_words") * 3L, m("n_words") * 10L) &&
+      m("n_alpha_words") * 10L >= m("n_words") * 8L &&
+      m("n_stopwords") >= 1L &&
+      m("dup_2grams") * 5L < m("n_2grams")
+
+  /** Rule battery over a corpus: id, every metric flattened, keep flag. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val m = gopherMetrics(col(textCol))
+    df.select(col(idCol), m.as("m"))
+      .select(col(idCol), col("m.*"))
+      .withColumn("keep",
+        col("n_words").between(50L, 100000L) &&
+          col("n_word_chars").between(col("n_words") * 3L, col("n_words") * 10L) &&
+          col("n_alpha_words") * 10L >= col("n_words") * 8L &&
+          col("n_stopwords") >= 1L &&
+          col("dup_2grams") * 5L < col("n_2grams"))
+  }
+
+  /** Cross-document exact dedup of fixed-size token chunks (the
+    * "paragraph"/line dedup of CCNet / RefinedWeb, re-keyed to
+    * non-overlapping `chunkTokens`-token windows because this corpus has
+    * no newlines): a chunk survives only at its globally first occurrence
+    * (lowest doc id, then lowest position), documents are reassembled in
+    * original chunk order.
+    *
+    * Returns (id, n_chunks, n_kept, cleaned) — `cleaned` is the surviving
+    * text; docs with no words keep an empty string.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol).as("doc_id"), words(col(textCol)).as("ts"))
+    // Column `/` is double division — truncate back to int (positive
+    // operands, so truncation is the ceil-div we want).
+    val nChunks = ((size($"ts") + (chunkTokens - 1)) / chunkTokens).cast("int")
+    val chunks = toks
+      .select($"doc_id", posexplode(
+        when(size($"ts") === 0, array().cast("array<string>")).otherwise(
+          transform(sequence(lit(0), nChunks - 1),
+            i => concat_ws(" ", slice($"ts", i * chunkTokens + 1, lit(chunkTokens)))))))
+      .toDF("doc_id", "pos", "chunk")
+    // Global first-occurrence flag: one shuffle keyed by the chunk text.
+    val firstOcc = Window.partitionBy($"chunk").orderBy($"doc_id", $"pos")
+    val flagged = chunks.withColumn("rn", row_number().over(firstOcc))
+    // Reassembly: one shuffle keyed by doc id; surviving chunks ride as
+    // (pos, chunk) structs and are re-ordered by position inside the agg.
+    val rebuilt = flagged.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(when($"rn" === 1, struct($"pos", $"chunk")))),
+        s => s.getField("chunk"))).as("cleaned"))
+    // Docs whose text has no words produce zero chunk rows — restore them.
+    toks.select($"doc_id").join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_chunks", lit(0L)).as("n_chunks"),
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"cleaned", lit("")).as("cleaned"))
+  }
+
+  /** Benchmark-contamination check: for every document in the `test`
+    * split, how many of its distinct word n-grams also occur anywhere in
+    * the `train` split. The split is [[Sampling.deterministicSplit]]
+    * (content-stable md5 buckets), so the same rows are train/test in
+    * every engine and every run. Returns (doc_id, n_grams, n_shared,
+    * contaminated) with `contaminated` = ≥ half the grams shared.
+    *
+    * `n` defaults to 13 — the standard contamination shingle width; the
+    * shipped query uses 3 because the synthetic corpus' vocabulary makes
+    * longer shingles all-unique (threshold choice is semantics-neutral:
+    * the oracle recomputes whatever is configured).
+    */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Double)], n: Int = 13): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val labeled = Sampling.deterministicSplit(df, idCol, splits)
+      .filter($"split".isin("train", "test"))
+      .select(col(idCol).as("doc_id"), $"split",
+        array_distinct(wordNGrams(words(col(textCol)), n)).as("grams"))
+    val grams = labeled.select($"doc_id", $"split", explode($"grams").as("gram"))
+    val trainGrams = grams.filter($"split" === "train").select($"gram").distinct()
+    val testGrams = grams.filter($"split" === "test").select($"doc_id", $"gram")
+    val totals = testGrams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    // Equi-join on the gram; count survivors per test doc. The train side
+    // stays distributed — nothing is collected or broadcast by size
+    // assumption (Catalyst may still broadcast it when it is small).
+    val shared = testGrams.join(trainGrams, "gram")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        coalesce($"n_shared", lit(0L)).as("n_shared"))
+      .withColumn("contaminated", $"n_shared" * 2L >= $"n_grams")
+  }
+}
