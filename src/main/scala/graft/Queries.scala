@@ -1015,4 +1015,67 @@ object Queries {
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), n = 3)
       .orderBy($"doc_id")
   }
+
+  /** Exact positional quantiles (p50/p90/p99 of order value cents per
+    * customer segment) via the row_number formula — value at sorted index
+    * ceil(p·n). Interpolating `percentile` is engine-specific (the
+    * round-2 rejection); picking an actual data value by position is
+    * integer-exact in any engine. One shuffle to join, one window sort
+    * per segment; at scale the sort is per-partition after the segment
+    * shuffle, and the pick-by-index aggregate combines map-side. */
+  def quantilesExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cents = (sum_c: Column) =>
+      (sum_c.cast("decimal(18,2)") * 100).cast("bigint")
+    val joined = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", cents($"o_totalprice").as("total_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_mktsegment").orderBy($"total_c")
+    val ranked = joined
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"c_mktsegment")))
+    def pick(p: Double): Column =
+      max(when($"rn" === ceil(lit(p) * $"n").cast("bigint"), $"total_c"))
+    ranked.groupBy($"c_mktsegment")
+      .agg(max($"n").as("n_orders"),
+        pick(0.5).as("p50_c"), pick(0.9).as("p90_c"), pick(0.99).as("p99_c"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Domain-mixing cap: at most 20 docs per source, drawn by the
+    * content-stable md5 order ([[graft.operators.Sampling.capPerGroup]]).
+    * The oracle replays the same draw, so every kept row and its rank are
+    * driver-checked. */
+  def domainCap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Sampling
+      .capPerGroup(Tables(spark, sfDir, "documents"), "source", "doc_id", k = 20)
+      .select($"source", $"draw_rank".cast("bigint").as("draw_rank"), $"doc_id")
+      .orderBy($"source", $"draw_rank")
+  }
+
+  /** Temperature-scaled domain mixture weights (α = 0.5): per-source doc
+    * and token mass plus sqrt-damped sampling weight. The weight is
+    * sqrt(n_docs/total) — division and square root are correctly-rounded
+    * IEEE ops, and no float is ever summed across rows, so the doubles are
+    * bit-identical in any engine. */
+  def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val perSource = docs.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(graft.operators.CorpusFilters.words($"text"))).cast("bigint").as("n_words"))
+    // Global total via an empty-frame window AFTER the per-source agg —
+    // only |sources| rows pass through the single partition (a 1-row
+    // crossJoin would plan a BroadcastNestedLoopJoin).
+    val withTotal = perSource.withColumn("total_docs",
+      sum($"n_docs").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    withTotal
+      .select($"source", $"n_docs", $"n_words",
+        sqrt($"n_docs".cast("double") / $"total_docs".cast("double")).as("weight_sqrt"))
+      .orderBy($"source")
+  }
 }

@@ -89,7 +89,10 @@ object SparkEntry {
     "q64_sequence_packing" -> (Queries.sequencePacking _),
     "q65_gopher_rules" -> (Queries.gopherRules _),
     "q66_chunk_dedup" -> (Queries.chunkDedup _),
-    "q67_contamination" -> (Queries.contamination _)
+    "q67_contamination" -> (Queries.contamination _),
+    "q68_quantiles_exact" -> (Queries.quantilesExact _),
+    "q69_domain_cap" -> (Queries.domainCap _),
+    "q70_mixture_weights" -> (Queries.mixtureWeights _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -624,6 +627,45 @@ object SparkEntry {
         |       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
         |       CAST(coalesce(s.n_shared, 0) * 2 >= d.n_grams AS BOOLEAN) AS contaminated
         |FROM test_docs d LEFT JOIN shared s ON d.doc_id = s.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    // Exact positional quantiles: value at sorted index ceil(p*n) — an
+    // actual data value, integer-exact (interpolating percentile was
+    // rejected round 2 as engine-specific).
+    "q68_quantiles_exact" ->
+      """WITH j AS (
+        |  SELECT c.c_mktsegment,
+        |         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_c
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |r AS (
+        |  SELECT c_mktsegment, total_c,
+        |         row_number() OVER (PARTITION BY c_mktsegment ORDER BY total_c) AS rn,
+        |         count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM j)
+        |SELECT c_mktsegment, CAST(max(n) AS BIGINT) AS n_orders,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN total_c END) AS p50_c,
+        |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN total_c END) AS p90_c,
+        |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN total_c END) AS p99_c
+        |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // Same content-stable md5 draw as Sampling.capPerGroup.
+    "q69_domain_cap" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS draw_rank
+        |  FROM documents)
+        |SELECT source, CAST(draw_rank AS BIGINT) AS draw_rank, doc_id
+        |FROM r WHERE draw_rank <= 20 ORDER BY source, draw_rank""".stripMargin,
+    // weight_sqrt = sqrt(n_docs/total): correctly-rounded IEEE div+sqrt on
+    // integer inputs, no cross-row float summation ⇒ bit-identical.
+    "q70_mixture_weights" ->
+      """WITH s AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> ''))) AS BIGINT) AS n_words
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT s.*, sum(n_docs) OVER () AS total_docs FROM s)
+        |SELECT source, n_docs, n_words,
+        |  sqrt(CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)) AS weight_sqrt
+        |FROM t ORDER BY source""".stripMargin
   )
 }

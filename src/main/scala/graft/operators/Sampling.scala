@@ -51,4 +51,21 @@ object Sampling {
     if (fraction >= 1.0) df // 'ffff' is a valid bucket; < threshold would drop it
     else df.filter(bucket(col(idCol)) < lit(hexThreshold(fraction)))
   }
+
+  /** Domain-mixing cap: keep at most `k` rows per group, chosen by md5(id)
+    * order — a deterministic, content-stable "uniform" draw (the same k
+    * rows win on any engine, any day; adding rows with new ids can only
+    * displace, never reshuffle, and removal never promotes a row ahead of
+    * a surviving one). One shuffle keyed by the group; the rank filter is
+    * a WindowGroupLimit in Spark ≥3.5, so each partition keeps only k rows
+    * per key during the sort — no full per-group materialization even for
+    * a skewed giant domain. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")).asc, col(idCol).asc)
+    df.withColumn("draw_rank", row_number().over(w))
+      .filter(col("draw_rank") <= k)
+  }
 }

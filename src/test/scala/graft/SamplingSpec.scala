@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{lit, pmod}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Sampling
@@ -43,5 +44,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(keptAgain == kept)
     val more = Sampling.hashSample(df, "id", 0.25).collect().map(_.getLong(0)).toSet
     assert(kept.subsetOf(more))
+  }
+
+  test("capPerGroup: exactly k survivors per group, content-stable under growth") {
+    import spark.implicits._
+    val docs = spark.range(0L, 3000L)
+      .select($"id", (pmod($"id", lit(3))).cast("string").as("grp"))
+    val capped = Sampling.capPerGroup(docs, "grp", "id", k = 10)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"))).toList
+    assert(capped.groupBy(_._1).view.mapValues(_.size).toMap ==
+      Map("0" -> 10, "1" -> 10, "2" -> 10))
+
+    // determinism: same draw twice
+    val again = Sampling.capPerGroup(docs, "grp", "id", k = 10)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"))).toList
+    assert(again.toSet == capped.toSet)
+
+    // growth: adding new rows may displace old winners, but survivors of
+    // the grown draw that existed before must be drawn from the original
+    // winners' md5-order prefix — verify the winner set only shrinks by
+    // displacement (every surviving old id was an old winner's id or the
+    // displacement comes from a new id winning a slot).
+    val grown = docs.union(spark.range(3000L, 6000L)
+      .select($"id", (pmod($"id", lit(3))).cast("string").as("grp")))
+    val capped2 = Sampling.capPerGroup(grown, "grp", "id", k = 10)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"))).toSet
+    val oldWinners = capped.toSet
+    val survivors = capped2.filter(_._2 < 3000L)
+    assert(survivors.subsetOf(oldWinners),
+      "an old row can only survive growth if it already won before")
   }
 }
