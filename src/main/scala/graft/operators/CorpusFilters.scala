@@ -43,7 +43,11 @@ object CorpusFilters {
 
   /** Word n-grams joined by single spaces, 1-based positions — mirrors
     * DuckDB `list_transform(range(1, len(ts)-(n-2)), i -> ts[i] || ' ' ...)`
-    * (empty when the doc has fewer than n words). */
+    * (empty when the doc has fewer than n words).
+    *
+    * PASS A MATERIALIZED COLUMN, not the `words(...)` expression: the
+    * lambda evaluates `ts` once per `element_at`, so an inlined tokenizer
+    * expression makes this O(n²) per row (see [[gopherRules]]). */
   def wordNGrams(ts: Column, n: Int): Column = {
     require(n >= 1)
     when(size(ts) < n, array().cast("array<string>")).otherwise(
@@ -51,40 +55,36 @@ object CorpusFilters {
         i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + lit(k))): _*)))
   }
 
-  /** Per-document rule metrics, all BIGINT: word counts, character mass,
-    * alphabetic/stopword hits, duplicate 2-/3-gram counts. */
-  def gopherMetrics(text: Column): Column = {
-    val ts = words(text)
-    val g2 = wordNGrams(ts, 2)
-    val g3 = wordNGrams(ts, 3)
-    struct(
-      size(ts).cast("bigint").as("n_words"),
-      size(array_distinct(ts)).cast("bigint").as("n_distinct_words"),
-      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).as("n_word_chars"),
-      size(filter(ts, t => t.rlike("[a-z]"))).cast("bigint").as("n_alpha_words"),
-      size(filter(ts, t => t.isin(GopherStopwords: _*))).cast("bigint").as("n_stopwords"),
-      (size(g2) - size(array_distinct(g2))).cast("bigint").as("dup_2grams"),
-      size(g2).cast("bigint").as("n_2grams"),
-      (size(g3) - size(array_distinct(g3))).cast("bigint").as("dup_3grams"),
-      size(g3).cast("bigint").as("n_3grams"))
-  }
-
-  /** The keep/drop decision over [[gopherMetrics]], pure integer
-    * comparisons (no float thresholds ⇒ engine-exact):
-    * 50 ≤ words ≤ 100k; mean word length in [3,10]; ≥80% words contain a
-    * letter; ≥1 stopword; duplicate-2-gram fraction < 20%. */
-  def gopherKeep(m: Column): Column =
-    m("n_words").between(50L, 100000L) &&
-      m("n_word_chars").between(m("n_words") * 3L, m("n_words") * 10L) &&
-      m("n_alpha_words") * 10L >= m("n_words") * 8L &&
-      m("n_stopwords") >= 1L &&
-      m("dup_2grams") * 5L < m("n_2grams")
-
-  /** Rule battery over a corpus: id, every metric flattened, keep flag. */
+  /** Rule battery over a corpus: id, every metric (BIGINT), keep flag.
+    *
+    * Evaluation is STAGED: tokens, then gram arrays, then metrics — each
+    * intermediate is a real projection column, so lambdas reference a
+    * cheap attribute. Building everything in one expression tree instead
+    * inlines the tokenizer into every `element_at` call of the n-gram
+    * lambdas (Catalyst has no common-subexpression sharing across a
+    * lambda boundary), re-tokenizing the document once per gram — O(n²)
+    * per row and measured 45× slower at sf0.1. CollapseProject keeps the
+    * stages separate because each column is non-cheap and multiply
+    * referenced.
+    *
+    * Keep/drop thresholds are pure integer comparisons (engine-exact):
+    * 50 ≤ words ≤ 100k; mean word length in [3,10]; ≥80% of words contain
+    * a letter; ≥1 stopword; duplicate-2-gram fraction < 20%. */
   def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val m = gopherMetrics(col(textCol))
-    df.select(col(idCol), m.as("m"))
-      .select(col(idCol), col("m.*"))
+    val staged = df
+      .select(col(idCol), words(col(textCol)).as("ts"))
+      .select(col(idCol), col("ts"),
+        wordNGrams(col("ts"), 2).as("g2"), wordNGrams(col("ts"), 3).as("g3"))
+    staged.select(col(idCol),
+        size(col("ts")).cast("bigint").as("n_words"),
+        size(array_distinct(col("ts"))).cast("bigint").as("n_distinct_words"),
+        aggregate(col("ts"), lit(0L), (acc, t) => acc + length(t)).as("n_word_chars"),
+        size(filter(col("ts"), t => t.rlike("[a-z]"))).cast("bigint").as("n_alpha_words"),
+        size(filter(col("ts"), t => t.isin(GopherStopwords: _*))).cast("bigint").as("n_stopwords"),
+        (size(col("g2")) - size(array_distinct(col("g2")))).cast("bigint").as("dup_2grams"),
+        size(col("g2")).cast("bigint").as("n_2grams"),
+        (size(col("g3")) - size(array_distinct(col("g3")))).cast("bigint").as("dup_3grams"),
+        size(col("g3")).cast("bigint").as("n_3grams"))
       .withColumn("keep",
         col("n_words").between(50L, 100000L) &&
           col("n_word_chars").between(col("n_words") * 3L, col("n_words") * 10L) &&
@@ -153,11 +153,22 @@ object CorpusFilters {
       splits: Seq[(String, Double)], n: Int = 13): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Grams are built AFTER an explode of start positions, not as arrays
+    // fed INTO one: a higher-order-function-built array feeding Generate
+    // measured 40× slower than the same work as a post-explode scalar
+    // projection (everything here — sequence, element_at, concat_ws —
+    // stays in whole-stage codegen). Per-doc gram dedup rides a
+    // map-side-combining aggregate instead of array_distinct.
     val labeled = Sampling.deterministicSplit(df, idCol, splits)
       .filter($"split".isin("train", "test"))
-      .select(col(idCol).as("doc_id"), $"split",
-        array_distinct(wordNGrams(words(col(textCol)), n)).as("grams"))
-    val grams = labeled.select($"doc_id", $"split", explode($"grams").as("gram"))
+      .select(col(idCol).as("doc_id"), $"split", words(col(textCol)).as("ts"))
+    val positions = labeled.select($"doc_id", $"split", $"ts",
+      explode(when(size($"ts") >= n, sequence(lit(1), size($"ts") - (n - 1)))
+        .otherwise(array().cast("array<int>"))).as("i"))
+    val grams = positions
+      .select($"doc_id", $"split",
+        concat_ws(" ", (0 until n).map(k => element_at($"ts", $"i" + lit(k))): _*).as("gram"))
+      .distinct()
     val trainGrams = grams.filter($"split" === "train").select($"gram").distinct()
     val testGrams = grams.filter($"split" === "test").select($"doc_id", $"gram")
     val totals = testGrams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
