@@ -89,6 +89,30 @@ object ScaleSmoke {
         .groupBy($"split").count().collect()
       println(s"  ${counts.map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")}")
     }
+    time(s"gopher rule battery ($nDocs docs)") {
+      val kept = graft.operators.CorpusFilters.gopherRules(docs, "id", "text")
+        .filter($"keep").count()
+      println(s"  kept: $kept")
+    }
+    time(s"chunk dedup ($nDocs docs, 10-token chunks)") {
+      val out = graft.operators.CorpusFilters.chunkDedup(docs, "id", "text", 10)
+      val lossy = out.filter($"n_kept" < $"n_chunks").count()
+      println(s"  docs losing chunks: $lossy")
+    }
+    time(s"contamination scan ($nDocs docs, 3-grams)") {
+      val out = graft.operators.CorpusFilters.contamination(
+        docs, "id", "text", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), n = 3)
+      println(s"  contaminated test docs: ${out.filter($"contaminated").count()} of ${out.count()}")
+    }
+    time(s"per-domain cap ($nDocs docs, 32 skewed domains, k=100)") {
+      // domain ∝ id mod 32 but domain 0 holds half the corpus — the skew
+      // case the WindowGroupLimit rank filter must survive
+      val domained = docs.withColumn("dom",
+        when(pmod($"id", lit(2L)) === 0, lit("d0"))
+          .otherwise(concat(lit("d"), pmod($"id", lit(32L)))))
+      val capped = graft.operators.Sampling.capPerGroup(domained, "dom", "id", k = 100)
+      println(s"  rows kept: ${capped.count()}")
+    }
     }
 
     // --- embeddings: hash-derived 64-dim vectors
