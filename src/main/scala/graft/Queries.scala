@@ -1078,4 +1078,200 @@ object Queries {
         sqrt($"n_docs".cast("double") / $"total_docs".cast("double")).as("weight_sqrt"))
       .orderBy($"source")
   }
+
+  // ---------------------------------------------- round 4: scrub & shape
+
+  /** PII redaction over a corpus. The raw corpus has no PII, so both
+    * engines first inject a deterministic synthetic email/phone/IP per doc
+    * (a pure function of doc_id — the oracle rebuilds the identical dirty
+    * text), then scrub with [[graft.operators.CorpusFilters.redactPii]].
+    * Outputs: per-kind match counts (ints) + md5 of the scrubbed text.
+    * Map-side regexp chain only — no shuffle. */
+  def piiRedaction(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dirty = Tables(spark, sfDir, "documents")
+      .select($"doc_id",
+        concat($"text",
+          lit(" contact user"), $"doc_id", lit("@example.com or +1 555 "),
+          lpad(pmod($"doc_id", 1000).cast("string"), 3, "0"), lit(" 0199 host 10."),
+          pmod($"doc_id", 256).cast("string"), lit(".0.1")).as("dirty"))
+    val Seq(email, phone, ip) =
+      graft.operators.CorpusFilters.PiiPatterns.map(_._1)
+    dirty.select($"doc_id",
+        regexp_count($"dirty", lit(email)).cast("bigint").as("n_emails"),
+        regexp_count($"dirty", lit(phone)).cast("bigint").as("n_phones"),
+        regexp_count($"dirty", lit(ip)).cast("bigint").as("n_ips"),
+        md5(graft.operators.CorpusFilters.redactPii($"dirty").cast("binary"))
+          .as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Intra-document repetition removal (within-page counterpart of q66's
+    * cross-corpus chunk dedup): first occurrence of each 3-token chunk
+    * survives, order preserved. Pure per-row array algebra — zero
+    * shuffles; the oracle replays it with a window in SQL. */
+  def repetitionRemoval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.CorpusFilters
+      .dropRepeatedChunks(Tables(spark, sfDir, "documents"), "doc_id", "text",
+        chunkTokens = 3)
+      .select($"doc_id", $"n_chunks", $"n_kept",
+        md5($"cleaned".cast("binary")).as("cleaned_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Length-outlier trim: keep documents whose word count lies within the
+    * corpus' positional [p05, p95]. The quantile is computed from a
+    * LENGTH HISTOGRAM — one shuffle on the (bounded-cardinality) word
+    * count, a window over the tiny histogram, never a global row sort —
+    * then applied via a broadcast single-row equi-join. Rank arithmetic is
+    * pure integer ceil-division, exact in any engine. */
+  def lengthTrim(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lens = Tables(spark, sfDir, "documents")
+      .select($"doc_id",
+        size(graft.operators.CorpusFilters.words($"text")).cast("bigint").as("n_words"))
+    val hist = lens.groupBy($"n_words").agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy($"n_words").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("n", sum($"cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val bounds = cum.agg(
+      min(when($"cum" >= ($"n" * 5L + 99L) / 100L, $"n_words")).as("lo"),
+      min(when($"cum" >= ($"n" * 95L + 99L) / 100L, $"n_words")).as("hi"))
+      .withColumn("j", lit(1))
+    lens.withColumn("j", lit(1))
+      .join(broadcast(bounds), "j")
+      .filter($"n_words".between($"lo", $"hi"))
+      .select($"doc_id", $"n_words", $"lo", $"hi")
+      .orderBy($"doc_id")
+  }
+
+  /** Snapshot dedup (keep-newest-crawl): latest event per (user, type) by
+    * timestamp, event id breaking sub-microsecond ties. One shuffle keyed
+    * by the group; WindowGroupLimit keeps a single row per key per task
+    * during the sort. Timestamps compare as epoch micros (BIGINT). */
+  def keepLatest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .withColumn("us", unix_micros($"ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type")
+      .orderBy($"us".desc, $"event_id".desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type",
+        $"event_id".as("latest_event"), $"us".as("latest_us"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** Unicode text normalization golden (NFKC + mark strip + casefold +
+    * whitespace collapse): Spark computes [[TextAnalysis.normalizeText]]
+    * over the raw vectors; the oracle is the pinned expected strings
+    * (VALUES table — engine-independent, same pattern as q52). */
+  def normalizeGolden(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    NormalizeGolden.pairs.map { case (id, raw, _) => (id, raw) }
+      .toDF("id", "raw")
+      .select($"id", TextAnalysis.normalizeTextUdf($"raw").as("normalized"))
+      .orderBy($"id")
+  }
+
+  /** Top-3 keywords per document by (tf desc, corpus df asc, term asc) —
+    * an all-integer ranking key (a float tf-idf would need bit-equal `ln`
+    * across engines; this is engine-exact and monotone in tf·idf for
+    * fixed doc length). Two keyed aggregations + a dimension join +
+    * a WindowGroupLimit top-k. */
+  def keywordExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.topKeywords(Tables(spark, sfDir, "documents"), "doc_id", "text", k = 3)
+      .select($"doc_id", $"rnk".cast("bigint").as("rnk"), $"term", $"tf", $"df")
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  /** Correlated EXISTS / NOT EXISTS through the SQL front-end (planned as
+    * semi/anti joins — same shuffle shape as q07/q08, declared as
+    * subqueries). */
+  def existsSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** LATERAL VIEW posexplode through the SQL front-end: tokenized
+    * documents unnested with positions (the Generate operator — Spark's
+    * row-to-rows axis). Bounded to 20 docs so the driver artifact stays
+    * small; the plan is scan → Generate, no shuffle. */
+  def lateralExplode(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT doc_id, pos, term
+        |FROM documents
+        |LATERAL VIEW posexplode(filter(split(lower(text), '\\s+'), t -> t != '')) t AS pos, term
+        |WHERE doc_id < 20
+        |ORDER BY doc_id, pos""".stripMargin)
+  }
+
+  /** Regexp surface battery: extract / extract-all counts / replace /
+    * rlike flag, RE2-compatible patterns only (no backrefs, no
+    * lookaround) so the DuckDB mirror is exact. Map-side codegen. */
+  def regexpBattery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id",
+        regexp_extract($"text", "([a-z]+a)", 1).as("first_a_word"),
+        size(regexp_extract_all($"text", lit("ta[a-z]*"), lit(0)))
+          .cast("bigint").as("n_ta"),
+        md5(regexp_replace($"text", "[aeiou]", "_").cast("binary"))
+          .as("devoweled_md5"),
+        $"text".rlike("scan .* merge").as("scan_then_merge"))
+      .orderBy($"doc_id")
+  }
+
+  /** Calendar/date function battery over order dates: component extracts,
+    * ISO week/day-of-year, epoch-day arithmetic, month truncation — all
+    * projected to INTEGER so both engines compare exactly. */
+  def dateBattery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = to_date($"o_orderdate")
+    Tables(spark, sfDir, "orders")
+      .select($"o_orderkey",
+        year(d).cast("int").as("y"),
+        month(d).cast("int").as("m"),
+        dayofmonth(d).cast("int").as("d"),
+        (dayofweek(d) - 1).cast("int").as("dow"),
+        dayofyear(d).cast("int").as("doy"),
+        weekofyear(d).cast("int").as("iso_week"),
+        datediff(d, to_date(lit("1995-01-01"))).cast("int").as("days_since_95"),
+        datediff(trunc(d, "MM"), to_date(lit("1970-01-01"))).cast("int").as("month_start_day"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Sliding / range window frames (complements q51's unbounded frames):
+    * centered ROWS frame sum, value-RANGE frame min, trailing-count —
+    * integer cents per the parity rules. Single shuffle on o_custkey. */
+  def slidingFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS centered_sum_c,
+        |  CAST(MIN(cents) OVER (PARTITION BY o_custkey ORDER BY cents
+        |    RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS BIGINT) AS range_min_c,
+        |  CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_prev3
+        |FROM (SELECT o_custkey, o_orderkey,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |      FROM orders)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
 }

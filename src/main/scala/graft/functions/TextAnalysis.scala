@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.util.hashing.MurmurHash3
@@ -130,4 +131,56 @@ object TextAnalysis {
   }
 
   val fingerprintUdf = udf((s: String) => fingerprint64(s))
+
+  // ------------------------------------------------- text normalization
+
+  /** Canonical text normalization for dedup keys and tokenizer input:
+    * Unicode NFKC (folds fullwidth forms, ligatures, compatibility chars),
+    * combining-mark stripping after NFD (café→cafe), lowercase,
+    * whitespace collapse (incl. NBSP — NFKC already maps U+00A0 to space),
+    * trim. Deterministic pure function of the code points — the ICU-free
+    * subset every engine agrees on; pinned by a golden-vector oracle
+    * (q75) rather than a mirrored SQL dialect. */
+  def normalizeText(text: String): String = {
+    if (text == null) return null
+    val nfkc = java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFKC)
+    val nfd = java.text.Normalizer.normalize(nfkc, java.text.Normalizer.Form.NFD)
+    val noMarks = nfd.filterNot(c => Character.getType(c) == Character.NON_SPACING_MARK)
+    java.text.Normalizer.normalize(noMarks, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
+      .trim
+  }
+
+  val normalizeTextUdf = udf((s: String) => normalizeText(s))
+
+  // ------------------------------------------------- keyword extraction
+
+  /** Top-k keywords per document by (term frequency desc, corpus document
+    * frequency asc, term asc) — "most frequent, then rarest". The ranking
+    * key is ALL-INTEGER by design: a float tf-idf score would rank
+    * identically only if both engines' `ln` are bit-equal (libm-specific),
+    * whereas this ordering is engine-exact and still monotone in tf·idf
+    * for fixed doc length.
+    *
+    * Plan shape at scale: one shuffle keyed by (doc, term) for the tf agg,
+    * one small agg keyed by term for df (map-side combining), an equi-join
+    * of per-doc terms against the df table (dimension-sized — Catalyst
+    * broadcasts it when small), and a per-doc window limited to k
+    * (WindowGroupLimit keeps only k rows per key during the sort). */
+  def topKeywords(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val terms = df
+      .select(col(idCol).as("doc_id"),
+        explode(graft.operators.CorpusFilters.words(col(textCol))).as("term"))
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"tf".desc, $"df".asc, $"term".asc)
+    tf.join(dfreq, "term")
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"doc_id", $"rnk", $"term", $"tf", $"df")
+  }
 }

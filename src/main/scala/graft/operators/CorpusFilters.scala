@@ -149,6 +149,56 @@ object CorpusFilters {
     * longer shingles all-unique (threshold choice is semantics-neutral:
     * the oracle recomputes whatever is configured).
     */
+  /** PII redaction patterns, ordered: each is applied with
+    * `regexp_replace(..., 'g')`. Kept to the regex subset that parses and
+    * matches identically under Java regex (Spark) and RE2 (DuckDB, Go/Rust
+    * scrubbers): no backrefs, no lookaround, explicit character classes.
+    * Emails must run before IPs so `user@10.0.0.1`-style hosts are
+    * swallowed by the email token. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}" -> "<PHONE>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>")
+
+  /** Scrub emails / phone numbers / IPv4 literals to typed placeholder
+    * tokens. Pure per-row `regexp_replace` chain — map-side, codegen'd, no
+    * shuffle; at 100 TB this is embarrassingly parallel scan work. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, token)) =>
+      regexp_replace(c, pat, token)
+    }
+
+  /** INTRA-document repetition removal (the within-page counterpart of
+    * [[chunkDedup]], i.e. Gopher's "repetition" signal turned into a
+    * transform): the document's non-overlapping `chunkTokens`-token chunks
+    * are deduplicated keeping the FIRST occurrence, preserving order.
+    *
+    * Because a document is one row, the whole operator is per-row array
+    * algebra (`array_distinct` preserves first-occurrence order) — no
+    * shuffle, no UDF, no state; it scales like a map. Returns
+    * (id, n_chunks, n_kept, cleaned). */
+  def dropRepeatedChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 3): DataFrame = {
+    require(chunkTokens >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol).as("doc_id"), words(col(textCol)).as("ts"))
+    val nChunks = ((size($"ts") + (chunkTokens - 1)) / chunkTokens).cast("int")
+    // Staged projection (chunks as a real column) for the same
+    // lambda-inlining reason documented on [[gopherRules]].
+    toks
+      .select($"doc_id",
+        when(size($"ts") === 0, array().cast("array<string>")).otherwise(
+          transform(sequence(lit(0), nChunks - 1),
+            i => concat_ws(" ", slice($"ts", i * chunkTokens + 1, lit(chunkTokens)))))
+          .as("chunks"))
+      .select($"doc_id", $"chunks", array_distinct($"chunks").as("kept"))
+      .select($"doc_id",
+        size($"chunks").cast("bigint").as("n_chunks"),
+        size($"kept").cast("bigint").as("n_kept"),
+        concat_ws(" ", $"kept").as("cleaned"))
+  }
+
   def contamination(df: DataFrame, idCol: String, textCol: String,
       splits: Seq[(String, Double)], n: Int = 13): DataFrame = {
     val spark = df.sparkSession
