@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftFunctions, TextAnalysis}
+import graft.functions.{GraftFunctions, NormalizeGolden, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Dedup, Knn, SimilarityJoin}
 
@@ -1093,8 +1093,8 @@ object Queries {
       .select($"doc_id",
         concat($"text",
           lit(" contact user"), $"doc_id", lit("@example.com or +1 555 "),
-          lpad(pmod($"doc_id", 1000).cast("string"), 3, "0"), lit(" 0199 host 10."),
-          pmod($"doc_id", 256).cast("string"), lit(".0.1")).as("dirty"))
+          lpad(pmod($"doc_id", lit(1000)).cast("string"), 3, "0"), lit(" 0199 host 10."),
+          pmod($"doc_id", lit(256)).cast("string"), lit(".0.1")).as("dirty"))
     val Seq(email, phone, ip) =
       graft.operators.CorpusFilters.PiiPatterns.map(_._1)
     dirty.select($"doc_id",
