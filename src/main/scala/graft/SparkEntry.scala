@@ -92,7 +92,18 @@ object SparkEntry {
     "q67_contamination" -> (Queries.contamination _),
     "q68_quantiles_exact" -> (Queries.quantilesExact _),
     "q69_domain_cap" -> (Queries.domainCap _),
-    "q70_mixture_weights" -> (Queries.mixtureWeights _)
+    "q70_mixture_weights" -> (Queries.mixtureWeights _),
+    "q71_pii_redaction" -> (Queries.piiRedaction _),
+    "q72_repetition_removal" -> (Queries.repetitionRemoval _),
+    "q73_length_trim" -> (Queries.lengthTrim _),
+    "q74_keep_latest" -> (Queries.keepLatest _),
+    "q75_normalize_golden" -> (Queries.normalizeGolden _),
+    "q76_keyword_extract" -> (Queries.keywordExtract _),
+    "q77_exists_subquery" -> (Queries.existsSubquery _),
+    "q78_lateral_explode" -> (Queries.lateralExplode _),
+    "q79_regexp_battery" -> (Queries.regexpBattery _),
+    "q80_date_battery" -> (Queries.dateBattery _),
+    "q81_sliding_frames" -> (Queries.slidingFrames _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -666,6 +677,166 @@ object SparkEntry {
         |t AS (SELECT s.*, sum(n_docs) OVER () AS total_docs FROM s)
         |SELECT source, n_docs, n_words,
         |  sqrt(CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)) AS weight_sqrt
-        |FROM t ORDER BY source""".stripMargin
+        |FROM t ORDER BY source""".stripMargin,
+    // PII scrub: both engines inject the identical synthetic dirt (a pure
+    // function of doc_id), then count/replace with the SAME runtime
+    // pattern strings (interpolated from CorpusFilters.PiiPatterns —
+    // RE2/Java-identical subset, no backrefs/lookaround). Replacement
+    // order matters (email before IP) and is the foldLeft order.
+    "q71_pii_redaction" -> {
+      val Seq((email, _), (phone, _), (ip, _)) =
+        graft.operators.CorpusFilters.PiiPatterns
+      s"""WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or +1 555 '
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |      || ' 0199 host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(dirty, '$email')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(dirty, '$phone')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(dirty, '$ip')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(dirty,
+        |    '$email', '<EMAIL>', 'g'),
+        |    '$phone', '<PHONE>', 'g'),
+        |    '$ip', '<IP>', 'g')) AS redacted_md5
+        |FROM dirty ORDER BY doc_id""".stripMargin
+    },
+    // Intra-doc chunk dedup — q66's oracle shape with chunkTokens=3 and
+    // the first-occurrence window keyed WITHIN the document.
+    "q72_repetition_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         array_to_string(list_slice(ts, i*3+1, i*3+3), ' ') AS chunk
+        |  FROM toks, (SELECT unnest(range(0, (SELECT max((len(ts) + 2) // 3) FROM toks))) AS i)
+        |  WHERE i < (len(ts) + 2) // 3),
+        |flagged AS (
+        |  SELECT doc_id, pos, chunk,
+        |         row_number() OVER (PARTITION BY doc_id, chunk ORDER BY pos) AS rn
+        |  FROM chunks),
+        |rebuilt AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |         coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS cleaned
+        |  FROM flagged GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(r.n_chunks, 0) AS n_chunks,
+        |       coalesce(r.n_kept, 0) AS n_kept,
+        |       md5(coalesce(r.cleaned, '')) AS cleaned_md5
+        |FROM toks t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // Length-outlier trim: same histogram + cumulative-count rank
+    // arithmetic; the 5%/95% thresholds compare cum against the SAME
+    // float division ((n*5+99)/100 — `/` is double division in BOTH
+    // engines; Spark Column `/` on longs is Divide→double).
+    "q73_length_trim" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> '')) AS BIGINT) AS n_words
+        |  FROM documents),
+        |hist AS (SELECT n_words, count(*) AS cnt FROM lens GROUP BY n_words),
+        |cum AS (
+        |  SELECT n_words,
+        |    sum(cnt) OVER (ORDER BY n_words ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM hist),
+        |b AS (
+        |  SELECT min(CASE WHEN cum >= (n*5+99)/100 THEN n_words END) AS lo,
+        |         min(CASE WHEN cum >= (n*95+99)/100 THEN n_words END) AS hi
+        |  FROM cum)
+        |SELECT l.doc_id, l.n_words, b.lo, b.hi
+        |FROM lens l, b WHERE l.n_words BETWEEN b.lo AND b.hi
+        |ORDER BY l.doc_id""".stripMargin,
+    // Keep-newest snapshot: micros truncation on both sides (Spark
+    // `ts div 1000` on raw nanos; DuckDB TIMESTAMP_NS→TIMESTAMP cast),
+    // event_id desc breaks equal-micros ties — same as q59's precedent.
+    "q74_keep_latest" ->
+      """SELECT user_id, event_type, event_id AS latest_event,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS latest_us
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    // Engine-independent VALUES-table golden (same pattern as q52).
+    "q75_normalize_golden" -> graft.functions.NormalizeGolden.oracleValuesSql,
+    // All-integer keyword ranking: tf desc, corpus df asc, term asc.
+    "q76_keyword_extract" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |r AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rnk
+        |  FROM tf t JOIN dfreq d USING (term))
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // Correlated EXISTS / NOT EXISTS — identical ANSI text in both engines.
+    "q77_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    // posexplode mirror: 0-based positions over the filtered token list.
+    "q78_lateral_explode" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, CAST(i AS INTEGER) AS pos, ts[i+1] AS term
+        |FROM toks, (SELECT unnest(range(0, (SELECT max(len(ts)) FROM toks))) AS i)
+        |WHERE i < len(ts)
+        |ORDER BY doc_id, pos""".stripMargin,
+    // RE2-safe regexp battery; DuckDB needs the explicit 'g' flag where
+    // Spark's regexp_replace is global by default. coalesce guards the
+    // no-match extract ('' in Spark).
+    "q79_regexp_battery" ->
+      """SELECT doc_id,
+        |  coalesce(regexp_extract(text, '([a-z]+a)', 1), '') AS first_a_word,
+        |  CAST(len(regexp_extract_all(text, 'ta[a-z]*')) AS BIGINT) AS n_ta,
+        |  md5(regexp_replace(text, '[aeiou]', '_', 'g')) AS devoweled_md5,
+        |  regexp_matches(text, 'scan .* merge') AS scan_then_merge
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Calendar battery: DuckDB dow is 0=Sunday (= Spark dayofweek-1);
+    // date_part('week') is ISO week (= Spark weekofyear); date-date is
+    // whole days.
+    "q80_date_battery" ->
+      """SELECT o_orderkey,
+        |  CAST(date_part('year', o_orderdate) AS INTEGER) AS y,
+        |  CAST(date_part('month', o_orderdate) AS INTEGER) AS m,
+        |  CAST(date_part('day', o_orderdate) AS INTEGER) AS d,
+        |  CAST(date_part('dow', o_orderdate) AS INTEGER) AS dow,
+        |  CAST(date_part('doy', o_orderdate) AS INTEGER) AS doy,
+        |  CAST(date_part('week', o_orderdate) AS INTEGER) AS iso_week,
+        |  CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since_95,
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |    CAST(date_trunc('month', o_orderdate) AS DATE)) AS INTEGER) AS month_start_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // Sliding/range frames — identical ANSI text in both engines; integer
+    // cents per the parity rules.
+    "q81_sliding_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS centered_sum_c,
+        |  CAST(MIN(cents) OVER (PARTITION BY o_custkey ORDER BY cents
+        |    RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS BIGINT) AS range_min_c,
+        |  CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_prev3
+        |FROM (SELECT o_custkey, o_orderkey,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |      FROM orders)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

@@ -14,8 +14,10 @@ class PlanAuditSpec extends AnyFunSuite {
 
   /** Queries whose plan legitimately contains BroadcastNestedLoopJoin:
     * the nested-loop side is a broadcast probe set bounded by a constant
-    * (vec_id < 10 / < 100), so work is O(corpus × probes) = one scan. */
-  private val boundedProbeBnlj = Set("q19_knn_bruteforce", "q43_embedding_neardup")
+    * (vec_id < 10 / < 100), so work is O(corpus × probes) = one scan;
+    * q73's broadcast side is the single-row [lo, hi] bounds aggregate. */
+  private val boundedProbeBnlj =
+    Set("q19_knn_bruteforce", "q43_embedding_neardup", "q73_length_trim")
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =
