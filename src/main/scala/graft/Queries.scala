@@ -1020,9 +1020,24 @@ object Queries {
     * customer segment) via the row_number formula — value at sorted index
     * ceil(p·n). Interpolating `percentile` is engine-specific (the
     * round-2 rejection); picking an actual data value by position is
-    * integer-exact in any engine. One shuffle to join, one window sort
-    * per segment; at scale the sort is per-partition after the segment
-    * shuffle, and the pick-by-index aggregate combines map-side. */
+    * integer-exact in any engine.
+    *
+    * DISTRIBUTED EXACT SELECTION: a bare `Window.partitionBy(segment)`
+    * global sort runs ONE task per segment (5 tasks sort the whole
+    * table). Instead: (1) range-partition by (segment, value) so every
+    * task owns one contiguous value slice; (2) rank locally inside each
+    * (slice, segment) group; (3) make the rank global by adding the
+    * earlier slices' row counts — a tiny #slices × #segments offset
+    * table, broadcast back. Parallelism = #slices regardless of segment
+    * count; no task ever sorts more than one slice. Equal values
+    * straddling a slice boundary still get consistent consecutive global
+    * ranks, and the value at any index is tie-permutation-invariant.
+    *
+    * pid-consistency: both consumers of `parted` must observe the same
+    * partition ids. They do — the range exchange is planned once and the
+    * second consumer is a ReusedExchange (verified in the executed plan;
+    * exchange reuse is default-on), and the explicit numPartitions makes
+    * the shuffle REPARTITION_BY_NUM, which AQE never re-coalesces. */
   def quantilesExact(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val cents = (sum_c: Column) =>
@@ -1031,12 +1046,23 @@ object Queries {
       .join(Tables(spark, sfDir, "customer"),
         $"o_custkey" === $"c_custkey")
       .select($"c_mktsegment", cents($"o_totalprice").as("total_c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"c_mktsegment").orderBy($"total_c")
-    val ranked = joined
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"c_mktsegment")))
+    val nSlices = spark.sessionState.conf.numShufflePartitions
+    val parted = joined
+      .repartitionByRange(nSlices, $"c_mktsegment", $"total_c")
+      .withColumn("pid", spark_partition_id())
+    val perSlice = parted.groupBy($"pid", $"c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+    val wOff = Window.partitionBy($"c_mktsegment").orderBy($"pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perSlice
+      .withColumn("offset", coalesce(sum($"cnt").over(wOff), lit(0L)))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"c_mktsegment")))
+      .select($"pid", $"c_mktsegment", $"offset", $"n")
+    val wLocal = Window.partitionBy($"pid", $"c_mktsegment").orderBy($"total_c")
+    val ranked = parted
+      .withColumn("lrn", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("pid", "c_mktsegment"))
+      .withColumn("rn", $"offset" + $"lrn")
     def pick(p: Double): Column =
       max(when($"rn" === ceil(lit(p) * $"n").cast("bigint"), $"total_c"))
     ranked.groupBy($"c_mktsegment")

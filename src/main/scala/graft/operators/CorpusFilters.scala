@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-hygiene operators for LLM training-data pipelines: rule-based
@@ -118,19 +117,28 @@ object CorpusFilters {
           transform(sequence(lit(0), nChunks - 1),
             i => concat_ws(" ", slice($"ts", i * chunkTokens + 1, lit(chunkTokens)))))))
       .toDF("doc_id", "pos", "chunk")
-    // Global first-occurrence flag: one shuffle keyed by the chunk text.
-    val firstOcc = Window.partitionBy($"chunk").orderBy($"doc_id", $"pos")
-    val flagged = chunks.withColumn("rn", row_number().over(firstOcc))
-    // Reassembly: one shuffle keyed by doc id; surviving chunks ride as
-    // (pos, chunk) structs and are re-ordered by position inside the agg.
-    val rebuilt = flagged.groupBy($"doc_id").agg(
-      count(lit(1)).as("n_chunks"),
-      sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+    // Global first occurrence = min(struct(doc_id, pos)) per chunk. This
+    // is a hash aggregate with MAP-SIDE partial combine: a viral chunk
+    // duplicated across billions of docs collapses to one candidate row
+    // per map partition before the shuffle, so no reducer ever sees more
+    // than #mapTasks rows for one chunk (a window over the chunk key
+    // would send EVERY occurrence to a single task — skew-fatal).
+    // The winners ARE the surviving rows, so no join back on the chunk
+    // key is needed anywhere; everything downstream keys on doc id.
+    val winners = chunks.groupBy($"chunk")
+      .agg(min(struct($"doc_id", $"pos")).as("w"))
+      .select($"w.doc_id".as("doc_id"), $"w.pos".as("pos"), $"chunk")
+    // Per-doc totals (map-side combinable count) and reassembly: shuffles
+    // keyed by doc id, which is unique per row upstream — no skew.
+    val counts = chunks.groupBy($"doc_id").agg(count(lit(1)).as("n_chunks"))
+    val rebuilt = winners.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_kept"),
       concat_ws(" ", transform(
-        array_sort(collect_list(when($"rn" === 1, struct($"pos", $"chunk")))),
+        array_sort(collect_list(struct($"pos", $"chunk"))),
         s => s.getField("chunk"))).as("cleaned"))
     // Docs whose text has no words produce zero chunk rows — restore them.
-    toks.select($"doc_id").join(rebuilt, Seq("doc_id"), "left")
+    toks.select($"doc_id").join(counts, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_chunks", lit(0L)).as("n_chunks"),
         coalesce($"n_kept", lit(0L)).as("n_kept"),

@@ -145,10 +145,15 @@ object SimilarityJoin {
     val tokensUdf = udf((s: String) =>
       if (s == null) Array.empty[String] else Tokenize.tokenizeAndStem(s))
 
-    val numDocs = right.count() // one scalar to the driver (metadata)
+    // Tokenized right side is cached FIRST; the numDocs scalar (idf
+    // denominator — counts every right row, empty-token docs included)
+    // comes from materializing that cache, not from a separate scan of
+    // the raw right table.
     val rTok = right
       .select(col(rightId).as("rid"), tokensUdf(col(rightText)).as("toks"))
       .withColumn("len", size($"toks"))
+      .cache()
+    val numDocs = rTok.count()
 
     // term counts per right doc → df → idf; weights w = (cnt/len)·idf.
     // Cached: consumed twice (df/idf aggregation and the weight join).
@@ -237,10 +242,17 @@ object SimilarityJoin {
     val tokensUdf = udf((s: String) =>
       if (s == null) Array.empty[String] else Tokenize.tokenizeAndStem(s))
 
-    val numDocs = right.count()
-    val rTerms = right
+    // Cache the tokenized right side and take numDocs from ITS
+    // materialization (no separate raw-table scan). rTerms is consumed
+    // twice below (the idf aggregation and the weight join) — without
+    // this cache the tokenize+stem UDF, the dominant per-row cost, runs
+    // twice over the whole right side.
+    val rTok = right
       .select(col(rightId).as("rid"), tokensUdf(col(rightText)).as("toks"))
       .withColumn("len", size($"toks"))
+      .cache()
+    val numDocs = rTok.count()
+    val rTerms = rTok
       .select($"rid", $"len", explode($"toks").as("term"))
       .groupBy($"rid", $"len", $"term").agg(count(lit(1)).as("cnt"))
     val idf = rTerms.groupBy($"term").agg(count(lit(1)).as("df"))

@@ -19,7 +19,12 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).filter(t => names(t._1)).foreach { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.explainString(
+      val df = fn(spark, sfDir)
+      // EXPLAIN_EXECUTED=1: run the query first so the printed plan is the
+      // FINAL adaptive plan (shows AQE decisions: reused stages, coalesced
+      // partitions, skew splits) rather than the initial one.
+      if (sys.env.contains("EXPLAIN_EXECUTED")) df.collect()
+      val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val smells = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),

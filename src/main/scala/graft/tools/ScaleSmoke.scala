@@ -65,6 +65,7 @@ object ScaleSmoke {
     val simN = math.min(nDocs / 10, 100000)
     val left = docs.limit(simN).select($"id".as("lid"), $"text".as("ltext"))
     val right = docs.limit(simN).select($"id".as("rid"), $"text".as("rtext"))
+    if (!sys.env.contains("SCALE_SKIP_SIMJOIN"))
     time(s"threshold similarity join ($simN x $simN, tau=0.5, prefix-filtered)") {
       val top = SimilarityJoin.thresholdJoin(
         left, "lid", "ltext", right, "rid", "rtext", k = 1, minScore = 0.5,
@@ -96,6 +97,19 @@ object ScaleSmoke {
     }
     time(s"chunk dedup ($nDocs docs, 10-token chunks)") {
       val out = graft.operators.CorpusFilters.chunkDedup(docs, "id", "text", 10)
+      val lossy = out.filter($"n_kept" < $"n_chunks").count()
+      println(s"  docs losing chunks: $lossy")
+    }
+    time(s"chunk dedup VIRAL SKEW ($nDocs docs, one chunk planted in 20%)") {
+      // the boilerplate case that kills a window-over-chunk plan: every
+      // fifth doc starts with the same 10-token chunk, so one chunk key
+      // holds 20% of all chunk rows. The min(struct) aggregate must
+      // collapse it map-side — wall time should stay ~the uniform case.
+      val viral = docs.withColumn("text",
+        when(pmod($"id", lit(5L)) === 0,
+          concat_ws(" ", (Seq.fill(10)(lit("viralboilerplate")) :+ $"text"): _*))
+          .otherwise($"text"))
+      val out = graft.operators.CorpusFilters.chunkDedup(viral, "id", "text", 10)
       val lossy = out.filter($"n_kept" < $"n_chunks").count()
       println(s"  docs losing chunks: $lossy")
     }
