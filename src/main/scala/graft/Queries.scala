@@ -962,15 +962,17 @@ object Queries {
       .orderBy($"doc_id")
   }
 
-  /** Multimodal plumbing: binary payload column → partition-local feature
-    * extraction (decode stubbed; schema/batching real). The feature vector
-    * is projected to scalars (dim, hash, first element) for the driver
-    * compare — pandas cannot sort/hash ndarray cells; `MultimodalSpec`
-    * asserts the full vectors. */
+  /** Multimodal pipeline: each document rendered as a REAL 24-bit BMP
+    * (text bytes as pixel data), then partition-local header-walk decode +
+    * pixel-feature extraction — f0 is the image's actual mean-blue
+    * channel. The feature vector is projected to scalars (dim, hash,
+    * first element) for the driver compare — pandas cannot sort/hash
+    * ndarray cells; `MultimodalSpec` asserts the full vectors and the
+    * BMP/WAV round-trips. */
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Multimodal.extractFeatures(
-      Multimodal.fromDocuments(Tables(spark, sfDir, "documents")))
+      Multimodal.textAsBmp(Tables(spark, sfDir, "documents")))
       .toDF()
       .select($"media_id", $"format", $"feature_dim",
         xxhash64(concat_ws("", $"features".cast("array<string>")))
