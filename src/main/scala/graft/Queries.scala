@@ -497,6 +497,40 @@ object Queries {
       .orderBy($"h_us", $"event_type")
   }
 
+  /** Sliding-window event aggregation (1 h windows every 30 min — each
+    * event lands in exactly 2 overlapping windows): the batch contract of
+    * [[graft.streaming.StreamingOps.slidingEventCounts]], the same
+    * `window(len, slide)` expression Structured Streaming runs
+    * incrementally behind a watermark. Window starts leave as epoch
+    * micros (BIGINT); the oracle regenerates both covering windows per
+    * event with the identical slide-alignment integer arithmetic. */
+  def slidingWindowEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "events")
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), e4(sum(dec($"value", 18, 4))).as("sum_value_e4"))
+      .select(unix_micros($"window.start").as("w_start_us"),
+        $"event_type", $"n", $"sum_value_e4")
+      .orderBy($"w_start_us", $"event_type")
+  }
+
+  /** Hive-style partitioned parquet SINK round-trip: write documents
+    * partitioned by lang — the 100 TB lake layout (partition pruning
+    * serves `WHERE lang = …` reads from the directory structure) — then
+    * read the directory back and aggregate. The oracle aggregates the
+    * ORIGINAL table, so green means the partitioned write/read is
+    * lossless including the partition-column round-trip. */
+  def partitionedSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_q83_sink").toString
+    Tables(spark, sfDir, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    spark.read.parquet(out)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").cast("bigint").as("total_chars"))
+      .orderBy($"lang", $"source")
+  }
+
   /** Batch-mode contract of the streaming sessionizer: gap-based sessions
     * (30 min) over the events table through the SAME
     * flatMapGroupsWithState code path the MemoryStream specs pin — in

@@ -103,7 +103,9 @@ object SparkEntry {
     "q78_lateral_explode" -> (Queries.lateralExplode _),
     "q79_regexp_battery" -> (Queries.regexpBattery _),
     "q80_date_battery" -> (Queries.dateBattery _),
-    "q81_sliding_frames" -> (Queries.slidingFrames _)
+    "q81_sliding_frames" -> (Queries.slidingFrames _),
+    "q82_sliding_window" -> (Queries.slidingWindowEvents _),
+    "q83_partitioned_sink" -> (Queries.partitionedSink _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -837,6 +839,27 @@ object SparkEntry {
         |FROM (SELECT o_custkey, o_orderkey,
         |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         |      FROM orders)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // Sliding windows: 1 h length / 30 min slide aligned to the epoch —
+    // every event belongs to exactly len/slide = 2 windows, regenerated
+    // here with the same floor-to-slide arithmetic Spark's window() uses.
+    "q82_sliding_window" ->
+      """WITH e AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_type, value
+        |  FROM events),
+        |w AS (
+        |  SELECT t_us - (t_us % 1800000000) - k.k * 1800000000 AS w_start_us,
+        |         event_type, value
+        |  FROM e, (SELECT unnest([0, 1]) AS k) k)
+        |SELECT w_start_us, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_value_e4
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The Spark side writes a lang-partitioned parquet lake and reads it
+    // back; the oracle aggregates the original table (same pattern as the
+    // q56/q57 source round-trips, here for the SINK direction).
+    "q83_partitioned_sink" ->
+      """SELECT lang, source, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
   )
 }

@@ -32,6 +32,20 @@ object StreamingOps {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Sliding-window counts (len > slide ⇒ each event lands in len/slide
+    * overlapping windows) with a watermark for late data. The batch
+    * contract of the same `window(len, slide)` expression is oracle-
+    * checked as `Queries.slidingWindowEvents` (q82). */
+  def slidingEventCounts(
+      events: DataFrame, // columns: ts TIMESTAMP, event_type STRING, value DOUBLE
+      windowLen: String = "1 hour",
+      slide: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class OpenSession(start: Long, last: Long, n: Int)
   final case class ClosedSession(user_id: Long, start_ts: java.sql.Timestamp,

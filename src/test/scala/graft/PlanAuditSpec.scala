@@ -41,6 +41,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "q03 numeric predicate must be pushed to the scan")
   }
 
+  test("de-skewed plans stay de-skewed: no window over unbounded hot keys") {
+    // q66: first-occurrence must be the map-side-combining aggregate, not
+    // a window keyed by the chunk text (a viral chunk would pin every
+    // occurrence to one reducer).
+    val q66 = SparkEntry.queries("q66_chunk_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!q66.contains("Window"), s"q66 must not plan any window:\n$q66")
+    // q68: the only windows allowed are over the tiny per-slice offset
+    // table (partitioned by pid and/or segment AFTER aggregation) — never
+    // a window whose partition key is just the segment over the raw rows.
+    val q68 = SparkEntry.queries("q68_quantiles_exact")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(q68.toLowerCase.contains("spark_partition_id"),
+      "q68 must carry the slice id (range-partitioned local ranks + offsets)")
+  }
+
   test("no shipped query plans a cartesian product / unbounded nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString

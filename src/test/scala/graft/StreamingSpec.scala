@@ -47,6 +47,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 11:00:00", 1L, 4.0)))
   }
 
+  test("sliding windows: each event lands in len/slide overlapping windows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val out = StreamingOps.slidingEventCounts(events, "1 hour", "30 minutes")
+    val q = out.writeStream.format("memory").queryName("slide_stream")
+      .outputMode("update").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData((t("2024-01-01 10:05:00"), "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("slide_stream")
+      .select(col("window.start").cast("string"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    q.stop()
+    // 10:05 is covered by the 09:30 and 10:00 windows — and only those
+    assert(rows == Set(("2024-01-01 09:30:00", 1L), ("2024-01-01 10:00:00", 1L)))
+  }
+
   test("file-source stream: readStream over parquet drives the windowed agg") {
     import spark.implicits._
     val dir = "/tmp/graft-stream-src"
