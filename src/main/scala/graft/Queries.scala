@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{GraftFunctions, NormalizeGolden, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Dedup, Knn, SimilarityJoin}
+import graft.sources.Bucketing
 
 /** The engine's query surface — one entry per operator family from
   * SURVEY.md §2, each runnable by the driver via
@@ -529,6 +530,34 @@ object Queries {
       .groupBy($"lang", $"source")
       .agg(count(lit(1)).as("n"), sum($"n_chars").cast("bigint").as("total_chars"))
       .orderBy($"lang", $"source")
+  }
+
+  /** Co-located join over BUCKETED tables: orders and customer are written
+    * `bucketBy(8, custkey)` + `sortBy` (graft.sources.Bucketing), then
+    * joined and aggregated on that same key. Because both scans are
+    * pre-hash-partitioned on disk, the join AND the per-customer aggregate
+    * satisfy their required distribution straight from the scan — the plan
+    * has zero `Exchange hashpartitioning` nodes (pinned by BucketingSpec);
+    * the only exchange left is the range partition for the deterministic
+    * output order. At 100 TB this is the difference between re-shuffling
+    * the fact table on every query and reading co-located buckets. The
+    * oracle joins/aggregates the ORIGINAL parquet, so green also proves
+    * the bucketed write/read round-trip is lossless. */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q84_bkt").toString
+    val orders = Bucketing.writeBucketed(spark,
+      Tables(spark, sfDir, "orders"), "g_orders_bkt", s"$dir/orders", 8,
+      Seq("o_custkey"))
+    val customer = Bucketing.writeBucketed(spark,
+      Tables(spark, sfDir, "customer"), "g_customer_bkt", s"$dir/customer", 8,
+      Seq("c_custkey"))
+    orders.hint("merge")
+      .join(customer.hint("merge"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey")
+      .agg(count(lit(1)).as("n"),
+        cents(sum(dec($"o_totalprice", 18, 2))).as("total_cents"))
+      .orderBy($"c_custkey")
   }
 
   /** Batch-mode contract of the streaming sessionizer: gap-based sessions

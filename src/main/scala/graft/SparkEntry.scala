@@ -105,7 +105,8 @@ object SparkEntry {
     "q80_date_battery" -> (Queries.dateBattery _),
     "q81_sliding_frames" -> (Queries.slidingFrames _),
     "q82_sliding_window" -> (Queries.slidingWindowEvents _),
-    "q83_partitioned_sink" -> (Queries.partitionedSink _)
+    "q83_partitioned_sink" -> (Queries.partitionedSink _),
+    "q84_bucketed_join" -> (Queries.bucketedJoin _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -860,6 +861,15 @@ object SparkEntry {
     "q83_partitioned_sink" ->
       """SELECT lang, source, COUNT(*) AS n,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // The Spark side rewrites orders+customer as co-located bucketed
+    // tables and joins them shuffle-free; the oracle joins the ORIGINAL
+    // parquet, so green proves the bucketed layout round-trip is lossless.
+    "q84_bucketed_join" ->
+      """SELECT c_custkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
   )
 }

@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout: the 100 TB lever that removes the shuffle from
+  * repeated joins/aggregations on a stable key.
+  *
+  * Writing a fact table `bucketBy(n, key)` pre-hash-partitions it ON DISK:
+  * every subsequent join or aggregation keyed on `key` against another
+  * table bucketed the same way satisfies Catalyst's required
+  * `HashClusteredDistribution` straight from the scan, so the physical
+  * plan has NO `Exchange hashpartitioning` — at 100 TB that is the
+  * difference between re-shuffling the whole fact table per query and
+  * reading co-located buckets. `sortBy` additionally persists sort order
+  * within each bucket so sort-merge join can skip its sort.
+  *
+  * The reference engine gets the equivalent for free on a single node
+  * (everything is local); on a cluster the layout has to be declared at
+  * write time, which is what this helper does. Pinned by `BucketingSpec`
+  * (plan has a SortMergeJoin and zero hash-partition exchanges) and
+  * oracle-checked end-to-end as q84 (bucketed round-trip is lossless).
+  */
+object Bucketing {
+
+  /** Write `df` as an external parquet table bucketed (and sorted) by
+    * `keys`, replacing any previous registration of `table`. The data
+    * lands under `path`; only metadata lives in the session catalog.
+    */
+  def writeBucketed(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      path: String,
+      numBuckets: Int,
+      keys: Seq[String]): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(table)
+    spark.table(table)
+  }
+}

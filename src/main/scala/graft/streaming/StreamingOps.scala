@@ -46,6 +46,41 @@ object StreamingOps {
       .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming exact dedup: keep the first delivery of each `idCols` key,
+    * with state bounded by the watermark (keys older than the delay are
+    * evicted — unbounded `dropDuplicates` state would OOM a 100 TB/day
+    * stream). The at-least-once→exactly-once repair step in front of every
+    * training-data ingest. */
+  def dedupWithinWatermark(
+      events: DataFrame, // must carry an event-time `ts` column
+      idCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Stream-stream interval join: each left event matched to right events
+    * whose timestamp falls in [left.ts, left.ts + `joinWindow`]. Both
+    * sides are watermarked so the join state is bounded: Spark buffers
+    * only rows that can still find a partner. The streaming twin of the
+    * batch as-of/range joins (q23/q24/q59). */
+  def intervalJoin(
+      left: DataFrame, // columns: key, ts, ... (event time)
+      right: DataFrame, // columns: key, ts, ...
+      joinWindow: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+    // prefix the right side so the joined schema is unambiguous in any
+    // sink (a memory/parquet sink would otherwise carry duplicate names)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      expr(s"""key = r_key AND
+               r_ts >= ts AND
+               r_ts <= ts + interval $joinWindow"""))
+      .drop("r_key")
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class OpenSession(start: Long, last: Long, n: Int)
   final case class ClosedSession(user_id: Long, start_ts: java.sql.Timestamp,

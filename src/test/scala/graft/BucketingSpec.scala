@@ -1,49 +1,34 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions._
 
-/** 100 TB design check: bucketed tables co-locate an equi-join — the
-  * repeated-join workload pattern where pre-shuffling the data once at
-  * write time removes the per-query exchange entirely. */
+/** Pins the whole point of `graft.sources.Bucketing`: a join AND an
+  * aggregation keyed on the bucket key must be satisfied straight from the
+  * bucketed scans — zero `Exchange hashpartitioning` nodes anywhere in the
+  * plan. (The final `orderBy` keeps its range exchange: that one is the
+  * deterministic-output requirement, not a join shuffle.)
+  */
 class BucketingSpec extends AnyFunSuite {
   import SparkSuiteBase.{spark, sfDir}
 
-  test("bucketBy join plans with zero shuffle exchanges") {
-    import spark.implicits._
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      spark.sql("DROP TABLE IF EXISTS b_orders")
-      spark.sql("DROP TABLE IF EXISTS b_customer")
-      Tables(spark, sfDir, "orders")
-        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .mode("overwrite").saveAsTable("b_orders")
-      Tables(spark, sfDir, "customer")
-        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .mode("overwrite").saveAsTable("b_customer")
+  test("bucketed join + agg on the bucket key plans no hash-partition exchange") {
+    val plan = SparkEntry.queries("q84_bucketed_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"q84 must sort-merge-join the co-located buckets:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q84 must not shuffle for the join or the aggregate:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "q84 must exercise the bucketed SMJ path, not a broadcast")
+  }
 
-      val j = spark.table("b_orders")
-        .join(spark.table("b_customer"), $"o_custkey" === $"c_custkey")
-        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
-      val joinPlan = j.queryExecution.executedPlan.toString()
-      // the join itself must consume bucketed scans directly — the only
-      // allowed exchange is the one for the final small aggregation
-      val beforeAgg = joinPlan.split("HashAggregate").last
-      assert(!beforeAgg.contains("Exchange hashpartitioning"),
-        s"bucketed join should not shuffle its inputs:\n$joinPlan")
-
-      // and it must agree with the plain (shuffled) join
-      val plain = Tables(spark, sfDir, "orders")
-        .join(Tables(spark, sfDir, "customer"), $"o_custkey" === $"c_custkey")
-        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
-      val a = j.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val b = plain.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(a == b)
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS b_orders")
-      spark.sql("DROP TABLE IF EXISTS b_customer")
-    }
+  test("bucketed round-trip preserves every row and column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt_spec").toString
+    val src = Tables(spark, sfDir, "nation")
+    val back = sources.Bucketing.writeBucketed(
+      spark, src, "g_nation_bkt_spec", s"$dir/nation", 4, Seq("n_nationkey"))
+    assert(back.count() == src.count())
+    assert(back.columns.sorted.sameElements(src.columns.sorted))
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 }

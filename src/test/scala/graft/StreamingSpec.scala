@@ -66,6 +66,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("2024-01-01 09:30:00", 1L), ("2024-01-01 10:00:00", 1L)))
   }
 
+  test("watermarked dedup keeps the first delivery of a redelivered event") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = in.toDF().toDF("event_id", "ts", "payload")
+    val out = StreamingOps.dedupWithinWatermark(events, Seq("event_id"), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // duplicate in the same batch AND redelivered in a later batch
+    in.addData((1L, t("2024-01-01 10:00:00"), "first"),
+               (1L, t("2024-01-01 10:00:01"), "dup-same-batch"),
+               (2L, t("2024-01-01 10:00:02"), "other"))
+    q.processAllAvailable()
+    in.addData((1L, t("2024-01-01 10:03:00"), "dup-next-batch"))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_stream")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    q.stop()
+    assert(rows == Set((1L, "first"), (2L, "other")))
+  }
+
+  test("stream-stream interval join buffers state only inside the window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val imps = MemoryStream[(String, java.sql.Timestamp)]
+    val clicks = MemoryStream[(String, java.sql.Timestamp)]
+    val out = StreamingOps.intervalJoin(
+      imps.toDF().toDF("key", "ts"),
+      clicks.toDF().toDF("key", "ts"), "10 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ij_stream")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    imps.addData(("ad1", t("2024-01-01 10:00:00")), ("ad2", t("2024-01-01 10:00:00")))
+    clicks.addData(
+      ("ad1", t("2024-01-01 10:04:00")), // inside the window → joins
+      ("ad2", t("2024-01-01 10:20:00")), // past the window → dropped
+      ("ad3", t("2024-01-01 10:05:00"))) // no impression → dropped
+    q.processAllAvailable()
+    val rows = spark.table("ij_stream")
+      .select(col("key"), col("r_ts").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(rows == Set(("ad1", "2024-01-01 10:04:00")))
+  }
+
   test("file-source stream: readStream over parquet drives the windowed agg") {
     import spark.implicits._
     val dir = "/tmp/graft-stream-src"
