@@ -532,6 +532,25 @@ object Queries {
       .orderBy($"lang", $"source")
   }
 
+  /** ORC sink + source round-trip (columnar-format matrix beside parquet
+    * q83, CSV q56, JSON q57): write part as ORC — Spark's ORC datasource
+    * keeps predicate pushdown and column pruning like parquet — read it
+    * back and aggregate. Oracle aggregates the ORIGINAL parquet, so green
+    * proves the ORC encode/decode is lossless for int64/int32/string/
+    * double columns. */
+  def orcRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q85_orc").toString
+    Tables(spark, sfDir, "part").write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+      .filter($"p_size" >= 10)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum($"p_size").cast("bigint").as("size_sum"),
+        cents(sum(dec($"p_retailprice", 18, 2))).as("retail_cents"))
+      .orderBy($"p_brand")
+  }
+
   /** Co-located join over BUCKETED tables: orders and customer are written
     * `bucketBy(8, custkey)` + `sortBy` (graft.sources.Bucketing), then
     * joined and aggregated on that same key. Because both scans are

@@ -106,7 +106,8 @@ object SparkEntry {
     "q81_sliding_frames" -> (Queries.slidingFrames _),
     "q82_sliding_window" -> (Queries.slidingWindowEvents _),
     "q83_partitioned_sink" -> (Queries.partitionedSink _),
-    "q84_bucketed_join" -> (Queries.bucketedJoin _)
+    "q84_bucketed_join" -> (Queries.bucketedJoin _),
+    "q85_orc_roundtrip" -> (Queries.orcRoundTrip _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -870,6 +871,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
         |    AS total_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    // Spark writes part as ORC and reads it back; oracle reads the
+    // original parquet (same lossless-round-trip pattern as q56/q57/q83).
+    "q85_orc_roundtrip" ->
+      """SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS size_sum,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS retail_cents
+        |FROM part WHERE p_size >= 10
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )
 }
