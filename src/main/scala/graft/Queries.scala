@@ -1130,29 +1130,8 @@ object Queries {
       .join(Tables(spark, sfDir, "customer"),
         $"o_custkey" === $"c_custkey")
       .select($"c_mktsegment", cents($"o_totalprice").as("total_c"))
-    val nSlices = spark.sessionState.conf.numShufflePartitions
-    val parted = joined
-      .repartitionByRange(nSlices, $"c_mktsegment", $"total_c")
-      .withColumn("pid", spark_partition_id())
-    val perSlice = parted.groupBy($"pid", $"c_mktsegment")
-      .agg(count(lit(1)).as("cnt"))
-    val wOff = Window.partitionBy($"c_mktsegment").orderBy($"pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = perSlice
-      .withColumn("offset", coalesce(sum($"cnt").over(wOff), lit(0L)))
-      .withColumn("n", sum($"cnt").over(Window.partitionBy($"c_mktsegment")))
-      .select($"pid", $"c_mktsegment", $"offset", $"n")
-    val wLocal = Window.partitionBy($"pid", $"c_mktsegment").orderBy($"total_c")
-    val ranked = parted
-      .withColumn("lrn", row_number().over(wLocal))
-      .join(broadcast(offsets), Seq("pid", "c_mktsegment"))
-      .withColumn("rn", $"offset" + $"lrn")
-    def pick(p: Double): Column =
-      max(when($"rn" === ceil(lit(p) * $"n").cast("bigint"), $"total_c"))
-    ranked.groupBy($"c_mktsegment")
-      .agg(max($"n").as("n_orders"),
-        pick(0.5).as("p50_c"), pick(0.9).as("p90_c"), pick(0.99).as("p99_c"))
-      .orderBy($"c_mktsegment")
+    graft.operators.Quantiles.exactPositional(joined, "c_mktsegment", "total_c",
+      Seq("p50_c" -> 0.5, "p90_c" -> 0.9, "p99_c" -> 0.99), nName = "n_orders")
   }
 
   /** Domain-mixing cap: at most 20 docs per source, drawn by the

@@ -113,6 +113,19 @@ object ScaleSmoke {
       val lossy = out.filter($"n_kept" < $"n_chunks").count()
       println(s"  docs losing chunks: $lossy")
     }
+    time(s"exact positional quantiles (${nDocs * 10L} rows, 5 segments, one HOT=60%)") {
+      // the plan the q68 rewrite exists for: a naive window-per-segment
+      // sorts 60% of all rows on ONE task; the range-partitioned rank +
+      // offset arithmetic must spread it over every shuffle partition.
+      val rows = spark.range(nDocs * 10L)
+        .withColumn("seg",
+          when(pmod($"id", lit(10L)) < 6, lit("HOT"))
+            .otherwise(concat(lit("s"), pmod($"id", lit(4L)))))
+        .withColumn("v", xxhash64($"id"))
+      val q = graft.operators.Quantiles.exactPositional(
+        rows, "seg", "v", Seq("p50" -> 0.5, "p99" -> 0.99))
+      q.collect().foreach(r => println(s"  $r"))
+    }
     time(s"contamination scan ($nDocs docs, 3-grams)") {
       val out = graft.operators.CorpusFilters.contamination(
         docs, "id", "text", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), n = 3)
