@@ -532,6 +532,50 @@ object Queries {
       .orderBy($"lang", $"source")
   }
 
+  /** FULL OUTER join (the missing member of the join family beside
+    * inner/broadcast/semi/anti/as-of/range): high-balance customers full
+    * outer per-customer order counts, so the result exercises BOTH null
+    * sides — orders whose customer is below the balance cut (null left)
+    * and rich customers who never ordered (null right). Planned as a
+    * sort-merge full outer (no broadcast side: both inputs preserve all
+    * rows). */
+  def fullOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rich = Tables(spark, sfDir, "customer")
+      .filter($"c_acctbal" > 7500)
+      .select($"c_custkey", cents(dec($"c_acctbal", 18, 2)).as("acctbal_c"))
+    val perCust = Tables(spark, sfDir, "orders")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        cents(sum(dec($"o_totalprice", 18, 2))).as("spend_c"))
+    rich.join(perCust, $"c_custkey" === $"o_custkey", "full_outer")
+      .select(
+        coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        $"c_custkey".isNotNull.as("is_rich"),
+        $"o_custkey".isNotNull.as("has_orders"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"spend_c", lit(0L)).as("spend_c"),
+        coalesce($"acctbal_c", lit(0L)).as("acctbal_c"))
+      .orderBy($"custkey")
+  }
+
+  /** UNPIVOT / melt (wide → long reshape): per-language document metrics
+    * unpivoted into (lang, metric, value) rows via `Dataset.unpivot` —
+    * Spark plans it as an Expand (each input row fans out to one row per
+    * measure, map-side, no shuffle added). The oracle regenerates the
+    * long form with engine-independent UNION ALL. */
+  def unpivotMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("bigint").as("total_chars"),
+        max($"n_chars").cast("bigint").as("max_chars"))
+      .unpivot(Array($"lang"),
+        Array($"n_docs", $"total_chars", $"max_chars"), "metric", "value")
+      .orderBy($"lang", $"metric")
+  }
+
   /** ORC sink + source round-trip (columnar-format matrix beside parquet
     * q83, CSV q56, JSON q57): write part as ORC — Spark's ORC datasource
     * keeps predicate pushdown and column pruning like parquet — read it

@@ -107,7 +107,9 @@ object SparkEntry {
     "q82_sliding_window" -> (Queries.slidingWindowEvents _),
     "q83_partitioned_sink" -> (Queries.partitionedSink _),
     "q84_bucketed_join" -> (Queries.bucketedJoin _),
-    "q85_orc_roundtrip" -> (Queries.orcRoundTrip _)
+    "q85_orc_roundtrip" -> (Queries.orcRoundTrip _),
+    "q86_full_outer_join" -> (Queries.fullOuterJoin _),
+    "q87_unpivot" -> (Queries.unpivotMetrics _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -879,6 +881,38 @@ object SparkEntry {
         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT)
         |    AS retail_cents
         |FROM part WHERE p_size >= 10
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // FULL OUTER: both null sides must appear (orders of non-rich
+    // customers; rich customers with no orders).
+    "q86_full_outer_join" ->
+      """WITH rich AS (
+        |  SELECT c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_c
+        |  FROM customer WHERE c_acctbal > 7500),
+        |pc AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS spend_c
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |  c_custkey IS NOT NULL AS is_rich,
+        |  o_custkey IS NOT NULL AS has_orders,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(spend_c, 0) AS spend_c,
+        |  COALESCE(acctbal_c, 0) AS acctbal_c
+        |FROM rich FULL OUTER JOIN pc ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    // Wide → long reshape regenerated with engine-independent UNION ALL.
+    "q87_unpivot" ->
+      """WITH m AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, metric, value FROM (
+        |  SELECT lang, 'n_docs' AS metric, n_docs AS value FROM m
+        |  UNION ALL SELECT lang, 'total_chars', total_chars FROM m
+        |  UNION ALL SELECT lang, 'max_chars', max_chars FROM m)
+        |ORDER BY lang, metric""".stripMargin
   )
 }
