@@ -1340,6 +1340,66 @@ object Queries {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS (the general form behind q28's ROLLUP / q29's
+    * CUBE): four hand-picked sets over (lang, source) incl. the grand
+    * total, with GROUPING() flags disambiguating real NULLs from
+    * subtotal rows. Planned as one Expand (each row fans out to its sets
+    * map-side) feeding a single hash aggregate — same shuffle count as a
+    * plain group-by. */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT lang, source, CAST(GROUPING(lang) AS INT) AS g_lang,
+        |  CAST(GROUPING(source) AS INT) AS g_source, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin)
+  }
+
+  /** GROUP-correlated scalar subquery: q29 correlates on the row's own
+    * key (per-customer count/max); this one correlates on a NON-key group
+    * column — each order compared to its customer-SEGMENT average, so
+    * Catalyst must decorrelate into a grouped aggregate joined back on
+    * the segment, not a per-key lookup. */
+  def segmentScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        |FROM orders o JOIN customer c ON o_custkey = c_custkey
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 >
+        |  (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |          / COUNT(*)
+        |   FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+        |   WHERE c2.c_mktsegment = c.c_mktsegment)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Time-grid gap fill (resample): one row per (hour-bucket, event_type)
+    * over the FULL span including silent hours — `sequence()` generates
+    * the dense grid from the min/max bounds (a 1-row broadcast), explode
+    * unrolls it, and a left join pulls in the sparse hourly counts with
+    * zero fill. The standard alignment step before windowed time-series
+    * features; no shuffle beyond the hourly aggregate itself. */
+  def gapFillHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables(spark, sfDir, "events")
+      .select(unix_micros(date_trunc("hour", $"ts")).as("h_us"), $"event_type")
+    val hourly = events.groupBy($"h_us", $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val bounds = events.agg(min($"h_us").as("lo"), max($"h_us").as("hi"))
+    // broadcast side is the 1-row bounds aggregate (same bounded-probe
+    // shape as q73) — never the grid or the type list
+    val grid = events.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type",
+        explode(sequence($"lo", $"hi", lit(3600000000L))).as("h_us"))
+    grid.join(hourly, Seq("h_us", "event_type"), "left")
+      .select($"h_us", $"event_type", coalesce($"n", lit(0L)).as("n"))
+      .orderBy($"h_us", $"event_type")
+  }
+
   /** LATERAL VIEW posexplode through the SQL front-end: tokenized
     * documents unnested with positions (the Generate operator — Spark's
     * row-to-rows axis). Bounded to 20 docs so the driver artifact stays

@@ -109,7 +109,10 @@ object SparkEntry {
     "q84_bucketed_join" -> (Queries.bucketedJoin _),
     "q85_orc_roundtrip" -> (Queries.orcRoundTrip _),
     "q86_full_outer_join" -> (Queries.fullOuterJoin _),
-    "q87_unpivot" -> (Queries.unpivotMetrics _)
+    "q87_unpivot" -> (Queries.unpivotMetrics _),
+    "q88_grouping_sets" -> (Queries.groupingSets _),
+    "q89_segment_scalar_subquery" -> (Queries.segmentScalarSubquery _),
+    "q90_gap_fill" -> (Queries.gapFillHourly _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -913,6 +916,44 @@ object SparkEntry {
         |  SELECT lang, 'n_docs' AS metric, n_docs AS value FROM m
         |  UNION ALL SELECT lang, 'total_chars', total_chars FROM m
         |  UNION ALL SELECT lang, 'max_chars', max_chars FROM m)
-        |ORDER BY lang, metric""".stripMargin
+        |ORDER BY lang, metric""".stripMargin,
+    // Identical GROUPING SETS syntax; GROUPING() cast to INT on both
+    // sides (Spark returns TINYINT, DuckDB BIGINT) and NULLS FIRST made
+    // explicit (DuckDB defaults to NULLS LAST on ASC, Spark to FIRST).
+    "q88_grouping_sets" ->
+      """SELECT lang, source, CAST(GROUPING(lang) AS INT) AS g_lang,
+        |  CAST(GROUPING(source) AS INT) AS g_source, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    // Correlated scalar subquery, decorrelated by both planners; the
+    // mean is SUM/COUNT in DOUBLE so both engines compare the identical
+    // IEEE value (AVG over DECIMAL differs in result type between them).
+    "q89_segment_scalar_subquery" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        |FROM orders o JOIN customer c ON o_custkey = c_custkey
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 >
+        |  (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |          / COUNT(*)
+        |   FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+        |   WHERE c2.c_mktsegment = c.c_mktsegment)
+        |ORDER BY o_orderkey""".stripMargin,
+    // Dense hour grid from the min/max bounds; silent (hour, type) cells
+    // zero-filled — regenerated with generate_series + cross join.
+    "q90_gap_fill" ->
+      """WITH e AS (
+        |  SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS h_us,
+        |         event_type
+        |  FROM events),
+        |b AS (SELECT MIN(h_us) AS lo, MAX(h_us) AS hi FROM e),
+        |g AS (SELECT UNNEST(generate_series(lo, hi, 3600000000)) AS h_us FROM b),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |h AS (SELECT h_us, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT g.h_us, t.event_type, COALESCE(h.n, 0) AS n
+        |FROM g CROSS JOIN t
+        |LEFT JOIN h ON h.h_us = g.h_us AND h.event_type = t.event_type
+        |ORDER BY g.h_us, t.event_type""".stripMargin
   )
 }

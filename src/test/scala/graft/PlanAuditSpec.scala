@@ -17,7 +17,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * (vec_id < 10 / < 100), so work is O(corpus × probes) = one scan;
     * q73's broadcast side is the single-row [lo, hi] bounds aggregate. */
   private val boundedProbeBnlj =
-    Set("q19_knn_bruteforce", "q43_embedding_neardup", "q73_length_trim")
+    Set("q19_knn_bruteforce", "q43_embedding_neardup", "q73_length_trim",
+      "q90_gap_fill") // q90's broadcast side is the 1-row [lo, hi] bounds
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =
