@@ -126,6 +126,33 @@ object ScaleSmoke {
         rows, "seg", "v", Seq("p50" -> 0.5, "p99" -> 0.99))
       q.collect().foreach(r => println(s"  $r"))
     }
+    time(s"as-of join (${nDocs * 5L} events vs ${nDocs / 2} quotes, 1k keys, one HOT=50%)") {
+      // hot key: half of both sides lands on key 0 — the union+window
+      // as-of plan must still finish on one key-shuffle without a
+      // straggler dominating (per-key work is the sorted merge itself).
+      def keyed(n: Long, idCol: String) = spark.range(n)
+        .withColumn("key",
+          when(pmod($"id", lit(2L)) === 0, lit(0L)).otherwise(pmod($"id", lit(1000L))))
+        .withColumn("ts", timestamp_micros($"id" * 37L + 1000000L))
+        .withColumnRenamed("id", idCol)
+      val trades = keyed(nDocs * 5L, "trade_id")
+      val quotes = keyed(nDocs / 2L, "quote_id")
+        .withColumn("px", (pmod(xxhash64($"quote_id"), lit(100000L)) / 100.0))
+      val joined = graft.operators.AsOfJoin.asOf(
+        trades, quotes, "key", "ts", Seq("px"))
+      println(s"  matched: ${joined.filter($"asof_px".isNotNull).count()}")
+    }
+    time(s"salted join (${nDocs * 10L} rows, one key = 50%, dim 1k)") {
+      // plain hash join would send 5M rows of key 0 to one task; the salt
+      // spreads them over nSalt tasks with the dim replicated nSalt ways.
+      val facts = spark.range(nDocs * 10L)
+        .withColumn("k",
+          when(pmod($"id", lit(2L)) === 0, lit(0L)).otherwise(pmod($"id", lit(1000L))))
+      val dim = spark.range(1000).select($"id".as("dk"), ($"id" * 3).as("w"))
+      val j = graft.operators.Skew.saltedJoin(
+        facts, dim, "k", "dk", distributeBy = col("id"), nSalt = 32)
+      println(s"  joined rows: ${j.count()}")
+    }
     time(s"contamination scan ($nDocs docs, 3-grams)") {
       val out = graft.operators.CorpusFilters.contamination(
         docs, "id", "text", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), n = 3)
