@@ -38,4 +38,44 @@ class QuantilesSpec extends AnyFunSuite {
     // n=1: every quantile is the single value
     assert(got("one") == (1L, 42L, 42L, 42L))
   }
+
+  test("ties spanning slice boundaries still pick the exact positional value") {
+    import spark.implicits._
+    // 90% of rows share ONE value — the tie run necessarily crosses every
+    // range-partition boundary; any row of the run may carry the picked
+    // rank but the value at that rank is invariant.
+    val tied = (0 until 9000).map(i => ("t", 500L)) ++
+      (0 until 500).map(i => ("t", i.toLong)) ++
+      (0 until 500).map(i => ("t", 1000L + i))
+    val df = tied.toDF("g", "v").repartition(11)
+    val got = Quantiles.exactPositional(df, "g", "v", Seq("p50" -> 0.5, "p99" -> 0.99))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    val vs = tied.map(_._2)
+    assert(got == (10000L, oracle(vs, 0.5), oracle(vs, 0.99)))
+  }
+
+  test("property: quantiles equal the sorted-array oracle on random groups") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val gen = for {
+      nGroups <- Gen.choose(1, 4)
+      rows <- Gen.listOfN(400, for {
+        g <- Gen.choose(0, nGroups - 1)
+        v <- Gen.choose(-1000L, 1000L)
+      } yield (s"g$g", v))
+    } yield rows
+    (1 to 5).foreach { seedIdx =>
+      val rows = gen(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seedIdx.toLong)).get
+      val got = Quantiles.exactPositional(
+        rows.toDF("g", "v").repartition(5), "g", "v",
+        Seq("p25" -> 0.25, "p75" -> 0.75))
+        .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+      rows.groupBy(_._1).foreach { case (g, grp) =>
+        val vs = grp.map(_._2)
+        assert(got(g) == (oracle(vs, 0.25), oracle(vs, 0.75)),
+          s"seed $seedIdx group $g")
+      }
+    }
+  }
 }
