@@ -139,6 +139,34 @@ class StreamingSpec extends AnyFunSuite {
     streamed.foreach { case (k, n) => assert(batchAgg(k) == n, s"window $k mismatch") }
   }
 
+  test("checkpointed file sink recovers exactly-once across a restart") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val (src, sink, ckpt) = (s"$root/src", s"$root/sink", s"$root/ckpt")
+    def startQuery() = spark.readStream
+      .schema("event_id BIGINT, payload STRING").parquet(src)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    Seq((1L, "a"), (2L, "b")).toDF("event_id", "payload")
+      .write.mode("append").parquet(src)
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+
+    // new input lands while the query is DOWN; the restarted query must
+    // pick up exactly the unprocessed files from the checkpointed offsets
+    Seq((3L, "c")).toDF("event_id", "payload")
+      .write.mode("append").parquet(src)
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(sink)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // exactly once: no replays of batch 1, no loss of the offline batch
+    assert(got.sorted == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("late data beyond the watermark is dropped from closed windows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
