@@ -34,4 +34,31 @@ class SourcesSpec extends AnyFunSuite {
     val b = back.orderBy($"doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("partition pruning reaches the Hive-partitioned lake scan") {
+    import spark.implicits._
+    // the q83 lake layout: at 100 TB a `WHERE lang = …` must be served by
+    // the directory structure (PartitionFilters), never a full scan
+    Tables(spark, sfDir, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$dir/lake")
+    val q = spark.read.parquet(s"$dir/lake").filter($"lang" === "en")
+    val detail = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters:.*\\(lang#\\d+ = en\\)".r
+      .findFirstIn(detail).isDefined,
+      s"lang filter must prune partitions at the scan:\n$detail")
+    // and the pruned read returns exactly the partition's rows
+    val expected = Tables(spark, sfDir, "documents")
+      .filter($"lang" === "en").count()
+    assert(q.count() == expected)
+  }
+
+  test("ORC round-trip preserves rows and values") {
+    import spark.implicits._
+    val src = Tables(spark, sfDir, "part")
+    src.write.mode("overwrite").orc(s"$dir/part_orc")
+    val back = spark.read.orc(s"$dir/part_orc")
+    assert(back.orderBy($"p_partkey").collect().toSeq ==
+      src.orderBy($"p_partkey").collect().toSeq)
+  }
 }
