@@ -69,4 +69,32 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"\n${offenders.mkString("\n")}")
   }
+
+  /** Queries allowed to carry a ScalaUDF in their plan: the declared
+    * UDF-bearing surfaces (stemmer/TF-IDF text family, lang-ID and
+    * rolling-hash UDFs, multimodal decode, similarity joins tokenizing
+    * through the same stemmer, fingerprints, dedup over stemmed shingles).
+    * Everything else — the whole relational battery and the column-algebra
+    * corpus operators — must stay pure codegen-able expressions
+    * (`standardize_title` itself runs as a native Catalyst expression, not
+    * a ScalaUDF). */
+  private val udfBearing = Set(
+    "q30_std_scan", "q31_std_group_count", "q32_std_filter",
+    "q33_std_category_rollup", "q34_similarity_join", "q35_dedup_fuzzy",
+    "q36_dedup_simhash", "q37_ngram_jaccard", "q39_lang_id",
+    "q40_quality_scores", "q41_fingerprints", "q44_multimodal_features",
+    "q45_text_udfs", "q46_similarity_join_generic",
+    "q48_multimodal_frames", "q49_similarity_join_threshold",
+    "q52_std_golden", "q53_ngram_jaccard_exact", "q62_pipeline_e2e",
+    "q70_mixture_weights", "q76_keyword_extract",
+    "q38_knn_lsh", "q42_knn_ivf") // vector signature/assignment UDFs
+
+  test("only declared UDF-bearing queries plan a ScalaUDF") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      if (plan.contains("UDF") && !udfBearing(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected ScalaUDF in: ${offenders.mkString(", ")}")
+  }
 }
