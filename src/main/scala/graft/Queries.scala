@@ -1467,4 +1467,163 @@ object Queries {
         |      FROM orders)
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
+
+  /** Blocked edit-distance candidate pairs: the classic record-linkage
+    * shape — a cheap blocking key (brand × size band) bounds the
+    * quadratic, then exact `levenshtein` runs only within blocks. At
+    * 100 TB the block key IS the shuffle key: each block's pairs are
+    * generated inside one task, no all-pairs cartesian ever exists, and
+    * skewed blocks can be re-blocked on a finer key. Codegen'd builtin
+    * Levenshtein — no UDF. */
+  def stringDistancePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables(spark, sfDir, "part")
+      .select($"p_partkey", $"p_name", $"p_brand",
+        ($"p_size" / 5).cast("int").as("size_band"))
+    val a = p.select($"p_partkey".as("a_key"), $"p_name".as("a_name"),
+      $"p_brand", $"size_band")
+    val b = p.select($"p_partkey".as("b_key"), $"p_name".as("b_name"),
+      $"p_brand", $"size_band")
+    a.join(b, Seq("p_brand", "size_band"))
+      .filter($"a_key" < $"b_key")
+      .withColumn("dist", levenshtein($"a_name", $"b_name"))
+      .filter($"dist" <= 3)
+      .select($"a_key", $"b_key", $"dist".cast("bigint").as("dist"))
+      .orderBy($"a_key", $"b_key")
+  }
+
+  /** Higher-order array function battery over tokenized documents:
+    * lambda transform/filter/aggregate (fold), array_distinct/sort/
+    * slice/join — Spark's codegen'd array algebra, mirrored by DuckDB's
+    * list lambdas. All map-side; the only shuffle is the final sort. */
+  def arrayBattery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .withColumn("toks", filter(split(lower($"text"), "\\s+"), t => t =!= ""))
+      .select($"doc_id",
+        size($"toks").cast("bigint").as("n_toks"),
+        size(array_distinct($"toks")).cast("bigint").as("n_uniq"),
+        aggregate($"toks", lit(0L), (acc, t) => acc + length(t))
+          .as("total_len"),
+        array_max(transform($"toks", t => length(t)))
+          .cast("bigint").as("longest"),
+        array_join(slice(array_sort(array_distinct($"toks")), 1, 3), "|")
+          .as("first3"))
+      .orderBy($"doc_id")
+  }
+
+  /** Interpolating (continuous) quartiles per segment — complements
+    * q68's exact positional pick: `percentile` does the classic
+    * a + f·(b−a) linear interpolation. Outputs ×4 so every quartile of
+    * integer cents is itself an exact integer (f ∈ k/4, and all
+    * intermediate doubles are exact: cents < 2^26, so no rounding —
+    * the BIGINT cast is engine-identical, not approximately so).
+    * Partial-aggregates map-side; one shuffle on the segment key. */
+  def quartilesInterp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", cents(dec($"o_totalprice", 18, 2)).as("c"))
+      .groupBy($"c_mktsegment")
+      .agg(
+        (percentile($"c", lit(0.25)) * 4).cast("bigint").as("p25_x4"),
+        (percentile($"c", lit(0.5)) * 4).cast("bigint").as("p50_x4"),
+        (percentile($"c", lit(0.75)) * 4).cast("bigint").as("p75_x4"),
+        count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Equi-width histogram via `width_bucket` over order cents, bounds
+    * and width powers of two so the bucket arithmetic is exact in
+    * double on both engines (DuckDB 1.0 lacks width_bucket — the
+    * oracle mirrors the exact formula incl. the below-lo=0 / ≥hi=n+1
+    * edge buckets). The distributed histogram pattern: map-side
+    * bucket-assign + partial count, one tiny shuffle of ≤n+2 rows. */
+  def widthBucketHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "orders")
+      .select(cents(dec($"o_totalprice", 18, 2)).as("c"))
+      .withColumn("bucket",
+        width_bucket($"c", lit(0L), lit(67108864L), lit(64L)))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), sum($"c").as("sum_c"))
+      .orderBy($"bucket")
+  }
+
+  /** Conditional-expression battery: searched CASE, coalesce/nullif,
+    * greatest/least, boolean algebra — the scalar glue of every real
+    * query, all codegen'd map-side. */
+  def conditionalBattery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "orders")
+      .withColumn("c", cents(dec($"o_totalprice", 18, 2)))
+      .select($"o_orderkey",
+        when($"c" >= 30000000L, "high")
+          .when($"c" >= 10000000L, "mid")
+          .otherwise("low").as("band"),
+        coalesce(nullif($"o_orderpriority", lit("3-MEDIUM")), lit("other"))
+          .as("prio"),
+        greatest($"c", lit(5000000L)).as("floor_c"),
+        least($"c", lit(40000000L)).as("cap_c"),
+        ($"o_orderstatus" === "O" && $"c" > 20000000L).as("big_open"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Timestamp scalar battery over the event stream: epoch micros,
+    * clock components, minute/day truncation, calendar formatting —
+    * UTC on both engines (session TZ pinned in Verify/Bench). */
+  def timestampBattery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "events")
+      .select($"event_id",
+        unix_micros($"ts").as("us"),
+        hour($"ts").cast("int").as("h"),
+        minute($"ts").cast("int").as("mi"),
+        second($"ts").cast("int").as("s"),
+        unix_micros(date_trunc("minute", $"ts")).as("minute_us"),
+        unix_micros(date_trunc("day", $"ts")).as("day_us"),
+        date_format($"ts", "yyyy-MM-dd HH:mm").as("fmt"))
+      .orderBy($"event_id")
+  }
+
+  /** Forward fill (last observation carried forward): each event carries
+    * the latest preceding purchase value of its user — `last(...,
+    * ignoreNulls)` over an explicit ROWS frame. THE time-series
+    * imputation primitive; one shuffle on user_id, and at 100 TB the
+    * same plan holds with the stream pre-bucketed by user. */
+  def forwardFill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, sfDir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .filter($"user_id" < 200)
+      .select($"user_id", $"us", $"event_id",
+        last(when($"event_type" === "purchase", $"value"), ignoreNulls = true)
+          .over(w).as("last_purchase_value"))
+      .orderBy($"user_id", $"us", $"event_id")
+  }
+
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL): one
+    * sketch per event type, then a sketch-UNION re-aggregate — the
+    * 100 TB cardinality pattern (per-partition/day sketches unioned
+    * later, never re-scanning raw data). No DuckDB mirror (rows-only);
+    * the estimate-vs-exact error bound is pinned in ApproxAggSpec. */
+  def hllSketches(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perType = Tables(spark, sfDir, "events")
+      .groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"))
+    val union = perType
+      .agg(hll_union_agg($"sk", lit(true)).as("sk"))
+      .select(lit("ALL").as("event_type"),
+        hll_sketch_estimate($"sk").cast("bigint").as("approx_users"))
+    perType
+      .select($"event_type",
+        hll_sketch_estimate($"sk").cast("bigint").as("approx_users"))
+      .union(union)
+      .orderBy($"event_type")
+  }
 }

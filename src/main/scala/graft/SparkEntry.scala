@@ -112,7 +112,15 @@ object SparkEntry {
     "q87_unpivot" -> (Queries.unpivotMetrics _),
     "q88_grouping_sets" -> (Queries.groupingSets _),
     "q89_segment_scalar_subquery" -> (Queries.segmentScalarSubquery _),
-    "q90_gap_fill" -> (Queries.gapFillHourly _)
+    "q90_gap_fill" -> (Queries.gapFillHourly _),
+    "q91_string_distance" -> (Queries.stringDistancePairs _),
+    "q92_array_battery" -> (Queries.arrayBattery _),
+    "q93_quartiles_interp" -> (Queries.quartilesInterp _),
+    "q94_width_bucket" -> (Queries.widthBucketHistogram _),
+    "q95_conditional_battery" -> (Queries.conditionalBattery _),
+    "q96_timestamp_battery" -> (Queries.timestampBattery _),
+    "q97_forward_fill" -> (Queries.forwardFill _),
+    "q98_hll_sketches" -> (Queries.hllSketches _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -954,6 +962,98 @@ object SparkEntry {
         |SELECT g.h_us, t.event_type, COALESCE(h.n, 0) AS n
         |FROM g CROSS JOIN t
         |LEFT JOIN h ON h.h_us = g.h_us AND h.event_type = t.event_type
-        |ORDER BY g.h_us, t.event_type""".stripMargin
+        |ORDER BY g.h_us, t.event_type""".stripMargin,
+    // Blocked record linkage: identical block keys (brand × size//5 —
+    // both engines floor-divide positives) and identical classic
+    // Levenshtein. The filter re-states the distance because DuckDB has
+    // no column alias in WHERE.
+    "q91_string_distance" ->
+      """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size // 5 = b.p_size // 5
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY a_key, b_key""".stripMargin,
+    // Spark higher-order functions vs DuckDB list lambdas; distinct is
+    // re-sorted before slicing (DuckDB list_distinct order is
+    // unspecified), and both sort orders are plain byte order.
+    "q92_array_battery" ->
+      """SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_toks,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+        |  CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+        |    AS BIGINT) AS total_len,
+        |  CAST(list_aggregate(list_transform(toks, t -> length(t)), 'max')
+        |    AS BIGINT) AS longest,
+        |  array_to_string(list_sort(list_distinct(toks))[1:3], '|') AS first3
+        |FROM (SELECT doc_id,
+        |        list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                    t -> t != '') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // Both engines use the classic a + f*(b-a) continuous quantile; ×4
+    // makes every quartile of integer cents an exact integer (all
+    // intermediate doubles exact below 2^26), so BIGINT casts agree.
+    "q93_quartiles_interp" ->
+      """SELECT c_mktsegment,
+        |  CAST(quantile_cont(c, 0.25) * 4 AS BIGINT) AS p25_x4,
+        |  CAST(quantile_cont(c, 0.5)  * 4 AS BIGINT) AS p50_x4,
+        |  CAST(quantile_cont(c, 0.75) * 4 AS BIGINT) AS p75_x4,
+        |  COUNT(*) AS n
+        |FROM (SELECT c_mktsegment,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM orders JOIN customer ON o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // DuckDB 1.0 has no width_bucket — the oracle states the exact
+    // formula with power-of-two bounds (width 2^20: the double division
+    // is exact, so FLOOR agrees bit-for-bit with Spark's builtin),
+    // including the 0 / n+1 out-of-range edge buckets.
+    "q94_width_bucket" ->
+      """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT) AS c FROM orders)
+        |SELECT CASE WHEN c >= 67108864 THEN 65
+        |            WHEN c < 0 THEN 0
+        |            ELSE CAST(FLOOR(c / 1048576.0) AS BIGINT) + 1 END AS bucket,
+        |  COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sum_c
+        |FROM o GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q95_conditional_battery" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CASE WHEN c >= 30000000 THEN 'high'
+        |       WHEN c >= 10000000 THEN 'mid' ELSE 'low' END AS band,
+        |  COALESCE(NULLIF(o_orderpriority, '3-MEDIUM'), 'other') AS prio,
+        |  GREATEST(c, 5000000) AS floor_c,
+        |  LEAST(c, 40000000) AS cap_c,
+        |  (o_orderstatus = 'O' AND c > 20000000) AS big_open
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+    // UTC both sides; date_part('second') truncates like Spark second();
+    // strftime %H:%M == date_format HH:mm.
+    "q96_timestamp_battery" ->
+      """SELECT event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INT) AS h,
+        |  CAST(date_part('minute', CAST(ts AS TIMESTAMP)) AS INT) AS mi,
+        |  CAST(date_part('second', CAST(ts AS TIMESTAMP)) AS INT) AS s,
+        |  epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS minute_us,
+        |  epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS day_us,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M') AS fmt
+        |FROM events ORDER BY event_id""".stripMargin,
+    // IGNORE NULLS forward fill over an identical explicit ROWS frame;
+    // (us, event_id) is a total order so RANGE-vs-ROWS peers can't bite.
+    // The raw double `value` passes through both engines unchanged.
+    "q97_forward_fill" ->
+      """SELECT user_id, us, event_id, last_purchase_value FROM (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_purchase_value
+        |  FROM events WHERE user_id < 200)
+        |ORDER BY user_id, us, event_id""".stripMargin
   )
 }

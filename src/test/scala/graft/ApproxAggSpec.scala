@@ -30,4 +30,26 @@ class ApproxAggSpec extends AnyFunSuite {
         s"lang ${r.getString(0)}: approx median $am vs exact $em")
     }
   }
+
+  test("DataSketches HLL per-type estimates and their union within 5% of exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val est = Queries.hllSketches(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_users")).toMap
+    val ev = Tables(spark, sfDir, "events")
+    val exactPerType = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    val exactAll = ev.select(countDistinct($"user_id")).head().getLong(0)
+    exactPerType.foreach { case (t, n) =>
+      assert(math.abs(est(t).toDouble - n) / n <= 0.05,
+        s"type $t: sketch ${est(t)} vs exact $n")
+    }
+    // the unioned sketch estimates the GLOBAL distinct count, not the
+    // sum of per-type counts — that mergeability is the point
+    assert(math.abs(est("ALL").toDouble - exactAll) / exactAll <= 0.05,
+      s"union: sketch ${est("ALL")} vs exact $exactAll")
+    assert(est("ALL") < exactPerType.values.sum,
+      "union must dedup users shared across event types")
+  }
 }
