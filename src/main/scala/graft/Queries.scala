@@ -1626,4 +1626,128 @@ object Queries {
       .union(union)
       .orderBy($"event_type")
   }
+
+  /** MERGE/upsert semantics as a declarative plan: apply a CDC-style
+    * delta (per-customer order spend) onto a base table — matched rows
+    * update (balance += spend), unmatched-by-target rows insert,
+    * unmatched-by-source rows carry through. One full-outer equi-join;
+    * at 100 TB base and delta are bucketed on the key so the merge is
+    * shuffle-free, and the output is the new base generation. */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables(spark, sfDir, "customer")
+      .filter($"c_custkey" % 3 =!= 0)
+      .select($"c_custkey".as("key"), cents(dec($"c_acctbal", 18, 2)).as("bal_c"))
+    val delta = Tables(spark, sfDir, "orders")
+      .groupBy($"o_custkey")
+      .agg(cents(sum(dec($"o_totalprice", 18, 2))).as("spend_c"))
+    base.join(delta, $"key" === $"o_custkey", "full_outer")
+      .select(
+        coalesce($"key", $"o_custkey").as("custkey"),
+        (coalesce($"bal_c", lit(0L)) + coalesce($"spend_c", lit(0L)))
+          .as("new_bal_c"),
+        $"key".isNotNull.as("existed"),
+        $"o_custkey".isNotNull.as("changed"))
+      .orderBy($"custkey")
+  }
+
+  /** SCD-2 validity intervals: each event becomes a [from, to) version
+    * row per user — `lead` closes the interval, the newest row stays
+    * open (null) and is flagged current. The standard
+    * dimension-history build; one shuffle on the entity key. */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables(spark, sfDir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .filter($"user_id" < 100)
+      .select($"user_id", $"event_id", $"us".as("valid_from_us"),
+        lead($"us", 1).over(w).as("valid_to_us"))
+      .withColumn("is_current", $"valid_to_us".isNull)
+      .orderBy($"user_id", $"valid_from_us", $"event_id")
+  }
+
+  /** Ordered conversion funnel (view → click → purchase): stage k's
+    * timestamp is the MIN event strictly after stage k−1, per user —
+    * three keyed aggregates chained by joins, each shuffle on user_id
+    * reusable by AQE. The sequential-pattern query every product
+    * pipeline runs; no window over the raw stream needed. */
+  def funnelStages(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("v_us"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"us" > $"v_us")
+      .groupBy($"user_id").agg(min($"us").as("c_us"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"us" > $"c_us")
+      .groupBy($"user_id").agg(min($"us").as("p_us"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select($"user_id", $"v_us", $"c_us", $"p_us",
+        (lit(1) + $"c_us".isNotNull.cast("int") + $"p_us".isNotNull.cast("int"))
+          .as("stage"))
+      .orderBy($"user_id")
+  }
+
+  /** Skew-safe two-phase aggregation through [[Skew.saltedTwoPhaseAgg]]:
+    * (key, salt) partial aggregates then a per-key merge — the shape
+    * that survives a hot key holding 10% of 100 TB, because phase 1
+    * spreads it over nSalt reducers. Decimal partials are exact and
+    * associative, so the oracle is the PLAIN one-phase GROUP BY:
+    * green proves salting is semantics-preserving. */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"event_type", $"event_id", dec($"value", 18, 4).as("v"))
+    graft.operators.Skew.saltedTwoPhaseAgg(
+        ev, Seq("event_type"), $"event_id", nSalt = 16)(
+        partial = Seq(count(lit(1)).as("pn"), sum($"v").as("ps")),
+        merge = Seq(sum($"pn").cast("bigint").as("n"),
+          e4(sum($"ps")).as("sum_value_e4")))
+      .orderBy($"event_type")
+  }
+
+  /** Trailing 1-hour per-user rolling aggregate via a time-RANGE frame
+    * over epoch micros — the time-series feature primitive (rate
+    * limiting, rolling spend). RANGE peers make ties well-defined, so
+    * the result is deterministic even with duplicate timestamps; one
+    * shuffle on user_id. */
+  def rollingTimeWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-3600000000L, 0L)
+    Tables(spark, sfDir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .filter($"user_id" < 100)
+      .select($"user_id", $"us", $"event_id",
+        count(lit(1)).over(w).cast("bigint").as("n_1h"),
+        e4(sum(dec($"value", 18, 4)).over(w)).as("sum_1h_e4"))
+      .orderBy($"user_id", $"us", $"event_id")
+  }
+
+  /** Z-order-clustered lake round trip: events rewritten as Morton-code
+    * (user_id × time) clustered parquet via [[graft.sources.ZOrder]],
+    * read back through a 2-D box filter and aggregated. The oracle runs
+    * the same box on the ORIGINAL table — green proves the clustered
+    * rewrite is lossless; the file-pruning locality it buys is pinned
+    * in ZOrderSpec (each output file covers a compact (user, time) box,
+    * so either dimension's filter skips most files at 100 TB). */
+  def zorderLake(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q104_zorder").toString
+    val ev = Tables(spark, sfDir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+        $"event_type", dec($"value", 18, 4).as("v"))
+    graft.sources.ZOrder.writeZOrdered(
+      ev, dir, Seq("user_id", "us"), numFiles = 16)
+    val lo = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    spark.read.parquet(dir)
+      .filter($"user_id".between(20, 60) &&
+        $"us".between(lo, lo + 7L * 86400000000L))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), e4(sum($"v")).as("sum_value_e4"))
+      .orderBy($"event_type")
+  }
 }

@@ -120,7 +120,13 @@ object SparkEntry {
     "q95_conditional_battery" -> (Queries.conditionalBattery _),
     "q96_timestamp_battery" -> (Queries.timestampBattery _),
     "q97_forward_fill" -> (Queries.forwardFill _),
-    "q98_hll_sketches" -> (Queries.hllSketches _)
+    "q98_hll_sketches" -> (Queries.hllSketches _),
+    "q99_merge_upsert" -> (Queries.mergeUpsert _),
+    "q100_scd2_intervals" -> (Queries.scd2Intervals _),
+    "q101_funnel" -> (Queries.funnelStages _),
+    "q102_salted_agg" -> (Queries.saltedAgg _),
+    "q103_rolling_time_window" -> (Queries.rollingTimeWindow _),
+    "q104_zorder_lake" -> (Queries.zorderLake _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1054,6 +1060,85 @@ object SparkEntry {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS last_purchase_value
         |  FROM events WHERE user_id < 200)
-        |ORDER BY user_id, us, event_id""".stripMargin
+        |ORDER BY user_id, us, event_id""".stripMargin,
+    // MERGE regenerated as the equivalent FULL OUTER JOIN (DuckDB 1.0
+    // has no MERGE statement); both % operators agree on positives.
+    "q99_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS key,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+        |  FROM customer WHERE c_custkey % 3 != 0),
+        |delta AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS spend_c
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(key, o_custkey) AS custkey,
+        |  COALESCE(bal_c, 0) + COALESCE(spend_c, 0) AS new_bal_c,
+        |  key IS NOT NULL AS existed,
+        |  o_custkey IS NOT NULL AS changed
+        |FROM base FULL OUTER JOIN delta ON key = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q100_scd2_intervals" ->
+      """SELECT user_id, event_id, us AS valid_from_us,
+        |  lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS valid_to_us,
+        |  lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    IS NULL AS is_current
+        |FROM (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |      FROM events WHERE user_id < 100)
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    // Each funnel stage is the MIN event strictly after the previous
+    // stage; LEFT joins keep users that stall mid-funnel.
+    "q101_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS v_us FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(us) AS c_us FROM e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND us > v_us GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(us) AS p_us FROM e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND us > c_us GROUP BY e.user_id)
+        |SELECT v.user_id, v_us, c_us, p_us,
+        |  1 + CAST(c_us IS NOT NULL AS INT) + CAST(p_us IS NOT NULL AS INT)
+        |    AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+    // The Spark side aggregates twice through (key, salt); decimal
+    // partials are exact, so the plain one-phase GROUP BY is the
+    // ground truth the salted plan must reproduce bit-for-bit.
+    "q102_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |    AS sum_value_e4
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q103_rolling_time_window" ->
+      """SELECT user_id, us, event_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w * 10000 AS BIGINT)
+        |    AS sum_1h_e4
+        |FROM (SELECT user_id, event_id, value,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |      FROM events WHERE user_id < 100)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, us, event_id""".stripMargin,
+    // The Spark side rewrites events z-order-clustered and re-reads
+    // through the box; the oracle runs the identical box on the
+    // ORIGINAL parquet — lossless-round-trip pattern (q83/q84/q85).
+    "q104_zorder_lake" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |    AS sum_value_e4
+        |FROM (SELECT event_type, value,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id
+        |      FROM events)
+        |WHERE user_id BETWEEN 20 AND 60
+        |  AND us BETWEEN 1704067200000000
+        |            AND 1704067200000000 + 7 * 86400000000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
