@@ -1750,4 +1750,45 @@ object Queries {
       .agg(count(lit(1)).as("n"), e4(sum($"v")).as("sum_value_e4"))
       .orderBy($"event_type")
   }
+
+  /** Bounded behavioral-sequence construction: each user's first 50
+    * events as an ordered "type>type>..." string — collect_list is made
+    * deterministic by sorting on the (us, event_id) struct prefix and
+    * BOUNDED by the post-sort slice, so a pathological key can't blow
+    * up a reducer (the unbounded per-key collect is the anti-pattern
+    * this query exists to replace). One shuffle on user_id. */
+  def eventSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "events")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"event_type")
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            slice(array_sort(collect_list(struct($"us", $"event_id", $"event_type"))),
+              1, 50),
+            s => s.getField("event_type")),
+          ">").as("seq"))
+      .orderBy($"user_id")
+  }
+
+  /** JSON scalar battery over the event props: path extraction
+    * (string-typed and cast), schema-directed `from_json`, and
+    * re-serialization via `to_json(struct(...))` — both engines emit
+    * compact declaration-ordered JSON, so the round-tripped text
+    * compares exactly. All map-side codegen except the final sort. */
+  def jsonBattery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "events")
+      .select($"event_id",
+        get_json_object($"props", "$.k").as("k_str"),
+        get_json_object($"props", "$.k").cast("bigint").as("k"),
+        from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k_parsed"),
+        to_json(struct($"event_type".as("t"),
+          get_json_object($"props", "$.k").cast("bigint").as("k")))
+          .as("echo"))
+      .orderBy($"event_id")
+  }
 }

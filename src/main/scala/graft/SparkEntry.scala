@@ -126,7 +126,9 @@ object SparkEntry {
     "q101_funnel" -> (Queries.funnelStages _),
     "q102_salted_agg" -> (Queries.saltedAgg _),
     "q103_rolling_time_window" -> (Queries.rollingTimeWindow _),
-    "q104_zorder_lake" -> (Queries.zorderLake _)
+    "q104_zorder_lake" -> (Queries.zorderLake _),
+    "q105_event_sequences" -> (Queries.eventSequences _),
+    "q106_json_battery" -> (Queries.jsonBattery _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1139,6 +1141,30 @@ object SparkEntry {
         |WHERE user_id BETWEEN 20 AND 60
         |  AND us BETWEEN 1704067200000000
         |            AND 1704067200000000 + 7 * 86400000000
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Ordered, BOUNDED per-user sequence: string_agg over the first 50
+    // events by (us, event_id) mirrors the sorted-slice collect.
+    "q105_event_sequences" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM events)
+        |SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS n_events,
+        |  string_agg(event_type, '>' ORDER BY rn) AS seq
+        |FROM e WHERE rn <= 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Both engines emit compact declaration-ordered JSON; BIGINT json
+    // values serialize without decoration on both sides.
+    "q106_json_battery" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
+        |  to_json(struct_pack(t := event_type,
+        |                      k := CAST(json_extract_string(props, '$.k')
+        |                                AS BIGINT))) AS echo
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -117,6 +117,71 @@ object StreamingOps {
       }
   }
 
+  /** Incremental keyed upsert into a parquet snapshot via foreachBatch —
+    * the streaming MERGE: each micro-batch keeps its own newest row per
+    * key, full-outer-merges with the current snapshot generation, and
+    * writes the next generation (write-new-then-point, never overwrite
+    * in place — readers of generation N are never disturbed, the pointer
+    * flip is the atomic commit, exactly the table-format pattern). At
+    * 100 TB the same loop works per partition-of-key with the snapshot
+    * bucketed on the key so the merge join is shuffle-free. Returns the
+    * StreamingQuery; read the current state with [[readSnapshot]]. */
+  def upsertSnapshot(
+      updates: DataFrame, // columns: key BIGINT, ts TIMESTAMP, payload...
+      dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val applyBatch: (DataFrame, Long) => Unit = { (batch, _) =>
+        val spark = batch.sparkSession
+        val cols = batch.columns
+        // newer ts wins; at equal ts the incoming batch beats the
+        // snapshot (ties inside one batch fall back to arrival order)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key"))
+          .orderBy(col("ts").desc, col("__src").desc)
+        val newest = batch.withColumn("__src", lit(1))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val curGen = currentGeneration(dir)
+        val merged = curGen match {
+          case None => newest
+          case Some(gen) =>
+            val cur = spark.read.parquet(s"$dir/gen=$gen")
+              .withColumn("__src", lit(0))
+            // per-key newest wins across {current snapshot, batch}
+            cur.unionByName(newest)
+              .withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn")
+        }
+        val next = curGen.getOrElse(-1L) + 1
+        merged.select(cols.map(col): _*)
+          .write.mode("overwrite").parquet(s"$dir/gen=$next")
+        // pointer flip commits the generation atomically (rename)
+        val tmp = java.nio.file.Paths.get(dir, "_LATEST.tmp")
+        java.nio.file.Files.writeString(tmp, next.toString)
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "_LATEST"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(applyBatch)
+      .start()
+  }
+
+  private def currentGeneration(dir: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(dir, "_LATEST")
+    if (java.nio.file.Files.exists(p))
+      Some(java.nio.file.Files.readString(p).trim.toLong)
+    else None
+  }
+
+  /** The snapshot as of the last committed generation. */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    currentGeneration(dir) match {
+      case Some(gen) => spark.read.parquet(s"$dir/gen=$gen")
+      case None => throw new IllegalStateException(s"no committed generation under $dir")
+    }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

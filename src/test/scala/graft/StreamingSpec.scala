@@ -241,4 +241,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(1L) == UserTotals(1L, 2L, 15.0))
     assert(last(2L) == UserTotals(2L, 1L, 7.0))
   }
+
+  test("foreachBatch upsert snapshot keeps exactly the newest row per key") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ck").toString
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.upsertSnapshot(
+      in.toDF().toDF("key", "ts", "payload"), dir, ckpt)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def snap() = StreamingOps.readSnapshot(spark, dir).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[String]("payload")).toMap
+
+    in.addData((1L, t("2024-01-01 00:00:10"), "a1"),
+               (2L, t("2024-01-01 00:00:10"), "b1"))
+    q.processAllAvailable()
+    assert(snap() == Map(1L -> "a1", 2L -> "b1"))
+
+    // update (with an in-batch older duplicate), insert, and carry-through
+    in.addData((1L, t("2024-01-01 00:00:30"), "a2"),
+               (1L, t("2024-01-01 00:00:20"), "a-mid"),
+               (3L, t("2024-01-01 00:00:10"), "c1"))
+    q.processAllAvailable()
+    assert(snap() == Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
+
+    // a stale (older-ts) redelivery must NOT regress the snapshot
+    in.addData((2L, t("2024-01-01 00:00:05"), "b-stale"))
+    q.processAllAvailable()
+    q.stop()
+    assert(snap() == Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
+    assert(StreamingOps.readSnapshot(spark, dir).count() == 3)
+  }
 }
