@@ -1791,4 +1791,50 @@ object Queries {
           .as("echo"))
       .orderBy($"event_id")
   }
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 orders per
+    * customer declared as a dependent join — the planner decorrelates
+    * into a partitioned top-k (same physical shape as q09's window), but
+    * the SURFACE is the SQL-standard lateral form users write. Tie-broken
+    * on the key so both engines pick identical rows. */
+  def lateralTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, x.o_orderkey, x.price_c
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey,
+        |           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |             AS price_c
+        |         FROM orders o WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY price_c DESC, o_orderkey LIMIT 2) x
+        |ORDER BY c_custkey, price_c DESC, o_orderkey""".stripMargin)
+  }
+
+  /** Recursive CTE (iterative frontier expansion — the relational form
+    * of BFS): walk each region's nation chain by successive keys. The
+    * recursion is a loop of equi-joins against a precomputed successor
+    * edge table; at scale each iteration is one shuffle and the frontier
+    * stays small — exactly how iterative graph algorithms (connected
+    * components, reachability) run on Spark. */
+  def recursiveWalk(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """WITH RECURSIVE edges AS (
+        |  SELECT a.n_nationkey AS src, MIN(b.n_nationkey) AS dst
+        |  FROM nation a JOIN nation b
+        |    ON a.n_regionkey = b.n_regionkey AND b.n_nationkey > a.n_nationkey
+        |  GROUP BY a.n_nationkey),
+        |roots AS (
+        |  SELECT n_regionkey AS region, MIN(n_nationkey) AS nk FROM nation
+        |  GROUP BY n_regionkey),
+        |reach(region, nk, depth) AS (
+        |  SELECT region, nk, 0 FROM roots
+        |  UNION ALL
+        |  SELECT r.region, e.dst, r.depth + 1
+        |  FROM reach r JOIN edges e ON e.src = r.nk)
+        |SELECT region, CAST(COUNT(*) AS BIGINT) AS n_reached,
+        |  CAST(MAX(depth) AS INT) AS max_depth,
+        |  CAST(SUM(nk) AS BIGINT) AS sum_keys
+        |FROM reach GROUP BY region ORDER BY region""".stripMargin)
+  }
 }

@@ -128,7 +128,9 @@ object SparkEntry {
     "q103_rolling_time_window" -> (Queries.rollingTimeWindow _),
     "q104_zorder_lake" -> (Queries.zorderLake _),
     "q105_event_sequences" -> (Queries.eventSequences _),
-    "q106_json_battery" -> (Queries.jsonBattery _)
+    "q106_json_battery" -> (Queries.jsonBattery _),
+    "q107_lateral_topk" -> (Queries.lateralTopK _),
+    "q108_recursive_walk" -> (Queries.recursiveWalk _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1165,6 +1167,36 @@ object SparkEntry {
         |  to_json(struct_pack(t := event_type,
         |                      k := CAST(json_extract_string(props, '$.k')
         |                                AS BIGINT))) AS echo
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    // Identical SQL-standard lateral text; the LIMIT is tie-broken on
+    // the key so both engines return the same two rows per customer.
+    "q107_lateral_topk" ->
+      """SELECT c_custkey, x.o_orderkey, x.price_c
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey,
+        |           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |             AS price_c
+        |         FROM orders o WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY price_c DESC, o_orderkey LIMIT 2) x
+        |ORDER BY c_custkey, price_c DESC, o_orderkey""".stripMargin,
+    // Identical WITH RECURSIVE text on both engines.
+    "q108_recursive_walk" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT a.n_nationkey AS src, MIN(b.n_nationkey) AS dst
+        |  FROM nation a JOIN nation b
+        |    ON a.n_regionkey = b.n_regionkey AND b.n_nationkey > a.n_nationkey
+        |  GROUP BY a.n_nationkey),
+        |roots AS (
+        |  SELECT n_regionkey AS region, MIN(n_nationkey) AS nk FROM nation
+        |  GROUP BY n_regionkey),
+        |reach(region, nk, depth) AS (
+        |  SELECT region, nk, 0 FROM roots
+        |  UNION ALL
+        |  SELECT r.region, e.dst, r.depth + 1
+        |  FROM reach r JOIN edges e ON e.src = r.nk)
+        |SELECT region, CAST(COUNT(*) AS BIGINT) AS n_reached,
+        |  CAST(MAX(depth) AS INT) AS max_depth,
+        |  CAST(SUM(nk) AS BIGINT) AS sum_keys
+        |FROM reach GROUP BY region ORDER BY region""".stripMargin
   )
 }
