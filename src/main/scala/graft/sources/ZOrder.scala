@@ -77,4 +77,49 @@ object ZOrder {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Manifest-planned scans: the table-format trick without the table
+    * format. [[writeManifest]] collects per-file min/max of the
+    * clustered dims into `path/_manifest` (one distributed aggregate
+    * over file names — a few KB for thousands of files); [[prunedRead]]
+    * intersects a box predicate with the manifest FIRST and hands Spark
+    * only the surviving file list. At 100 TB this removes the
+    * footer-open cost of every skipped file: planning touches the
+    * manifest (one tiny parquet), not 100k file footers. */
+  def writeManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      dimCols: Seq[String]): Unit = {
+    val aggs = dimCols.flatMap(d =>
+      Seq(min(col(d)).as(s"lo_$d"), max(col(d)).as(s"hi_$d"))) :+
+      count(lit(1)).as("n_rows")
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_manifest")
+  }
+
+  /** Read only the files whose manifest box overlaps `[lo, hi]` on
+    * `dim`. Returns the pruned frame plus (filesRead, filesTotal). The
+    * residual filter still applies row-level — pruning is a superset
+    * guarantee, identical results to a full scan + filter. */
+  def prunedRead(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      dim: String,
+      lo: Long,
+      hi: Long): (DataFrame, Int, Int) = {
+    val manifest = spark.read.parquet(s"$path/_manifest")
+      .select(col("file"), col(s"lo_$dim"), col(s"hi_$dim"))
+      .collect()
+    val keep = manifest.collect {
+      case r if r.getAs[Long](s"lo_$dim") <= hi && r.getAs[Long](s"hi_$dim") >= lo =>
+        r.getAs[String]("file")
+    }
+    val df =
+      if (keep.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(keep.toSeq: _*).filter(col(dim).between(lo, hi))
+    (df, keep.length, manifest.length)
+  }
 }

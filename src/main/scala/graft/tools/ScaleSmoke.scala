@@ -158,6 +158,24 @@ object ScaleSmoke {
         docs, "id", "text", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), n = 3)
       println(s"  contaminated test docs: ${out.filter($"contaminated").count()} of ${out.count()}")
     }
+    time(s"z-order clustered write (${nDocs * 10L} rows, 2 dims, 64 files)") {
+      // 10M (user, time) rows → 64 Morton-clustered files; then measure
+      // the data-skipping payoff: how many files a 1/16 time slice
+      // touches (a user-sorted layout would touch all of them)
+      val rows = spark.range(nDocs * 10L)
+        .select($"id".as("event_id"),
+          pmod(xxhash64($"id"), lit(100000L)).as("user_id"),
+          ($"id" * 37L + 1000000L).as("us"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_scale_z").toString
+      graft.sources.ZOrder.writeZOrdered(rows, dir, Seq("user_id", "us"), numFiles = 64)
+      val boxes = spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg(min($"us").as("tlo"), max($"us").as("thi"))
+        .collect()
+      val span = rows.agg(max($"us") - min($"us")).head().getLong(0)
+      val lo = 1000000L + span / 2; val hi = lo + span / 16
+      val hit = boxes.count(r => r.getAs[Long]("tlo") <= hi && r.getAs[Long]("thi") >= lo)
+      println(s"  1/16 time slice touches $hit of ${boxes.length} files")
+    }
     time(s"per-domain cap ($nDocs docs, 32 skewed domains, k=100)") {
       // domain ∝ id mod 32 but domain 0 holds half the corpus — the skew
       // case the WindowGroupLimit rank filter must survive

@@ -69,4 +69,32 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zUserHit * 2 <= zTotal,
       s"z-order should prune user filters too: $zUserHit of $zTotal")
   }
+
+  test("manifest-planned read skips files yet returns exactly the full-scan result") {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    sources.ZOrder.writeZOrdered(ev, dir, Seq("user_id", "us"), numFiles = 16)
+    sources.ZOrder.writeManifest(spark, dir, Seq("user_id", "us"))
+
+    val b = ev.agg(min($"us"), max($"us")).head()
+    val (tmin, tmax) = (b.getLong(0), b.getLong(1))
+    val (lo, hi) = (tmin + (tmax - tmin) / 2, tmin + (tmax - tmin) / 2 + (tmax - tmin) / 8)
+
+    val (pruned, filesRead, filesTotal) =
+      sources.ZOrder.prunedRead(spark, dir, "us", lo, hi)
+    assert(filesTotal >= 12 && filesRead < filesTotal,
+      s"expected pruning: read $filesRead of $filesTotal")
+    val got = pruned.select($"event_id").collect().map(_.getLong(0)).sorted
+    val want = spark.read.parquet(dir).filter($"us".between(lo, hi))
+      .select($"event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want), "pruned read must equal full scan + filter")
+    assert(want.nonEmpty)
+
+    // a box outside the data prunes everything and yields an empty frame
+    val (empty, zeroFiles, _) =
+      sources.ZOrder.prunedRead(spark, dir, "us", tmax + 10, tmax + 20)
+    assert(zeroFiles == 0 && empty.count() == 0)
+  }
 }
