@@ -1518,7 +1518,11 @@ object Queries {
     * integer cents is itself an exact integer (f ∈ k/4, and all
     * intermediate doubles are exact: cents < 2^26, so no rounding —
     * the BIGINT cast is engine-identical, not approximately so).
-    * Partial-aggregates map-side; one shuffle on the segment key. */
+    * Scale note: exact `percentile` buffers each group's values in the
+    * aggregation state (fine for bounded groups like these 5 segments);
+    * for quantiles over arbitrary-size groups the scale path is
+    * [[graft.operators.Quantiles.exactPositional]] (range-partitioned,
+    * q68) or `approx_percentile` (q63). */
   def quartilesInterp(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, sfDir, "orders")
@@ -1752,22 +1756,28 @@ object Queries {
   }
 
   /** Bounded behavioral-sequence construction: each user's first 50
-    * events as an ordered "type>type>..." string — collect_list is made
-    * deterministic by sorting on the (us, event_id) struct prefix and
-    * BOUNDED by the post-sort slice, so a pathological key can't blow
-    * up a reducer (the unbounded per-key collect is the anti-pattern
-    * this query exists to replace). One shuffle on user_id. */
+    * events as an ordered "type>type>..." string. The bound is applied
+    * BEFORE the collect — `row_number <= 50` plans as WindowGroupLimit
+    * (each task keeps ≤50 rows per key during the sort), so the
+    * collect_list buffer is ≤50 structs per user no matter how
+    * pathological the key; the unbounded per-key collect is the
+    * anti-pattern this query exists to replace. Both windows and the
+    * aggregate share one user_id shuffle (the window's partitioning
+    * satisfies the groupBy — no second exchange). */
   def eventSequences(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val wAll = Window.partitionBy($"user_id")
     Tables(spark, sfDir, "events")
       .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"event_type")
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter($"rn" <= 50)
       .groupBy($"user_id")
       .agg(
-        count(lit(1)).as("n_events"),
+        max($"cnt").as("n_events"),
         array_join(
-          transform(
-            slice(array_sort(collect_list(struct($"us", $"event_id", $"event_type"))),
-              1, 50),
+          transform(array_sort(collect_list(struct($"rn", $"event_type"))),
             s => s.getField("event_type")),
           ">").as("seq"))
       .orderBy($"user_id")
