@@ -1802,6 +1802,29 @@ object Queries {
       .orderBy($"event_id")
   }
 
+  /** NULL-semantics battery — the classic correctness minefield pinned
+    * in one query: COUNT(*) vs null-skipping COUNT(col), NULL group
+    * keys (one group, not dropped), null-safe equality (`<=>` /
+    * IS NOT DISTINCT FROM), IS NULL flags, and explicit NULLS FIRST
+    * ordering (engine defaults differ — Spark NULLS FIRST on ASC,
+    * DuckDB NULLS LAST). Nulls are manufactured with NULLIF so the
+    * same rows null out on both engines. */
+  def nullSemantics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "orders")
+      .select($"o_orderstatus".as("st"),
+        nullif($"o_orderpriority", lit("3-MEDIUM")).as("p"),
+        cents(dec($"o_totalprice", 18, 2)).as("c"))
+      .groupBy($"st", $"p")
+      .agg(count(lit(1)).as("n_all"), count($"p").as("n_p"),
+        sum($"c").as("sum_c"))
+      .select($"st", $"p", $"n_all", $"n_p",
+        $"p".isNull.as("p_is_null"),
+        ($"p" <=> lit("1-URGENT")).as("nsd_urgent"),
+        $"sum_c")
+      .orderBy($"st", $"p".asc_nulls_first)
+  }
+
   /** Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 orders per
     * customer declared as a dependent join — the planner decorrelates
     * into a partitioned top-k (same physical shape as q09's window), but

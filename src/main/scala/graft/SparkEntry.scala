@@ -130,7 +130,8 @@ object SparkEntry {
     "q105_event_sequences" -> (Queries.eventSequences _),
     "q106_json_battery" -> (Queries.jsonBattery _),
     "q107_lateral_topk" -> (Queries.lateralTopK _),
-    "q108_recursive_walk" -> (Queries.recursiveWalk _)
+    "q108_recursive_walk" -> (Queries.recursiveWalk _),
+    "q109_null_semantics" -> (Queries.nullSemantics _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1197,6 +1198,19 @@ object SparkEntry {
         |SELECT region, CAST(COUNT(*) AS BIGINT) AS n_reached,
         |  CAST(MAX(depth) AS INT) AS max_depth,
         |  CAST(SUM(nk) AS BIGINT) AS sum_keys
-        |FROM reach GROUP BY region ORDER BY region""".stripMargin
+        |FROM reach GROUP BY region ORDER BY region""".stripMargin,
+    // NULLIF manufactures identical nulls on both engines; NULLS FIRST
+    // is explicit because the engines' ASC defaults differ.
+    "q109_null_semantics" ->
+      """WITH o AS (SELECT o_orderstatus AS st,
+        |  NULLIF(o_orderpriority, '3-MEDIUM') AS p,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders)
+        |SELECT st, p, COUNT(*) AS n_all, CAST(COUNT(p) AS BIGINT) AS n_p,
+        |  (p IS NULL) AS p_is_null,
+        |  (p IS NOT DISTINCT FROM '1-URGENT') AS nsd_urgent,
+        |  CAST(SUM(c) AS BIGINT) AS sum_c
+        |FROM o GROUP BY st, p
+        |ORDER BY st, p NULLS FIRST""".stripMargin
   )
 }

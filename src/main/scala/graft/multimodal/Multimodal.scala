@@ -87,6 +87,73 @@ object Multimodal {
     Some(DecodedImage(width, height, bgr))
   }
 
+  /** REAL PPM decode (binary `P6`, maxval ≤ 255): ASCII header — magic,
+    * optional `#` comment lines, width/height/maxval separated by any
+    * whitespace — then one RGB byte triple per pixel. Returns None for
+    * non-P6 payloads, 2-byte maxvals, or short pixel data. Pixels are
+    * re-ordered to BGR so [[imageFeatures]] is container-agnostic. */
+  def decodePpm(payload: Array[Byte]): Option[DecodedImage] = {
+    if (payload == null || payload.length < 11) return None
+    if (payload(0) != 'P' || payload(1) != '6') return None
+    var off = 2
+    def skipSpaceAndComments(): Boolean = {
+      var progressed = false
+      var moving = true
+      while (moving && off < payload.length) {
+        val c = payload(off)
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') { off += 1; progressed = true }
+        else if (c == '#') {
+          while (off < payload.length && payload(off) != '\n') off += 1
+          progressed = true
+        } else moving = false
+      }
+      progressed
+    }
+    def readInt(): Option[Int] = {
+      if (!skipSpaceAndComments()) return None
+      var v = 0L
+      var any = false
+      while (off < payload.length && payload(off) >= '0' && payload(off) <= '9') {
+        v = v * 10 + (payload(off) - '0'); any = true; off += 1
+        if (v > Int.MaxValue) return None
+      }
+      if (any) Some(v.toInt) else None
+    }
+    (readInt(), readInt(), readInt()) match {
+      case (Some(w), Some(h), Some(maxval))
+          if w > 0 && h > 0 && maxval > 0 && maxval < 256 =>
+        off += 1 // exactly ONE whitespace byte after maxval per the spec
+        if (off.toLong + 3L * w * h > payload.length) return None
+        val bgr = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          bgr(i * 3) = payload(off + i * 3 + 2)     // B <- ppm R position swap
+          bgr(i * 3 + 1) = payload(off + i * 3 + 1) // G
+          bgr(i * 3 + 2) = payload(off + i * 3)     // R
+          i += 1
+        }
+        Some(DecodedImage(w, h, bgr))
+      case _ => None
+    }
+  }
+
+  /** Encode BGR pixels (row-major top-down) as binary PPM `P6` — the
+    * exact container [[decodePpm]] reads back. */
+  def encodePpm(width: Int, height: Int, bgr: Array[Byte]): Array[Byte] = {
+    require(bgr.length == width * height * 3)
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + width * height * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < width * height) {
+      out(header.length + i * 3) = bgr(i * 3 + 2)     // R
+      out(header.length + i * 3 + 1) = bgr(i * 3 + 1) // G
+      out(header.length + i * 3 + 2) = bgr(i * 3)     // B
+      i += 1
+    }
+    out
+  }
+
   /** Decoded PCM audio: 16-bit samples (channels interleaved). */
   final case class DecodedAudio(channels: Int, sampleRate: Int, samples: Array[Short])
 
@@ -174,11 +241,12 @@ object Multimodal {
     out
   }
 
-  /** Container-sniffing decode: BMP and WAV payloads yield features of
-    * their actual pixels/samples; anything else takes the byte-hash
+  /** Container-sniffing decode: BMP, PPM and WAV payloads yield features
+    * of their actual pixels/samples; anything else takes the byte-hash
     * fallback. Total — never throws on hostile bytes. */
   def decode(payload: Array[Byte], dim: Int): Array[Float] =
     decodeBmp(payload).map(imageFeatures(_, dim))
+      .orElse(decodePpm(payload).map(imageFeatures(_, dim)))
       .orElse(decodeWav(payload).map(audioFeatures(_, dim)))
       .getOrElse(decodeStub(payload, dim))
 

@@ -65,6 +65,34 @@ class MultimodalSpec extends AnyFunSuite {
     val badBpp = ok.clone(); badBpp(28) = 8; assert(Multimodal.decodeBmp(badBpp).isEmpty)
   }
 
+  test("PPM decode: identical pixels through BMP and PPM yield identical features") {
+    val bgr = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+    val ppm = Multimodal.encodePpm(2, 2, bgr)
+    val img = Multimodal.decodePpm(ppm).get
+    assert(img.width == 2 && img.height == 2)
+    assert(img.bgr.sameElements(bgr), "RGB<->BGR swap must round-trip")
+    // container invariance: same pixels, same features, either container
+    val viaBmp = Multimodal.decode(Multimodal.encodeBmp(2, 2, bgr), 7)
+    val viaPpm = Multimodal.decode(ppm, 7)
+    assert(viaBmp.sameElements(viaPpm))
+  }
+
+  test("PPM decode: header comments/whitespace parse; malformed payloads rejected") {
+    val bgr = Array[Byte](10, 20, 30, 40, 50, 60)
+    val plain = Multimodal.encodePpm(2, 1, bgr)
+    // inject a comment line + odd whitespace into the header
+    val commented = ("P6\n# a comment\n 2\t1 #w h\n255\n").getBytes("US-ASCII") ++
+      plain.drop("P6\n2 1\n255\n".length)
+    val viaComment = Multimodal.decodePpm(commented)
+    assert(viaComment.isDefined && viaComment.get.bgr.sameElements(bgr))
+    assert(Multimodal.decodePpm(null).isEmpty)
+    assert(Multimodal.decodePpm("P3\n2 1\n255\n........".getBytes).isEmpty, "ASCII PPM is not P6")
+    assert(Multimodal.decodePpm(plain.dropRight(1)).isEmpty, "short pixel data")
+    assert(Multimodal.decodePpm("P6\n2 1\n65535\n............".getBytes).isEmpty, "2-byte maxval")
+  }
+
   test("WAV decode: known PCM samples yield exact RMS/mean/ZCR features") {
     // hand-built RIFF: fmt (PCM, 1ch, 8kHz, 16-bit) + 4 samples
     val samples = Array[Short](16384, -16384, 16384, -16384)
