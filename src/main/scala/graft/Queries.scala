@@ -1825,6 +1825,28 @@ object Queries {
       .orderBy($"st", $"p".asc_nulls_first)
   }
 
+  /** Per-label embedding centroids (mean pooling): positional explode of
+    * the vector column → exact decimal sums per (label, dimension). The
+    * centroid/pooling shuffle shape behind class prototypes, IVF cell
+    * training and mean-pooled doc embeddings — map-side partial sums
+    * shrink each partition to ≤ |labels|×dim rows before the exchange.
+    * Sums are surfaced ×1e9 as BIGINT (with the count) rather than as a
+    * float mean, so the result is representation-proof and exact. */
+  def embeddingCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "embeddings")
+      .select($"label", posexplode($"embedding").as(Seq("pos0", "v")))
+      // float → double FIRST: both engines then round the same binary
+      // expansion into DECIMAL(20,9) (a direct float cast would round
+      // Spark's shortest-string float repr instead — 15 ppb off)
+      .select($"label", ($"pos0" + 1).cast("int").as("pos"),
+        dec($"v".cast("double"), 20, 9).as("dv"))
+      .groupBy($"label", $"pos")
+      .agg((sum($"dv") * lit(1000000000L)).cast("bigint").as("sum_e9"),
+        count(lit(1)).as("n"))
+      .orderBy($"label", $"pos")
+  }
+
   /** Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 orders per
     * customer declared as a dependent join — the planner decorrelates
     * into a partitioned top-k (same physical shape as q09's window), but

@@ -131,7 +131,8 @@ object SparkEntry {
     "q106_json_battery" -> (Queries.jsonBattery _),
     "q107_lateral_topk" -> (Queries.lateralTopK _),
     "q108_recursive_walk" -> (Queries.recursiveWalk _),
-    "q109_null_semantics" -> (Queries.nullSemantics _)
+    "q109_null_semantics" -> (Queries.nullSemantics _),
+    "q110_embedding_centroids" -> (Queries.embeddingCentroids _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1211,6 +1212,20 @@ object SparkEntry {
         |  (p IS NOT DISTINCT FROM '1-URGENT') AS nsd_urgent,
         |  CAST(SUM(c) AS BIGINT) AS sum_c
         |FROM o GROUP BY st, p
-        |ORDER BY st, p NULLS FIRST""".stripMargin
+        |ORDER BY st, p NULLS FIRST""".stripMargin,
+    // Positional unnest (1-based on both sides). BOTH engines must cast
+    // FLOAT -> DOUBLE -> DECIMAL(20,9): the widening is exact and the
+    // decimal rounds the true binary expansion; DuckDB's direct
+    // float->decimal scales in float arithmetic and Spark's rounds the
+    // shortest-string repr — three different numbers otherwise.
+    "q110_embedding_centroids" ->
+      """SELECT label, CAST(pos AS INT) AS pos,
+        |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,9))) * 1000000000
+        |    AS BIGINT) AS sum_e9,
+        |  COUNT(*) AS n
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |             generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin
   )
 }

@@ -21,6 +21,13 @@ case class StandardizeTitleExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "standardize_title"
 
+  /** Deterministic pure function of its input ⇒ a literal argument lets
+    * Catalyst's ConstantFolding evaluate the lookup ONCE at optimization
+    * time — `standardize_title('poet')` reaches the executors as a plain
+    * string literal, not a per-row call (plan-asserted in
+    * GraftExtensionsSpec). */
+  override def foldable: Boolean = child.foldable
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

@@ -30,4 +30,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(d == 6.0)
   }
+
+  test("literal standardize_title constant-folds at optimization time") {
+    val spark = SparkSuiteBase.spark
+    graft.expressions.StandardizeTitleExpr.ensureRegistered(spark)
+    val df = spark.sql("SELECT standardize_title('poet') AS s")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("standardize_title"),
+      s"expected the lookup folded to a literal, got:\n$optimized")
+    assert(optimized.contains("Poet - Writers and Authors"))
+    // column inputs must NOT fold — the per-row path stays
+    val col = Tables(spark, SparkSuiteBase.sfDir, "documents")
+      .selectExpr("standardize_title(text) AS s")
+    assert(col.queryExecution.optimizedPlan.toString.contains("standardize_title"))
+  }
 }
