@@ -1836,15 +1836,33 @@ object Queries {
     import spark.implicits._
     Tables(spark, sfDir, "embeddings")
       .select($"label", posexplode($"embedding").as(Seq("pos0", "v")))
-      // float → double FIRST: both engines then round the same binary
-      // expansion into DECIMAL(20,9) (a direct float cast would round
-      // Spark's shortest-string float repr instead — 15 ppb off)
+      // float → double (exact widening), ×1e9 (same IEEE product on both
+      // engines), then round half-away-from-zero to an integer BEFORE
+      // summing: per-value integral e9 units make the aggregate exact
+      // AND tie-rounding identical (a double→decimal cast instead left
+      // one half-ulp tie in 1.3M values rounding differently)
       .select($"label", ($"pos0" + 1).cast("int").as("pos"),
-        dec($"v".cast("double"), 20, 9).as("dv"))
+        round($"v".cast("double") * lit(1000000000L)).cast("bigint").as("ve9"))
       .groupBy($"label", $"pos")
-      .agg((sum($"dv") * lit(1000000000L)).cast("bigint").as("sum_e9"),
-        count(lit(1)).as("n"))
+      .agg(sum($"ve9").as("sum_e9"), count(lit(1)).as("n"))
       .orderBy($"label", $"pos")
+  }
+
+  /** Event-type transition matrix (first-order Markov statistics): lag
+    * pairs each event with its user's previous one, then a global pair
+    * count — the bigram/transition-count shape behind sequence-model
+    * features. One shuffle for the per-user ordering, one for the tiny
+    * pair aggregate (map-side combined to ≤ |types|² rows/partition). */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables(spark, sfDir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNotNull)
+      .groupBy($"prev", $"event_type".as("next"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"prev", $"next")
   }
 
   /** Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 orders per

@@ -132,7 +132,8 @@ object SparkEntry {
     "q107_lateral_topk" -> (Queries.lateralTopK _),
     "q108_recursive_walk" -> (Queries.recursiveWalk _),
     "q109_null_semantics" -> (Queries.nullSemantics _),
-    "q110_embedding_centroids" -> (Queries.embeddingCentroids _)
+    "q110_embedding_centroids" -> (Queries.embeddingCentroids _),
+    "q111_event_transitions" -> (Queries.eventTransitions _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1213,19 +1214,27 @@ object SparkEntry {
         |  CAST(SUM(c) AS BIGINT) AS sum_c
         |FROM o GROUP BY st, p
         |ORDER BY st, p NULLS FIRST""".stripMargin,
-    // Positional unnest (1-based on both sides). BOTH engines must cast
-    // FLOAT -> DOUBLE -> DECIMAL(20,9): the widening is exact and the
-    // decimal rounds the true binary expansion; DuckDB's direct
-    // float->decimal scales in float arithmetic and Spark's rounds the
-    // shortest-string repr — three different numbers otherwise.
+    // Positional unnest (1-based on both sides). FLOAT widens exactly to
+    // DOUBLE, ×1e9 is the same IEEE product on both engines, and ROUND
+    // is half-away-from-zero on both — so each value becomes the SAME
+    // integer before the (exact) BIGINT sum. Decimal casts instead left
+    // one half-ulp tie in 1.3M values rounding differently.
     "q110_embedding_centroids" ->
       """SELECT label, CAST(pos AS INT) AS pos,
-        |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,9))) * 1000000000
+        |  CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000000) AS BIGINT))
         |    AS BIGINT) AS sum_e9,
         |  COUNT(*) AS n
         |FROM (SELECT label, unnest(embedding) AS v,
         |             generate_subscripts(embedding, 1) AS pos
         |      FROM embeddings)
-        |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "q111_event_transitions" ->
+      """SELECT prev, next, COUNT(*) AS n FROM (
+        |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev,
+        |         event_type AS next
+        |  FROM events)
+        |WHERE prev IS NOT NULL
+        |GROUP BY prev, next ORDER BY prev, next""".stripMargin
   )
 }

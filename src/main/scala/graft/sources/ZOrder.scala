@@ -34,6 +34,16 @@ object ZOrder {
     pieces.reduce(_.bitwiseOR(_))
   }
 
+  /** Inverse of [[interleave]]: recover dim `i` of `n` from a Morton
+    * code (bit b of the result comes from z-bit b*n + i). Useful for
+    * debugging curve layouts and for planning range scans over a
+    * z-clustered lake without the original columns. */
+  def deinterleave(z: Column, i: Int, n: Int, bits: Int): Column = {
+    val pieces = for (b <- 0 until bits)
+      yield shiftleft(shiftright(z, b * n + i).bitwiseAND(lit(1L)), b)
+    pieces.reduce(_.bitwiseOR(_))
+  }
+
   /** Min/max-scale `c` into [0, 2^bits) given its global bounds. The
     * scale factor is computed in double; ties at the top collapse into
     * the last cell, and a degenerate (constant) dimension maps to 0. */

@@ -26,6 +26,25 @@ class ZOrderSpec extends AnyFunSuite {
     assert(r.getLong(2) == 57L)
   }
 
+  test("interleave/deinterleave round-trip over random dim values") {
+    import spark.implicits._
+    // hash-derived pseudo-random 16-bit dims (deterministic, no Random)
+    val df = spark.range(1000).select(
+      pmod(xxhash64($"id"), lit(65536L)).as("x"),
+      pmod(xxhash64($"id", lit(1)), lit(65536L)).as("y"),
+      pmod(xxhash64($"id", lit(2)), lit(65536L)).as("w"))
+    val z2 = sources.ZOrder.interleave(Seq($"x", $"y"), 16)
+    val z3 = sources.ZOrder.interleave(Seq($"x", $"y", $"w"), 16)
+    val bad = df.select(
+      ($"x" === sources.ZOrder.deinterleave(z2, 0, 2, 16)).as("x2"),
+      ($"y" === sources.ZOrder.deinterleave(z2, 1, 2, 16)).as("y2"),
+      ($"x" === sources.ZOrder.deinterleave(z3, 0, 3, 16)).as("x3"),
+      ($"y" === sources.ZOrder.deinterleave(z3, 1, 3, 16)).as("y3"),
+      ($"w" === sources.ZOrder.deinterleave(z3, 2, 3, 16)).as("w3"))
+      .filter(!$"x2" || !$"y2" || !$"x3" || !$"y3" || !$"w3")
+    assert(bad.count() == 0)
+  }
+
   test("z-ordered files prune on both dims; user-sorted layout cannot prune on time") {
     import spark.implicits._
     val ev = Tables(spark, sfDir, "events")
