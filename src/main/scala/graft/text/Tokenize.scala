@@ -42,11 +42,31 @@ object Tokenize extends Serializable {
     buf.toArray
   }
 
+  /** Per-JVM stem memo. Corpus token frequencies are Zipf — a few tens
+    * of thousands of distinct tokens cover almost every occurrence — so
+    * memoizing the (pure) stem computation turns the dominant per-row
+    * UDF cost into a hash probe. Bounded: lookups always happen, inserts
+    * stop at the cap, so a pathological unique-token stream degrades to
+    * the uncached path instead of growing the heap. Thread-safe for the
+    * multi-task executor JVM. */
+  private val StemMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val StemMemoCap = 1 << 17
+
+  private def stemMemo(tok: String): String = {
+    val hit = StemMemo.get(tok)
+    if (hit != null) hit
+    else {
+      val s = EnglishStemmer.stem(tok)
+      if (StemMemo.size < StemMemoCap) StemMemo.putIfAbsent(tok, s)
+      s
+    }
+  }
+
   /** tokenize → ASCII-lowercase → Snowball-English stem, per token. */
   def tokenizeAndStem(text: String): Array[String] = {
     val t = tokenize(text)
     var i = 0
-    while (i < t.length) { t(i) = EnglishStemmer.stem(t(i)); i += 1 }
+    while (i < t.length) { t(i) = stemMemo(t(i)); i += 1 }
     t
   }
 }

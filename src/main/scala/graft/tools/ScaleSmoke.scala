@@ -158,6 +158,27 @@ object ScaleSmoke {
         docs, "id", "text", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), n = 3)
       println(s"  contaminated test docs: ${out.filter($"contaminated").count()} of ${out.count()}")
     }
+    time(s"corpus pipeline e2e ($nDocs docs: gopher metrics -> chunk dedup -> split -> pack)") {
+      // the composed training-data path, end to end at 1M docs: rule
+      // metrics gate, cross-doc chunk dedup (rebuilt text), deterministic
+      // split, then context packing of the train split. (The gopher
+      // min-length gate would drop the whole 16-token synthetic corpus,
+      // so the gate here keeps the repetition/alpha rules only.)
+      val metrics = graft.operators.CorpusFilters.gopherRules(docs, "id", "text")
+      val kept = docs.join(
+        metrics.filter($"dup_2grams" * 5 < $"n_2grams" &&
+          $"n_alpha_words" * 10L >= $"n_words" * 8L).select($"id"), "id")
+      val deduped = graft.operators.CorpusFilters.chunkDedup(kept, "id", "text", 10)
+        .filter($"n_kept" > 0)
+        .withColumn("n_tokens", ($"n_kept" * 10L).cast("bigint"))
+      val split = graft.operators.Sampling.deterministicSplit(
+        deduped, "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      val packed = graft.operators.Packing.greedyPack(
+        split.filter($"split" === "train"), "doc_id", "n_tokens",
+        ctxLen = 2048, nShards = 64)
+      val nPacks = packed.select($"shard", $"pack").distinct().count()
+      println(s"  kept ${kept.count()} of $nDocs; train packs: $nPacks")
+    }
     time(s"z-order clustered write (${nDocs * 10L} rows, 2 dims, 64 files)") {
       // 10M (user, time) rows → 64 Morton-clustered files; then measure
       // the data-skipping payoff: how many files a 1/16 time slice
