@@ -1848,6 +1848,28 @@ object Queries {
       .orderBy($"label", $"pos")
   }
 
+  /** Schema-evolution read: two lake generations written with DIFFERENT
+    * schemas (the later one adds `source`) union under `mergeSchema`,
+    * the missing column reading as NULL — the append-only column-add
+    * path every long-lived lake takes. The oracle aggregates the
+    * original table with the same null-fill rule, so green proves the
+    * evolved read is lossless across generations. */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q112_evo").toString
+    val docs = Tables(spark, sfDir, "documents")
+    docs.filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"lang", $"n_chars")
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    docs.filter($"doc_id" % 2 =!= 0)
+      .select($"doc_id", $"lang", $"n_chars", $"source")
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy($"lang", coalesce($"source", lit("unknown")).as("source"))
+      .agg(count(lit(1)).as("n"), sum($"n_chars").cast("bigint").as("total_chars"))
+      .orderBy($"lang", $"source")
+  }
+
   /** Event-type transition matrix (first-order Markov statistics): lag
     * pairs each event with its user's previous one, then a global pair
     * count — the bigram/transition-count shape behind sequence-model

@@ -133,7 +133,8 @@ object SparkEntry {
     "q108_recursive_walk" -> (Queries.recursiveWalk _),
     "q109_null_semantics" -> (Queries.nullSemantics _),
     "q110_embedding_centroids" -> (Queries.embeddingCentroids _),
-    "q111_event_transitions" -> (Queries.eventTransitions _)
+    "q111_event_transitions" -> (Queries.eventTransitions _),
+    "q112_schema_evolution" -> (Queries.schemaEvolution _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1235,6 +1236,14 @@ object SparkEntry {
         |         event_type AS next
         |  FROM events)
         |WHERE prev IS NOT NULL
-        |GROUP BY prev, next ORDER BY prev, next""".stripMargin
+        |GROUP BY prev, next ORDER BY prev, next""".stripMargin,
+    // The Spark side reads two differently-schemaed generations with
+    // mergeSchema (old gen's `source` is NULL); the oracle applies the
+    // same null-fill rule to the ORIGINAL table.
+    "q112_schema_evolution" ->
+      """SELECT lang,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'unknown' ELSE source END AS source,
+        |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
   )
 }

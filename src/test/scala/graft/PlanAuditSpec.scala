@@ -97,4 +97,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"unexpected ScalaUDF in: ${offenders.mkString(", ")}")
   }
+
+  test("column pruning reaches the scan: battery queries read only needed columns") {
+    // a scan that reads every column for a 2-column aggregate multiplies
+    // 100 TB of IO for nothing — pin ReadSchema for representative shapes
+    def readSchemas(name: String): Seq[String] = {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSeq
+    }
+    // q94 aggregates one price column from orders
+    val q94 = readSchemas("q94_width_bucket")
+    assert(q94.nonEmpty && q94.forall(_ == "o_totalprice:double"),
+      s"q94 should scan only o_totalprice, got $q94")
+    // q111 needs exactly (ts, user_id, event_type, event_id)
+    val q111 = readSchemas("q111_event_transitions")
+    assert(q111.nonEmpty && q111.forall { s =>
+      val cols = s.split(",").map(_.split(":")(0)).toSet
+      cols == Set("event_id", "ts", "user_id", "event_type")
+    }, s"q111 should scan 4 columns, got $q111")
+    // q02's lineitem scan must not read the join-free columns
+    val q02 = readSchemas("q02_agg_pricing")
+    assert(q02.nonEmpty && q02.forall(!_.contains("l_orderkey")),
+      s"q02 must prune unused lineitem columns, got $q02")
+  }
 }
