@@ -1870,6 +1870,27 @@ object Queries {
       .orderBy($"lang", $"source")
   }
 
+  /** Ratio-to-report (share of total): per-segment revenue share via an
+    * unpartitioned empty-frame window over the aggregated rows — the BI
+    * percent-of-total pattern. The window runs over |segments| rows, not
+    * the fact table, so the single-partition window is free; the shares
+    * divide two exact BIGINT cent sums, giving the identical IEEE double
+    * on both engines. */
+  def shareOfTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seg = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(cents(sum(dec($"o_totalprice", 18, 2))).as("rev_c"))
+    seg
+      .withColumn("share",
+        $"rev_c".cast("double") /
+          sum($"rev_c").over(Window.partitionBy()).cast("double"))
+      .withColumn("rnk", rank().over(Window.orderBy($"rev_c".desc)).cast("bigint"))
+      .select($"c_mktsegment", $"rev_c", $"share", $"rnk")
+      .orderBy($"c_mktsegment")
+  }
+
   /** Event-type transition matrix (first-order Markov statistics): lag
     * pairs each event with its user's previous one, then a global pair
     * count — the bigram/transition-count shape behind sequence-model

@@ -134,7 +134,8 @@ object SparkEntry {
     "q109_null_semantics" -> (Queries.nullSemantics _),
     "q110_embedding_centroids" -> (Queries.embeddingCentroids _),
     "q111_event_transitions" -> (Queries.eventTransitions _),
-    "q112_schema_evolution" -> (Queries.schemaEvolution _)
+    "q112_schema_evolution" -> (Queries.schemaEvolution _),
+    "q113_share_of_total" -> (Queries.shareOfTotal _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1244,6 +1245,19 @@ object SparkEntry {
       """SELECT lang,
         |  CASE WHEN doc_id % 2 = 0 THEN 'unknown' ELSE source END AS source,
         |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+    // share divides two exact BIGINT sums -> identical IEEE double on
+    // both engines; rank over the 5 aggregated rows.
+    "q113_share_of_total" ->
+      """WITH seg AS (
+        |  SELECT c_mktsegment,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS rev_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, rev_c,
+        |  CAST(rev_c AS DOUBLE) / CAST(SUM(rev_c) OVER () AS DOUBLE) AS share,
+        |  CAST(RANK() OVER (ORDER BY rev_c DESC) AS BIGINT) AS rnk
+        |FROM seg ORDER BY c_mktsegment""".stripMargin
   )
 }
