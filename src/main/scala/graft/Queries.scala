@@ -1870,6 +1870,61 @@ object Queries {
       .orderBy($"lang", $"source")
   }
 
+  /** Incremental aggregate maintenance (materialized-view delta): the
+    * standing per-type aggregate is NOT recomputed from history — the
+    * delta batch aggregates alone and MERGES into the snapshot
+    * (full-outer on the key, partials added). Decimal partials are
+    * exact and associative, so the oracle is the full recompute over
+    * everything: green is a machine-checked proof that
+    * merge(agg(old), agg(delta)) == agg(old ∪ delta) — the 100 TB
+    * pattern that turns a daily full-history scan into a delta-sized
+    * job. */
+  def incrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"event_type", $"event_id", dec($"value", 18, 4).as("v"))
+    def aggOf(df: DataFrame) = df.groupBy($"event_type")
+      .agg(count(lit(1)).as("pn"), sum($"v").as("ps"))
+    // "history" snapshot vs the newly-arrived quarter of events
+    val snapshot = aggOf(ev.filter($"event_id" % 4 =!= 3))
+    val delta = aggOf(ev.filter($"event_id" % 4 === 3))
+      .withColumnRenamed("pn", "dn").withColumnRenamed("ps", "ds")
+    snapshot.join(delta, Seq("event_type"), "full_outer")
+      .select($"event_type",
+        (coalesce($"pn", lit(0L)) + coalesce($"dn", lit(0L))).as("n"),
+        e4(coalesce($"ps", lit(0).cast("decimal(18,4)")) +
+          coalesce($"ds", lit(0).cast("decimal(18,4)"))).as("sum_value_e4"))
+      .orderBy($"event_type")
+  }
+
+  /** Snapshot diff (CDC between two table generations): full-outer on
+    * the key classifies every row as added / removed / changed /
+    * unchanged — the change feed a downstream incremental consumer
+    * reads. Generations here are two deterministic projections of
+    * customer (the "new" one drops a third of rows and inflates some
+    * balances), so the oracle reproduces both sides exactly. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables(spark, sfDir, "customer")
+      .select($"c_custkey", cents(dec($"c_acctbal", 18, 2)).as("bal_c"))
+    val oldGen = cust.filter($"c_custkey" % 5 =!= 4)
+      .select($"c_custkey".as("k_old"), $"bal_c".as("bal_old"))
+    val newGen = cust.filter($"c_custkey" % 3 =!= 0)
+      .select($"c_custkey".as("k_new"),
+        when($"c_custkey" % 7 === 0, $"bal_c" + 100L).otherwise($"bal_c")
+          .as("bal_new"))
+    oldGen.join(newGen, $"k_old" === $"k_new", "full_outer")
+      .select(
+        coalesce($"k_old", $"k_new").as("custkey"),
+        when($"k_old".isNull, "added")
+          .when($"k_new".isNull, "removed")
+          .when($"bal_old" =!= $"bal_new", "changed")
+          .otherwise("unchanged").as("change"),
+        coalesce($"bal_old", lit(0L)).as("bal_old"),
+        coalesce($"bal_new", lit(0L)).as("bal_new"))
+      .orderBy($"custkey")
+  }
+
   /** Ratio-to-report (share of total): per-segment revenue share via an
     * unpartitioned empty-frame window over the aggregated rows — the BI
     * percent-of-total pattern. The window runs over |segments| rows, not

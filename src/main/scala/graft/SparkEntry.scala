@@ -135,7 +135,9 @@ object SparkEntry {
     "q110_embedding_centroids" -> (Queries.embeddingCentroids _),
     "q111_event_transitions" -> (Queries.eventTransitions _),
     "q112_schema_evolution" -> (Queries.schemaEvolution _),
-    "q113_share_of_total" -> (Queries.shareOfTotal _)
+    "q113_share_of_total" -> (Queries.shareOfTotal _),
+    "q114_incremental_agg" -> (Queries.incrementalAgg _),
+    "q115_snapshot_diff" -> (Queries.snapshotDiff _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1258,6 +1260,34 @@ object SparkEntry {
         |SELECT c_mktsegment, rev_c,
         |  CAST(rev_c AS DOUBLE) / CAST(SUM(rev_c) OVER () AS DOUBLE) AS share,
         |  CAST(RANK() OVER (ORDER BY rev_c DESC) AS BIGINT) AS rnk
-        |FROM seg ORDER BY c_mktsegment""".stripMargin
+        |FROM seg ORDER BY c_mktsegment""".stripMargin,
+    // The Spark side merges agg(delta) into agg(history); the oracle is
+    // the FULL recompute — green proves the merge is exact.
+    "q114_incremental_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |    AS sum_value_e4
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Both generations regenerated deterministically from the original
+    // table; full-outer classification matched row-for-row.
+    "q115_snapshot_diff" ->
+      """WITH c AS (SELECT c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+        |  FROM customer),
+        |o AS (SELECT c_custkey AS k_old, bal_c AS bal_old FROM c
+        |      WHERE c_custkey % 5 != 4),
+        |n AS (SELECT c_custkey AS k_new,
+        |        CASE WHEN c_custkey % 7 = 0 THEN bal_c + 100 ELSE bal_c END
+        |          AS bal_new
+        |      FROM c WHERE c_custkey % 3 != 0)
+        |SELECT COALESCE(k_old, k_new) AS custkey,
+        |  CASE WHEN k_old IS NULL THEN 'added'
+        |       WHEN k_new IS NULL THEN 'removed'
+        |       WHEN bal_old != bal_new THEN 'changed'
+        |       ELSE 'unchanged' END AS change,
+        |  COALESCE(bal_old, 0) AS bal_old,
+        |  COALESCE(bal_new, 0) AS bal_new
+        |FROM o FULL OUTER JOIN n ON k_old = k_new
+        |ORDER BY custkey""".stripMargin
   )
 }
