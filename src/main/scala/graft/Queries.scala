@@ -1925,6 +1925,43 @@ object Queries {
       .orderBy($"custkey")
   }
 
+  /** Deterministic weighted (importance) sampling: each document's keep
+    * probability is a function of its own row (longer docs likelier),
+    * decided by comparing its md5 bucket against a per-row hex
+    * threshold — the same content-stable machinery as q58's split, so
+    * the SAME row is kept on any engine, any day, at any corpus size.
+    * The data-mixing primitive for quality-weighted corpus curation;
+    * pure map-side, no shuffle before the output sort. */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = substring(md5($"doc_id".cast("string").cast("binary")), 1, 4)
+    val w = least($"n_chars".cast("double") / lit(1000.0), lit(1.0))
+    val thr = lower(lpad(hex(
+      least(floor(w * 65536.0), lit(65535.0)).cast("long")), 4, "0"))
+    Tables(spark, sfDir, "documents")
+      .filter(bucket < thr)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** Per-group min-max feature normalization: scale n_chars to [0,1]
+    * within each language — two window extremes over one shuffle, a
+    * double division of exact integers (identical IEEE on both
+    * engines), and a degenerate-group guard. The feature-scaling step
+    * in front of every numeric model input. */
+  def minMaxNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang")
+    Tables(spark, sfDir, "documents")
+      .withColumn("mn", min($"n_chars").over(w))
+      .withColumn("mx", max($"n_chars").over(w))
+      .select($"doc_id", $"lang", $"n_chars",
+        coalesce(($"n_chars" - $"mn").cast("double") /
+          nullif(($"mx" - $"mn").cast("double"), lit(0.0)), lit(0.0))
+          .as("scaled"))
+      .orderBy($"doc_id")
+  }
+
   /** Ratio-to-report (share of total): per-segment revenue share via an
     * unpartitioned empty-frame window over the aggregated rows — the BI
     * percent-of-total pattern. The window runs over |segments| rows, not

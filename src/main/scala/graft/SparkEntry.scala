@@ -137,7 +137,9 @@ object SparkEntry {
     "q112_schema_evolution" -> (Queries.schemaEvolution _),
     "q113_share_of_total" -> (Queries.shareOfTotal _),
     "q114_incremental_agg" -> (Queries.incrementalAgg _),
-    "q115_snapshot_diff" -> (Queries.snapshotDiff _)
+    "q115_snapshot_diff" -> (Queries.snapshotDiff _),
+    "q116_weighted_sample" -> (Queries.weightedSample _),
+    "q117_minmax_normalize" -> (Queries.minMaxNormalize _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1288,6 +1290,24 @@ object SparkEntry {
         |  COALESCE(bal_old, 0) AS bal_old,
         |  COALESCE(bal_new, 0) AS bal_new
         |FROM o FULL OUTER JOIN n ON k_old = k_new
-        |ORDER BY custkey""".stripMargin
+        |ORDER BY custkey""".stripMargin,
+    // Same md5-bucket machinery as q58; the per-row threshold is
+    // printf('%04x', min(floor(least(n_chars/1000, 1)*65536), 65535)) —
+    // identical double arithmetic and hex formatting on both engines.
+    "q116_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  printf('%04x', CAST(LEAST(FLOOR(LEAST(CAST(n_chars AS DOUBLE)
+        |    / 1000.0, 1.0) * 65536.0), 65535.0) AS BIGINT))
+        |ORDER BY doc_id""".stripMargin,
+    "q117_minmax_normalize" ->
+      """SELECT doc_id, lang, n_chars,
+        |  COALESCE(CAST(n_chars - mn AS DOUBLE)
+        |    / NULLIF(CAST(mx - mn AS DOUBLE), 0.0), 0.0) AS scaled
+        |FROM (SELECT doc_id, lang, n_chars,
+        |        MIN(n_chars) OVER (PARTITION BY lang) AS mn,
+        |        MAX(n_chars) OVER (PARTITION BY lang) AS mx
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }
