@@ -1962,6 +1962,39 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** SQL-standard aggregate FILTER clause: conditional aggregation
+    * without CASE gymnastics — one pass over orders computes per-status
+    * slices of count/sum side by side. Planned as a single hash
+    * aggregate with per-function predicates; identical text on both
+    * engines. */
+  def filterClauseAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Multi-column (tuple) IN subquery: `(a, b) IN (SELECT ...)` plans as
+    * a two-key semi join — the row-constructor membership form of q07's
+    * semi join, through the SQL front-end with identical text on both
+    * engines. */
+  def tupleInSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderkey, o_custkey
+        |FROM orders
+        |WHERE (o_custkey, o_orderpriority) IN
+        |  (SELECT c_custkey, '1-URGENT' FROM customer
+        |   WHERE c_acctbal > 9000)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Ratio-to-report (share of total): per-segment revenue share via an
     * unpartitioned empty-frame window over the aggregated rows — the BI
     * percent-of-total pattern. The window runs over |segments| rows, not

@@ -139,7 +139,9 @@ object SparkEntry {
     "q114_incremental_agg" -> (Queries.incrementalAgg _),
     "q115_snapshot_diff" -> (Queries.snapshotDiff _),
     "q116_weighted_sample" -> (Queries.weightedSample _),
-    "q117_minmax_normalize" -> (Queries.minMaxNormalize _)
+    "q117_minmax_normalize" -> (Queries.minMaxNormalize _),
+    "q118_filter_clause" -> (Queries.filterClauseAgg _),
+    "q119_tuple_in" -> (Queries.tupleInSubquery _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1308,6 +1310,27 @@ object SparkEntry {
         |        MIN(n_chars) OVER (PARTITION BY lang) AS mn,
         |        MAX(n_chars) OVER (PARTITION BY lang) AS mx
         |      FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // Identical FILTER-clause text on both engines; the filtered SUM is
+    // NULL (not 0) for empty slices on both.
+    "q118_filter_clause" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // DuckDB 1.0 lacks the row-constructor IN syntax — the oracle is
+    // the equivalent decomposition (priority pinned by the constant
+    // column, membership on the key).
+    "q119_tuple_in" ->
+      """SELECT o_orderkey, o_custkey
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_acctbal > 9000)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
