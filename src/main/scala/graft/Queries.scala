@@ -1995,6 +1995,24 @@ object Queries {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Equal-frequency binning (quantile bucketing): NTILE(10) assigns
+    * each order to its within-segment price decile over a total order,
+    * then per-bin stats — the discretization step feeding feature
+    * bucketing and monotone calibration. One shuffle on the segment;
+    * identical tile arithmetic on both engines because the ordering is
+    * total (price cents, then key). */
+  def decileBinning(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c", $"o_orderkey")
+    Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_orderkey", cents(dec($"o_totalprice", 18, 2)).as("c"))
+      .withColumn("decile", ntile(10).over(w).cast("int"))
+      .groupBy($"c_mktsegment", $"decile")
+      .agg(count(lit(1)).as("n"), min($"c").as("lo_c"), max($"c").as("hi_c"))
+      .orderBy($"c_mktsegment", $"decile")
+  }
+
   /** Ratio-to-report (share of total): per-segment revenue share via an
     * unpartitioned empty-frame window over the aggregated rows — the BI
     * percent-of-total pattern. The window runs over |segments| rows, not

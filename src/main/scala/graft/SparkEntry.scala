@@ -141,7 +141,8 @@ object SparkEntry {
     "q116_weighted_sample" -> (Queries.weightedSample _),
     "q117_minmax_normalize" -> (Queries.minMaxNormalize _),
     "q118_filter_clause" -> (Queries.filterClauseAgg _),
-    "q119_tuple_in" -> (Queries.tupleInSubquery _)
+    "q119_tuple_in" -> (Queries.tupleInSubquery _),
+    "q120_decile_binning" -> (Queries.decileBinning _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1331,6 +1332,23 @@ object SparkEntry {
         |WHERE o_orderpriority = '1-URGENT'
         |  AND o_custkey IN (SELECT c_custkey FROM customer
         |                    WHERE c_acctbal > 9000)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    // NTILE over a TOTAL order (cents, key) makes tile assignment
+    // engine-identical.
+    "q120_decile_binning" ->
+      """WITH o AS (
+        |  SELECT c_mktsegment, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |t AS (
+        |  SELECT c_mktsegment, c,
+        |    CAST(NTILE(10) OVER (PARTITION BY c_mktsegment
+        |                         ORDER BY c, o_orderkey) AS INT) AS decile
+        |  FROM o)
+        |SELECT c_mktsegment, decile,
+        |  COUNT(*) AS n, MIN(c) AS lo_c, MAX(c) AS hi_c
+        |FROM t
+        |GROUP BY c_mktsegment, decile
+        |ORDER BY c_mktsegment, decile""".stripMargin
   )
 }
