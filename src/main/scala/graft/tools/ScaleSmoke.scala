@@ -158,6 +158,7 @@ object ScaleSmoke {
         docs, "id", "text", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), n = 3)
       println(s"  contaminated test docs: ${out.filter($"contaminated").count()} of ${out.count()}")
     }
+    if (!sys.env.contains("SCALE_SKIP_PIPELINE"))
     time(s"corpus pipeline e2e ($nDocs docs: gopher metrics -> chunk dedup -> split -> pack)") {
       // the composed training-data path, end to end at 1M docs: rule
       // metrics gate, cross-doc chunk dedup (rebuilt text), deterministic
