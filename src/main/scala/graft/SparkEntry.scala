@@ -1250,7 +1250,8 @@ object SparkEntry {
     // same null-fill rule to the ORIGINAL table.
     "q112_schema_evolution" ->
       """SELECT lang,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'unknown' ELSE source END AS source,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'unknown'
+        |       ELSE COALESCE(source, 'unknown') END AS source,
         |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
     // share divides two exact BIGINT sums -> identical IEEE double on

@@ -122,7 +122,18 @@ object Multimodal {
     (readInt(), readInt(), readInt()) match {
       case (Some(w), Some(h), Some(maxval))
           if w > 0 && h > 0 && maxval > 0 && maxval < 256 =>
-        off += 1 // exactly ONE whitespace byte after maxval per the spec
+        // exactly ONE whitespace byte after maxval per the spec — but
+        // verify it IS whitespace: a missing separator would shift every
+        // pixel read by a byte and return silently wrong data instead of
+        // None. "\r\n" (Windows writers) counts as one separator.
+        if (off >= payload.length) return None
+        payload(off) match {
+          case ' ' | '\t' | '\n' => off += 1
+          case '\r' =>
+            off += 1
+            if (off < payload.length && payload(off) == '\n') off += 1
+          case _ => return None
+        }
         if (off.toLong + 3L * w * h > payload.length) return None
         val bgr = new Array[Byte](w * h * 3)
         var i = 0

@@ -139,7 +139,7 @@ object SimilarityJoin {
   def topKAgainst(
       left: DataFrame, leftId: String, leftText: String,
       right: DataFrame, rightId: String, rightText: String,
-      k: Int = 1, maxDf: Double = Double.PositiveInfinity): DataFrame = {
+      k: Int = 1, maxDf: Double = 1000.0): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
     val tokensUdf = udf((s: String) =>
@@ -168,10 +168,12 @@ object SimilarityJoin {
       .withColumn("dw", ($"cnt".cast("double") / $"len") * $"idf")
     val rNorms = rWeights.groupBy($"rid")
       .agg(sqrt(sum($"dw" * $"dw")).as("doc_norm"))
-    // With the default (infinite) cap this join is EXACT — and quadratic
-    // in the worst case (all-co-occurrence; 764 s at 100k×100k, SCALE.md):
-    // spec-only baseline territory. A finite absolute cap bounds per-term
-    // fanout so candidate work is linear in n; scores then count only
+    // With an INFINITE cap this join is EXACT — and quadratic in the
+    // worst case (all-co-occurrence; 764 s at 100k×100k, SCALE.md):
+    // spec-only baseline territory, so exactness is opt-in
+    // (maxDf = Double.PositiveInfinity) and the DEFAULT is a finite
+    // absolute cap (1000) that bounds per-term fanout so candidate work
+    // is linear in n. Under a finite cap, scores count only
     // sub-cap shared terms against the FULL norms (a lower bound that
     // biases the argmax toward informative terms — the behavior a
     // stopword-insensitive matcher wants, declared approximate).

@@ -113,7 +113,15 @@ object ZOrder {
   /** Read only the files whose manifest box overlaps `[lo, hi]` on
     * `dim`. Returns the pruned frame plus (filesRead, filesTotal). The
     * residual filter still applies row-level — pruning is a superset
-    * guarantee, identical results to a full scan + filter. */
+    * guarantee, identical results to a full scan + filter.
+    *
+    * Staleness guard: a data file written AFTER the manifest (or a
+    * re-written lake with a stale manifest) would silently vanish from
+    * the read, turning the superset guarantee into missing rows — so
+    * the live directory listing is cross-checked against the manifest's
+    * file set first, and any unmanifested data file forces a full-scan
+    * fallback (correct, just unpruned). The listing is file-count-scale,
+    * the same cost planning pays anyway. */
   def prunedRead(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -123,6 +131,20 @@ object ZOrder {
     val manifest = spark.read.parquet(s"$path/_manifest")
       .select(col("file"), col(s"lo_$dim"), col(s"hi_$dim"))
       .collect()
+    val fallback = (spark.read.parquet(path).filter(col(dim).between(lo, hi)),
+      manifest.length, manifest.length)
+    // input_file_name() URIs vs FileSystem paths differ in scheme
+    // spelling; compare by basename, which parquet part-files make
+    // unique within a directory (task UUID in the name).
+    val manifested = manifest.map(r =>
+      r.getAs[String]("file").split('/').last).toSet
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(hadoopPath).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+    if (!live.forall(manifested.contains)) return fallback
     val keep = manifest.collect {
       case r if r.getAs[Long](s"lo_$dim") <= hi && r.getAs[Long](s"hi_$dim") >= lo =>
         r.getAs[String]("file")

@@ -134,10 +134,15 @@ object StreamingOps {
         val spark = batch.sparkSession
         val cols = batch.columns
         // newer ts wins; at equal ts the incoming batch beats the
-        // snapshot (ties inside one batch fall back to arrival order)
+        // snapshot. Two same-key rows with equal ts INSIDE one batch
+        // have no arrival order after a shuffle, so the final
+        // tiebreaker is a content hash of the whole row — a retried
+        // (at-least-once) batch then always commits the same winner,
+        // keeping the snapshot deterministic under redelivery.
+        val rowFingerprint = xxhash64(cols.sorted.map(c => col(c).cast("string")): _*)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("key"))
-          .orderBy(col("ts").desc, col("__src").desc)
+          .orderBy(col("ts").desc, col("__src").desc, rowFingerprint.desc)
         val newest = batch.withColumn("__src", lit(1))
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")

@@ -74,7 +74,8 @@ object ScaleSmoke {
     }
     if (sys.env.contains("SCALE_EXACT_JOIN")) // quadratic baseline, opt-in
       time(s"generic similarity join ($simN x $simN)") {
-        val top = SimilarityJoin.topKAgainst(left, "lid", "ltext", right, "rid", "rtext", k = 1)
+        val top = SimilarityJoin.topKAgainst(left, "lid", "ltext", right, "rid", "rtext",
+          k = 1, maxDf = Double.PositiveInfinity)
         println(s"  matched rows: ${top.count()}")
       }
 

@@ -91,6 +91,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePpm("P3\n2 1\n255\n........".getBytes).isEmpty, "ASCII PPM is not P6")
     assert(Multimodal.decodePpm(plain.dropRight(1)).isEmpty, "short pixel data")
     assert(Multimodal.decodePpm("P6\n2 1\n65535\n............".getBytes).isEmpty, "2-byte maxval")
+    // "\r\n" after maxval (Windows writers) is ONE separator — pixels
+    // must not shift by a byte
+    val crlf = "P6\n2 1\n255\r\n".getBytes("US-ASCII") ++
+      plain.drop("P6\n2 1\n255\n".length)
+    val viaCrlf = Multimodal.decodePpm(crlf)
+    assert(viaCrlf.isDefined && viaCrlf.get.bgr.sameElements(bgr), "CRLF after maxval")
+    // a NON-whitespace byte where the separator belongs must reject, not
+    // silently shift every pixel read
+    val noSep = "P6\n2 1\n255X".getBytes("US-ASCII") ++
+      plain.drop("P6\n2 1\n255\n".length)
+    assert(Multimodal.decodePpm(noSep).isEmpty, "missing separator after maxval")
   }
 
   test("WAV decode: known PCM samples yield exact RMS/mean/ZCR features") {

@@ -58,7 +58,8 @@ class SimilarityJoinSpec extends AnyFunSuite {
       .toDF("alias_id", "alias")
 
     val generic = SimilarityJoin.topKAgainst(
-      docs, "doc_id", "title", corpusDf, "alias_id", "alias", k = 1)
+      docs, "doc_id", "title", corpusDf, "alias_id", "alias", k = 1,
+      maxDf = Double.PositiveInfinity)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("alias_id"), r.getAs[Double]("score"))).toMap
     val viaDict = SimilarityJoin.topK(docs, "doc_id", "title", k = 1)
@@ -92,7 +93,8 @@ class SimilarityJoinSpec extends AnyFunSuite {
       .toDF("alias_id", "alias")
 
     val exact = SimilarityJoin.topKAgainst(
-      docs, "doc_id", "title", corpusDf, "alias_id", "alias", k = 1)
+      docs, "doc_id", "title", corpusDf, "alias_id", "alias", k = 1,
+      maxDf = Double.PositiveInfinity)
       .filter($"score" >= tau)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("alias_id"), r.getAs[Double]("score"))).toMap

@@ -273,4 +273,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap() == Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
     assert(StreamingOps.readSnapshot(spark, dir).count() == 3)
   }
+
+  test("upsert equal-ts in-batch ties resolve deterministically across replays") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // Two same-key rows with IDENTICAL ts inside one batch have no
+    // arrival order after a shuffle; the content-hash tiebreaker must
+    // pick the SAME winner on every replay (at-least-once redelivery
+    // must not silently diverge the snapshot). Run the whole pipeline
+    // from scratch several times, varying input order, and require one
+    // stable answer.
+    val winners = (0 until 3).map { i =>
+      implicit val sq = spark.sqlContext
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_upsert_tie$i").toString
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_upsert_tie_ck$i").toString
+      val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val q = StreamingOps.upsertSnapshot(
+        in.toDF().toDF("key", "ts", "payload"), dir, ckpt)
+      val rows = Seq((7L, t("2024-01-01 00:00:10"), "tie-x"),
+                     (7L, t("2024-01-01 00:00:10"), "tie-y"),
+                     (7L, t("2024-01-01 00:00:10"), "tie-z"))
+      in.addData((if (i % 2 == 0) rows else rows.reverse): _*)
+      q.processAllAvailable()
+      q.stop()
+      val m = StreamingOps.readSnapshot(spark, dir).collect()
+        .map(r => r.getAs[Long]("key") -> r.getAs[String]("payload")).toMap
+      assert(m.size == 1)
+      m(7L)
+    }
+    assert(winners.distinct.size == 1,
+      s"equal-ts tie winner must be replay-stable, got $winners")
+  }
 }

@@ -115,5 +115,20 @@ class ZOrderSpec extends AnyFunSuite {
     val (empty, zeroFiles, _) =
       sources.ZOrder.prunedRead(spark, dir, "us", tmax + 10, tmax + 20)
     assert(zeroFiles == 0 && empty.count() == 0)
+
+    // staleness guard: a data file written AFTER the manifest must force
+    // the full-scan fallback (correct rows, no silent loss) rather than
+    // being invisibly excluded
+    ev.filter($"us".between(lo, hi)).limit(5)
+      .write.mode("append").parquet(dir)
+    val (stale, staleRead, staleTotal) =
+      sources.ZOrder.prunedRead(spark, dir, "us", lo, hi)
+    assert(staleRead == staleTotal, "stale manifest must disable pruning")
+    val gotStale = stale.select($"event_id").collect().map(_.getLong(0)).sorted
+    val wantStale = spark.read.parquet(dir).filter($"us".between(lo, hi))
+      .select($"event_id").collect().map(_.getLong(0)).sorted
+    assert(gotStale.sameElements(wantStale),
+      "fallback read must equal full scan + filter on the LIVE directory")
+    assert(gotStale.length == want.length + 5)
   }
 }
