@@ -1015,14 +1015,20 @@ object Queries {
       .orderBy($"doc_id")
   }
 
-  /** Quality metrics + scalar score per document (pure builtin columns). */
+  /** Quality metrics + scalar score per document (pure builtin columns).
+    * The score surfaces as round(raw·1e6)→BIGINT rather than round(x,6):
+    * both engines compute the identical IEEE double (same expression
+    * tree, see q55) and both round half-away-from-zero to an integer, so
+    * the column is oracle-exact — fractional `round(x, 6)` display
+    * semantics are engine-specific and stay out of the compare surface. */
   def qualityScores(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, sfDir, "documents")
       .withColumn("m", TextAnalysis.qualityMetrics($"text"))
       .select($"doc_id", $"m.n_tokens".as("n_tokens"),
         $"m.type_token_ratio".as("type_token_ratio"),
-        TextAnalysis.qualityScoreFromMetrics($"m").as("quality"))
+        round(TextAnalysis.qualityScoreRaw($"m") * lit(1000000L)).cast("bigint")
+          .as("quality_e6"))
       .orderBy($"doc_id")
   }
 
@@ -1081,7 +1087,9 @@ object Queries {
     val media = Multimodal.fromDocuments(Tables(spark, sfDir, "documents"))
     val frames = Multimodal.frameSampleStub(media, stride = 2, frameSize = 16)
     frames
-      .withColumn("frame_hash", xxhash64($"payload"))
+      // md5-of-hex rather than xxhash64: same uppercase hex + md5 exist
+      // in DuckDB, so the frame hashes (not just counts) are oracled
+      .withColumn("frame_hash", md5(hex($"payload")))
       .groupBy($"frame_hash")
       .agg(count(lit(1)).as("n_frames"), countDistinct($"media_id").as("n_media"))
       .orderBy($"n_frames".desc, $"frame_hash".asc)
@@ -1116,20 +1124,18 @@ object Queries {
 
   /** Multimodal pipeline: each document rendered as a REAL 24-bit BMP
     * (text bytes as pixel data), then partition-local header-walk decode +
-    * pixel-feature extraction — f0 is the image's actual mean-blue
-    * channel. The feature vector is projected to scalars (dim, hash,
-    * first element) for the driver compare — pandas cannot sort/hash
-    * ndarray cells; `MultimodalSpec` asserts the full vectors and the
-    * BMP/WAV round-trips. */
+    * exact pixel statistics (channel sums, pixel count, luma-bucket-0
+    * count). The DuckDB oracle recomputes the SAME stats straight from
+    * the UTF-8 bytes of the text (hex-pair parsing over the 8-px-wide
+    * zero-padded layout), so green proves the whole encode → header-walk
+    * decode → bottom-up row flip → pixel walk round trip is lossless and
+    * correct — not merely that an opaque hash is stable. The float
+    * feature vectors remain pinned by `MultimodalSpec`. */
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Multimodal.extractFeatures(
+    Multimodal.exactImageStats(
       Multimodal.textAsBmp(Tables(spark, sfDir, "documents")))
       .toDF()
-      .select($"media_id", $"format", $"feature_dim",
-        xxhash64(concat_ws("", $"features".cast("array<string>")))
-          .as("features_hash"),
-        round(element_at($"features", 1), 6).as("f0"))
       .orderBy($"media_id")
   }
 

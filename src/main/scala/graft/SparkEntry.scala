@@ -457,6 +457,110 @@ object SparkEntry {
         |LEFT JOIN (SELECT doc_id, lang FROM best WHERE rk = 1) b
         |  ON d.doc_id = b.doc_id
         |ORDER BY d.doc_id""").stripMargin,
+    // q55's metric/blend mirror with the score surfaced as
+    // round(raw·1e6)→BIGINT — same IEEE double tree on both engines,
+    // both round half-away-from-zero, so the projection is exact.
+    "q40_quality_scores" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |      / nullif(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 0.0)
+        |      AS type_token_ratio,
+        |    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0
+        |      / nullif(length(text) * 1.0, 0.0) AS punct_ratio,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+        |      / nullif(length(text) * 1.0, 0.0) AS digit_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, type_token_ratio,
+        |  CAST(ROUND((
+        |    (CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.25 END) * 0.4
+        |    + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2
+        |    + (1.0 - least(digit_ratio * 4.0, 1.0)) * 0.2
+        |    + least(coalesce(type_token_ratio, 0.0) * 2.0, 1.0) * 0.2
+        |  ) * 1000000) AS BIGINT) AS quality_e6
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // Exact replay of fingerprint64: per-token hash = first 16 md5 hex
+    // digits as uint64, rolled as h*31+t in mod-2^64 (hugeint) arithmetic
+    // with the same prime seed, then mapped to signed int64. Green ⇒ the
+    // rolling fingerprint itself (not a proxy) is driver-verified.
+    "q41_fingerprints" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |            THEN hu - 18446744073709551616::HUGEINT ELSE hu END
+        |       AS BIGINT) AS fingerprint
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL THEN 0::HUGEINT ELSE
+        |      list_reduce(
+        |        list_prepend(1125899906842597::HUGEINT,
+        |          list_transform(
+        |            list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> ''),
+        |            t -> list_reduce(
+        |                   list_transform(range(1, 17),
+        |                     i -> CAST(strpos('0123456789abcdef',
+        |                                      substring(md5(t), i, 1)) - 1 AS HUGEINT)),
+        |                   (a, b) -> a * 16 + b))),
+        |        (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT)
+        |    END AS hu
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // Recomputes q44's exact pixel stats straight from the text's UTF-8
+    // bytes (hex-pair parse, 8-px-wide zero-padded layout) — green proves
+    // the Spark side's BMP encode → header-walk decode → bottom-up row
+    // flip → pixel walk round trip is lossless and correct.
+    "q44_multimodal_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, upper(hex(encode(text))) AS hx,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, hx, len,
+        |    greatest(1::BIGINT, CAST(ceil(len / 24.0) AS BIGINT)) AS h
+        |  FROM d),
+        |px AS (
+        |  SELECT doc_id, h, len, hx, u.p
+        |  FROM dims, LATERAL unnest(range(0, h * 8)) u(p)),
+        |vals AS (
+        |  SELECT doc_id, h,
+        |    CASE WHEN 3*p < len
+        |      THEN (strpos('0123456789ABCDEF', substring(hx, (3*p)*2+1, 1))-1)*16
+        |         + (strpos('0123456789ABCDEF', substring(hx, (3*p)*2+2, 1))-1)
+        |      ELSE 0 END AS b,
+        |    CASE WHEN 3*p+1 < len
+        |      THEN (strpos('0123456789ABCDEF', substring(hx, (3*p+1)*2+1, 1))-1)*16
+        |         + (strpos('0123456789ABCDEF', substring(hx, (3*p+1)*2+2, 1))-1)
+        |      ELSE 0 END AS g,
+        |    CASE WHEN 3*p+2 < len
+        |      THEN (strpos('0123456789ABCDEF', substring(hx, (3*p+2)*2+1, 1))-1)*16
+        |         + (strpos('0123456789ABCDEF', substring(hx, (3*p+2)*2+2, 1))-1)
+        |      ELSE 0 END AS r
+        |  FROM px)
+        |SELECT doc_id AS media_id, 'image/bmp' AS format,
+        |  8 AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b, CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(CASE WHEN ((b+g+r)//3)*13//256 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS lum0
+        |FROM vals GROUP BY doc_id, h ORDER BY media_id""".stripMargin,
+    // Rebuilds every strided 16-byte frame slice from the text bytes and
+    // hashes it the same way (md5 of uppercase hex) — the frame HASHES,
+    // not just their counts, are oracle-checked.
+    "q48_multimodal_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, upper(hex(encode(text))) AS hx,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) > 0),
+        |f AS (
+        |  SELECT md5(substring(hx, CAST(i*32+1 AS BIGINT), 32)) AS frame_hash, doc_id
+        |  FROM d, LATERAL unnest(range(0, CAST(ceil(len/16.0) AS BIGINT))) u(i)
+        |  WHERE i % 2 = 0)
+        |SELECT frame_hash, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_media
+        |FROM f GROUP BY 1
+        |ORDER BY n_frames DESC, frame_hash ASC LIMIT 50""".stripMargin,
     // The Spark side round-trips through CSV/JSON files first; the oracle
     // aggregates the original parquet — green ⇒ the file formats are
     // lossless for these columns.

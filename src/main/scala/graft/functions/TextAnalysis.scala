@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import scala.util.hashing.MurmurHash3
-
 /** Text-analysis operators for training-data pipelines (builder brief):
   * language ID, quality scoring, token counting, document fingerprinting.
   *
@@ -117,14 +115,27 @@ object TextAnalysis {
 
   /** Order-sensitive 64-bit rolling polynomial hash over normalized
     * (lowercased, whitespace-collapsed) tokens. Equal normalized content ⇒
-    * equal fingerprint; used for shift-tolerant chunk fingerprinting. */
+    * equal fingerprint; used for shift-tolerant chunk fingerprinting.
+    *
+    * The per-token hash is the first 8 bytes of MD5(token) (big-endian)
+    * and the roll is h*31 + tokenHash in wrapping int64 — both steps an
+    * independent engine can replay (the q41 DuckDB oracle mirrors them
+    * with hugeint mod-2^64 arithmetic over md5 hex), so the fingerprint
+    * is engine-checkable rather than JVM-private. */
   def fingerprint64(text: String): Long = {
     if (text == null) return 0L
     var h = 1125899906842597L // large prime seed
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return h
+    val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < toks.length) {
-      h = h * 31L + MurmurHash3.stringHash(toks(i), 0).toLong
+      md.reset()
+      val d = md.digest(toks(i).getBytes("UTF-8"))
+      var th = 0L
+      var j = 0
+      while (j < 8) { th = (th << 8) | (d(j) & 0xffL); j += 1 }
+      h = h * 31L + th
       i += 1
     }
     h

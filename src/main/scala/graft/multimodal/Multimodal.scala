@@ -261,6 +261,42 @@ object Multimodal {
       .orElse(decodeWav(payload).map(audioFeatures(_, dim)))
       .getOrElse(decodeStub(payload, dim))
 
+  /** Exact integer pixel statistics from a decoded image — the
+    * oracle-facing projection of [[imageFeatures]]: per-channel byte sums,
+    * pixel count, and the count of pixels landing in luma-histogram
+    * bucket 0 (same `((b+g+r)/3)*nBuckets/256` bucketing). All-integer so
+    * an independent engine recomputing from the source bytes matches
+    * bit-for-bit (q44's DuckDB oracle does, proving the
+    * encode→decode→pixel-walk round trip lossless). */
+  final case class ImageStats(
+      media_id: Long, format: String, width: Int, height: Int,
+      n_px: Long, sum_b: Long, sum_g: Long, sum_r: Long, lum0: Long)
+
+  /** Partition-local REAL BMP decode + exact pixel stats; rows whose
+    * payload is not a valid 24-bit BMP are dropped (total function,
+    * never throws). Same batch shape as [[extractFeatures]]. */
+  def exactImageStats(media: Dataset[MediaRecord], nBuckets: Int = 13): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeBmp(r.payload).map { img =>
+          var sb = 0L; var sg = 0L; var sr = 0L; var l0 = 0L
+          val nPx = img.width * img.height
+          var i = 0
+          while (i < nPx) {
+            val b = img.bgr(3 * i) & 0xff
+            val g = img.bgr(3 * i + 1) & 0xff
+            val rr = img.bgr(3 * i + 2) & 0xff
+            sb += b; sg += g; sr += rr
+            if (((b + g + rr) / 3) * nBuckets / 256 == 0) l0 += 1
+            i += 1
+          }
+          ImageStats(r.media_id, r.format, img.width, img.height, nPx.toLong, sb, sg, sr, l0)
+        }
+      }
+    }
+  }
+
   /** Partition-local batch feature extraction. The decoder "model" is
     * initialized once per partition (the expensive step at scale), then
     * applied to every record in that partition's iterator — never
