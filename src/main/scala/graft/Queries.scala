@@ -2130,4 +2130,45 @@ object Queries {
         |  CAST(SUM(nk) AS BIGINT) AS sum_keys
         |FROM reach GROUP BY region ORDER BY region""".stripMargin)
   }
+
+  // ------------------------------------------------ golden batteries
+
+  /** Text-UDF family golden (the q52 pattern applied to the UDF surface):
+    * tokenize+stem, sparse TF-IDF cardinality and first-stem weight over
+    * the pinned 104-title example corpus, compared against engine-
+    * independent pinned outputs (`TextUdfsGolden.oracleValuesSql`). Green
+    * drives the stemmer, vocabulary, and idf weights through the driver's
+    * oracle even though DuckDB cannot evaluate them; q45 then exercises
+    * the same family on the SF-dependent documents table (rows-only). */
+  def textUdfsGolden(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    GoldenCorpus.titles.toDF("title")
+      .withColumn("stems", GraftFunctions.tokenizeStem($"title"))
+      .withColumn("first_stem", coalesce(element_at($"stems", 1), lit("")))
+      .withColumn("tfidf", GraftFunctions.tfidfVec($"title"))
+      .select($"title",
+        size($"stems").as("n_stems"),
+        array_join($"stems", "|").as("stems_str"),
+        $"first_stem",
+        size($"tfidf").as("tfidf_card"),
+        round(coalesce(element_at($"tfidf", $"first_stem"), lit(0.0)) * lit(1e9))
+          .cast("bigint").as("w_e9"))
+      .orderBy($"title")
+  }
+
+  /** Multimodal decode golden: the pinned payload set (24-bit BMP, binary
+    * PPM incl. the CRLF-after-maxval header form, PCM-16 WAV, plus two
+    * must-reject payloads) decoded by the REAL header-walk decoders to
+    * exact integer stats, compared against hand-checkable pinned values.
+    * Puts all three decoders — and the malformed-payload rejections — on
+    * the driver-checked oracle surface (q44 covers only the BMP path). */
+  def multimodalGolden(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.goldenPayloads.toDF("case_id", "payload")
+      .as[(String, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, p) => Multimodal.goldenStats(id, p) })
+      .toDF()
+      .orderBy($"case_id")
+  }
 }

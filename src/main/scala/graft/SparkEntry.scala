@@ -142,7 +142,9 @@ object SparkEntry {
     "q117_minmax_normalize" -> (Queries.minMaxNormalize _),
     "q118_filter_clause" -> (Queries.filterClauseAgg _),
     "q119_tuple_in" -> (Queries.tupleInSubquery _),
-    "q120_decile_binning" -> (Queries.decileBinning _)
+    "q120_decile_binning" -> (Queries.decileBinning _),
+    "q121_text_udfs_golden" -> (Queries.textUdfsGolden _),
+    "q122_multimodal_golden" -> (Queries.multimodalGolden _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1454,6 +1456,27 @@ object SparkEntry {
         |  COUNT(*) AS n, MIN(c) AS lo_c, MAX(c) AS hi_c
         |FROM t
         |GROUP BY c_mktsegment, decile
-        |ORDER BY c_mktsegment, decile""".stripMargin
+        |ORDER BY c_mktsegment, decile""".stripMargin,
+    // Engine-independent VALUES golden of the text-UDF family over the
+    // pinned 104-title corpus (q52 pattern; fixture regenerated by
+    // GenTextUdfsGolden, drift-guarded by TextUdfsGoldenSpec).
+    "q121_text_udfs_golden" -> graft.TextUdfsGolden.oracleValuesSql,
+    // Pinned decode-golden stats, hand-checkable from the fixture bytes:
+    // bmp_2x2 channel sums over BGR (10..120), ppm round trip (both
+    // header forms), WAV samples (1000,-1000,2000,-3000) -> sum/sumSq/
+    // crossings, and the two must-reject payloads as ('none', zeros).
+    "q122_multimodal_golden" ->
+      """SELECT case_id, container, CAST(n_units AS BIGINT) AS n_units,
+        |  CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+        |  CAST(s3 AS BIGINT) AS s3
+        |FROM (VALUES
+        |  ('bmp_2x2',       'bmp',  4,   220,      260, 300),
+        |  ('ppm_2x1',       'ppm',  2,    50,       70,  90),
+        |  ('ppm_crlf',      'ppm',  2,    50,       70,  90),
+        |  ('wav_pcm',       'wav',  4, -1000, 15000000,   3),
+        |  ('bmp_truncated', 'none', 0,     0,        0,   0),
+        |  ('text_bytes',    'none', 0,     0,        0,   0)
+        |) AS g(case_id, container, n_units, s1, s2, s3)
+        |ORDER BY case_id""".stripMargin
   )
 }

@@ -165,6 +165,26 @@ object Multimodal {
     out
   }
 
+  /** Encode 16-bit PCM samples as a minimal RIFF/WAVE container — the
+    * exact layout [[decodeWav]] walks back. */
+  def encodeWavPcm16(samples: Array[Short], channels: Int, sampleRate: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    val dataLen = samples.length * 2
+    bos.write("RIFF".getBytes("US-ASCII")); le32(36 + dataLen)
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1); le16(channels); le32(sampleRate)
+    le32(sampleRate * channels * 2); le16(channels * 2); le16(16)
+    bos.write("data".getBytes("US-ASCII")); le32(dataLen)
+    samples.foreach(s => le16(s & 0xffff))
+    bos.toByteArray
+  }
+
   /** Decoded PCM audio: 16-bit samples (channels interleaved). */
   final case class DecodedAudio(channels: Int, sampleRate: Int, samples: Array[Short])
 
@@ -295,6 +315,63 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** One row of the decode-golden surface (q122): container routed to,
+    * unit count (pixels / samples), and three exact integer stats —
+    * channel sums for images, (sum, sum-of-squares, zero-crossings) for
+    * audio. Undecodable payloads row as ('none', 0, 0, 0, 0). */
+  final case class MediaGolden(
+      case_id: String, container: String, n_units: Long, s1: Long, s2: Long, s3: Long)
+
+  /** The pinned golden payload set: every decoder (BMP, PPM incl. the
+    * CRLF-after-maxval form, PCM WAV) plus two must-reject cases. Inputs
+    * are built by the same encoders the round-trip specs use; the
+    * EXPECTED stats are pinned as a VALUES oracle in SparkEntry — green
+    * puts all three real decoders on the driver-checked surface. */
+  def goldenPayloads: Seq[(String, Array[Byte])] = {
+    val bgr22 = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val bgr21 = Array[Byte](10, 20, 30, 40, 50, 60)
+    val ppmPlain = encodePpm(2, 1, bgr21)
+    val ppmCrlf = "P6\n2 1\n255\r\n".getBytes("US-ASCII") ++
+      ppmPlain.drop("P6\n2 1\n255\n".length)
+    Seq(
+      "bmp_2x2" -> encodeBmp(2, 2, bgr22),
+      "ppm_2x1" -> ppmPlain,
+      "ppm_crlf" -> ppmCrlf,
+      "wav_pcm" -> encodeWavPcm16(Array[Short](1000, -1000, 2000, -3000), 1, 8000),
+      "bmp_truncated" -> encodeBmp(2, 2, bgr22).take(20),
+      "text_bytes" -> "hello".getBytes("UTF-8"))
+  }
+
+  /** Container-sniffing decode to exact integer stats (see [[MediaGolden]]). */
+  def goldenStats(caseId: String, payload: Array[Byte]): MediaGolden = {
+    def imgStats(container: String, img: DecodedImage): MediaGolden = {
+      var sb = 0L; var sg = 0L; var sr = 0L
+      val nPx = img.width * img.height
+      var i = 0
+      while (i < nPx) {
+        sb += img.bgr(3 * i) & 0xff
+        sg += img.bgr(3 * i + 1) & 0xff
+        sr += img.bgr(3 * i + 2) & 0xff
+        i += 1
+      }
+      MediaGolden(caseId, container, nPx.toLong, sb, sg, sr)
+    }
+    decodeBmp(payload).map(imgStats("bmp", _))
+      .orElse(decodePpm(payload).map(imgStats("ppm", _)))
+      .orElse(decodeWav(payload).map { a =>
+        var sum = 0L; var sumSq = 0L; var crossings = 0L
+        var i = 0
+        while (i < a.samples.length) {
+          val s = a.samples(i).toLong
+          sum += s; sumSq += s * s
+          if (i > 0 && ((s >= 0) != (a.samples(i - 1) >= 0))) crossings += 1
+          i += 1
+        }
+        MediaGolden(caseId, "wav", a.samples.length.toLong, sum, sumSq, crossings)
+      })
+      .getOrElse(MediaGolden(caseId, "none", 0L, 0L, 0L, 0L))
   }
 
   /** Partition-local batch feature extraction. The decoder "model" is
