@@ -2171,4 +2171,80 @@ object Queries {
       .toDF()
       .orderBy($"case_id")
   }
+
+  // --------------------------------- streaming contracts (real execution)
+
+  /** REAL streaming run of
+    * [[graft.streaming.StreamingOps.dedupWithinWatermark]] on the graded
+    * surface: the events parquet is replayed through a file streaming
+    * source under `Trigger.AvailableNow`, deduplicated on
+    * (user_id, event_type, day-of-ts) behind the watermark (day, not
+    * minute: ~20% of the events table collides at day grain at every SF,
+    * so the state store genuinely drops rows), sunk to parquet, and read
+    * back. Only the KEY columns are projected, so the
+    * result is the distinct key set whichever physical delivery the state
+    * store kept — deterministic, and oracle-able as SELECT DISTINCT. The
+    * watermark delay exceeds the table's whole time span so no key is
+    * evicted mid-replay (eviction would make the replay contract
+    * delivery-order-dependent; the bounded-state eviction behavior itself
+    * is pinned by StreamingSpec's redelivery cases). `dropDuplicates
+    * WithinWatermark` is streaming-only in Spark, so unlike q54/q82 this
+    * contract must (and does) execute the genuine streaming engine —
+    * state store, watermark advance, commit log — not a batch twin. */
+  def watermarkDedupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = cachedLayout(s"q123_wmdedup_${sfDir.hashCode.toHexString}") { d =>
+      // events.ts is TIMESTAMP(NANOS): same legacy-long read + micros
+      // narrowing as Tables, replicated here because the streaming source
+      // needs an explicit schema.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val deduped = graft.streaming.StreamingOps.dedupWithinWatermark(
+        // the source path is a single file: hand it as a glob so the
+        // source infers the enclosing DIRECTORY as basePath (a bare file
+        // path is rejected with "basePath must be a directory")
+        spark.readStream.schema(schema).parquet(s"$sfDir/events.parq*")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("ts_day_us", unix_micros(date_trunc("day", $"ts"))),
+        Seq("user_id", "event_type", "ts_day_us"),
+        watermarkDelay = "3650 days")
+        .select($"user_id", $"event_type", $"ts_day_us")
+      deduped.writeStream
+        .format("parquet")
+        .option("path", s"$d/out")
+        .option("checkpointLocation", s"$d/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$dir/out")
+      .orderBy($"user_id", $"event_type", $"ts_day_us")
+  }
+
+  /** Batch contract of [[graft.streaming.StreamingOps.intervalJoin]]
+    * through the SAME code path (the watermarks become no-ops on batch
+    * frames — `EliminateEventTimeWatermark` — leaving the pure interval
+    * predicate): each click joined to the same user's purchases in the
+    * following 10 minutes. Every qualifying pair is emitted, so the result
+    * is fully deterministic and the oracle is a plain range join. In
+    * streaming mode the identical plan runs as Spark's stream-stream
+    * interval join with state bounded by both watermarks; in batch,
+    * Catalyst plans equi-key + range as a sort-merge join on user. */
+  def intervalJoinBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("key"), $"ts", $"event_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("key"), $"ts", $"event_id", $"value")
+    graft.streaming.StreamingOps
+      .intervalJoin(clicks, purchases, joinWindow = "10 minutes")
+      .select($"key".as("user_id"),
+        $"event_id".as("click_id"),
+        $"r_event_id".as("purchase_id"),
+        unix_micros($"ts").as("click_us"),
+        unix_micros($"r_ts").as("purchase_us"),
+        e4(dec($"r_value", 18, 4)).as("purchase_value_e4"))
+      .orderBy($"user_id", $"click_id", $"purchase_id")
+  }
 }

@@ -144,7 +144,9 @@ object SparkEntry {
     "q119_tuple_in" -> (Queries.tupleInSubquery _),
     "q120_decile_binning" -> (Queries.decileBinning _),
     "q121_text_udfs_golden" -> (Queries.textUdfsGolden _),
-    "q122_multimodal_golden" -> (Queries.multimodalGolden _)
+    "q122_multimodal_golden" -> (Queries.multimodalGolden _),
+    "q123_watermark_dedup" -> (Queries.watermarkDedupStream _),
+    "q124_interval_join" -> (Queries.intervalJoinBatch _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1477,6 +1479,33 @@ object SparkEntry {
         |  ('bmp_truncated', 'none', 0,     0,        0,   0),
         |  ('text_bytes',    'none', 0,     0,        0,   0)
         |) AS g(case_id, container, n_units, s1, s2, s3)
-        |ORDER BY case_id""".stripMargin
+        |ORDER BY case_id""".stripMargin,
+    // q123 runs the REAL streaming engine (file source -> watermarked
+    // dropDuplicatesWithinWatermark -> AvailableNow -> parquet sink) and
+    // projects only the dedup key columns, so whichever delivery the
+    // state store kept, the result is exactly the distinct key set.
+    "q123_watermark_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+        |  epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS ts_day_us
+        |FROM events
+        |ORDER BY user_id, event_type, ts_day_us""".stripMargin,
+    // Interval join: click -> same-user purchases within the next 10
+    // minutes, inclusive on both bounds (matches the streaming op's
+    // r_ts >= ts AND r_ts <= ts + interval).
+    "q124_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |             CAST(ts AS TIMESTAMP) AS t FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, t AS ct
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, t AS pt, value
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, p.purchase_id,
+        |  epoch_us(c.ct) AS click_us, epoch_us(p.pt) AS purchase_us,
+        |  CAST(CAST(p.value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |    AS purchase_value_e4
+        |FROM c JOIN p
+        |  ON c.user_id = p.user_id
+        | AND p.pt >= c.ct AND p.pt <= c.ct + INTERVAL 10 MINUTE
+        |ORDER BY c.user_id, c.click_id, p.purchase_id""".stripMargin
   )
 }
