@@ -34,21 +34,31 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t1 = once(name, fn)
-      name -> (if (t1 < retimeUnder) math.min(t1, once(name, fn)) else t1)
-    }.toMap
+      val steady = if (t1 < retimeUnder) math.min(t1, once(name, fn)) else t1
+      (name, t1, steady)
+    }
+    val results = timed.map { case (n, _, s) => n -> s }.toMap
     // The driver stores only the final ~2000 chars of output; a 64-query map
     // with full names and 9-digit values overflows that window and the JSON
     // head gets truncated (BENCH_r03 arrived unparseable). Keys are therefore
     // the qNN prefix (unique by construction) and values 3-decimal seconds —
-    // ~1 kB for 64 queries, with ample headroom. Full names go to stderr.
+    // ~1.6 kB for 124 queries, leaving ~300 chars of headroom. Both numbers
+    // per query (single-shot + steady) go to stderr; the JSON carries the
+    // steady map plus the LARGEST single-shot-minus-steady deltas ("noise",
+    // top 8 over 0.15 s) so round-over-round diffs can tell a regression
+    // from a host-load blip without overflowing the window.
     def f(v: Double): String = "%.3f".format(v)
-    results.toSeq.sortBy(_._1).foreach { case (k, v) => System.err.println(s"[bench] $k ${f(v)}s") }
+    timed.foreach { case (k, t1, s) =>
+      System.err.println(s"[bench] $k first=${f(t1)}s steady=${f(s)}s") }
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
       .mkString("{", ",", "}")
+    val noise = timed.map { case (n, t1, s) => (n.takeWhile(_ != '_'), t1 - s) }
+      .filter(_._2 > 0.15).sortBy(-_._2).take(8)
+      .map { case (k, d) => "\"" + k + "\":" + f(d) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"noise":$noise,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
