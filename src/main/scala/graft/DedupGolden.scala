@@ -1,0 +1,136 @@
+package graft
+
+import scala.io.Source
+import scala.util.hashing.MurmurHash3
+
+/** Pinned expected output of the MinHash+LSH fuzzy-dedup operator family
+  * (q35) over a constructed 15-doc corpus — the q52/q121 VALUES-golden
+  * pattern applied to distributed dedup, putting `Dedup.fuzzyClusters` on
+  * the driver's DuckDB-checked oracle surface (q125).
+  *
+  * The corpus is built so the expected clustering is derivable WITHOUT the
+  * Spark operator: [[recompute]] re-derives signatures, band collisions,
+  * estimated Jaccard and connected components in ~40 lines of straight-line
+  * JVM code from the operator's published contract (word-3-gram shingles,
+  * 64 seeded murmur3 minhashes, 16 bands × 4 rows, est-jaccard ≥ 0.8,
+  * smallest-member cluster id). The distributed plan (signature UDF → band
+  * explode → bucket self-join → distinct → verify → label propagation) must
+  * reproduce it exactly. A band-hash criterion difference is immaterial:
+  * the JVM criterion is "all 4 slice positions equal", and a spurious
+  * catalyst-hash collision on differing slices would only ADD a candidate
+  * pair that the est-jaccard filter then removes (cross-group texts share
+  * no vocabulary, so their est-jaccard is ≈ 0).
+  *
+  * Corpus shape (disjoint word pools per group ⇒ no cross-group shingles):
+  *  - ids 0,1: identical 12-word texts — est-jaccard 1.0, always merged
+  *  - ids 2,3,4: 50-word base; one word substituted (id 3), two words
+  *    substituted (id 4) — high overlap, merges directly or transitively
+  *  - ids 5,6: 50-word base, one substitution — a second fuzzy cluster
+  *  - ids 7,8: 50-word base with EIGHT substitutions — genuinely similar
+  *    text the 0.8 threshold must REJECT (negative case: separate
+  *    singleton clusters)
+  *  - ids 9–14: six singletons over private vocabularies
+  *
+  * Fixture `dedup_golden_snapshot.tsv` is regenerated with
+  * `runMain graft.tools.GenDedupGolden` and drift-guarded by
+  * `DedupGoldenSpec`; [[oracleValuesSql]] replays it as an
+  * engine-independent VALUES oracle for q125.
+  */
+object DedupGolden {
+
+  private def pool(group: String, n: Int): IndexedSeq[String] =
+    (0 until n).map(i => s"${group}w$i")
+
+  /** `base` with the word at each index in `subs` replaced by a
+    * substitute drawn from a vocabulary private to (group, index). */
+  private def variant(group: String, base: IndexedSeq[String], subs: Seq[Int]): String =
+    subs.foldLeft(base) { (ws, i) => ws.updated(i, s"${group}x$i") }.mkString(" ")
+
+  /** (doc_id, text) — fixed 15-doc corpus. */
+  lazy val docs: Seq[(Long, String)] = {
+    val a = pool("a", 12)
+    val b = pool("b", 50)
+    val c = pool("c", 50)
+    val d = pool("d", 50)
+    Seq(
+      0L -> a.mkString(" "),
+      1L -> a.mkString(" "),
+      2L -> b.mkString(" "),
+      3L -> variant("b", b, Seq(25)),
+      4L -> variant("b", b, Seq(10, 40)),
+      5L -> c.mkString(" "),
+      6L -> variant("c", c, Seq(7)),
+      7L -> d.mkString(" "),
+      8L -> variant("d", d, Seq(3, 9, 15, 21, 27, 33, 39, 45))
+    ) ++ (9L to 14L).map(i => i -> pool(s"s$i", 20).mkString(" "))
+  }
+
+  private val ShingleSize = 3
+  private val NumHashes = 64
+  private val Bands = 16
+  private val RowsPerBand = NumHashes / Bands
+  private val Threshold = 0.8
+
+  /** Straight-line JVM re-derivation of the expected clustering (see class
+    * doc); shares NOTHING with `graft.operators.Dedup` but the published
+    * contract. */
+  def recompute: Seq[(Long, Long)] = {
+    def shingles(text: String): Array[String] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < ShingleSize) {
+        if (toks.isEmpty) Array.empty else Array(toks.mkString(" "))
+      } else toks.sliding(ShingleSize).map(_.mkString(" ")).toArray
+    }
+    def sig(text: String): Array[Int] = {
+      val out = Array.fill(NumHashes)(Int.MaxValue)
+      shingles(text).foreach { s =>
+        var h = 0
+        while (h < NumHashes) {
+          val v = MurmurHash3.stringHash(s, h)
+          if (v < out(h)) out(h) = v
+          h += 1
+        }
+      }
+      out
+    }
+    val sigs = docs.map { case (id, t) => id -> sig(t) }.toMap
+    val ids = docs.map(_._1)
+    val edges = for {
+      i <- ids; j <- ids if i < j
+      si = sigs(i); sj = sigs(j)
+      collides = (0 until Bands).exists(bnd =>
+        (0 until RowsPerBand).forall(r => si(bnd * RowsPerBand + r) == sj(bnd * RowsPerBand + r)))
+      if collides
+      est = (0 until NumHashes).count(k => si(k) == sj(k)).toDouble / NumHashes
+      if est >= Threshold
+    } yield (i, j)
+    // union-find, label = smallest member id
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    ids.map(i => i -> find(i)).sortBy(_._1)
+  }
+
+  /** (doc_id, cluster_id) pinned rows from the checked-in fixture. */
+  lazy val rows: Seq[(Long, Long)] = {
+    val src = Source.fromResource("dedup_golden_snapshot.tsv")(scala.io.Codec.UTF8)
+    try src.getLines().filter(_.nonEmpty).map { line =>
+      val a = line.split("\t", -1)
+      require(a.length == 2, s"bad golden row: $line")
+      (a(0).toLong, a(1).toLong)
+    }.toVector
+    finally src.close()
+  }
+
+  /** DuckDB-runnable oracle: pinned rows as a VALUES table matching
+    * [[Queries.fuzzyDedupGolden]]'s columns. */
+  lazy val oracleValuesSql: String =
+    rows.map { case (d, c) => s"($d, $c)" }.mkString(
+      "SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "CAST(cluster_id AS BIGINT) AS cluster_id FROM (VALUES ",
+      ", ",
+      ") AS g(doc_id, cluster_id) ORDER BY doc_id")
+}

@@ -2172,6 +2172,46 @@ object Queries {
       .orderBy($"case_id")
   }
 
+  /** Fuzzy-dedup golden (the q52 pattern applied to DISTRIBUTED dedup):
+    * `Dedup.fuzzyClusters` over the constructed 15-doc corpus whose
+    * expected clustering is re-derived by straight-line JVM code from the
+    * operator's published contract ([[graft.DedupGolden.recompute]],
+    * drift-guarded by `DedupGoldenSpec`). Green drives the whole MinHash →
+    * band bucket join → est-jaccard verify → label-propagation pipeline
+    * through the driver's oracle, including a negative case the 0.8
+    * threshold must reject; q35 then exercises the same operator on the
+    * SF-dependent documents table (rows-only). */
+  def fuzzyDedupGolden(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.fuzzyClusters(
+        graft.DedupGolden.docs.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.8)
+      .select($"doc_id", $"cluster_id")
+      .orderBy($"doc_id")
+  }
+
+  /** ANN golden (constructed truth): LSH top-1, IVF top-1 and the
+    * near-dup pair generator over [[graft.AnnGolden]]'s 45-vector corpus,
+    * whose planted near-identical neighbors are the exact-cosine answers
+    * by a margin that makes approximate recall of them certain (see
+    * `AnnGoldenSpec` for the asserted margins). Green drives all three
+    * DISTRIBUTED candidate machines — hyperplane bucketing, k-means cell
+    * probing, adaptive self-join — through the driver's oracle against
+    * answers computed without them. */
+  def annGolden(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = graft.AnnGolden.vectors.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < graft.AnnGolden.NumQueries)
+    val lsh = Knn.lshTopK(corpus, queries, "vec_id", "embedding", k = 1)
+      .select(lit("lsh").as("method"), $"qid".as("id_a"), $"nid".as("id_b"))
+    val ivf = Knn.ivfTopK(corpus, queries, "vec_id", "embedding", k = 1,
+        nCells = 4, nProbe = 2)
+      .select(lit("ivf").as("method"), $"qid".as("id_a"), $"nid".as("id_b"))
+    val pairs = Knn.nearDupPairs(corpus, "vec_id", "embedding", minCosine = 0.999)
+      .select(lit("pairs").as("method"), $"id_a", $"id_b")
+    lsh.unionByName(ivf).unionByName(pairs)
+      .orderBy($"method", $"id_a", $"id_b")
+  }
+
   // --------------------------------- streaming contracts (real execution)
 
   /** REAL streaming run of

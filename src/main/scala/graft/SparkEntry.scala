@@ -146,7 +146,9 @@ object SparkEntry {
     "q121_text_udfs_golden" -> (Queries.textUdfsGolden _),
     "q122_multimodal_golden" -> (Queries.multimodalGolden _),
     "q123_watermark_dedup" -> (Queries.watermarkDedupStream _),
-    "q124_interval_join" -> (Queries.intervalJoinBatch _)
+    "q124_interval_join" -> (Queries.intervalJoinBatch _),
+    "q125_fuzzy_dedup_golden" -> (Queries.fuzzyDedupGolden _),
+    "q126_ann_golden" -> (Queries.annGolden _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1506,6 +1508,15 @@ object SparkEntry {
         |FROM c JOIN p
         |  ON c.user_id = p.user_id
         | AND p.pt >= c.ct AND p.pt <= c.ct + INTERVAL 10 MINUTE
-        |ORDER BY c.user_id, c.click_id, p.purchase_id""".stripMargin
+        |ORDER BY c.user_id, c.click_id, p.purchase_id""".stripMargin,
+    // Engine-independent VALUES golden of the MinHash+LSH fuzzy-dedup
+    // pipeline over the constructed corpus (expected clusters re-derived
+    // in pure JVM by DedupGolden.recompute; regenerated by GenDedupGolden,
+    // drift-guarded by DedupGoldenSpec).
+    "q125_fuzzy_dedup_golden" -> graft.DedupGolden.oracleValuesSql,
+    // Constructed-truth ANN golden: expected rows are JVM-exact cosine
+    // answers (AnnGolden.expectedTopK/expectedPairs); the Spark side runs
+    // the distributed LSH / IVF / near-dup machinery.
+    "q126_ann_golden" -> graft.AnnGolden.oracleValuesSql
   )
 }

@@ -211,10 +211,21 @@ object Knn {
     * bits before this was adaptive), too many ⇒ recall decays for the
     * mid-cosine band. Identical/near-identical vectors (the dedup target)
     * collide at any bit width. Candidate generation shuffles id pairs
-    * only; vectors are attached after dedup. */
+    * only; vectors are attached after dedup.
+    *
+    * `tables = 0` (default) sizes the table count to the THRESHOLD: a
+    * pair at angle θ collides in one bits-bit random-hyperplane table
+    * with p = (1−θ/π)^bits, so T tables recover it with 1−(1−p)^T; T is
+    * the smallest count giving ≥99% at exactly `minCosine` (pairs above
+    * the threshold collide more often still), clamped to [2, 32]. Cost
+    * is ∝ tables × n × bucket occupancy, so a tight dedup threshold
+    * (0.999 ⇒ T=4 at 17 bits) runs 4× cheaper than the old fixed
+    * T=16 (measured at 1M×64-dim: 756 s → see SCALE.md §ANN), while a
+    * loose threshold correctly spends MORE tables than 16 instead of
+    * silently losing recall. */
   def nearDupPairs(
       data: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double, tables: Int = 16, bits: Int = 0): DataFrame = {
+      minCosine: Double, tables: Int = 0, bits: Int = 0): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     val d = withVecAndNorm(data, idCol, vecCol)
@@ -224,8 +235,18 @@ object Knn {
         val n = data.count().toDouble // one scalar (operator entry point)
         math.min(20, math.max(10, math.ceil(math.log(math.max(n, 1.0) / 8.0) / math.log(2.0)).toInt))
       }
+    val nTables =
+      if (tables > 0) tables
+      else {
+        val theta = math.acos(math.min(1.0, math.max(-1.0, minCosine)))
+        val p = math.pow(1.0 - theta / math.Pi, nBits)
+        val t =
+          if (p >= 1.0) 2
+          else math.ceil(math.log(0.01) / math.log(1.0 - p)).toInt
+        math.min(32, math.max(2, t))
+      }
     val bucketed = d
-      .withColumn("sigs", sigsUdf($"v", lit(tables), lit(nBits)))
+      .withColumn("sigs", sigsUdf($"v", lit(nTables), lit(nBits)))
       .select($"id", posexplode($"sigs").as(Seq("tbl", "sig")))
     val a = bucketed.select($"tbl", $"sig", $"id".as("id_a"))
     val b = bucketed.select($"tbl", $"sig", $"id".as("id_b"))
@@ -250,7 +271,7 @@ object Knn {
     * WITHOUT many duplicates. */
   def nearDupClusters(
       data: DataFrame, idCol: String, vecCol: String, minCosine: Double,
-      tables: Int = 16, bits: Int = 0): DataFrame = {
+      tables: Int = 0, bits: Int = 0): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     val pairs = nearDupPairs(data, idCol, vecCol, minCosine, tables, bits)

@@ -129,6 +129,9 @@ object AnnSweep {
         .unionByName(base.filter($"vec_id" >= 1000))
       val adaptiveBits = math.min(20, math.max(10,
         math.ceil(math.log((n + 2000).toDouble / 8.0) / math.log(2.0)).toInt))
+      val p999 = math.pow(1.0 - math.acos(0.999) / math.Pi, adaptiveBits)
+      val adaptiveTables = math.min(32, math.max(2,
+        math.ceil(math.log(0.01) / math.log(1.0 - p999)).toInt))
       val (found, t) = timed {
         Knn.nearDupPairs(planted, "vec_id", "embedding", minCosine = 0.999)
           .select($"id_a", $"id_b").collect()
@@ -136,7 +139,7 @@ object AnnSweep {
       val plantedFound = found.count(r =>
         r.getLong(0) % 100000000L == r.getLong(1) % 100000000L &&
           r.getLong(0) % 100000000L < 1000L)
-      println(f"[ann] nearDupPairs n=${n + 2000}%,d (adaptive bits=$adaptiveBits): " +
+      println(f"[ann] nearDupPairs n=${n + 2000}%,d (adaptive bits=$adaptiveBits tables=$adaptiveTables): " +
         f"pairs=${found.length}%,d plantedRecovered=$plantedFound%,d/3000  $t%.1f s")
     }
 
