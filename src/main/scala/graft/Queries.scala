@@ -2212,6 +2212,22 @@ object Queries {
       .orderBy($"method", $"id_a", $"id_b")
   }
 
+  /** Similarity-join golden: `SimilarityJoin.topK` (k=3) over the pinned
+    * 104-title corpus against the bundled BLS dictionary, checked against
+    * the straight-line JVM re-derivation pinned in
+    * [[graft.SimJoinGolden]] (drift-guarded by `SimJoinGoldenSpec`).
+    * Extends q52's top-1 parity to the full ranked-join output — rank
+    * order, fallback rows and e6 scores — on the driver's oracle surface;
+    * q34 then exercises the same operator at SF scale (rows-only). */
+  def simJoinGolden(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    SimilarityJoin.topK(
+        GoldenCorpus.titles.toDF("title"), "title", "title", k = graft.SimJoinGolden.K)
+      .select($"title", $"rnk", $"match_doc_id", $"alias", $"category",
+        round($"score" * lit(1e6)).cast("bigint").as("score_e6"))
+      .orderBy($"title", $"rnk")
+  }
+
   // --------------------------------- streaming contracts (real execution)
 
   /** REAL streaming run of

@@ -148,7 +148,8 @@ object SparkEntry {
     "q123_watermark_dedup" -> (Queries.watermarkDedupStream _),
     "q124_interval_join" -> (Queries.intervalJoinBatch _),
     "q125_fuzzy_dedup_golden" -> (Queries.fuzzyDedupGolden _),
-    "q126_ann_golden" -> (Queries.annGolden _)
+    "q126_ann_golden" -> (Queries.annGolden _),
+    "q127_simjoin_golden" -> (Queries.simJoinGolden _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1517,6 +1518,11 @@ object SparkEntry {
     // Constructed-truth ANN golden: expected rows are JVM-exact cosine
     // answers (AnnGolden.expectedTopK/expectedPairs); the Spark side runs
     // the distributed LSH / IVF / near-dup machinery.
-    "q126_ann_golden" -> graft.AnnGolden.oracleValuesSql
+    "q126_ann_golden" -> graft.AnnGolden.oracleValuesSql,
+    // Engine-independent VALUES golden of the ranked dictionary
+    // similarity join over the pinned 104-title corpus (JVM re-derivation
+    // in SimJoinGolden.recompute; regenerated by GenSimJoinGolden,
+    // drift-guarded by SimJoinGoldenSpec).
+    "q127_simjoin_golden" -> graft.SimJoinGolden.oracleValuesSql
   )
 }

@@ -89,7 +89,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q70_mixture_weights", "q76_keyword_extract",
     "q38_knn_lsh", "q42_knn_ivf", // vector signature/assignment UDFs
     "q121_text_udfs_golden", // golden battery over the UDF family itself
-    "q125_fuzzy_dedup_golden", "q126_ann_golden") // golden batteries over the candidate machinery (same UDFs as q35/q38/q42)
+    "q125_fuzzy_dedup_golden", "q126_ann_golden", // golden batteries over the candidate machinery (same UDFs as q35/q38/q42)
+    "q127_simjoin_golden") // golden battery over the similarity join (same qvec UDF as q34)
 
   test("only declared UDF-bearing queries plan a ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
