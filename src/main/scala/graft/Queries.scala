@@ -2228,6 +2228,44 @@ object Queries {
       .orderBy($"title", $"rnk")
   }
 
+  /** Generic-similarity-join golden: `topKAgainst` (k=2) and
+    * `thresholdJoin` (τ=0.35, lossless maxDf) over the constructed
+    * two-sided corpus pinned in [[graft.SimJoinGenericGolden]] — the
+    * distributed-idf machinery (q46) and the prefix-filter pruning (q49)
+    * must reproduce the straight-line JVM scores exactly. The threshold
+    * truth is "exact score ≥ τ", so a pruning bug that drops a qualifying
+    * pair fails the oracle, not just a recall spec. */
+  def simJoinGenericGolden(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val left = graft.SimJoinGenericGolden.leftDocs.toDF("qid", "text")
+    val right = graft.SimJoinGenericGolden.rightDocs.toDF("rid", "rtext")
+    def shape(df: DataFrame, method: String): DataFrame =
+      df.select(lit(method).as("method"), $"qid", $"rnk", $"rid",
+        round($"score" * lit(1e6)).cast("bigint").as("score_e6"))
+    val topk = shape(SimilarityJoin.topKAgainst(
+      left, "qid", "text", right, "rid", "rtext", k = graft.SimJoinGenericGolden.TopK), "topk")
+    val thr = shape(SimilarityJoin.thresholdJoin(
+      left, "qid", "text", right, "rid", "rtext",
+      k = graft.SimJoinGenericGolden.ThrK,
+      minScore = graft.SimJoinGenericGolden.Tau, maxDf = 1.0), "thr")
+    topk.unionByName(thr).orderBy($"method", $"qid", $"rnk")
+  }
+
+  /** SimHash golden: `Dedup.simhashCandidatePairs` over the constructed
+    * corpus pinned in [[graft.SimhashGolden]] — the pigeonhole banding
+    * must reproduce the brute-force all-pairs hamming truth (≤3), pinning
+    * fingerprint bits, bag-of-words invariance (identical, reordered and
+    * case-folded twins at distance 0) and the block equi-join machinery
+    * on the oracle surface; q36 then runs at SF scale (rows-only). */
+  def simhashGolden(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.simhashCandidatePairs(
+        graft.SimhashGolden.docs.toDF("doc_id", "text"), "doc_id", "text",
+        maxDistance = graft.SimhashGolden.MaxDistance)
+      .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   // --------------------------------- streaming contracts (real execution)
 
   /** REAL streaming run of

@@ -149,7 +149,9 @@ object SparkEntry {
     "q124_interval_join" -> (Queries.intervalJoinBatch _),
     "q125_fuzzy_dedup_golden" -> (Queries.fuzzyDedupGolden _),
     "q126_ann_golden" -> (Queries.annGolden _),
-    "q127_simjoin_golden" -> (Queries.simJoinGolden _)
+    "q127_simjoin_golden" -> (Queries.simJoinGolden _),
+    "q128_simjoin_generic_golden" -> (Queries.simJoinGenericGolden _),
+    "q129_simhash_golden" -> (Queries.simhashGolden _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1523,6 +1525,12 @@ object SparkEntry {
     // similarity join over the pinned 104-title corpus (JVM re-derivation
     // in SimJoinGolden.recompute; regenerated by GenSimJoinGolden,
     // drift-guarded by SimJoinGoldenSpec).
-    "q127_simjoin_golden" -> graft.SimJoinGolden.oracleValuesSql
+    "q127_simjoin_golden" -> graft.SimJoinGolden.oracleValuesSql,
+    // Engine-independent VALUES goldens for the generic similarity join
+    // (topKAgainst + lossless thresholdJoin vs a JVM re-derivation of the
+    // distributed-idf contract) and the simhash near-dup pairs (pigeonhole
+    // banding vs brute-force all-pairs hamming).
+    "q128_simjoin_generic_golden" -> graft.SimJoinGenericGolden.oracleValuesSql,
+    "q129_simhash_golden" -> graft.SimhashGolden.oracleValuesSql
   )
 }
