@@ -229,7 +229,7 @@ object ScaleSmoke {
       .select(explode(array(lit(0L), lit(10000000L), lit(20000000L))).as("off"), $"vec_id", $"embedding")
       .select(($"vec_id" + $"off").as("vec_id"), $"embedding")
       .unionByName(vecs.filter($"vec_id" >= 1000))
-    time(s"embedding near-dup clusters ($nVecs+2k vectors, 16 tables, adaptive bits)") {
+    time(s"embedding near-dup clusters ($nVecs+2k vectors, adaptive tables+bits)") {
       val cl = Knn.nearDupClusters(planted, "vec_id", "embedding", minCosine = 0.999)
       println(s"  rows clustered to a smaller id: ${cl.filter($"cluster_id" =!= $"vec_id").count()} (expect 2000)")
     }
