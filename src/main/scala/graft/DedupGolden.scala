@@ -12,8 +12,9 @@ import scala.util.hashing.MurmurHash3
   * Spark operator: [[recompute]] re-derives signatures, band collisions,
   * estimated Jaccard and connected components in ~40 lines of straight-line
   * JVM code from the operator's published contract (word-3-gram shingles,
-  * 64 seeded murmur3 minhashes, 16 bands × 4 rows, est-jaccard ≥ 0.8,
-  * smallest-member cluster id). The distributed plan (signature UDF → band
+  * 64 double-hashed minhash positions — h1 + i·h2 from two murmur3 passes,
+  * h2 odd — 16 bands × 4 rows, est-jaccard ≥ 0.8, smallest-member cluster
+  * id). The distributed plan (signature UDF → band
   * explode → bucket self-join → distinct → verify → label propagation) must
   * reproduce it exactly. A band-hash criterion difference is immaterial:
   * the JVM criterion is "all 4 slice positions equal", and a spurious
@@ -82,12 +83,17 @@ object DedupGolden {
       } else toks.sliding(ShingleSize).map(_.mkString(" ")).toArray
     }
     def sig(text: String): Array[Int] = {
+      // double-hashing scheme (Kirsch–Mitzenmacher), mirroring the
+      // published contract: position i hashes to h1 + i·h2, h2 odd
       val out = Array.fill(NumHashes)(Int.MaxValue)
       shingles(text).foreach { s =>
+        val h1 = MurmurHash3.stringHash(s, 0)
+        val h2 = MurmurHash3.stringHash(s, 1) | 1
         var h = 0
+        var v = h1
         while (h < NumHashes) {
-          val v = MurmurHash3.stringHash(s, h)
           if (v < out(h)) out(h) = v
+          v += h2
           h += 1
         }
       }
