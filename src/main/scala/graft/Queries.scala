@@ -2266,6 +2266,68 @@ object Queries {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Approximate-sketch-family golden (q130): DataSketches HLL
+    * (`hll_sketch_agg` per group + `hll_union_agg` for the ALL row),
+    * `approx_count_distinct`, and `approx_percentile` over a constructed
+    * 20k-row input whose exact truth is straight-line-JVM derivable
+    * ([[graft.SketchGolden]], which also documents exactly WHICH parts of
+    * each sketch are pinnable). The input is spread with an explicit
+    * `repartition(32, id % 13)` so every group merges ≥2 partial HLL
+    * sketches — the merged (composite) estimate is partitioning-invariant,
+    * unlike the single-partition streaming (HIP) estimate.
+    * `approx_percentile` is pinned as its rank-error GUARANTEE (a boolean
+    * against JVM-exact rank windows), not its merge-order-sensitive value. */
+  def sketchGolden(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = spark.range(SketchGolden.NumRows)
+      .select($"id",
+        ($"id" % SketchGolden.NumGroups).as("grp"),
+        concat(lit("u"),
+          ($"id" * 2654435761L) %
+            (($"id" % SketchGolden.NumGroups + 1) * 211L + 100L)).as("user"),
+        (($"id" * 48271L) % 9973L).cast("double").as("chars"))
+      .repartition(32, $"id" % 13)
+    sketchGoldenOn(spark, base)
+  }
+
+  /** q130's aggregation over an arbitrary layout of the constructed input
+    * — factored out so `SketchGoldenSpec` can assert the pinned estimates
+    * are invariant across input partitionings. */
+  def sketchGoldenOn(spark: SparkSession, input: DataFrame): DataFrame = {
+    import spark.implicits._
+    val acc = lit(SketchGolden.Accuracy)
+    val perGrp = input.groupBy($"grp".cast("string").as("grp"))
+      .agg(
+        countDistinct($"user").as("exact_users"),
+        hll_sketch_agg($"user", lit(12)).as("sk"),
+        approx_count_distinct($"user", 0.02).as("acd_users"),
+        approx_percentile($"chars", lit(0.5), acc).as("p50"))
+    val allRow = perGrp
+      .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(true)))
+        .cast("bigint").as("hll_users"))
+      .withColumn("k", lit(1))
+      .join(
+        input.agg(
+            countDistinct($"user").as("exact_users"),
+            approx_count_distinct($"user", 0.02).as("acd_users"),
+            approx_percentile($"chars", lit(0.5), acc).as("p50"))
+          .withColumn("k", lit(1)),
+        "k")
+      .select(lit("ALL").as("grp"),
+        $"exact_users", $"hll_users", $"acd_users", $"p50")
+    val windows = SketchGolden.recomputeExact
+      .map { case (g, _, lo, hi) => (g, lo, hi) }.toDF("wgrp", "lo", "hi")
+    perGrp
+      .select($"grp", $"exact_users",
+        hll_sketch_estimate($"sk").cast("bigint").as("hll_users"),
+        $"acd_users", $"p50")
+      .union(allRow)
+      .join(broadcast(windows), $"grp" === $"wgrp")
+      .select($"grp", $"exact_users", $"hll_users", $"acd_users",
+        $"p50".between($"lo", $"hi").as("p50_in_window"))
+      .orderBy($"grp")
+  }
+
   // --------------------------------- streaming contracts (real execution)
 
   /** REAL streaming run of

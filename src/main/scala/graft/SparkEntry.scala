@@ -151,7 +151,8 @@ object SparkEntry {
     "q126_ann_golden" -> (Queries.annGolden _),
     "q127_simjoin_golden" -> (Queries.simJoinGolden _),
     "q128_simjoin_generic_golden" -> (Queries.simJoinGenericGolden _),
-    "q129_simhash_golden" -> (Queries.simhashGolden _)
+    "q129_simhash_golden" -> (Queries.simhashGolden _),
+    "q130_sketch_golden" -> (Queries.sketchGolden _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1531,6 +1532,12 @@ object SparkEntry {
     // distributed-idf contract) and the simhash near-dup pairs (pigeonhole
     // banding vs brute-force all-pairs hamming).
     "q128_simjoin_generic_golden" -> graft.SimJoinGenericGolden.oracleValuesSql,
-    "q129_simhash_golden" -> graft.SimhashGolden.oracleValuesSql
+    "q129_simhash_golden" -> graft.SimhashGolden.oracleValuesSql,
+    // q130 pins the approximate-sketch family itself (HLL estimates,
+    // approx_count_distinct, approx_percentile's rank guarantee) — the
+    // family q63/q98 exercise on SF data — over a constructed input with
+    // JVM-derivable exact truth; see SketchGolden's scaladoc for which
+    // parts of each sketch are pinnable and why.
+    "q130_sketch_golden" -> graft.SketchGolden.oracleValuesSql
   )
 }

@@ -18,7 +18,9 @@ class PlanAuditSpec extends AnyFunSuite {
     * q73's broadcast side is the single-row [lo, hi] bounds aggregate. */
   private val boundedProbeBnlj =
     Set("q19_knn_bruteforce", "q43_embedding_neardup", "q73_length_trim",
-      "q90_gap_fill") // q90's broadcast side is the 1-row [lo, hi] bounds
+      "q90_gap_fill", // q90's broadcast side is the 1-row [lo, hi] bounds
+      "q130_sketch_golden") // 1-row × 1-row ALL-row assembly (constant-key
+                            // join folds to BNLJ; both sides are scalars)
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =
