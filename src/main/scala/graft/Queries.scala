@@ -2403,4 +2403,47 @@ object Queries {
         e4(dec($"r_value", 18, 4)).as("purchase_value_e4"))
       .orderBy($"user_id", $"click_id", $"purchase_id")
   }
+
+  /** REAL streaming run of
+    * [[graft.streaming.StreamingOps.upsertSnapshot]] (the foreachBatch
+    * streaming MERGE) on the graded surface: the events table is split
+    * into 8 replay files, streamed one file per micro-batch
+    * (`maxFilesPerTrigger=1` + `AvailableNow`), each batch full-outer
+    * merged into the generation-pointer parquet snapshot, and the FINAL
+    * snapshot read back — so the oracle checks the composition of 8
+    * incremental merges, not one batch.
+    *
+    * Determinism under arbitrary batch boundaries AND file order is by
+    * construction: the payload is a pure function of (key, ts), so any
+    * two same-key rows with the same event time are value-identical —
+    * newest-per-key is then an associative, commutative, idempotent merge
+    * whatever the engine's tiebreakers do, and the final state is exactly
+    * "the (deterministic) row at each key's max event time". The window's
+    * row-fingerprint tiebreaker (equal-ts ties inside one batch) is
+    * exercised but can never change the committed VALUE.
+    *
+    * With far fewer users than events at every SF, each key is touched
+    * by many of the 8 batches, so snapshot rows are genuinely overwritten
+    * across generations — the merge path is exercised, not just the
+    * initial insert. */
+  def streamUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = cachedLayout(s"q131_upsert_${sfDir.hashCode.toHexString}") { d =>
+      val updates = Tables(spark, sfDir, "events")
+        .select($"user_id".as("key"), $"ts",
+          md5(concat_ws(":", $"user_id".cast("string"),
+            unix_micros($"ts").cast("string"))).as("payload"))
+      updates.repartition(8).write.parquet(s"$d/in")
+      val q = graft.streaming.StreamingOps.upsertSnapshot(
+        spark.readStream.schema(updates.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$d/in"),
+        s"$d/snap", s"$d/ckpt",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+    }
+    graft.streaming.StreamingOps.readSnapshot(spark, s"$dir/snap")
+      .select($"key", unix_micros($"ts").as("ts_us"), $"payload")
+      .orderBy($"key")
+  }
 }

@@ -152,7 +152,8 @@ object SparkEntry {
     "q127_simjoin_golden" -> (Queries.simJoinGolden _),
     "q128_simjoin_generic_golden" -> (Queries.simJoinGenericGolden _),
     "q129_simhash_golden" -> (Queries.simhashGolden _),
-    "q130_sketch_golden" -> (Queries.sketchGolden _)
+    "q130_sketch_golden" -> (Queries.sketchGolden _),
+    "q131_stream_upsert" -> (Queries.streamUpsert _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1538,6 +1539,18 @@ object SparkEntry {
     // family q63/q98 exercise on SF data — over a constructed input with
     // JVM-derivable exact truth; see SketchGolden's scaladoc for which
     // parts of each sketch are pinnable and why.
-    "q130_sketch_golden" -> graft.SketchGolden.oracleValuesSql
+    "q130_sketch_golden" -> graft.SketchGolden.oracleValuesSql,
+    // q131 replays events through the REAL streaming foreachBatch upsert
+    // (8 micro-batches, generation-pointer snapshot); the payload is a
+    // pure function of (key, ts), so the final snapshot is exactly the
+    // deterministic row at each key's max event time — see
+    // Queries.streamUpsert's scaladoc for the batch-boundary-invariance
+    // argument.
+    "q131_stream_upsert" ->
+      """WITH u AS (SELECT user_id AS key,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+        |SELECT key, CAST(MAX(ts_us) AS BIGINT) AS ts_us,
+        |  md5(key::VARCHAR || ':' || MAX(ts_us)::VARCHAR) AS payload
+        |FROM u GROUP BY key ORDER BY key""".stripMargin
   )
 }

@@ -129,7 +129,9 @@ object StreamingOps {
   def upsertSnapshot(
       updates: DataFrame, // columns: key BIGINT, ts TIMESTAMP, payload...
       dir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val applyBatch: (DataFrame, Long) => Unit = { (batch, _) =>
         val spark = batch.sparkSession
         val cols = batch.columns
@@ -167,10 +169,10 @@ object StreamingOps {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    updates.writeStream
+    val writer = updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(applyBatch)
-      .start()
+    trigger.fold(writer)(writer.trigger).start()
   }
 
   private def currentGeneration(dir: String): Option[Long] = {
