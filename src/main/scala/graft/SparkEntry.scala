@@ -153,7 +153,8 @@ object SparkEntry {
     "q128_simjoin_generic_golden" -> (Queries.simJoinGenericGolden _),
     "q129_simhash_golden" -> (Queries.simhashGolden _),
     "q130_sketch_golden" -> (Queries.sketchGolden _),
-    "q131_stream_upsert" -> (Queries.streamUpsert _)
+    "q131_stream_upsert" -> (Queries.streamUpsert _),
+    "q132_stream_state_totals" -> (Queries.streamStateTotals _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1551,6 +1552,16 @@ object SparkEntry {
         |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
         |SELECT key, CAST(MAX(ts_us) AS BIGINT) AS ts_us,
         |  md5(key::VARCHAR || ':' || MAX(ts_us)::VARCHAR) AS payload
-        |FROM u GROUP BY key ORDER BY key""".stripMargin
+        |FROM u GROUP BY key ORDER BY key""".stripMargin,
+    // q132 replays events through the REAL mapGroupsWithState engine (8
+    // micro-batches, update-mode foreachBatch sink); the final state per
+    // user is its argmax-n_events update (count strictly monotone per
+    // key), which equals the plain GROUP BY — see Queries.streamStateTotals
+    // for the exact-integer-double argument that makes the sum order-proof.
+    "q132_stream_state_totals" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4)) * 10000) AS BIGINT)
+        |    AS total_e4
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
