@@ -58,7 +58,13 @@ object Bench {
       .filter(_._2 > 0.15).sortBy(-_._2).take(8)
       .map { case (k, d) => "\"" + k + "\":" + f(d) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"noise":$noise,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"noise":$noise,"sf":"$sfDir"}"""
+    // hard guard on the driver's ~2000-char tail window: as the query
+    // count grows, shed the noise map first rather than truncate the JSON
+    val out = if (line.length <= 1950) line else
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(out)
     spark.stop()
   }
 }
