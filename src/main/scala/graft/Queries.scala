@@ -2277,17 +2277,22 @@ object Queries {
     * unlike the single-partition streaming (HIP) estimate.
     * `approx_percentile` is pinned as its rank-error GUARANTEE (a boolean
     * against JVM-exact rank windows), not its merge-order-sensitive value. */
-  def sketchGolden(spark: SparkSession, sfDir: String): DataFrame = {
+  def sketchGolden(spark: SparkSession, sfDir: String): DataFrame =
+    sketchGoldenOn(spark,
+      sketchGoldenInput(spark).repartition(32, col("id") % 13))
+
+  /** The q130 constructed input — the Column mirror of
+    * `SketchGolden.inputRows`, shared with `SketchGoldenSpec` so the query
+    * and the invariance tests can never drift apart. */
+  def sketchGoldenInput(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val base = spark.range(SketchGolden.NumRows)
+    spark.range(SketchGolden.NumRows)
       .select($"id",
         ($"id" % SketchGolden.NumGroups).as("grp"),
         concat(lit("u"),
           ($"id" * 2654435761L) %
             (($"id" % SketchGolden.NumGroups + 1) * 211L + 100L)).as("user"),
         (($"id" * 48271L) % 9973L).cast("double").as("chars"))
-      .repartition(32, $"id" % 13)
-    sketchGoldenOn(spark, base)
   }
 
   /** q130's aggregation over an arbitrary layout of the constructed input

@@ -41,15 +41,16 @@ class SketchGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("Column input construction mirrors the JVM inputRows exactly") {
+    val got = Queries.sketchGoldenInput(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getString(2),
+        r.getDouble(3).toLong)).sortBy(_._1).toSeq
+    assert(got == SketchGolden.inputRows.toSeq)
+  }
+
   test("pinned estimates are invariant to input partitioning") {
     import spark.implicits._
-    def base: DataFrame = spark.range(SketchGolden.NumRows)
-      .select($"id",
-        ($"id" % SketchGolden.NumGroups).as("grp"),
-        concat(lit("u"),
-          ($"id" * 2654435761L) %
-            (($"id" % SketchGolden.NumGroups + 1) * 211L + 100L)).as("user"),
-        (($"id" * 48271L) % 9973L).cast("double").as("chars"))
+    def base: DataFrame = Queries.sketchGoldenInput(spark)
     // every layout spreads each group over ≥2 partitions (composite-mode
     // HLL merges); the 1-partition streaming (HIP) case is deliberately
     // excluded — it is the one layout the estimate is NOT stable under,
