@@ -2499,4 +2499,32 @@ object Queries {
         $"total_value".cast("bigint").as("total_e4"))
       .orderBy($"user_id")
   }
+
+  /** q133: exact substring-level dedup (Lee et al. ExactSubstr as
+    * relational algebra) — remove the overlapping-span closure of every
+    * 8-gram repeated anywhere in the corpus. See
+    * [[graft.operators.SubstringDedup.dedupSpans]]. */
+  def substringDedup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.SubstringDedup.dedupSpans(
+      Tables(spark, sfDir, "documents"), "doc_id", "text", k = 8, minRepeat = 2)
+
+  /** q134: corpus-trained add-one bigram LM, per-doc total −ln P in
+    * integer micro-nats (the CCNet perplexity-filter shape). See
+    * [[graft.operators.NgramLM.bigramNll]]. */
+  def lmPerplexity(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.NgramLM.bigramNll(
+      Tables(spark, sfDir, "documents"), "doc_id", "text")
+
+  /** q135: ingestion-time incremental dedup — odd doc_ids are the
+    * incoming batch, even doc_ids the already-ingested history; each
+    * incoming doc is classified new / dup_history / dup_batch by
+    * normalized-content md5. See [[graft.operators.Dedup.incremental]]. */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    graft.operators.Dedup.incremental(
+      incoming = docs.filter($"doc_id" % 2 === 1),
+      history = docs.filter($"doc_id" % 2 === 0),
+      idCol = "doc_id", textCol = "text")
+  }
 }

@@ -154,7 +154,10 @@ object SparkEntry {
     "q129_simhash_golden" -> (Queries.simhashGolden _),
     "q130_sketch_golden" -> (Queries.sketchGolden _),
     "q131_stream_upsert" -> (Queries.streamUpsert _),
-    "q132_stream_state_totals" -> (Queries.streamStateTotals _)
+    "q132_stream_state_totals" -> (Queries.streamStateTotals _),
+    "q133_substring_dedup" -> (Queries.substringDedup _),
+    "q134_lm_perplexity" -> (Queries.lmPerplexity _),
+    "q135_incremental_dedup" -> (Queries.incrementalDedup _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1562,6 +1565,125 @@ object SparkEntry {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4)) * 10000) AS BIGINT)
         |    AS total_e4
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q133: ExactSubstr dedup (Lee et al. 2022) — a k-gram is duplicated
+    // if it occurs >= 2 times anywhere in the corpus (including the same
+    // doc); hit spans [pos, pos+7] merge when overlapping or adjacent
+    // (gaps-and-islands on the running max end); cleaned text drops every
+    // covered token. Token space = lowercased whitespace split, empties
+    // dropped — identical to the Spark side, so md5 compares bit-exact.
+    "q133_substring_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         array_to_string(list_slice(ts, i, i+7), ' ') AS gram
+        |  FROM toks, (SELECT unnest(range(1, (SELECT max(len(ts)) FROM toks) + 1)) AS i)
+        |  WHERE i <= len(ts) - 7),
+        |dupg AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dupg d ON g.gram = d.gram),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 7) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM brk),
+        |spans AS (
+        |  SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |positions AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p, ts[i] AS tok
+        |  FROM toks, (SELECT unnest(range(1, (SELECT max(len(ts)) FROM toks) + 1)) AS i)
+        |  WHERE i <= len(ts)),
+        |kept AS (
+        |  SELECT po.doc_id,
+        |         coalesce(string_agg(po.tok, ' ' ORDER BY po.p), '') AS cleaned
+        |  FROM positions po
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |                    WHERE sp.doc_id = po.doc_id
+        |                      AND po.p BETWEEN sp.s AND sp.e)
+        |  GROUP BY po.doc_id),
+        |stats AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+        |  FROM spans GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+        |       coalesce(st.n_spans, 0) AS n_spans,
+        |       coalesce(st.dup_tokens, 0) AS dup_tokens,
+        |       md5(coalesce(k.cleaned,
+        |           CASE WHEN st.doc_id IS NULL THEN array_to_string(t.ts, ' ')
+        |                ELSE '' END)) AS cleaned_md5
+        |FROM toks t
+        |LEFT JOIN stats st ON t.doc_id = st.doc_id
+        |LEFT JOIN kept k ON t.doc_id = k.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // q134: add-one bigram LM trained on the corpus itself;
+    // P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V) with c(w1) = total corpus
+    // occurrences and V = vocab size. Each occurrence's -ln P is rounded
+    // to integer micro-nats BEFORE the per-doc sum, so both engines sum
+    // BIGINTs (order-proof); ln inputs are exact small-integer ratios.
+    "q134_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |uni AS (
+        |  SELECT unnest(ts) AS w1 FROM toks),
+        |uni_counts AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c_uni FROM uni GROUP BY w1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni_counts),
+        |bigrams AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM toks, (SELECT unnest(range(1, (SELECT max(len(ts)) FROM toks) + 1)) AS i)
+        |  WHERE i <= len(ts) - 1),
+        |bg_counts AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
+        |  FROM bigrams GROUP BY w1, w2),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    CAST(round(-ln(CAST(c.c_bg + 1 AS DOUBLE) / (u.c_uni + v.v)) * 1e6)
+        |         AS BIGINT) AS nll_term_e6
+        |  FROM bigrams b
+        |  JOIN bg_counts c ON b.w1 = c.w1 AND b.w2 = c.w2
+        |  JOIN uni_counts u ON b.w1 = u.w1
+        |  CROSS JOIN v),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(nll_term_e6) AS BIGINT) AS nll_e6
+        |  FROM scored GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+        |       coalesce(p.nll_e6, 0) AS nll_e6
+        |FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // q135: incremental ingest dedup — odd doc_ids (incoming) classified
+    // against even doc_ids (history) and earlier same-batch rows by
+    // normalized-content md5; lowest incoming doc_id wins within batch.
+    "q135_incremental_dedup" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(
+        |      list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
+        |      ' ')) AS key_md5
+        |  FROM documents),
+        |inc AS (SELECT * FROM keyed WHERE doc_id % 2 = 1),
+        |hist AS (SELECT DISTINCT key_md5 FROM keyed WHERE doc_id % 2 = 0),
+        |first_in_batch AS (
+        |  SELECT key_md5, min(doc_id) AS first_id FROM inc GROUP BY key_md5)
+        |SELECT i.doc_id, i.key_md5,
+        |  CASE WHEN h.key_md5 IS NOT NULL THEN 'dup_history'
+        |       WHEN i.doc_id > f.first_id THEN 'dup_batch'
+        |       ELSE 'new' END AS status
+        |FROM inc i
+        |LEFT JOIN hist h ON i.key_md5 = h.key_md5
+        |JOIN first_in_batch f ON i.key_md5 = f.key_md5
+        |ORDER BY i.doc_id""".stripMargin
   )
 }

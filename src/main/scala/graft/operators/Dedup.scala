@@ -25,6 +25,49 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Ingestion-time incremental dedup: classify each `incoming` row
+    * against an already-ingested `history` corpus AND against earlier
+    * rows of its own batch — the shape every continuously-fed training
+    * pipeline runs on each new crawl drop. The content key is
+    * md5(normalized token text), so a fingerprint store (key column
+    * only) stands in for history at scale.
+    *
+    * Per incoming row: `dup_history` if its key exists in history,
+    * else `dup_batch` if a lower-id incoming row shares the key,
+    * else `new`.
+    *
+    * Scale shape: history is reduced to DISTINCT keys (map-side
+    * combinable) and probed with one equi-join on the key; the
+    * within-batch winner is a min-over-key (map-side combinable) joined
+    * back — no windows over unbounded keys, no driver state. Output is
+    * (doc_id, key_md5, status), ordered by doc_id, oracle-checkable
+    * (SparkEntry q135). */
+  def incremental(incoming: DataFrame, history: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+
+    def keyed(df: DataFrame) = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      md5(concat_ws(" ", CorpusFilters.words(col(textCol))).cast("binary"))
+        .as("key_md5"))
+
+    val inc = keyed(incoming)
+    val histKeys = keyed(history).select($"key_md5").distinct()
+      .withColumn("__in_hist", lit(true))
+    val firstInBatch = inc.groupBy($"key_md5")
+      .agg(min($"doc_id").as("__first_id"))
+
+    inc
+      .join(histKeys, Seq("key_md5"), "left")
+      .join(firstInBatch, Seq("key_md5"))
+      .select($"doc_id", $"key_md5",
+        when($"__in_hist", "dup_history")
+          .when($"doc_id" > $"__first_id", "dup_batch")
+          .otherwise("new").as("status"))
+      .orderBy($"doc_id")
+  }
+
   // ----------------------------------------------------------- minhash
 
   /** Word n-gram shingles of a whitespace-tokenized, lowercased text. */

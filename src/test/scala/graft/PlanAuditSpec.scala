@@ -19,8 +19,11 @@ class PlanAuditSpec extends AnyFunSuite {
   private val boundedProbeBnlj =
     Set("q19_knn_bruteforce", "q43_embedding_neardup", "q73_length_trim",
       "q90_gap_fill", // q90's broadcast side is the 1-row [lo, hi] bounds
-      "q130_sketch_golden") // 1-row × 1-row ALL-row assembly (constant-key
+      "q130_sketch_golden", // 1-row × 1-row ALL-row assembly (constant-key
                             // join folds to BNLJ; both sides are scalars)
+      "q134_lm_perplexity") // broadcast side is the 1-row vocab-size
+                            // aggregate, probed onto the vocab-sized
+                            // unigram count table (same shape as q90)
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =
