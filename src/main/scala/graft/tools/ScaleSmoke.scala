@@ -114,6 +114,37 @@ object ScaleSmoke {
       val lossy = out.filter($"n_kept" < $"n_chunks").count()
       println(s"  docs losing chunks: $lossy")
     }
+    time(s"substring dedup ($nDocs docs, k=8)") {
+      val out = graft.operators.SubstringDedup.dedupSpans(docs, "id", "text", k = 8)
+      println(s"  docs losing tokens: ${out.filter($"dup_tokens" > 0).count()}")
+    }
+    time(s"substring dedup VIRAL SKEW ($nDocs docs, one 8-gram planted in 20%)") {
+      // the boilerplate-header case the operator exists for: one gram key
+      // holds 20% of all posting rows. The dup-gram count must collapse
+      // map-side, and the hits join must not straggle on the hot key.
+      val viral = docs.withColumn("text",
+        when(pmod($"id", lit(5L)) === 0,
+          concat_ws(" ", (Seq.tabulate(8)(i => lit(s"boiler$i")) :+ $"text"): _*))
+          .otherwise($"text"))
+      val out = graft.operators.SubstringDedup.dedupSpans(viral, "id", "text", k = 8)
+      val hit = out.filter($"dup_tokens" >= 8).count()
+      println(s"  docs losing >=8 tokens: $hit (expect >= ${nDocs / 5})")
+    }
+    time(s"bigram LM scoring ($nDocs docs, zipf vocab)") {
+      // zipf head word = a hot c_uni join key on the scoring side; the
+      // count tables themselves combine map-side.
+      val out = graft.operators.NgramLM.bigramNll(docs, "id", "text")
+      val n = out.filter($"n_bigrams" > 0).count()
+      println(s"  scored docs: $n")
+    }
+    time(s"incremental dedup ($nDocs docs: odd batch vs even history)") {
+      val out = Dedup.incremental(
+        docs.filter(pmod($"id", lit(2L)) === 1), docs.filter(pmod($"id", lit(2L)) === 0),
+        "id", "text")
+      val byStatus = out.groupBy($"status").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"  $byStatus")
+    }
     time(s"exact positional quantiles (${nDocs * 10L} rows, 5 segments, one HOT=60%)") {
       // the plan the q68 rewrite exists for: a naive window-per-segment
       // sorts 60% of all rows on ONE task; the range-partitioned rank +
