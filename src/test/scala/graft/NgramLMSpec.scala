@@ -52,6 +52,35 @@ class NgramLMSpec extends AnyFunSuite {
       "a document of corpus-typical bigrams must score below a one-off")
   }
 
+  test("matches a straight-line JVM re-derivation on random corpora") {
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 100L).map { i =>
+        i -> Vector.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toVector
+      }
+      val uni = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val v = uni.size.toLong
+      val bg = toks.flatMap { case (_, ts) => ts.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = toks.map { case (id, ts) =>
+        val terms = ts.sliding(2).filter(_.size == 2).map { p =>
+          val pr = (bg((p(0), p(1))) + 1).toDouble / (uni(p(0)) + v)
+          math.round(-math.log(pr) * 1e6)
+        }.toVector
+        id -> ((terms.size.toLong, terms.sum))
+      }.toMap
+      val got = NgramLM.bigramNll(
+          { import spark.implicits._; docs.toDF("doc_id", "text") },
+          "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expected, s"mirror mismatch at seed=$seed")
+    }
+  }
+
   test("BIGINT micro-nat sum is partitioning-invariant") {
     import spark.implicits._
     val docs = (0L until 60L).map(i =>

@@ -93,6 +93,43 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(out(1L) == ((4L, 1L, 4L, md5hex(""))))
   }
 
+  test("matches a straight-line JVM re-derivation on collision-heavy random corpora") {
+    // 6-word vocab + k=3 forces dense gram collisions, exercising every
+    // merge path (overlap, adjacency, self-repeat, full coverage).
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 120L).map { i =>
+        i -> Vector.fill(rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val k = 3
+      // mirror: count grams, collect hit starts, fold into merged spans
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toVector
+      }
+      val counts = collection.mutable.Map.empty[String, Int]
+      for ((_, ts) <- toks; i <- 0 to ts.length - k)
+        counts.updateWith(ts.slice(i, i + k).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+      val expected = toks.map { case (id, ts) =>
+        val hits = (0 to ts.length - k)
+          .filter(i => counts(ts.slice(i, i + k).mkString(" ")) >= 2)
+        val spans = hits.foldLeft(Vector.empty[(Int, Int)]) { case (acc, h) =>
+          val (s, e) = (h, h + k - 1)
+          acc.lastOption match {
+            case Some((ps, pe)) if s <= pe + 1 => acc.init :+ (ps, math.max(pe, e))
+            case _ => acc :+ (s, e)
+          }
+        }
+        val covered = spans.flatMap { case (s, e) => s to e }.toSet
+        val cleaned = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }.mkString(" ")
+        id -> ((ts.length.toLong, spans.length.toLong,
+          covered.size.toLong, md5hex(cleaned)))
+      }.toMap
+      val got = run(docs, k)
+      assert(got == expected, s"mirror mismatch at seed=$seed")
+    }
+  }
+
   test("result is partitioning-invariant") {
     import spark.implicits._
     val docs = (0L until 40L).map { i =>
