@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[graft.expressions.WordNGrams].getName,
+        "graft_ngrams"),
+      (exprs: Seq[Expression]) => graft.expressions.WordNGrams(exprs.head, exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("standardize_title"),
       new ExpressionInfo(classOf[graft.expressions.StandardizeTitleExpr].getName,
         "standardize_title"),

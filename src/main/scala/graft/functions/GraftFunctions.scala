@@ -59,5 +59,6 @@ object GraftFunctions {
     // TitleStandardizer.standardize), minus the ScalaUDF encoder round-trip.
     graft.expressions.VectorExpressions.ensureRegistered(spark)
     graft.expressions.StandardizeTitleExpr.ensureRegistered(spark)
+    graft.expressions.WordNGramsExpr.ensureRegistered(spark)
   }
 }

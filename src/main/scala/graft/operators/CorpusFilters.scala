@@ -42,16 +42,19 @@ object CorpusFilters {
 
   /** Word n-grams joined by single spaces, 1-based positions — mirrors
     * DuckDB `list_transform(range(1, len(ts)-(n-2)), i -> ts[i] || ' ' ...)`
-    * (empty when the doc has fewer than n words).
+    * (empty when the doc has fewer than n words; null ts → null).
     *
-    * PASS A MATERIALIZED COLUMN, not the `words(...)` expression: the
-    * lambda evaluates `ts` once per `element_at`, so an inlined tokenizer
-    * expression makes this O(n²) per row (see [[gopherRules]]). */
+    * Runs through the codegen'd [[graft.expressions.WordNGrams]]
+    * expression since round 7 — the equivalent higher-order-function
+    * formulation (`transform(sequence(1, len-n+1), i -> concat_ws(" ",
+    * element_at(ts, i), ..., element_at(ts, i+n-1)))`) is interpreted and
+    * pays n `element_at` evals per gram; bit-parity between the two is
+    * pinned by `WordNGramsExprSpec`. */
   def wordNGrams(ts: Column, n: Int): Column = {
     require(n >= 1)
-    when(size(ts) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + lit(k))): _*)))
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.expressions.WordNGramsExpr.ensureRegistered(spark)
+    call_function("graft_ngrams", ts, lit(n))
   }
 
   /** Rule battery over a corpus: id, every metric (BIGINT), keep flag.
