@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_ngrams"),
       (exprs: Seq[Expression]) => graft.expressions.WordNGrams(exprs.head, exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[graft.expressions.WordTokens].getName,
+        "graft_tokens"),
+      (exprs: Seq[Expression]) => graft.expressions.WordTokens(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("standardize_title"),
       new ExpressionInfo(classOf[graft.expressions.StandardizeTitleExpr].getName,
         "standardize_title"),

@@ -60,5 +60,6 @@ object GraftFunctions {
     graft.expressions.VectorExpressions.ensureRegistered(spark)
     graft.expressions.StandardizeTitleExpr.ensureRegistered(spark)
     graft.expressions.WordNGramsExpr.ensureRegistered(spark)
+    graft.expressions.WordTokensExpr.ensureRegistered(spark)
   }
 }

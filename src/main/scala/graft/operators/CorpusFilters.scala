@@ -36,9 +36,18 @@ object CorpusFilters {
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /** Lowercased whitespace tokens with empties dropped — mirrors DuckDB's
-    * `list_filter(string_split_regex(lower(x),'\s+'), t -> t <> '')`. */
-  def words(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+    * `list_filter(string_split_regex(lower(x),'\s+'), t -> t <> '')`.
+    *
+    * Runs through the codegen'd [[graft.expressions.WordTokens]] since
+    * round 7 (the composed `filter(split(lower(text), "\\s+"), _ =!= "")`
+    * pays an interpreted higher-order filter pass per row); the expression
+    * delegates to the same UTF8String methods the builtins call, so the
+    * output is bit-identical (`WordTokensExprSpec`). */
+  def words(text: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.expressions.WordTokensExpr.ensureRegistered(spark)
+    call_function("graft_tokens", text)
+  }
 
   /** Word n-grams joined by single spaces, 1-based positions — mirrors
     * DuckDB `list_transform(range(1, len(ts)-(n-2)), i -> ts[i] || ' ' ...)`
