@@ -2507,13 +2507,15 @@ object Queries {
   def substringDedup(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.SubstringDedup.dedupSpans(
       Tables(spark, sfDir, "documents"), "doc_id", "text", k = 8, minRepeat = 2)
+      .orderBy(col("doc_id"))
 
   /** q134: corpus-trained add-one bigram LM, per-doc total −ln P in
-    * integer micro-nats (the CCNet perplexity-filter shape). See
+    * e4 fixed-point nats (the CCNet perplexity-filter shape). See
     * [[graft.operators.NgramLM.bigramNll]]. */
   def lmPerplexity(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.NgramLM.bigramNll(
       Tables(spark, sfDir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
 
   /** q135: ingestion-time incremental dedup — odd doc_ids are the
     * incoming batch, even doc_ids the already-ingested history; each
@@ -2526,5 +2528,6 @@ object Queries {
       incoming = docs.filter($"doc_id" % 2 === 1),
       history = docs.filter($"doc_id" % 2 === 0),
       idCol = "doc_id", textCol = "text")
+      .orderBy($"doc_id")
   }
 }

@@ -1628,8 +1628,9 @@ object SparkEntry {
     // q134: add-one bigram LM trained on the corpus itself;
     // P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V) with c(w1) = total corpus
     // occurrences and V = vocab size. Each occurrence's -ln P is rounded
-    // to integer micro-nats BEFORE the per-doc sum, so both engines sum
-    // BIGINTs (order-proof); ln inputs are exact small-integer ratios.
+    // to e4 fixed-point nats BEFORE the per-doc sum, so both engines sum
+    // BIGINTs (order-proof); ln inputs are exact small-integer ratios,
+    // and e4 granularity absorbs the engines' ulp-level ln differences.
     "q134_lm_perplexity" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -1649,18 +1650,18 @@ object SparkEntry {
         |  FROM bigrams GROUP BY w1, w2),
         |scored AS (
         |  SELECT b.doc_id,
-        |    CAST(round(-ln(CAST(c.c_bg + 1 AS DOUBLE) / (u.c_uni + v.v)) * 1e6)
-        |         AS BIGINT) AS nll_term_e6
+        |    CAST(round(-ln(CAST(c.c_bg + 1 AS DOUBLE) / (u.c_uni + v.v)) * 1e4)
+        |         AS BIGINT) AS nll_term_e4
         |  FROM bigrams b
         |  JOIN bg_counts c ON b.w1 = c.w1 AND b.w2 = c.w2
         |  JOIN uni_counts u ON b.w1 = u.w1
         |  CROSS JOIN v),
         |per_doc AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |         CAST(sum(nll_term_e6) AS BIGINT) AS nll_e6
+        |         CAST(sum(nll_term_e4) AS BIGINT) AS nll_e4
         |  FROM scored GROUP BY doc_id)
         |SELECT t.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
-        |       coalesce(p.nll_e6, 0) AS nll_e6
+        |       coalesce(p.nll_e4, 0) AS nll_e4
         |FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
         |ORDER BY t.doc_id""".stripMargin,
     // q135: incremental ingest dedup — odd doc_ids (incoming) classified
@@ -1669,9 +1670,9 @@ object SparkEntry {
     "q135_incremental_dedup" ->
       """WITH keyed AS (
         |  SELECT doc_id,
-        |    md5(array_to_string(
+        |    md5(coalesce(array_to_string(
         |      list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
-        |      ' ')) AS key_md5
+        |      ' '), '')) AS key_md5
         |  FROM documents),
         |inc AS (SELECT * FROM keyed WHERE doc_id % 2 = 1),
         |hist AS (SELECT DISTINCT key_md5 FROM keyed WHERE doc_id % 2 = 0),

@@ -42,12 +42,14 @@ object CorpusFilters {
     * round 7 (the composed `filter(split(lower(text), "\\s+"), _ =!= "")`
     * pays an interpreted higher-order filter pass per row); the expression
     * delegates to the same UTF8String methods the builtins call, so the
-    * output is bit-identical (`WordTokensExprSpec`). */
-  def words(text: Column): Column = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    graft.expressions.WordTokensExpr.ensureRegistered(spark)
-    call_function("graft_tokens", text)
-  }
+    * output is bit-identical (`WordTokensExprSpec`). Built directly as a
+    * Column (no function-registry lookup), so it works with any session —
+    * the SQL name `graft_tokens` is registered separately by
+    * `GraftFunctions.register` / `GraftExtensions`. */
+  def words(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.WordTokens(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 
   /** Word n-grams joined by single spaces, 1-based positions — mirrors
     * DuckDB `list_transform(range(1, len(ts)-(n-2)), i -> ts[i] || ' ' ...)`
@@ -61,22 +63,23 @@ object CorpusFilters {
     * pinned by `WordNGramsExprSpec`. */
   def wordNGrams(ts: Column, n: Int): Column = {
     require(n >= 1)
-    val spark = org.apache.spark.sql.SparkSession.active
-    graft.expressions.WordNGramsExpr.ensureRegistered(spark)
-    call_function("graft_ngrams", ts, lit(n))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.WordNGrams(
+        org.apache.spark.sql.graft.ColumnBridge.expression(ts),
+        org.apache.spark.sql.catalyst.expressions.Literal(n)))
   }
 
   /** Rule battery over a corpus: id, every metric (BIGINT), keep flag.
     *
     * Evaluation is STAGED: tokens, then gram arrays, then metrics — each
-    * intermediate is a real projection column, so lambdas reference a
-    * cheap attribute. Building everything in one expression tree instead
-    * inlines the tokenizer into every `element_at` call of the n-gram
-    * lambdas (Catalyst has no common-subexpression sharing across a
-    * lambda boundary), re-tokenizing the document once per gram — O(n²)
-    * per row and measured 45× slower at sf0.1. CollapseProject keeps the
-    * stages separate because each column is non-cheap and multiply
-    * referenced.
+    * intermediate is a real projection column referenced several times
+    * downstream, so the tokenizer runs once per row instead of once per
+    * consumer. (Historical note: before round 7's codegen'd gram
+    * expression this staging was load-bearing against an O(n²) hazard —
+    * the HOF formulation re-evaluated an inlined tokenizer once per
+    * `element_at`, measured 45× slower; the native expression evaluates
+    * its child exactly once, but the multiple-reference argument still
+    * holds and CollapseProject keeps the stages separate.)
     *
     * Keep/drop thresholds are pure integer comparisons (engine-exact):
     * 50 ≤ words ≤ 100k; mean word length in [3,10]; ≥80% of words contain

@@ -40,8 +40,10 @@ object Dedup {
     * combinable) and probed with one equi-join on the key; the
     * within-batch winner is a min-over-key (map-side combinable) joined
     * back — no windows over unbounded keys, no driver state. Output is
-    * (doc_id, key_md5, status), ordered by doc_id, oracle-checkable
-    * (SparkEntry q135). */
+    * (doc_id, key_md5, status), unordered (the q135 wrapper sorts);
+    * null text keys as md5("") — same as empty text — on both engines
+    * (the oracle coalesces before hashing). Oracle-checked as
+    * SparkEntry q135. */
   def incremental(incoming: DataFrame, history: DataFrame,
                   idCol: String, textCol: String): DataFrame = {
     val spark = incoming.sparkSession
@@ -65,7 +67,6 @@ object Dedup {
         when($"__in_hist", "dup_history")
           .when($"doc_id" > $"__first_id", "dup_batch")
           .otherwise("new").as("status"))
-      .orderBy($"doc_id")
   }
 
   // ----------------------------------------------------------- minhash

@@ -22,19 +22,22 @@ import org.apache.spark.sql.functions._
   *    tables on (w1, w2) / (w1) — per-occurrence 1:1 equi-joins, hot
   *    bigrams handled by AQE — then re-aggregates per doc_id.
   *
-  * Engine-exactness: each occurrence's −ln P is rounded to integer
-  * micro-nats (e6) BEFORE the per-document sum, so the total is a
+  * Engine-exactness: each occurrence's −ln P is rounded to e4
+  * fixed-point nats BEFORE the per-document sum, so the total is a
   * BIGINT sum — bit-identical under any partitioning or merge order,
   * and DuckDB-oracle-checkable (SparkEntry q134). The inputs to ln are
-  * exact small-integer ratios, identical in both engines.
+  * exact small-integer ratios, identical in both engines; ln itself is
+  * a non-correctly-rounded transcendental, so the two engines can
+  * differ by an ulp — e4 granularity keeps a rounding-boundary flip at
+  * ~1e-11 probability per distinct ratio (e6 would be ~100× riskier).
   */
 object NgramLM {
 
   /** Per-document bigram-LM score.
     *
-    * Output: (doc_id, n_bigrams, nll_e6) — total −ln P over the doc's
-    * bigrams in integer micro-nats; one row per input row (documents
-    * with < 2 tokens score (0, 0)), ordered by doc_id.
+    * Output: (doc_id, n_bigrams, nll_e4) — total −ln P over the doc's
+    * bigrams in e4 fixed-point nats; one row per input row (documents
+    * with < 2 tokens score (0, 0)).
     */
   def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -63,17 +66,16 @@ object NgramLM {
       .join(bgCounts, Seq("w1", "w2"))
       .join(uniWithV, Seq("w1"))
       .select($"doc_id",
-        // exact integer ratio -> ln -> micro-nats, rounded per term so
-        // the downstream sum is pure BIGINT arithmetic
-        round(-log(($"c_bg" + 1L).cast("double") / ($"c_uni" + $"v")) * 1e6)
-          .cast("long").as("nll_term_e6"))
+        // exact integer ratio -> ln -> e4 fixed-point, rounded per term
+        // so the downstream sum is pure BIGINT arithmetic
+        round(-log(($"c_bg" + 1L).cast("double") / ($"c_uni" + $"v")) * 1e4)
+          .cast("long").as("nll_term_e4"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum($"nll_term_e6").as("nll_e6"))
+      .agg(count(lit(1)).as("n_bigrams"), sum($"nll_term_e4").as("nll_e4"))
 
     toks.join(scored, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
-        coalesce($"nll_e6", lit(0L)).as("nll_e6"))
-      .orderBy($"doc_id")
+        coalesce($"nll_e4", lit(0L)).as("nll_e4"))
   }
 }

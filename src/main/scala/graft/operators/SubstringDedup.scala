@@ -49,7 +49,9 @@ object SubstringDedup {
   /** Per-document span stats + cleaned text hash.
     *
     * Output: (doc_id, n_tokens, n_spans, dup_tokens, cleaned_md5),
-    * one row per input row, ordered by doc_id.
+    * one row per input row (ordering is the caller's concern — baking a
+    * corpus-wide sort into the operator would cost every composed
+    * pipeline a range exchange it rarely needs).
     */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 8, minRepeat: Int = 2): DataFrame = {
@@ -113,6 +115,5 @@ object SubstringDedup {
         coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
         md5(when($"sp".isNull, array_join($"ts", " "))
           .otherwise(keptText).cast("binary")).as("cleaned_md5"))
-      .orderBy($"doc_id")
   }
 }

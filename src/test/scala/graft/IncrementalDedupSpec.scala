@@ -45,11 +45,11 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val inc = (100L until 160L).map(i => i -> s"h${i % 25}")
     val a = Dedup.incremental(
       inc.toDF("doc_id", "text"), hist.toDF("doc_id", "text"),
-      "doc_id", "text").collect().toSeq
+      "doc_id", "text").orderBy("doc_id").collect().toSeq
     val b = Dedup.incremental(
       inc.toDF("doc_id", "text").repartition(7, $"doc_id" % 3),
       hist.toDF("doc_id", "text").repartition(5, $"text"),
-      "doc_id", "text").collect().toSeq
+      "doc_id", "text").orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
 }

@@ -11,7 +11,7 @@ import graft.operators.NgramLM
 class NgramLMSpec extends AnyFunSuite {
   import SparkSuiteBase.spark
 
-  private def e6(p: Double): Long = math.round(-math.log(p) * 1e6)
+  private def e4(p: Double): Long = math.round(-math.log(p) * 1e4)
 
   test("hand-computed add-one bigram NLL") {
     import spark.implicits._
@@ -23,9 +23,9 @@ class NgramLMSpec extends AnyFunSuite {
         "doc_id", "text")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     // doc0 terms: (a,b): (2+1)/(3+3)=1/2 twice; (b,a): (1+1)/(2+3)=2/5
-    val doc0 = 2 * e6(3.0 / 6.0) + e6(2.0 / 5.0)
+    val doc0 = 2 * e4(3.0 / 6.0) + e4(2.0 / 5.0)
     // doc1 term: (a,c): (1+1)/(3+3)=1/3
-    val doc1 = e6(2.0 / 6.0)
+    val doc1 = e4(2.0 / 6.0)
     assert(out(0L) == ((3L, doc0)))
     assert(out(1L) == ((1L, doc1)))
   }
@@ -38,7 +38,8 @@ class NgramLMSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out(0L) == ((0L, 0L)))
     assert(out(1L) == ((0L, 0L)))
-    // "x y": (x,y)=1, x uni=1, V=4 (solo, x, y + none from empty)
+    // "x y": (x,y)=1, x uni=1, V=3 (vocab {solo, x, y}; the empty doc
+    // contributes nothing)
     assert(out(2L)._1 == 1L)
   }
 
@@ -69,7 +70,7 @@ class NgramLMSpec extends AnyFunSuite {
       val expected = toks.map { case (id, ts) =>
         val terms = ts.sliding(2).filter(_.size == 2).map { p =>
           val pr = (bg((p(0), p(1))) + 1).toDouble / (uni(p(0)) + v)
-          math.round(-math.log(pr) * 1e6)
+          math.round(-math.log(pr) * 1e4)
         }.toVector
         id -> ((terms.size.toLong, terms.sum))
       }.toMap
@@ -81,14 +82,14 @@ class NgramLMSpec extends AnyFunSuite {
     }
   }
 
-  test("BIGINT micro-nat sum is partitioning-invariant") {
+  test("BIGINT fixed-point sum is partitioning-invariant") {
     import spark.implicits._
     val docs = (0L until 60L).map(i =>
       i -> s"w${i % 7} w${i % 5} w${i % 3} w${i % 11} w${i % 5}")
     val df1 = docs.toDF("doc_id", "text")
     val df9 = docs.toDF("doc_id", "text").repartition(9, $"doc_id" % 4)
-    val a = NgramLM.bigramNll(df1, "doc_id", "text").collect().toSeq
-    val b = NgramLM.bigramNll(df9, "doc_id", "text").collect().toSeq
+    val a = NgramLM.bigramNll(df1, "doc_id", "text").orderBy("doc_id").collect().toSeq
+    val b = NgramLM.bigramNll(df9, "doc_id", "text").orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
 }

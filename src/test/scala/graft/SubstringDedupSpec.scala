@@ -138,8 +138,10 @@ class SubstringDedupSpec extends AnyFunSuite {
     }
     val df1 = docs.toDF("doc_id", "text")
     val df8 = docs.toDF("doc_id", "text").repartition(8, $"doc_id" % 3)
-    val a = SubstringDedup.dedupSpans(df1, "doc_id", "text", k = 4).collect().toSeq
-    val b = SubstringDedup.dedupSpans(df8, "doc_id", "text", k = 4).collect().toSeq
+    val a = SubstringDedup.dedupSpans(df1, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect().toSeq
+    val b = SubstringDedup.dedupSpans(df8, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
 }
