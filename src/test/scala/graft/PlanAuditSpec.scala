@@ -61,6 +61,18 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(q68.toLowerCase.contains("spark_partition_id"),
       "q68 must carry the slice id (range-partitioned local ranks + offsets)")
+    // q133: the dup-gram detector must be the map-side-combining COUNT
+    // aggregate (partial_count below the gram exchange) — a window or a
+    // non-combining aggregate over the gram key would pin a viral
+    // boilerplate gram's every occurrence to one reducer. The only
+    // windows allowed are the per-doc gaps-and-islands (keyed by doc_id,
+    // bounded by document length).
+    val q133 = SparkEntry.queries("q133_substring_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q133.contains("partial_count"),
+      s"q133's gram count must combine map-side:\n$q133")
+    assert(!q133.contains("windowspecdefinition(gram"),
+      "q133 must never window over the gram key")
   }
 
   test("no shipped query plans a cartesian product / unbounded nested-loop join") {
