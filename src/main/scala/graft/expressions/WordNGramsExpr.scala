@@ -78,7 +78,15 @@ case class WordNGrams(left: Expression, right: Expression)
       val m = ctx.freshName("m")
       val toks = ctx.freshName("toks")
       val grams = ctx.freshName("grams")
+      val parts = ctx.freshName("parts")
       val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      // NOTE: no java.util.Arrays.copyOfRange here — it is a GENERIC
+      // method, and janino (Spark's codegen compiler) erases it to
+      // Object[], which cannot bind to concatWs(UTF8String,
+      // UTF8String...): the stage would silently fall back to
+      // interpreted execution (caught by WordNGramsExprSpec's
+      // CODEGEN_ONLY test). Build the window array explicitly instead.
       s"""
          |final int $len = $a.numElements();
          |final int $m = $len < $n ? 0 : $len - $n + 1;
@@ -87,9 +95,12 @@ case class WordNGrams(left: Expression, right: Expression)
          |  $toks[$i] = $a.getUTF8String($i);
          |}
          |final $u8[] $grams = new $u8[$m];
+         |final $u8[] $parts = new $u8[$n];
          |for (int $i = 0; $i < $m; $i++) {
-         |  $grams[$i] = $u8.concatWs($sepRef,
-         |    java.util.Arrays.copyOfRange($toks, $i, $i + $n));
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $parts[$j] = $toks[$i + $j];
+         |  }
+         |  $grams[$i] = $u8.concatWs($sepRef, $parts);
          |}
          |${ev.value} =
          |  new org.apache.spark.sql.catalyst.util.GenericArrayData($grams);

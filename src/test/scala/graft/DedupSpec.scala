@@ -62,6 +62,36 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash verified pairs are invariant to the blocking scheme (m = 4/5/6) " +
+      "and complete vs brute-force hamming") {
+    import SparkSuiteBase.spark
+    import spark.implicits._
+    // collision-heavy corpus: small vocab, short docs, planted exact dups
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (0L until 150L).map { i =>
+      val base = Vector.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+      i -> (if (i % 10 == 0) "aa bb cc dd ee ff gg" else base.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    def pairsWith(m: Int) =
+      Dedup.simhashCandidatePairs(df, "doc_id", "text", maxDistance = 3, blocks = m)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val p4 = pairsWith(4)
+    val p5 = pairsWith(5)
+    val p6 = pairsWith(6)
+    assert(p4 == p5 && p5 == p6,
+      "pigeonhole guarantee: every scheme must yield the same verified pair set")
+    // completeness: brute-force all-pairs hamming <= 3 on the driver
+    val hashes = df.select($"doc_id", Dedup.simhashUdf($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      (ia, ha) <- hashes.toSeq; (ib, hb) <- hashes.toSeq if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(p4.keySet == brute, "banding must find exactly the brute-force set")
+  }
+
   test("ngram jaccard is exact") {
     val pairs = Dedup.ngramJaccardPairs(fixture, "doc_id", "text", n = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -33,6 +33,29 @@ class NullToleranceSpec extends AnyFunSuite {
     assert(operators.CorpusFilters.chunkDedup(hostile, "id", "text", 3).count() == 5)
   }
 
+  test("round-7 operators tolerate null/empty/whitespace documents") {
+    import spark.implicits._
+    // substring dedup: every row survives; null text propagates as null
+    // stats (null in, null out — matching the oracle's len(NULL)), empty
+    // and whitespace docs are zero-token identities.
+    val sub = operators.SubstringDedup.dedupSpans(hostile, "id", "text", k = 2)
+    assert(sub.count() == 5)
+    assert(sub.filter($"doc_id" === 2L).head().isNullAt(1)) // n_tokens null
+    assert(sub.filter($"doc_id" === 3L).head().getLong(1) == 0L)
+    // bigram LM: null/short docs score (0, 0), never crash
+    val lm = operators.NgramLM.bigramNll(hostile, "id", "text")
+    assert(lm.count() == 5)
+    assert(lm.filter($"doc_id" === 2L).head().getLong(2) == 0L)
+    // incremental dedup: null and whitespace-only text both normalize to
+    // zero tokens and key as md5("") — so both incoming degenerates (id 2
+    // null, id 4 whitespace) dedup against the empty-text history doc
+    // (id 3) rather than crashing or vanishing
+    val out = operators.Dedup.incremental(
+      hostile.filter($"id" % 2 === 0), hostile.filter($"id" % 2 === 1),
+      "id", "text").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(2L -> "dup_history", 4L -> "dup_history"))
+  }
+
   test("text analysis Columns and UDFs tolerate null/empty/whitespace") {
     val out = hostile.select(
       functions.TextAnalysis.qualityScore(col("text")).as("q"),
