@@ -1686,5 +1686,5 @@ object SparkEntry {
         |LEFT JOIN hist h ON i.key_md5 = h.key_md5
         |JOIN first_in_batch f ON i.key_md5 = f.key_md5
         |ORDER BY i.doc_id""".stripMargin
-  )
+  ) ++ StdOracle.oracles
 }
