@@ -2530,4 +2530,20 @@ object Queries {
       idCol = "doc_id", textCol = "text")
       .orderBy($"doc_id")
   }
+
+  /** q136: held-out bigram-LM scoring — 80% of the corpus
+    * (doc_id % 5 < 4) trains the LM, the held-out 20% is scored against
+    * it with add-one backoff on bigrams/words the training split never
+    * saw (the actual CCNet deployment shape, vs q134's
+    * corpus-self-training). See
+    * [[graft.operators.NgramLM.bigramNllHeldOut]]. */
+  def lmHeldOut(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    graft.operators.NgramLM.bigramNllHeldOut(
+      train = docs.filter($"doc_id" % 5 < 4),
+      score = docs.filter($"doc_id" % 5 === 4),
+      idCol = "doc_id", textCol = "text")
+      .orderBy($"doc_id")
+  }
 }

@@ -157,7 +157,8 @@ object SparkEntry {
     "q132_stream_state_totals" -> (Queries.streamStateTotals _),
     "q133_substring_dedup" -> (Queries.substringDedup _),
     "q134_lm_perplexity" -> (Queries.lmPerplexity _),
-    "q135_incremental_dedup" -> (Queries.incrementalDedup _)
+    "q135_incremental_dedup" -> (Queries.incrementalDedup _),
+    "q136_lm_heldout" -> (Queries.lmHeldOut _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1685,6 +1686,53 @@ object SparkEntry {
         |FROM inc i
         |LEFT JOIN hist h ON i.key_md5 = h.key_md5
         |JOIN first_in_batch f ON i.key_md5 = f.key_md5
-        |ORDER BY i.doc_id""".stripMargin
+        |ORDER BY i.doc_id""".stripMargin,
+    // q136: held-out bigram LM — counts come from the 80% train split
+    // only, the 20% held-out split is scored with LEFT probe joins and
+    // add-one backoff: P = (coalesce(c_bg,0)+1)/(coalesce(c_uni,0)+V)
+    // covers seen / unseen-bigram / unseen-word in one formula (an
+    // unseen w1 cannot have a training bigram). Same e4 fixed-point
+    // BIGINT-sum exactness contract as q134.
+    "q136_lm_heldout" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |train AS (SELECT * FROM toks WHERE doc_id % 5 < 4),
+        |score AS (SELECT * FROM toks WHERE doc_id % 5 = 4),
+        |uni_counts AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c_uni
+        |  FROM (SELECT unnest(ts) AS w1 FROM train) GROUP BY w1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni_counts),
+        |train_bigrams AS (
+        |  SELECT ts[i] AS w1, ts[i+1] AS w2
+        |  FROM train, (SELECT unnest(range(1, (SELECT max(len(ts)) FROM toks) + 1)) AS i)
+        |  WHERE i <= len(ts) - 1),
+        |bg_counts AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
+        |  FROM train_bigrams GROUP BY w1, w2),
+        |score_bigrams AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM score, (SELECT unnest(range(1, (SELECT max(len(ts)) FROM toks) + 1)) AS i)
+        |  WHERE i <= len(ts) - 1),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN c.c_bg IS NULL THEN 1 ELSE 0 END AS oov_term,
+        |    CAST(round(-ln(CAST(coalesce(c.c_bg, 0) + 1 AS DOUBLE)
+        |         / (coalesce(u.c_uni, 0) + v.v)) * 1e4) AS BIGINT) AS nll_term_e4
+        |  FROM score_bigrams b
+        |  LEFT JOIN bg_counts c ON b.w1 = c.w1 AND b.w2 = c.w2
+        |  LEFT JOIN uni_counts u ON b.w1 = u.w1
+        |  CROSS JOIN v),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(oov_term) AS BIGINT) AS oov_bigrams,
+        |         CAST(sum(nll_term_e4) AS BIGINT) AS nll_e4
+        |  FROM scored GROUP BY doc_id)
+        |SELECT s.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+        |       coalesce(p.oov_bigrams, 0) AS oov_bigrams,
+        |       coalesce(p.nll_e4, 0) AS nll_e4
+        |FROM score s LEFT JOIN per_doc p ON s.doc_id = p.doc_id
+        |ORDER BY s.doc_id""".stripMargin
   ) ++ StdOracle.oracles
 }

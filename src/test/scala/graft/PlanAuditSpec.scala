@@ -21,9 +21,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "q90_gap_fill", // q90's broadcast side is the 1-row [lo, hi] bounds
       "q130_sketch_golden", // 1-row × 1-row ALL-row assembly (constant-key
                             // join folds to BNLJ; both sides are scalars)
-      "q134_lm_perplexity") // broadcast side is the 1-row vocab-size
+      "q134_lm_perplexity", // broadcast side is the 1-row vocab-size
                             // aggregate, probed onto the vocab-sized
                             // unigram count table (same shape as q90)
+      "q136_lm_heldout")    // same 1-row vocab-size broadcast, ridden on
+                            // the score-side bigram stream because rows
+                            // missing the w1 join still need V (1/V
+                            // backoff) — linear stream × 1 row
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =
