@@ -2355,17 +2355,24 @@ object Queries {
   def watermarkDedupStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = cachedLayout(s"q123_wmdedup_${sfDir.hashCode.toHexString}") { d =>
-      // events.ts is TIMESTAMP(NANOS): same legacy-long read + micros
-      // narrowing as Tables, replicated here because the streaming source
+      // Same layout-adaptive ts handling as Tables (nanos-as-long vs
+      // naive micros), replicated here because the streaming source
       // needs an explicit schema.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val tsFix: DataFrame => DataFrame = df =>
+        schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            df.withColumn("ts", $"ts".cast("timestamp"))
+          case _ => df
+        }
       val deduped = graft.streaming.StreamingOps.dedupWithinWatermark(
         // the source path is a single file: hand it as a glob so the
         // source infers the enclosing DIRECTORY as basePath (a bare file
         // path is rejected with "basePath must be a directory")
-        spark.readStream.schema(schema).parquet(s"$sfDir/events.parq*")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        tsFix(spark.readStream.schema(schema).parquet(s"$sfDir/events.parq*"))
           .withColumn("ts_day_us", unix_micros(date_trunc("day", $"ts"))),
         Seq("user_id", "event_type", "ts_day_us"),
         watermarkDelay = "3650 days")

@@ -17,13 +17,27 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
-      // type for (SPARK-40819): read the raw int64 nanos and narrow to a
-      // micros TIMESTAMP. `div` keeps the arithmetic in long space — a
-      // double division would lose precision above 2^53 ns.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+      // generations and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others
+      // — adapt to whichever layout is on disk (the driver regenerates the
+      // tables between rounds and the writer's type has changed before).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      raw.schema("ts").dataType match {
+        // TIMESTAMP(NANOS) has no native Spark type (SPARK-40819): the
+        // legacy conf surfaces raw int64 nanos; narrow to a micros
+        // TIMESTAMP. `div` keeps the arithmetic in long space — a double
+        // division would lose precision above 2^53 ns.
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // Naive micros: reinterpret the wall-clock value as an instant
+        // under the (UTC-pinned) session zone — identical epoch value to
+        // the nanos-era narrowing, so every downstream epoch_us/date_part
+        // contract is unchanged.
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

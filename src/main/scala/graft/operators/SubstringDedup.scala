@@ -55,6 +55,23 @@ object SubstringDedup {
     */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 8, minRepeat: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    dedupText(df, idCol, textCol, k, minRepeat)
+      .select($"doc_id", $"n_tokens", $"n_spans", $"dup_tokens",
+        md5($"cleaned".cast("binary")).as("cleaned_md5"))
+  }
+
+  /** [[dedupSpans]] but surfacing the cleaned token-normalized text
+    * itself instead of its md5 — the form composed pipelines consume
+    * (chunk-dedup / LM-score / pack the deduped text downstream).
+    *
+    * Output: (doc_id, n_tokens, n_spans, dup_tokens, cleaned), one row
+    * per input row; same span semantics and scale shape as
+    * [[dedupSpans]] (which is now a thin md5 projection over this).
+    */
+  def dedupText(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 8, minRepeat: Int = 2): DataFrame = {
     require(k >= 2, s"gram width must be >= 2, got $k")
     require(minRepeat >= 2, s"minRepeat must be >= 2, got $minRepeat")
     val spark = df.sparkSession
@@ -113,7 +130,7 @@ object SubstringDedup {
         size($"ts").cast("long").as("n_tokens"),
         coalesce($"n_spans", lit(0L)).as("n_spans"),
         coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
-        md5(when($"sp".isNull, array_join($"ts", " "))
-          .otherwise(keptText).cast("binary")).as("cleaned_md5"))
+        when($"sp".isNull, array_join($"ts", " "))
+          .otherwise(keptText).as("cleaned"))
   }
 }

@@ -24,6 +24,15 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    // Focus modes, so a single family can be retimed (or pushed a decade
+    // up in nDocs) without paying for the whole sweep:
+    //   SCALE_ONLY_NEWOPS   — substring dedup / bigram LM (+held-out) /
+    //                         incremental dedup only
+    //   SCALE_ONLY_PIPELINE — the composed e2e recipes only
+    val onlyNewOps = sys.env.contains("SCALE_ONLY_NEWOPS")
+    val onlyPipeline = sys.env.contains("SCALE_ONLY_PIPELINE")
+    val skipGeneral = onlyNewOps || onlyPipeline
+
     def time[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
@@ -46,7 +55,7 @@ object ScaleSmoke {
       .select($"id", $"text")
     docs.cache(); docs.count()
 
-    if (!sys.env.contains("SCALE_ONLY_SIMJOIN")) {
+    if (!sys.env.contains("SCALE_ONLY_SIMJOIN") && !skipGeneral) {
     time(s"minhash dedup candidates ($nDocs docs)") {
       val pairs = Dedup.minhashCandidatePairs(docs, "id", "text", threshold = 0.9)
       println(s"  candidate dup pairs: ${pairs.count()}")
@@ -65,7 +74,7 @@ object ScaleSmoke {
     val simN = math.min(nDocs / 10, 100000)
     val left = docs.limit(simN).select($"id".as("lid"), $"text".as("ltext"))
     val right = docs.limit(simN).select($"id".as("rid"), $"text".as("rtext"))
-    if (!sys.env.contains("SCALE_SKIP_SIMJOIN"))
+    if (!sys.env.contains("SCALE_SKIP_SIMJOIN") && !skipGeneral)
     time(s"threshold similarity join ($simN x $simN, tau=0.5, prefix-filtered)") {
       val top = SimilarityJoin.thresholdJoin(
         left, "lid", "ltext", right, "rid", "rtext", k = 1, minScore = 0.5,
@@ -80,6 +89,7 @@ object ScaleSmoke {
       }
 
     if (!sys.env.contains("SCALE_ONLY_SIMJOIN")) {
+    if (!skipGeneral) {
     time(s"probe n-gram jaccard ($nDocs docs, 50 probes)") {
       val top = graft.operators.Dedup.ngramJaccardProbe(docs, "id", "text", 2, 50L)
         .orderBy(desc("jaccard"), $"id_a", $"id_b").limit(20)
@@ -114,6 +124,8 @@ object ScaleSmoke {
       val lossy = out.filter($"n_kept" < $"n_chunks").count()
       println(s"  docs losing chunks: $lossy")
     }
+    } // !skipGeneral
+    if (!onlyPipeline) {
     time(s"substring dedup ($nDocs docs, k=8)") {
       val out = graft.operators.SubstringDedup.dedupSpans(docs, "id", "text", k = 8)
       println(s"  docs losing tokens: ${out.filter($"dup_tokens" > 0).count()}")
@@ -130,6 +142,16 @@ object ScaleSmoke {
       val hit = out.filter($"dup_tokens" >= 8).count()
       println(s"  docs losing >=8 tokens: $hit (expect >= ${nDocs / 5})")
     }
+    time(s"held-out bigram LM (${nDocs * 4L / 5} train docs score ${nDocs / 5}, zipf vocab)") {
+      // the CCNet deployment shape at scale: LEFT probe joins against the
+      // train-split counts + the score-side 1-row V broadcast; same hot
+      // head-word profile as self-training plus the backoff rows.
+      val out = graft.operators.NgramLM.bigramNllHeldOut(
+        docs.filter(pmod($"id", lit(5L)) < 4), docs.filter(pmod($"id", lit(5L)) === 4),
+        "id", "text")
+      val n = out.filter($"oov_bigrams" > 0).count()
+      println(s"  scored docs with backoff terms: $n")
+    }
     time(s"bigram LM scoring ($nDocs docs, zipf vocab)") {
       // zipf head word = a hot c_uni join key on the scoring side; the
       // count tables themselves combine map-side.
@@ -145,6 +167,8 @@ object ScaleSmoke {
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"  $byStatus")
     }
+    } // !onlyPipeline
+    if (!skipGeneral) {
     time(s"exact positional quantiles (${nDocs * 10L} rows, 5 segments, one HOT=60%)") {
       // the plan the q68 rewrite exists for: a naive window-per-segment
       // sorts 60% of all rows on ONE task; the range-partitioned rank +
@@ -190,7 +214,8 @@ object ScaleSmoke {
         docs, "id", "text", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), n = 3)
       println(s"  contaminated test docs: ${out.filter($"contaminated").count()} of ${out.count()}")
     }
-    if (!sys.env.contains("SCALE_SKIP_PIPELINE"))
+    } // !skipGeneral
+    if (!sys.env.contains("SCALE_SKIP_PIPELINE") && !onlyNewOps)
     time(s"corpus pipeline e2e ($nDocs docs: gopher metrics -> chunk dedup -> split -> pack)") {
       // the composed training-data path, end to end at 1M docs: rule
       // metrics gate, cross-doc chunk dedup (rebuilt text), deterministic
@@ -211,6 +236,44 @@ object ScaleSmoke {
         ctxLen = 2048, nShards = 64)
       val nPacks = packed.select($"shard", $"pack").distinct().count()
       println(s"  kept ${kept.count()} of $nDocs; train packs: $nPacks")
+    }
+    if (!sys.env.contains("SCALE_SKIP_PIPELINE") && !onlyNewOps)
+    time(s"corpus pipeline e2e v2 ($nDocs docs: gopher -> substring dedup -> chunk dedup -> LM gate -> split -> pack)") {
+      // The full modern training-data recipe in ONE lineage, with the
+      // round-7 operators composed in: rule metrics gate, corpus-wide
+      // substring-span removal (cleaned TEXT, not the md5 — the pipeline
+      // consumes it), cross-doc chunk dedup of the cleaned text, bigram-LM
+      // perplexity gate at the corpus p90 (exactPositional quantile of
+      // avg-nll — quantiles composed over the LM output, both de-skewed
+      // operators), deterministic split, context packing of train.
+      val metrics = graft.operators.CorpusFilters.gopherRules(docs, "id", "text")
+      val kept = docs.join(
+        metrics.filter($"dup_2grams" * 5 < $"n_2grams" &&
+          $"n_alpha_words" * 10L >= $"n_words" * 8L).select($"id"), "id")
+      val cleaned = graft.operators.SubstringDedup
+        .dedupText(kept, "id", "text", k = 8)
+        .filter(length($"cleaned") > 0)
+      val lm = graft.operators.NgramLM.bigramNll(cleaned, "doc_id", "cleaned")
+        .filter($"n_bigrams" > 0)
+        .withColumn("avg_nll_e4", ($"nll_e4" / $"n_bigrams").cast("long"))
+        .withColumn("seg", lit("all"))
+      val p90 = graft.operators.Quantiles.exactPositional(
+          lm, "seg", "avg_nll_e4", Seq("p90" -> 0.9))
+        .select("p90").head().getLong(0)
+      val gated = cleaned.join(
+        lm.filter($"avg_nll_e4" <= p90).select($"doc_id"), "doc_id")
+      val deduped = graft.operators.CorpusFilters
+        .chunkDedup(gated.select($"doc_id".as("id"), $"cleaned".as("text")),
+          "id", "text", 10)
+        .filter($"n_kept" > 0)
+        .withColumn("n_tokens", ($"n_kept" * 10L).cast("bigint"))
+      val split = graft.operators.Sampling.deterministicSplit(
+        deduped, "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      val packed = graft.operators.Packing.greedyPack(
+        split.filter($"split" === "train"), "doc_id", "n_tokens",
+        ctxLen = 2048, nShards = 64)
+      val nPacks = packed.select($"shard", $"pack").distinct().count()
+      println(s"  survived LM gate (p90 avg_nll_e4=$p90): ${gated.count()}; train packs: $nPacks")
     }
     time(s"z-order clustered write (${nDocs * 10L} rows, 2 dims, 64 files)") {
       // 10M (user, time) rows → 64 Morton-clustered files; then measure

@@ -82,6 +82,76 @@ class NgramLMSpec extends AnyFunSuite {
     }
   }
 
+  test("held-out scoring: hand-computed backoff for seen bigram / unseen bigram / unseen word") {
+    import spark.implicits._
+    // train: doc0 = "a b a b", doc1 = "a c"
+    // unigrams: a=3, b=2, c=1 -> V=3; bigrams: (a,b)=2, (b,a)=1, (a,c)=1
+    val train = Seq(0L -> "a b a b", 1L -> "a c").toDF("doc_id", "text")
+    // score doc10 = "a b c z a": terms
+    //   (a,b) seen bigram:            (2+1)/(3+3) = 1/2
+    //   (b,c) unseen bigram, seen b:  (0+1)/(2+3) = 1/5
+    //   (c,z) unseen bigram, seen c:  (0+1)/(1+3) = 1/4
+    //   (z,a) unseen word z:          (0+1)/(0+3) = 1/3
+    val score = Seq(10L -> "a b c z a").toDF("doc_id", "text")
+    val out = NgramLM.bigramNllHeldOut(train, score, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nll = e4(1.0 / 2.0) + e4(1.0 / 5.0) + e4(1.0 / 4.0) + e4(1.0 / 3.0)
+    assert(out.toSeq == Seq((10L, 4L, 3L, nll)))
+  }
+
+  test("held-out scoring: short/empty score docs emit (0,0,0); score side never grows V") {
+    import spark.implicits._
+    val train = Seq(0L -> "a b").toDF("doc_id", "text") // V=2, (a,b)=1
+    val score = Seq(10L -> "", 11L -> "solo", 12L -> "q r")
+      .toDF("doc_id", "text")
+    val out = NgramLM.bigramNllHeldOut(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L) == ((0L, 0L, 0L)))
+    assert(out(11L) == ((0L, 0L, 0L)))
+    // (q,r): q unseen -> 1/V = 1/2. If score-side words leaked into V this
+    // would be 1/4 — the vocab must be train-only.
+    assert(out(12L) == ((1L, 1L, e4(1.0 / 2.0))))
+  }
+
+  test("held-out scoring matches a straight-line JVM re-derivation with planted OOV") {
+    // score vocab {d..h} overlaps train vocab {a..e} only on {d, e}:
+    // every run exercises seen bigrams, unseen bigrams over seen words,
+    // and fully unseen words.
+    val trainVocab = Vector("a", "b", "c", "d", "e")
+    val scoreVocab = Vector("d", "e", "f", "g", "h")
+    for (seed <- Seq(5, 17)) {
+      val rnd = new scala.util.Random(seed)
+      def gen(vocab: Vector[String], n: Int, off: Long) = (0L until n.toLong).map { i =>
+        (i + off) -> Vector.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val trainDocs = gen(trainVocab, 80, 0L)
+      val scoreDocs = gen(scoreVocab, 40, 1000L)
+      def toks(docs: Seq[(Long, String)]) = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toVector
+      }
+      val tt = toks(trainDocs)
+      val uni = tt.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val v = uni.size.toLong
+      val bg = tt.flatMap { case (_, ts) => ts.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = toks(scoreDocs).map { case (id, ts) =>
+        val terms = ts.sliding(2).filter(_.size == 2).map { p =>
+          val cBg = bg.getOrElse((p(0), p(1)), 0L)
+          val pr = (cBg + 1).toDouble / (uni.getOrElse(p(0), 0L) + v)
+          (if (cBg == 0L) 1L else 0L, math.round(-math.log(pr) * 1e4))
+        }.toVector
+        id -> ((terms.size.toLong, terms.map(_._1).sum, terms.map(_._2).sum))
+      }.toMap
+      val got = NgramLM.bigramNllHeldOut(
+          { import spark.implicits._; trainDocs.toDF("doc_id", "text") },
+          { import spark.implicits._; scoreDocs.toDF("doc_id", "text") },
+          "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == expected, s"held-out mirror mismatch at seed=$seed")
+    }
+  }
+
   test("BIGINT fixed-point sum is partitioning-invariant") {
     import spark.implicits._
     val docs = (0L until 60L).map(i =>

@@ -130,6 +130,24 @@ class SubstringDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupText surfaces the cleaned text dedupSpans hashes") {
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "a0 a1 p q r s a2 a3",
+      1L -> "p q r s b0 b1 b2 b3",
+      2L -> "u0 u1 u2 u3") // untouched: token-normalized identity
+    val df = docs.toDF("doc_id", "text")
+    val txt = SubstringDedup.dedupText(df, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(txt == Map(0L -> "a0 a1 a2 a3", 1L -> "b0 b1 b2 b3",
+      2L -> "u0 u1 u2 u3"))
+    // and dedupSpans is exactly md5(dedupText.cleaned) — the q133
+    // contract must not drift now that it's a projection
+    val viaSpans = SubstringDedup.dedupSpans(df, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(viaSpans == txt.map { case (k, v) => k -> md5hex(v) })
+  }
+
   test("result is partitioning-invariant") {
     import spark.implicits._
     val docs = (0L until 40L).map { i =>
