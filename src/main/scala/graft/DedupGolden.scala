@@ -75,7 +75,15 @@ object DedupGolden {
   /** Straight-line JVM re-derivation of the expected clustering (see class
     * doc); shares NOTHING with `graft.operators.Dedup` but the published
     * contract. */
-  def recompute: Seq[(Long, Long)] = {
+  def recompute: Seq[(Long, Long)] = recomputeFor(docs)
+
+  /** [[recompute]] generalized to ANY (doc_id, text) corpus — also the
+    * derivation path for the q35 SF-scale oracle ([[SfOracles]]), where the
+    * same contract is re-derived over the live `documents` table and the
+    * distributed plan must reproduce it at scale. All-pairs is fine here:
+    * this runs driver-side at the verification SF (≤5k docs → ≤12.5M pair
+    * probes with first-position early exit), never on the cluster path. */
+  def recomputeFor(input: Seq[(Long, String)]): Seq[(Long, Long)] = {
     def shingles(text: String): Array[String] = {
       val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
       if (toks.length < ShingleSize) {
@@ -99,25 +107,40 @@ object DedupGolden {
       }
       out
     }
-    val sigs = docs.map { case (id, t) => id -> sig(t) }.toMap
-    val ids = docs.map(_._1)
-    val edges = for {
-      i <- ids; j <- ids if i < j
-      si = sigs(i); sj = sigs(j)
-      collides = (0 until Bands).exists(bnd =>
-        (0 until RowsPerBand).forall(r => si(bnd * RowsPerBand + r) == sj(bnd * RowsPerBand + r)))
-      if collides
-      est = (0 until NumHashes).count(k => si(k) == sj(k)).toDouble / NumHashes
-      if est >= Threshold
-    } yield (i, j)
+    val ids = input.map(_._1).toArray
+    val sigArr = input.map { case (_, t) => sig(t) }.toArray
     // union-find, label = smallest member id
-    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i).toSeq: _*)
     def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
-    edges.foreach { case (i, j) =>
-      val (ri, rj) = (find(i), find(j))
-      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    val n = ids.length
+    var a = 0
+    while (a < n) {
+      var b = a + 1
+      while (b < n) {
+        val si = sigArr(a); val sj = sigArr(b)
+        var collides = false
+        var bnd = 0
+        while (!collides && bnd < Bands) {
+          var r = 0
+          while (r < RowsPerBand && si(bnd * RowsPerBand + r) == sj(bnd * RowsPerBand + r)) r += 1
+          collides = r == RowsPerBand
+          bnd += 1
+        }
+        if (collides) {
+          var eq = 0
+          var k = 0
+          while (k < NumHashes) { if (si(k) == sj(k)) eq += 1; k += 1 }
+          if (eq.toDouble / NumHashes >= Threshold) {
+            val (i, j) = if (ids(a) < ids(b)) (ids(a), ids(b)) else (ids(b), ids(a))
+            val (ri, rj) = (find(i), find(j))
+            if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+          }
+        }
+        b += 1
+      }
+      a += 1
     }
-    ids.map(i => i -> find(i)).sortBy(_._1)
+    ids.toSeq.map(i => i -> find(i)).sortBy(_._1)
   }
 
   /** (doc_id, cluster_id) pinned rows from the checked-in fixture. */

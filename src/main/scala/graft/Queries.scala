@@ -1114,7 +1114,7 @@ object Queries {
       .select(
         $"doc_id",
         size($"stemmed_tokens").as("n_stems"),
-        xxhash64(concat_ws("", $"stemmed_tokens")).as("stems_hash"),
+        xxhash64(concat_ws("\u0001", $"stemmed_tokens")).as("stems_hash"),
         size($"tfidf").as("tfidf_card"),
         round(coalesce(element_at($"tfidf", $"first_stem"), lit(0.0)), 6)
           .as("first_stem_weight"),

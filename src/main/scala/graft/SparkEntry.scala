@@ -1734,5 +1734,5 @@ object SparkEntry {
         |       coalesce(p.nll_e4, 0) AS nll_e4
         |FROM score s LEFT JOIN per_doc p ON s.doc_id = p.doc_id
         |ORDER BY s.doc_id""".stripMargin
-  ) ++ StdOracle.oracles
+  ) ++ StdOracle.oracles ++ SfOracles.oracles
 }

@@ -15,9 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Build the SF-scale std-family oracle map (q30–q34) for THIS scale
-    // factor before oracle_sql.json is dumped below.
+    // Build the SF-scale oracle maps (std family q30–q34; fuzzy-dedup q35;
+    // text-UDF battery q45) for THIS scale factor before oracle_sql.json
+    // is dumped below.
     StdOracle.prepare(spark, sfDir)
+    SfOracles.prepare(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -24,6 +24,7 @@ object VerifyOne {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     graft.StdOracle.prepare(spark, sfDir)
+    graft.SfOracles.prepare(spark, sfDir)
     names.foreach { name =>
       SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")

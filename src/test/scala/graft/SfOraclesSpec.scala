@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Pins the q35/q45 SF-scale oracle mirrors ([[SfOracles]]) against the
+  * distributed plans they grade — the same distributed-vs-straight-line
+  * cross-check the golden twins run, but on the live sf0.001 corpus, so a
+  * drift in either derivation path fails HERE before the driver's DuckDB
+  * compare ever sees it. */
+class SfOraclesSpec extends AnyFunSuite {
+  import SparkSuiteBase.{spark, sfDir}
+
+  test("local xxh64 eval matches the distributed xxhash64 expression") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.xxhash64
+    val samples = Seq("", "a", "plumber", "word soup  here", "Ärzte übermüdet",
+      "0123456789" * 10)
+    val dist = samples.toDF("s").select(xxhash64($"s")).collect().map(_.getLong(0))
+    assert(samples.map(SfOracles.xxh64) == dist.toSeq)
+  }
+
+  test("title40 matches Spark substring semantics incl. multibyte") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, substring}
+    val samples = Seq("", "short", "ü" * 45, "exactly-forty-characters-0123456789012345",
+      "a much longer text that runs well past the forty character prefix boundary")
+    val dist = samples.toDF("s").select(substring(col("s"), 1, 40)).collect()
+      .map(_.getString(0))
+    assert(samples.map(SfOracles.title40) == dist.toSeq)
+  }
+
+  test("q45 mirror reproduces the distributed text-UDF battery at sf0.001") {
+    val got = Queries.textUdfs(spark, sfDir).collect()
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val m = SfOracles.textRowFor(SfOracles.title40(docs(r.getLong(0))))
+      assert(r.getInt(1) == m.nStems, s"n_stems doc ${r.getLong(0)}")
+      assert(r.getLong(2) == m.stemsHash, s"stems_hash doc ${r.getLong(0)}")
+      assert(r.getInt(3) == m.tfidfCard, s"tfidf_card doc ${r.getLong(0)}")
+      assert(r.getDouble(4) == m.weight, s"first_stem_weight doc ${r.getLong(0)}")
+      assert(r.getString(5) == m.firstStem, s"first_stem doc ${r.getLong(0)}")
+    }
+  }
+
+  test("q35 mirror reproduces the distributed fuzzy clustering at sf0.001") {
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toIndexedSeq
+    val expect = DedupGolden.recomputeFor(docs)
+    val got = Queries.dedupFuzzy(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+}
