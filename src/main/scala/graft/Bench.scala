@@ -51,6 +51,37 @@ object Bench {
       (name, t1, steady)
     }
     val results = timed.map { case (n, _, s) => n -> s }.toMap
+    // Steady-to-steady round-over-round comparison (VERDICT r7 directive:
+    // never again mix single-shot and steady methodologies in the delta).
+    // The previous round's steady map is read from the newest BENCH_r*.json
+    // in the working directory (override: SPARK_GRAFT_PREV_BENCH=path);
+    // every per-query delta goes to stderr, and the JSON carries the top
+    // regressions (steady minus prev-steady > 0.3 s) so the driver's tail
+    // window can tell a real regression from a host-load blip directly.
+    val prevSteady: Map[String, Double] = {
+      val path = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse {
+        val cwd = new java.io.File(".")
+        Option(cwd.listFiles()).getOrElse(Array.empty)
+          .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
+          .sortBy(n => n.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+          .lastOption
+      }
+      path.flatMap { p =>
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p)), "UTF-8")
+          // Tolerates both shapes: this main's raw one-line JSON and the
+          // driver's pretty-printed wrapper (whose "tail" field holds an
+          // ESCAPED copy — \"queries\" — that the unescaped-quote regex
+          // skips by construction). [^}]* scopes to the queries object so
+          // the qNN-keyed noise/regress maps can't pollute the baseline.
+          "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt).map { m =>
+            "\"(q\\d+)\"\\s*:\\s*([-0-9.eE]+)".r.findAllMatchIn(m.group(1))
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap
+          }
+        } catch { case _: Throwable => None }
+      }.getOrElse(Map.empty)
+    }
     // The driver stores only the final ~2000 chars of output; a 64-query map
     // with full names and 9-digit values overflows that window and the JSON
     // head gets truncated (BENCH_r03 arrived unparseable). Keys are therefore
@@ -63,12 +94,21 @@ object Bench {
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     timed.foreach { case (k, t1, s) =>
-      System.err.println(s"[bench] $k first=${f(t1)}s steady=${f(s)}s") }
+      val d = prevSteady.get(k.takeWhile(_ != '_'))
+        .map(p => s" prev=${f(p)}s delta=${f(s - p)}s").getOrElse("")
+      System.err.println(s"[bench] $k first=${f(t1)}s steady=${f(s)}s$d") }
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
       .mkString("{", ",", "}")
     val noise = timed.map { case (n, t1, s) => (n.takeWhile(_ != '_'), t1 - s) }
       .filter(_._2 > 0.15).sortBy(-_._2).take(8)
       .map { case (k, d) => "\"" + k + "\":" + f(d) }.mkString("{", ",", "}")
+    val regress = timed.map { case (n, _, s) =>
+        val q = n.takeWhile(_ != '_')
+        (q, s - prevSteady.getOrElse(q, s))
+      }.filter(_._2 > 0.3).sortBy(-_._2).take(5)
+      .map { case (k, d) => "\"" + k + "\":" + f(d) }.mkString("{", ",", "}")
+    val prevTotal = timed.flatMap { case (n, _, _) =>
+      prevSteady.get(n.takeWhile(_ != '_')) }.sum
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Hard guard on the driver's ~2000-char tail window: shed detail in
     // stages rather than let the JSON head get truncated (the BENCH_r03
@@ -79,8 +119,15 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" +
         String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v)) }
       .mkString("{", ",", "}")
+    // prev_steady_total covers only the shared queries (new queries have no
+    // prev number), so value - prev_steady_total is NOT the round delta when
+    // the surface grew — the per-query regress map is the honest signal.
+    val vsPrev =
+      if (prevSteady.isEmpty) ""
+      else s""","prev_steady_total":${f(prevTotal)},"regress":$regress"""
     val candidates = Seq(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"noise":$noise,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"noise":$noise$vsPrev,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$vsPrev,"sf":"$sfDir"}""",
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""",
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qsMap(2)},"sf":"$sfDir"}""",
       s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir"}""")

@@ -2212,6 +2212,23 @@ object Queries {
       .orderBy($"method", $"id_a", $"id_b")
   }
 
+  /** SemDeDup golden: `Knn.semDedup` (min_id keep rule) over the
+    * constructed 49-vector corpus pinned in [[graft.SemDedupGolden]] —
+    * the full distributed path (deterministic k-means quantizer →
+    * within-cell cosine pruning → connected components → representative
+    * selection) must reproduce the exact-cosine JVM mirror, planted
+    * groups recovered whole by construction margin (`SemDedupSpec`).
+    * The paper's low_centroid keep rule is spec-pinned separately (its
+    * expected value depends on the trained centroid, so it belongs to a
+    * hand-derived fixture, not a VALUES oracle). */
+  def semDedupGolden(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = graft.SemDedupGolden.vectors.toDF("vec_id", "embedding")
+    Knn.semDedup(corpus, "vec_id", "embedding",
+        minCosine = graft.SemDedupGolden.Threshold, nCells = 4)
+      .orderBy($"vec_id")
+  }
+
   /** Similarity-join golden: `SimilarityJoin.topK` (k=3) over the pinned
     * 104-title corpus against the bundled BLS dictionary, checked against
     * the straight-line JVM re-derivation pinned in

@@ -158,7 +158,8 @@ object SparkEntry {
     "q133_substring_dedup" -> (Queries.substringDedup _),
     "q134_lm_perplexity" -> (Queries.lmPerplexity _),
     "q135_incremental_dedup" -> (Queries.incrementalDedup _),
-    "q136_lm_heldout" -> (Queries.lmHeldOut _)
+    "q136_lm_heldout" -> (Queries.lmHeldOut _),
+    "q137_semdedup_golden" -> (Queries.semDedupGolden _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1528,6 +1529,10 @@ object SparkEntry {
     // answers (AnnGolden.expectedTopK/expectedPairs); the Spark side runs
     // the distributed LSH / IVF / near-dup machinery.
     "q126_ann_golden" -> graft.AnnGolden.oracleValuesSql,
+    // Constructed-truth SemDeDup golden: expected rows are exact-cosine
+    // JVM dedup decisions (SemDedupGolden.expected); the Spark side runs
+    // the distributed quantize → within-cell prune → component path.
+    "q137_semdedup_golden" -> graft.SemDedupGolden.oracleValuesSql,
     // Engine-independent VALUES golden of the ranked dictionary
     // similarity join over the pinned 104-title corpus (JVM re-derivation
     // in SimJoinGolden.recompute; regenerated by GenSimJoinGolden,

@@ -128,42 +128,42 @@ object Knn {
     * initialized from the first `nCells` rows by id and refined a fixed
     * number of Lloyd iterations — no RNG. At 100 TB you train on a sample
     * and raise nCells so each cell stays executor-sized. */
-  def ivfTopK(
-      data: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 5): DataFrame = {
-    val spark = data.sparkSession
+  /** Nearest-centroid (squared L2) assignment UDF over a broadcast-able
+    * centroid array — the coarse quantizer shared by [[ivfTopK]] and
+    * [[semDedup]]. */
+  private def nearestUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+    val arr = v.toArray
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var dist = 0.0; var i = 0
+      val cv = cs(c)
+      while (i < arr.length) { val t = arr(i) - cv(i); dist += t * t; i += 1 }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic Lloyd training over a `withVecAndNorm` frame, on a
+    * bounded deterministic sample (~100 points per cell): at cluster scale
+    * each Lloyd iteration over the FULL data would be a full scan
+    * ×iterations; the quantizer only needs a representative sample, and
+    * the md5-hash sample is retry/engine-stable so training stays
+    * deterministic (no RNG; init = first `nCells` rows by id). The model
+    * is nCells×dim doubles on the driver — same footprint as any learned
+    * index. */
+  private def trainCentroids(
+      d: DataFrame, nCells: Int, iterations: Int): Array[Array[Double]] = {
+    val spark = d.sparkSession
     import spark.implicits._
-
-    val d = withVecAndNorm(data, idCol, vecCol).cache()
-
-    // --- train on a bounded deterministic sample (~100 points per cell):
-    // at cluster scale each Lloyd iteration over the FULL data would be a
-    // full scan ×iterations; the quantizer only needs a representative
-    // sample, and the md5-hash sample is retry/engine-stable so training
-    // stays deterministic. Assignment and search still cover all of `d`.
     val n = d.count()
     val sampleCap = nCells.toLong * 100L
     val dTrain =
       if (n <= sampleCap) d
       else Sampling.hashSample(d, "id", sampleCap.toDouble / n).cache()
-
-    // deterministic Lloyd iterations on normalized vectors
     var centroids: Array[Array[Double]] = dTrain.orderBy($"id".asc).limit(nCells)
       .select($"v").collect().map(_.getSeq[Double](0).toArray)
-    def nearestUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var dist = 0.0; var i = 0
-        val cv = cs(c)
-        while (i < arr.length) { val t = arr(i) - cv(i); dist += t * t; i += 1 }
-        if (dist < bestD) { bestD = dist; best = c }
-        c += 1
-      }
-      best
-    }
     var iter = 0
     while (iter < iterations) {
       val assigned = dTrain.withColumn("cell", nearestUdf(centroids)($"v"))
@@ -174,6 +174,18 @@ object Knn {
       centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
       iter += 1
     }
+    centroids
+  }
+
+  def ivfTopK(
+      data: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 5): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+
+    val d = withVecAndNorm(data, idCol, vecCol).cache()
+    val centroids = trainCentroids(d, nCells, iterations)
 
     // --- assign cells; queries probe the nProbe nearest cells
     val cells = d.withColumn("cell", nearestUdf(centroids)($"v"))
@@ -282,6 +294,87 @@ object Knn {
     data.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select($"id".as(idCol), coalesce($"label", $"id").as("cluster_id"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * embedding-level semantic dedup via k-means cells + WITHIN-CELL cosine
+    * pruning — the published trick for never running the n² corpus scan:
+    * pairwise similarity is computed only inside a cell, so total work is
+    * Σ|cell|², bounded by sizing nCells ∝ n (the paper runs 50k clusters
+    * at web scale; each cell stays executor-sized).
+    *
+    * Shape: deterministic coarse quantizer ([[trainCentroids]], sample
+    * -trained, no RNG) → map-side cell assignment → per-cell self-join
+    * scores exact cosine on pairs (one shuffle keyed by cell; the join
+    * carries each vector once per side) → edges ≥ `minCosine` → smallest
+    * -id connected components → one representative kept per component.
+    *
+    * Keep rule:
+    *  - `"min_id"` (default): lowest member id — the deterministic
+    *    convention every other dedup operator here uses, and exactly
+    *    derivable by an oracle mirror.
+    *  - `"low_centroid"`: the paper's §3 choice — keep the member with the
+    *    LOWEST cosine to its cell centroid (least prototypical ⇒ most
+    *    informative example survives). Ties break to lowest id.
+    *
+    * Cross-cell duplicates are the quantizer's recall loss (a pair split
+    * across cells is never compared) — the paper accepts this; raise
+    * `iterations` / lower `nCells` to trade recall for cost. A hot cell
+    * (mass near-duplication) degrades to that cell's |cell|² — the same
+    * profile the paper reports; at 100 TB size nCells so E|cell| ≈ 10³.
+    *
+    * Output: (idCol, cluster_id, keep) — `keep` marks the representative;
+    * singletons (no edge) keep themselves. */
+  def semDedup(
+      data: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nCells: Int = 16, iterations: Int = 5,
+      keepRule: String = "min_id"): DataFrame = {
+    require(keepRule == "min_id" || keepRule == "low_centroid",
+      s"unknown keepRule: $keepRule")
+    val spark = data.sparkSession
+    import spark.implicits._
+    val d = withVecAndNorm(data, idCol, vecCol).cache()
+    val centroids = trainCentroids(d, nCells, iterations)
+    val cells = d.withColumn("cell", nearestUdf(centroids)($"v"))
+
+    // per-cell pairwise: equi-join on the cell key (sort-merge/ hash, never
+    // cartesian); each side ships one (id, vec) row per input row
+    val a = cells.select($"cell", $"id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
+    val b = cells.select($"cell", $"id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
+    val edges = a.join(b, Seq("cell"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("score", dot(spark)($"va", $"vb") / ($"na" * $"nb"))
+      .filter($"score" >= minCosine)
+      .select($"id_a", $"id_b")
+      .localCheckpoint(true) // reused as edge list and vertex set
+    val touched = edges.select($"id_a".as("id"))
+      .unionByName(edges.select($"id_b".as("id"))).distinct()
+    val labels = Dedup.connectedComponents(touched, edges)
+    val clustered = cells
+      .join(labels, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce($"label", $"id"))
+
+    val kept = keepRule match {
+      case "min_id" =>
+        clustered.withColumn("keep", $"id" === $"cluster_id")
+      case "low_centroid" =>
+        // cosine(v, centroid of the member's own cell); components never
+        // span cells (edges are within-cell), so the paper's "cosine to
+        // the cluster centroid" is exactly this
+        val centCos = udf { (v: Seq[Double], nrm: Double, cell: Int) =>
+          val cv = centroids(cell)
+          var dotA = 0.0; var cn = 0.0; var i = 0
+          while (i < cv.length) { dotA += v(i) * cv(i); cn += cv(i) * cv(i); i += 1 }
+          dotA / (nrm * math.sqrt(cn))
+        }
+        val w = Window.partitionBy($"cluster_id")
+          .orderBy($"cent_cos".asc, $"id".asc)
+        clustered
+          .withColumn("cent_cos", centCos($"v", $"nrm", $"cell"))
+          .withColumn("keep", row_number().over(w) === 1)
+    }
+    kept.select($"id".as(idCol), $"cluster_id", $"keep")
   }
 
   /** SPEC-ONLY exact baseline: globally most-similar pairs by exact cosine

@@ -327,6 +327,15 @@ object ScaleSmoke {
       val cl = Knn.nearDupClusters(planted, "vec_id", "embedding", minCosine = 0.999)
       println(s"  rows clustered to a smaller id: ${cl.filter($"cluster_id" =!= $"vec_id").count()} (expect 2000)")
     }
+    time(s"SemDeDup ($nVecs+2k vectors, 512 cells, cos>=0.999)") {
+      // same planted triplets; identical members always share a nearest
+      // centroid, so within-cell pruning must dedup exactly 2 of each 3.
+      // Σ|cell|² pair work ≈ n²/512 — nCells is the scale lever (paper
+      // runs 50k cells at web scale).
+      val out = Knn.semDedup(planted, "vec_id", "embedding",
+        minCosine = 0.999, nCells = 512, iterations = 3)
+      println(s"  members deduped away: ${out.filter(!$"keep").count()} (expect 2000)")
+    }
     spark.stop()
   }
 }
