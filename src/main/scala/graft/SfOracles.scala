@@ -9,10 +9,11 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.TitleStandardizer
 import graft.text.{EnglishStemmer, Tokenize}
 
-/** SF-scale DuckDB oracles for q35 (MinHash+LSH fuzzy dedup) and q45
-  * (text-UDF battery) — the [[StdOracle]] pattern extended to the two
-  * remaining rows-only families whose straight-line JVM derivation is
-  * cheap and exact at the verification scale factors.
+/** SF-scale DuckDB oracles for q35 (MinHash+LSH fuzzy dedup), q36
+  * (SimHash fingerprints) and q45 (text-UDF battery) — the [[StdOracle]]
+  * pattern extended to the remaining rows-only families whose
+  * straight-line JVM derivation is cheap and exact at the verification
+  * scale factors.
   *
   * Both queries compute UDF values DuckDB cannot reproduce, so through
   * round 8 they were driver-checked rows-only, with function semantics
@@ -39,7 +40,7 @@ object SfOracles {
                            tfidfCard: Int, weight: Double, firstStem: String)
 
   @volatile private var prepared:
-    Option[(String, IndexedSeq[TextRow], Seq[(Long, Long)])] = None
+    Option[(String, IndexedSeq[TextRow], Seq[(Long, Long)], Seq[(Long, Long)])] = None
 
   /** Spark's `xxhash64(string)` evaluated locally through the same
     * Catalyst expression the distributed plan compiles — a straight-line
@@ -92,7 +93,9 @@ object SfOracles {
       val textRows = docs.map(d => title40(d._2)).distinct.sorted
         .map(textRowFor).toIndexedSeq
       val clusters = DedupGolden.recomputeFor(docs)
-      prepared = Some((sfDir, textRows, clusters))
+      val sims = docs.map { case (id, t) =>
+        (id, if (t == null) 0L else SimhashGolden.simhashOf(t)) }
+      prepared = Some((sfDir, textRows, clusters, sims))
     }
   }
 
@@ -110,7 +113,7 @@ object SfOracles {
     s"$cols AS (SELECT error('graft SfOracles.prepare was not called'), 0, 0, 0, 0.0, '')"
 
   private def textCte: String = prepared match {
-    case Some((_, rows, _)) =>
+    case Some((_, rows, _, _)) =>
       rows.map { r =>
         s"(${lit(r.title)}, ${r.nStems}, CAST(${r.stemsHash} AS BIGINT), " +
           s"${r.tfidfCard}, ${dlit(r.weight)}, ${lit(r.firstStem)})"
@@ -122,15 +125,28 @@ object SfOracles {
   }
 
   private def fuzzyCte: String = prepared match {
-    case Some((_, _, clusters)) =>
+    case Some((_, _, clusters, _)) =>
       clusters.map { case (d, c) => s"($d, $c)" }
         .mkString("fz(doc_id, cluster_id) AS (VALUES ", ", ", ")")
     case None =>
       "fz(doc_id, cluster_id) AS (SELECT error('graft SfOracles.prepare was not called'), 0)"
   }
 
+  private def simhashCte: String = prepared match {
+    case Some((_, _, _, sims)) =>
+      sims.map { case (d, h) => s"($d, CAST($h AS BIGINT))" }
+        .mkString("sh(doc_id, simhash) AS (VALUES ", ", ", ")")
+    case None =>
+      "sh(doc_id, simhash) AS (SELECT error('graft SfOracles.prepare was not called'), 0)"
+  }
+
   /** Oracle SQL, same column names/ordering as the Spark side. */
   def oracles: Map[String, String] = Map(
+    "q36_dedup_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT d.doc_id, s.simhash
+         |FROM documents d JOIN sh s ON s.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q35_dedup_fuzzy" ->
       s"""WITH $fuzzyCte
          |SELECT d.doc_id, CAST(f.cluster_id AS BIGINT) AS cluster_id

@@ -51,22 +51,27 @@ object SimhashGolden {
     )
   }
 
+  /** Straight-line JVM re-derivation of one 64-bit fingerprint from the
+    * published contract (tf-weighted sign sum over lowercased whitespace
+    * tokens, two murmur3 passes per token) — shared with the q36 SF-scale
+    * oracle ([[SfOracles]]), which replays it per live-corpus doc. */
+  def simhashOf(text: String): Long = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h = (MurmurHash3.stringHash(t, 0).toLong << 32) |
+        (MurmurHash3.stringHash(t, 1).toLong & 0xffffffffL)
+      (0 until 64).foreach { b =>
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+      }
+    }
+    (0 until 64).foldLeft(0L)((out, b) => if (acc(b) > 0) out | (1L << b) else out)
+  }
+
   /** JVM re-derivation: brute-force hamming over all pairs of
     * independently recomputed fingerprints. */
   def recompute: Seq[(Long, Long, Int)] = {
-    def simhash(text: String): Long = {
-      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-      val acc = new Array[Int](64)
-      toks.foreach { t =>
-        val h = (MurmurHash3.stringHash(t, 0).toLong << 32) |
-          (MurmurHash3.stringHash(t, 1).toLong & 0xffffffffL)
-        (0 until 64).foreach { b =>
-          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-        }
-      }
-      (0 until 64).foldLeft(0L)((out, b) => if (acc(b) > 0) out | (1L << b) else out)
-    }
-    val hs = docs.map { case (id, t) => id -> simhash(t) }
+    val hs = docs.map { case (id, t) => id -> simhashOf(t) }
     (for {
       (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
       d = java.lang.Long.bitCount(ha ^ hb)

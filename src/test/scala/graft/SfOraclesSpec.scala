@@ -47,6 +47,18 @@ class SfOraclesSpec extends AnyFunSuite {
     }
   }
 
+  test("q36 mirror reproduces the distributed simhash fingerprints at sf0.001") {
+    val got = Queries.dedupSimhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, h) =>
+      assert(h == SimhashGolden.simhashOf(docs(id)), s"simhash doc $id")
+    }
+  }
+
   test("q35 mirror reproduces the distributed fuzzy clustering at sf0.001") {
     val docs = Tables(spark, sfDir, "documents")
       .selectExpr("cast(doc_id as long) as doc_id", "text").collect()
