@@ -164,6 +164,7 @@ object Knn {
       else Sampling.hashSample(d, "id", sampleCap.toDouble / n).cache()
     var centroids: Array[Array[Double]] = dTrain.orderBy($"id".asc).limit(nCells)
       .select($"v").collect().map(_.getSeq[Double](0).toArray)
+    if (centroids.isEmpty) return centroids // empty input: nothing to train
     var iter = 0
     while (iter < iterations) {
       val assigned = dTrain.withColumn("cell", nearestUdf(centroids)($"v"))
@@ -334,7 +335,16 @@ object Knn {
       s"unknown keepRule: $keepRule")
     val spark = data.sparkSession
     import spark.implicits._
-    val d = withVecAndNorm(data, idCol, vecCol).cache()
+    // NULL/empty embeddings are degenerate rows: singleton keeps, never an
+    // NPE inside the assignment UDF (a single bad row at 10^9 kills the
+    // job). Zero-norm vectors survive naturally: their cosine is NaN,
+    // which fails every ≥ threshold edge test.
+    val degenerate = data
+      .filter(col(vecCol).isNull || size(col(vecCol)) === 0)
+      .select(col(idCol), col(idCol).as("cluster_id"), lit(true).as("keep"))
+    val d = withVecAndNorm(
+      data.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0),
+      idCol, vecCol).cache()
     val centroids = trainCentroids(d, nCells, iterations)
     val cells = d.withColumn("cell", nearestUdf(centroids)($"v"))
 
@@ -375,6 +385,7 @@ object Knn {
           .withColumn("keep", row_number().over(w) === 1)
     }
     kept.select($"id".as(idCol), $"cluster_id", $"keep")
+      .unionByName(degenerate)
   }
 
   /** SPEC-ONLY exact baseline: globally most-similar pairs by exact cosine

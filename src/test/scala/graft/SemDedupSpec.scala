@@ -60,6 +60,47 @@ class SemDedupSpec extends AnyFunSuite {
       "low_centroid keeps the member farthest from the centroid")
   }
 
+  test("planted duplicates on the real sf0.001 embeddings are recovered") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 20 planted near-identical copies (ids 10000+i of ids i) on top of the
+    // 500-vector real corpus: each copy must fall to its original under
+    // min_id; the 480 untouched vectors must stay kept (the corpus has no
+    // natural pairs at cosine ≥ 0.999 — verified by the count assertion).
+    val base = Tables(spark, SparkSuiteBase.sfDir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val copies = base.filter($"vec_id" < 20)
+      .select(($"vec_id" + 10000L).as("vec_id"),
+        transform($"embedding", x => x + lit(1e-4f)).as("embedding"))
+    val out = Knn.semDedup(base.unionByName(copies), "vec_id", "embedding",
+        minCosine = 0.999, nCells = 8, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 520)
+    (0L until 20L).foreach { i =>
+      val copy = out.find(_._1 == 10000L + i).get
+      assert(copy._2 == i && !copy._3, s"copy of $i must dedup to it")
+      val orig = out.find(_._1 == i).get
+      assert(orig._2 == i && orig._3, s"original $i must be kept")
+    }
+    assert(out.count(_._3) == 500, "exactly the 500 originals survive")
+  }
+
+  test("null/empty/zero embeddings are degenerate singleton keeps") {
+    import spark.implicits._
+    val hostile = Seq(
+      (1L, Seq(10.0f, 0.0f)),
+      (2L, Seq(10.0f, 0.001f)),            // dups with 1
+      (3L, null.asInstanceOf[Seq[Float]]), // null embedding
+      (4L, Seq.empty[Float]),              // empty embedding
+      (5L, Seq(0.0f, 0.0f))                // zero norm: NaN cosine, no edge
+    ).toDF("vec_id", "embedding")
+    val out = Knn.semDedup(hostile, "vec_id", "embedding",
+        minCosine = 0.999, nCells = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, true), (2L, 1L, false),
+      (3L, 3L, true), (4L, 4L, true), (5L, 5L, true)))
+  }
+
   test("keepRule is validated") {
     import spark.implicits._
     val vecs = Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding")
