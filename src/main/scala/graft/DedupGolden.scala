@@ -84,34 +84,55 @@ object DedupGolden {
     * this runs driver-side at the verification SF (≤5k docs → ≤12.5M pair
     * probes with first-position early exit), never on the cluster path. */
   def recomputeFor(input: Seq[(Long, String)]): Seq[(Long, Long)] = {
-    def shingles(text: String): Array[String] = {
-      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-      if (toks.length < ShingleSize) {
-        if (toks.isEmpty) Array.empty else Array(toks.mkString(" "))
-      } else toks.sliding(ShingleSize).map(_.mkString(" ")).toArray
-    }
-    def sig(text: String): Array[Int] = {
-      // double-hashing scheme (Kirsch–Mitzenmacher), mirroring the
-      // published contract: position i hashes to h1 + i·h2, h2 odd
-      val out = Array.fill(NumHashes)(Int.MaxValue)
-      shingles(text).foreach { s =>
-        val h1 = MurmurHash3.stringHash(s, 0)
-        val h2 = MurmurHash3.stringHash(s, 1) | 1
-        var h = 0
-        var v = h1
-        while (h < NumHashes) {
-          if (v < out(h)) out(h) = v
-          v += h2
-          h += 1
-        }
-      }
-      out
-    }
-    val ids = input.map(_._1).toArray
-    val sigArr = input.map { case (_, t) => sig(t) }.toArray
+    val edges = estCandidatePairsFor(input, ShingleSize, Threshold)
     // union-find, label = smallest member id
+    val ids = input.map(_._1)
     val parent = scala.collection.mutable.Map(ids.map(i => i -> i).toSeq: _*)
     def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (i, j, _) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    ids.map(i => i -> find(i)).sortBy(_._1)
+  }
+
+  /** Word n-gram shingles per the published contract (lowercase,
+    * whitespace split; short docs collapse to one shingle). */
+  private[graft] def shinglesOf(text: String, n: Int): Array[String] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) {
+      if (toks.isEmpty) Array.empty else Array(toks.mkString(" "))
+    } else toks.sliding(n).map(_.mkString(" ")).toArray
+  }
+
+  /** MinHash signature per the published double-hashing contract
+    * (Kirsch–Mitzenmacher: position i hashes to h1 + i·h2, h2 odd). */
+  private[graft] def minhashSigOf(text: String, shingleSize: Int): Array[Int] = {
+    val out = Array.fill(NumHashes)(Int.MaxValue)
+    shinglesOf(text, shingleSize).foreach { s =>
+      val h1 = MurmurHash3.stringHash(s, 0)
+      val h2 = MurmurHash3.stringHash(s, 1) | 1
+      var h = 0
+      var v = h1
+      while (h < NumHashes) {
+        if (v < out(h)) out(h) = v
+        v += h2
+        h += 1
+      }
+    }
+    out
+  }
+
+  /** Candidate pairs (id_a < id_b, est ≥ threshold) by straight-line
+    * all-pairs banding — the parameterized core shared by [[recomputeFor]]
+    * (3-gram, 0.8) and the q37 SF-scale oracle (2-gram, 0.2 candidate
+    * threshold). Driver-side oracle tooling only (early-exit probes). */
+  private[graft] def estCandidatePairsFor(
+      input: Seq[(Long, String)], shingleSize: Int,
+      threshold: Double): Seq[(Long, Long, Double)] = {
+    val ids = input.map(_._1).toArray
+    val sigArr = input.map { case (_, t) => minhashSigOf(t, shingleSize) }.toArray
+    val out = Seq.newBuilder[(Long, Long, Double)]
     val n = ids.length
     var a = 0
     while (a < n) {
@@ -130,17 +151,17 @@ object DedupGolden {
           var eq = 0
           var k = 0
           while (k < NumHashes) { if (si(k) == sj(k)) eq += 1; k += 1 }
-          if (eq.toDouble / NumHashes >= Threshold) {
+          val est = eq.toDouble / NumHashes
+          if (est >= threshold) {
             val (i, j) = if (ids(a) < ids(b)) (ids(a), ids(b)) else (ids(b), ids(a))
-            val (ri, rj) = (find(i), find(j))
-            if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+            out += ((i, j, est))
           }
         }
         b += 1
       }
       a += 1
     }
-    ids.toSeq.map(i => i -> find(i)).sortBy(_._1)
+    out.result()
   }
 
   /** (doc_id, cluster_id) pinned rows from the checked-in fixture. */

@@ -1,5 +1,8 @@
 package graft
 
+import scala.collection.mutable
+import scala.util.hashing.MurmurHash3
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
@@ -9,29 +12,32 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.TitleStandardizer
 import graft.text.{EnglishStemmer, Tokenize}
 
-/** SF-scale DuckDB oracles for q35 (MinHash+LSH fuzzy dedup), q36
-  * (SimHash fingerprints) and q45 (text-UDF battery) — the [[StdOracle]]
-  * pattern extended to the remaining rows-only families whose
-  * straight-line JVM derivation is cheap and exact at the verification
-  * scale factors.
+/** SF-scale DuckDB oracles for the rows-only query families whose
+  * straight-line JVM derivation is exact and cheap at the verification
+  * scale factors — the [[StdOracle]] pattern extended to: q35 (MinHash+LSH
+  * fuzzy dedup), q36 (SimHash fingerprints), q37 (LSH-pruned n-gram
+  * Jaccard top-20), q38 (random-hyperplane LSH kNN), q45 (text-UDF
+  * battery) and q50 (embedding near-dup clusters).
   *
-  * Both queries compute UDF values DuckDB cannot reproduce, so through
-  * round 8 they were driver-checked rows-only, with function semantics
-  * pinned by constructed-corpus golden twins (q125, q121). This closes the
-  * remaining composition-at-SF-scale gap the same way StdOracle closed it
-  * for the std family: [[prepare]] re-derives the expected values through
-  * independent straight-line JVM code (never the Spark query under test)
-  * and the oracle SQL replays them as a VALUES table joined to the live
-  * `documents` parquet, so the driver's DuckDB compare verifies that the
-  * DISTRIBUTED plan (signature UDF → band explode → bucket join → label
-  * propagation for q35; the UDF projection battery for q45) reproduces the
-  * straight-line contract on the real corpus at every SF.
+  * These queries compute UDF/signature values DuckDB cannot reproduce, so
+  * they were driver-checked rows-only through round 8, with function
+  * semantics pinned by constructed-corpus golden twins (q121, q125, q126,
+  * q129). This closes the remaining composition-at-SF-scale gap:
+  * [[prepare]] re-derives the expected values through independent
+  * straight-line JVM code from each operator's published contract (never
+  * the Spark query under test — every candidate machine is deterministic:
+  * murmur3 double-hashed MinHash, murmur3 sign-pattern hyperplanes with
+  * count-adaptive bits, left-to-right IEEE dot products matching
+  * `graft_dot`'s summation order) and the oracle SQL replays them as
+  * VALUES tables (doc-keyed ones joined to the live `documents` parquet),
+  * so the driver's DuckDB compare verifies the DISTRIBUTED plans on the
+  * real corpus at every SF.
   *
   * Driver-side cost is bounded: q45's map is keyed by DISTINCT 40-char
-  * title prefixes (476 at sf0.01, 4,756 at sf0.1); q35's mirror collects
-  * the (doc_id, text) corpus at the verification SF (≤5k docs ⇒ ≤12.5M
-  * all-pairs probes with early exit, [[DedupGolden.recomputeFor]]) — an
-  * oracle-side derivation, not a cluster-path collect.
+  * title prefixes (476 at sf0.01, 4,756 at sf0.1); the pairwise mirrors
+  * collect the (id, payload) corpus at the verification SF (≤5k rows ⇒
+  * ≤12.5M early-exit pair probes) — oracle-side derivations, not
+  * cluster-path collects.
   */
 object SfOracles {
 
@@ -39,8 +45,16 @@ object SfOracles {
   final case class TextRow(title: String, nStems: Int, stemsHash: Long,
                            tfidfCard: Int, weight: Double, firstStem: String)
 
-  @volatile private var prepared:
-    Option[(String, IndexedSeq[TextRow], Seq[(Long, Long)], Seq[(Long, Long)])] = None
+  private final case class Prepared(
+      sfDir: String,
+      textRows: IndexedSeq[TextRow],           // q45
+      fuzzyClusters: Seq[(Long, Long)],        // q35
+      simhashes: Seq[(Long, Long)],            // q36
+      jaccardTop: Seq[(Long, Long, Double)],   // q37
+      lshTopK: Seq[(Long, Int, Long, Double)], // q38
+      nearDupClusters: Seq[(Long, Long)])      // q50
+
+  @volatile private var prepared: Option[Prepared] = None
 
   /** Spark's `xxhash64(string)` evaluated locally through the same
     * Catalyst expression the distributed plan compiles — a straight-line
@@ -82,20 +96,159 @@ object SfOracles {
   private[graft] def title40(text: String): String =
     UTF8String.fromString(text).substringSQL(1, 40).toString
 
-  /** Re-derive both oracle maps for `sfDir`. Idempotent per sfDir. */
+  // ------------------------------------------------- LSH vector mirrors
+
+  /** The published random-hyperplane contract: deterministic component =
+    * murmur3 of (table, bit, dim) scaled to [-1, 1). */
+  private def planeComponent(table: Int, bit: Int, dim: Int): Double =
+    MurmurHash3.productHash((table, bit, dim)).toDouble / Int.MaxValue.toDouble
+
+  private def lshSignature(v: Array[Double], table: Int, bits: Int): Int = {
+    var sig = 0
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) { dot += v(d) * planeComponent(table, b, d); d += 1 }
+      if (dot >= 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Ascending-index dot product — the same left-to-right IEEE summation
+    * order as the `graft_dot` expression, so scores are bit-identical. */
+  private def dotAsc(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** q38 mirror: `Knn.lshTopK` contract (16 tables × 6 bits, bucket-union
+    * candidates, exact cosine rerank, ties to lowest id). */
+  private[graft] def lshTopKRows(
+      vecs: IndexedSeq[(Long, Array[Double])], maxQid: Long, k: Int,
+      tables: Int = 16, bits: Int = 6): Seq[(Long, Int, Long, Double)] = {
+    val byId = vecs.toMap
+    val norm = vecs.map { case (id, v) => id -> math.sqrt(dotAsc(v, v)) }.toMap
+    val buckets = mutable.HashMap.empty[(Int, Int), mutable.ArrayBuffer[Long]]
+    vecs.foreach { case (id, v) =>
+      (0 until tables).foreach { t =>
+        buckets.getOrElseUpdate((t, lshSignature(v, t, bits)),
+          mutable.ArrayBuffer.empty[Long]) += id
+      }
+    }
+    vecs.map(_._1).filter(_ < maxQid).sorted.flatMap { qid =>
+      val qv = byId(qid)
+      val cand = (0 until tables)
+        .flatMap(t => buckets.getOrElse((t, lshSignature(qv, t, bits)), Nil))
+        .distinct.filter(_ != qid)
+      cand.map(id => (id, dotAsc(qv, byId(id)) / (norm(qid) * norm(id))))
+        .sortBy { case (id, s) => (-s, id) }
+        .take(k).zipWithIndex
+        .map { case ((id, s), r) => (qid, r + 1, id, s) }
+    }
+  }
+
+  /** q50 mirror: `Knn.nearDupPairs`/`nearDupClusters` contract —
+    * count-adaptive signature bits, threshold-adaptive table count, bucket
+    * self-pair candidates, exact cosine ≥ τ edges, smallest-id
+    * components. */
+  private[graft] def nearDupClusterRows(
+      vecs: IndexedSeq[(Long, Array[Double])],
+      minCosine: Double): Seq[(Long, Long)] = {
+    val n = vecs.size
+    val nBits = math.min(20, math.max(10,
+      math.ceil(math.log(math.max(n, 1).toDouble / 8.0) / math.log(2.0)).toInt))
+    val theta = math.acos(math.min(1.0, math.max(-1.0, minCosine)))
+    val p = math.pow(1.0 - theta / math.Pi, nBits)
+    val t =
+      if (p >= 1.0) 2
+      else math.ceil(math.log(0.01) / math.log(1.0 - p)).toInt
+    val nTables = math.min(32, math.max(2, t))
+
+    val byId = vecs.toMap
+    val norm = vecs.map { case (id, v) => id -> math.sqrt(dotAsc(v, v)) }.toMap
+    val buckets = mutable.HashMap.empty[(Int, Int), mutable.ArrayBuffer[Long]]
+    vecs.foreach { case (id, v) =>
+      (0 until nTables).foreach { tb =>
+        buckets.getOrElseUpdate((tb, lshSignature(v, tb, nBits)),
+          mutable.ArrayBuffer.empty[Long]) += id
+      }
+    }
+    val seen = mutable.HashSet.empty[(Long, Long)]
+    val ids = vecs.map(_._1)
+    val parent = mutable.Map(ids.map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    buckets.valuesIterator.foreach { members =>
+      val m = members.sorted
+      var i = 0
+      while (i < m.length) {
+        var j = i + 1
+        while (j < m.length) {
+          val pair = (m(i), m(j))
+          if (!seen(pair)) {
+            seen += pair
+            val score = dotAsc(byId(pair._1), byId(pair._2)) /
+              (norm(pair._1) * norm(pair._2))
+            if (score >= minCosine) {
+              val (ri, rj) = (find(pair._1), find(pair._2))
+              if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    ids.map(i => i -> find(i)).sortBy(_._1)
+  }
+
+  /** q37 mirror: `Dedup.ngramJaccardTopK` contract — MinHash candidates
+    * (2-gram shingles, est ≥ 0.2) reranked by exact distinct-bigram
+    * Jaccard, top 20 by (jaccard desc, id_a, id_b). */
+  private[graft] def jaccardTopRows(
+      docs: Seq[(Long, String)]): Seq[(Long, Long, Double)] = {
+    val grams = docs.map { case (id, t) =>
+      id -> DedupGolden.shinglesOf(t, 2).distinct }.toMap
+    DedupGolden.estCandidatePairsFor(docs, shingleSize = 2, threshold = 0.2)
+      .map { case (a, b, _) =>
+        val ga = grams(a); val gb = grams(b)
+        val inter = ga.toSet.intersect(gb.toSet).size
+        (a, b, inter.toDouble / (ga.length + gb.length - inter))
+      }
+      .sortBy { case (a, b, j) => (-j, a, b) }
+      .take(20)
+  }
+
+  /** Re-derive every oracle map for `sfDir`. Idempotent per sfDir. */
   def prepare(spark: SparkSession, sfDir: String): Unit = synchronized {
-    if (!prepared.exists(_._1 == sfDir)) {
+    if (!prepared.exists(_.sfDir == sfDir)) {
       val docs = Tables(spark, sfDir, "documents")
         .selectExpr("cast(doc_id as long) as doc_id", "text")
         .collect()
         .map(r => (r.getLong(0), r.getString(1)))
         .sortBy(_._1).toIndexedSeq
-      val textRows = docs.map(d => title40(d._2)).distinct.sorted
-        .map(textRowFor).toIndexedSeq
-      val clusters = DedupGolden.recomputeFor(docs)
-      val sims = docs.map { case (id, t) =>
-        (id, if (t == null) 0L else SimhashGolden.simhashOf(t)) }
-      prepared = Some((sfDir, textRows, clusters, sims))
+      // the SAME float→double cast the operators apply in withVecAndNorm
+      val vecs = Tables(spark, sfDir, "embeddings")
+        .selectExpr("cast(vec_id as long) as vec_id",
+          "transform(embedding, x -> cast(x as double)) as v")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toIndexedSeq
+      prepared = Some(Prepared(
+        sfDir,
+        textRows = docs.map(d => title40(d._2)).distinct.sorted
+          .map(textRowFor).toIndexedSeq,
+        fuzzyClusters = DedupGolden.recomputeFor(docs),
+        simhashes = docs.map { case (id, t) =>
+          (id, if (t == null) 0L else SimhashGolden.simhashOf(t)) },
+        jaccardTop = jaccardTopRows(docs),
+        lshTopK = lshTopKRows(vecs, maxQid = 10L, k = 5),
+        nearDupClusters = nearDupClusterRows(vecs, minCosine = 0.95)))
     }
   }
 
@@ -107,55 +260,79 @@ object SfOracles {
     * value (shortest round-trip repr through strtod). */
   private def dlit(d: Double): String = s"CAST('${d.toString}' AS DOUBLE)"
 
-  private def failCte(cols: String): String =
-    // Loud DuckDB-side failure: a dump that skipped prepare() must never
-    // hash-match by accident.
-    s"$cols AS (SELECT error('graft SfOracles.prepare was not called'), 0, 0, 0, 0.0, '')"
+  // Loud DuckDB-side failure: a dump that skipped prepare() must never
+  // hash-match by accident.
+  private val failSelect =
+    "SELECT error('graft SfOracles.prepare was not called')"
 
-  private def textCte: String = prepared match {
-    case Some((_, rows, _, _)) =>
-      rows.map { r =>
-        s"(${lit(r.title)}, ${r.nStems}, CAST(${r.stemsHash} AS BIGINT), " +
-          s"${r.tfidfCard}, ${dlit(r.weight)}, ${lit(r.firstStem)})"
-      }.mkString(
-        "tm(title, n_stems, stems_hash, tfidf_card, first_stem_weight, first_stem) AS (VALUES ",
-        ", ", ")")
+  private def cte[A](name: String, cols: String, rows: Option[Seq[A]],
+                     zero: String)(render: A => String): String = rows match {
+    case Some(rs) if rs.nonEmpty =>
+      rs.map(render).mkString(s"$name($cols) AS (VALUES ", ", ", ")")
+    case Some(_) => // legal-but-empty mirror: an empty VALUES is invalid SQL
+      s"$name($cols) AS (SELECT * FROM (VALUES ($zero)) t WHERE 1 = 0)"
     case None =>
-      failCte("tm(title, n_stems, stems_hash, tfidf_card, first_stem_weight, first_stem)")
+      s"$name($cols) AS ($failSelect)"
   }
 
-  private def fuzzyCte: String = prepared match {
-    case Some((_, _, clusters, _)) =>
-      clusters.map { case (d, c) => s"($d, $c)" }
-        .mkString("fz(doc_id, cluster_id) AS (VALUES ", ", ", ")")
-    case None =>
-      "fz(doc_id, cluster_id) AS (SELECT error('graft SfOracles.prepare was not called'), 0)"
-  }
+  private def textCte: String =
+    cte("tm", "title, n_stems, stems_hash, tfidf_card, first_stem_weight, first_stem",
+      prepared.map(_.textRows.toSeq), "'', 0, 0, 0, 0.0, ''") { r: TextRow =>
+      s"(${lit(r.title)}, ${r.nStems}, CAST(${r.stemsHash} AS BIGINT), " +
+        s"${r.tfidfCard}, ${dlit(r.weight)}, ${lit(r.firstStem)})"
+    }
 
-  private def simhashCte: String = prepared match {
-    case Some((_, _, _, sims)) =>
-      sims.map { case (d, h) => s"($d, CAST($h AS BIGINT))" }
-        .mkString("sh(doc_id, simhash) AS (VALUES ", ", ", ")")
-    case None =>
-      "sh(doc_id, simhash) AS (SELECT error('graft SfOracles.prepare was not called'), 0)"
-  }
+  private def fuzzyCte: String =
+    cte("fz", "doc_id, cluster_id", prepared.map(_.fuzzyClusters), "0, 0") {
+      p: (Long, Long) => s"(${p._1}, ${p._2})" }
+
+  private def simhashCte: String =
+    cte("sh", "doc_id, simhash", prepared.map(_.simhashes), "0, 0") {
+      p: (Long, Long) => s"(${p._1}, CAST(${p._2} AS BIGINT))" }
+
+  private def jaccardCte: String =
+    cte("jc", "id_a, id_b, jaccard", prepared.map(_.jaccardTop), "0, 0, 0.0") {
+      p: (Long, Long, Double) => s"(${p._1}, ${p._2}, ${dlit(p._3)})" }
+
+  private def lshCte: String =
+    cte("lk", "qid, rnk, nid, score", prepared.map(_.lshTopK), "0, 0, 0, 0.0") {
+      p: (Long, Int, Long, Double) =>
+        s"(${p._1}, ${p._2}, ${p._3}, ${dlit(p._4)})" }
+
+  private def nearDupCte: String =
+    cte("nd", "vec_id, cluster_id", prepared.map(_.nearDupClusters), "0, 0") {
+      p: (Long, Long) => s"(${p._1}, ${p._2})" }
 
   /** Oracle SQL, same column names/ordering as the Spark side. */
   def oracles: Map[String, String] = Map(
-    "q36_dedup_simhash" ->
-      s"""WITH $simhashCte
-         |SELECT d.doc_id, s.simhash
-         |FROM documents d JOIN sh s ON s.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
     "q35_dedup_fuzzy" ->
       s"""WITH $fuzzyCte
          |SELECT d.doc_id, CAST(f.cluster_id AS BIGINT) AS cluster_id
          |FROM documents d JOIN fz f ON f.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "q36_dedup_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT d.doc_id, s.simhash
+         |FROM documents d JOIN sh s ON s.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q37_ngram_jaccard" ->
+      s"""WITH $jaccardCte
+         |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, jaccard
+         |FROM jc ORDER BY jaccard DESC, id_a, id_b""".stripMargin,
+    "q38_knn_lsh" ->
+      s"""WITH $lshCte
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
+         |       CAST(nid AS BIGINT) AS nid, score
+         |FROM lk ORDER BY qid, rnk""".stripMargin,
     "q45_text_udfs" ->
       s"""WITH $textCte
          |SELECT d.doc_id, m.n_stems, m.stems_hash, m.tfidf_card,
          |       m.first_stem_weight, m.first_stem
          |FROM documents d JOIN tm m ON m.title = substr(d.text, 1, 40)
-         |ORDER BY d.doc_id""".stripMargin)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q50_embedding_dedup_clusters" ->
+      s"""WITH $nearDupCte
+         |SELECT e.vec_id, CAST(n.cluster_id AS BIGINT) AS cluster_id
+         |FROM embeddings e JOIN nd n ON n.vec_id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin)
 }

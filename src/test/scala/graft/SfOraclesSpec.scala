@@ -59,6 +59,33 @@ class SfOraclesSpec extends AnyFunSuite {
     }
   }
 
+  private def embeddingsJvm = Tables(spark, sfDir, "embeddings")
+    .selectExpr("cast(vec_id as long) as vec_id",
+      "transform(embedding, x -> cast(x as double)) as v")
+    .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    .sortBy(_._1).toIndexedSeq
+
+  test("q37 mirror reproduces the distributed LSH-pruned Jaccard top-20 at sf0.001") {
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toIndexedSeq
+    val got = Queries.ngramJaccardTop(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == SfOracles.jaccardTopRows(docs))
+  }
+
+  test("q38 mirror reproduces the distributed LSH kNN (rank AND score) at sf0.001") {
+    val got = Queries.knnLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == SfOracles.lshTopKRows(embeddingsJvm, maxQid = 10L, k = 5))
+  }
+
+  test("q50 mirror reproduces the distributed near-dup clustering at sf0.001") {
+    val got = Queries.embeddingDedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == SfOracles.nearDupClusterRows(embeddingsJvm, minCosine = 0.95))
+  }
+
   test("q35 mirror reproduces the distributed fuzzy clustering at sf0.001") {
     val docs = Tables(spark, sfDir, "documents")
       .selectExpr("cast(doc_id as long) as doc_id", "text").collect()
