@@ -2541,6 +2541,37 @@ object Queries {
       Tables(spark, sfDir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** q138: CCNet-style perplexity bucketing — the deployment step that
+    * follows LM scoring in the CCNet pipeline (Wenzek et al. 2020): split
+    * the corpus into head/middle/tail TERCILES of per-bigram perplexity.
+    * Scale-correct shape: the tercile cutoffs come from the range
+    * -partitioned exact positional quantile operator (never a global-order
+    * `ntile` window, which would sort the corpus on ONE task), then ride a
+    * 1-row broadcast so bucketing itself is map-side. All arithmetic is
+    * integer (e4 fixed-point nats, floor division) except the two cutoff
+    * positions, which both engines compute as the identical
+    * `ceil(p * n)` double expression — fully DuckDB-oracle-able. Docs
+    * with no bigrams have undefined perplexity and are excluded (the
+    * CCNet contract; they are q73/q65 trim territory, not LM territory). */
+  def ccnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scored = graft.operators.NgramLM.bigramNll(
+        Tables(spark, sfDir, "documents"), "doc_id", "text")
+      .filter($"n_bigrams" > 0)
+      .withColumn("ppl_e4", expr("nll_e4 div n_bigrams"))
+    val cuts = graft.operators.Quantiles.exactPositional(
+        scored.withColumn("g", lit(1)), "g", "ppl_e4",
+        Seq("c1" -> (1.0 / 3), "c2" -> (2.0 / 3)))
+      .select($"c1", $"c2")
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when($"ppl_e4" <= $"c1", "head")
+          .when($"ppl_e4" <= $"c2", "middle")
+          .otherwise("tail"))
+      .select($"doc_id", $"n_bigrams", $"ppl_e4", $"bucket")
+      .orderBy($"doc_id")
+  }
+
   /** q135: ingestion-time incremental dedup — odd doc_ids are the
     * incoming batch, even doc_ids the already-ingested history; each
     * incoming doc is classified new / dup_history / dup_batch by

@@ -159,7 +159,8 @@ object SparkEntry {
     "q134_lm_perplexity" -> (Queries.lmPerplexity _),
     "q135_incremental_dedup" -> (Queries.incrementalDedup _),
     "q136_lm_heldout" -> (Queries.lmHeldOut _),
-    "q137_semdedup_golden" -> (Queries.semDedupGolden _)
+    "q137_semdedup_golden" -> (Queries.semDedupGolden _),
+    "q138_ccnet_buckets" -> (Queries.ccnetBuckets _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -1670,6 +1671,58 @@ object SparkEntry {
         |       coalesce(p.nll_e4, 0) AS nll_e4
         |FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // q138: CCNet perplexity terciles — reuses q134's LM mirror, then the
+    // q68 positional-quantile pattern for the two cutoffs. The cutoff
+    // positions are the IDENTICAL ceil(p·n) double expression both
+    // engines evaluate on the same operands (p literals are the exact
+    // shortest-repr of the Scala doubles 1.0/3 and 2.0/3); everything
+    // else is BIGINT (floor division // matches Spark's `div` on
+    // nonnegative operands).
+    "q138_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |uni AS (
+        |  SELECT unnest(ts) AS w1 FROM toks),
+        |uni_counts AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c_uni FROM uni GROUP BY w1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni_counts),
+        |bigrams AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM toks, (SELECT unnest(range(1, (SELECT max(len(ts)) FROM toks) + 1)) AS i)
+        |  WHERE i <= len(ts) - 1),
+        |bg_counts AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
+        |  FROM bigrams GROUP BY w1, w2),
+        |terms AS (
+        |  SELECT b.doc_id,
+        |    CAST(round(-ln(CAST(c.c_bg + 1 AS DOUBLE) / (u.c_uni + v.v)) * 1e4)
+        |         AS BIGINT) AS nll_term_e4
+        |  FROM bigrams b
+        |  JOIN bg_counts c ON b.w1 = c.w1 AND b.w2 = c.w2
+        |  JOIN uni_counts u ON b.w1 = u.w1
+        |  CROSS JOIN v),
+        |ppl AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(nll_term_e4) AS BIGINT) // CAST(count(*) AS BIGINT) AS ppl_e4
+        |  FROM terms GROUP BY doc_id),
+        |r AS (
+        |  SELECT doc_id, n_bigrams, ppl_e4,
+        |         row_number() OVER (ORDER BY ppl_e4, doc_id) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM ppl),
+        |cuts AS (
+        |  SELECT
+        |    max(CASE WHEN rn = CAST(ceil(0.3333333333333333 * n) AS BIGINT) THEN ppl_e4 END) AS c1,
+        |    max(CASE WHEN rn = CAST(ceil(0.6666666666666666 * n) AS BIGINT) THEN ppl_e4 END) AS c2
+        |  FROM r)
+        |SELECT p.doc_id, p.n_bigrams, p.ppl_e4,
+        |  CASE WHEN p.ppl_e4 <= c.c1 THEN 'head'
+        |       WHEN p.ppl_e4 <= c.c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM ppl p CROSS JOIN cuts c
+        |ORDER BY p.doc_id""".stripMargin,
     // q135: incremental ingest dedup — odd doc_ids (incoming) classified
     // against even doc_ids (history) and earlier same-batch rows by
     // normalized-content md5; lowest incoming doc_id wins within batch.

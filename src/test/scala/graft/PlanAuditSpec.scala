@@ -24,10 +24,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "q134_lm_perplexity", // broadcast side is the 1-row vocab-size
                             // aggregate, probed onto the vocab-sized
                             // unigram count table (same shape as q90)
-      "q136_lm_heldout")    // same 1-row vocab-size broadcast, ridden on
+      "q136_lm_heldout",    // same 1-row vocab-size broadcast, ridden on
                             // the score-side bigram stream because rows
                             // missing the w1 join still need V (1/V
                             // backoff) — linear stream × 1 row
+      "q138_ccnet_buckets") // two 1-row broadcasts: the vocab-size
+                            // aggregate (via q134's scorer) and the
+                            // tercile-cutoff row — bucketing stays
+                            // map-side
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =
