@@ -40,9 +40,21 @@ object Quantiles {
       nName: String = "n"): DataFrame = {
     val spark = df.sparkSession
     val nSlices = spark.sessionState.conf.numShufflePartitions
+    // localCheckpoint: `parted` feeds BOTH the per-slice count/offset
+    // aggregate and the local-rank join. Without the lineage cut those are
+    // two evaluations of the range exchange — and if exchange reuse does
+    // not kick in (separate actions over the same frame, AQE re-planning),
+    // the range sampler sees a DIFFERENT nondeterministic shuffle row
+    // order each time, slice boundaries shift between the two subtrees,
+    // and offset+local-rank stops being a global rank: a silently wrong
+    // quantile (observed: a tercile cutoff below the true rank value when
+    // the input lineage contained a fresh LM-scoring shuffle). The
+    // checkpoint pins one materialized slicing for all consumers; on a
+    // cluster use checkpoint() for fault tolerance.
     val parted = df
       .repartitionByRange(nSlices, col(groupCol), col(valCol))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
     val perSlice = parted.groupBy(col("pid"), col(groupCol))
       .agg(count(lit(1)).as("cnt"))
     val wOff = Window.partitionBy(col(groupCol)).orderBy(col("pid"))

@@ -159,6 +159,24 @@ object ScaleSmoke {
       val n = out.filter($"n_bigrams" > 0).count()
       println(s"  scored docs: $n")
     }
+    time(s"ccnet perplexity terciles ($nDocs docs, zipf vocab)") {
+      // the q138 composition at scale: LM scoring -> integer ppl ->
+      // range-partitioned positional tercile cutoffs -> map-side bucket.
+      val scored = graft.operators.NgramLM.bigramNll(docs, "id", "text")
+        .filter($"n_bigrams" > 0)
+        .withColumn("ppl_e4", expr("nll_e4 div n_bigrams"))
+        .withColumn("g", lit(1))
+        .localCheckpoint(true) // feeds cutoffs AND buckets — score once
+      val cuts = graft.operators.Quantiles.exactPositional(
+        scored, "g", "ppl_e4", Seq("c1" -> (1.0 / 3), "c2" -> (2.0 / 3)))
+      val Array(c1, c2) = cuts.select($"c1", $"c2").collect()(0)
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val buckets = scored.groupBy(
+          when($"ppl_e4" <= c1, "head").when($"ppl_e4" <= c2, "middle")
+            .otherwise("tail").as("bucket"))
+        .count().collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+      println(s"  ${buckets.sorted.mkString(" ")}")
+    }
     time(s"incremental dedup ($nDocs docs: odd batch vs even history)") {
       val out = Dedup.incremental(
         docs.filter(pmod($"id", lit(2L)) === 1), docs.filter(pmod($"id", lit(2L)) === 0),

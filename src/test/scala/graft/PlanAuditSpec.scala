@@ -62,13 +62,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val q66 = SparkEntry.queries("q66_chunk_dedup")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!q66.contains("Window"), s"q66 must not plan any window:\n$q66")
-    // q68: the only windows allowed are over the tiny per-slice offset
-    // table (partitioned by pid and/or segment AFTER aggregation) — never
-    // a window whose partition key is just the segment over the raw rows.
+    // q68: ranks must come from the ONE materialized range slicing (the
+    // operator's internal lineage cut — round-9 hazard: two evaluations
+    // of the range exchange can slice different nondeterministic row
+    // orders and silently corrupt global ranks), and every rank/offset
+    // window must be keyed by the slice id — never by the segment alone
+    // over the raw rows.
     val q68 = SparkEntry.queries("q68_quantiles_exact")(spark, sfDir)
-      .queryExecution.optimizedPlan.toString
-    assert(q68.toLowerCase.contains("spark_partition_id"),
-      "q68 must carry the slice id (range-partitioned local ranks + offsets)")
+      .queryExecution.executedPlan.toString
+    assert(q68.contains("Scan ExistingRDD") && q68.contains("pid#"),
+      s"q68 must rank over the checkpointed slicing (pid column):\n$q68")
+    assert(q68.contains("hashpartitioning(pid#"),
+      s"q68 local ranks must be keyed by the slice id:\n$q68")
     // q133: the dup-gram detector must be the map-side-combining COUNT
     // aggregate (partial_count below the gram exchange) — a window or a
     // non-combining aggregate over the gram key would pin a viral

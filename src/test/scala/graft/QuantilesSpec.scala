@@ -54,6 +54,30 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got == (10000L, oracle(vs, 0.5), oracle(vs, 0.99)))
   }
 
+  test("input behind a fresh aggregation shuffle still ranks globally") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The q138 composition shape that exposed the round-9 hazard: the
+    // quantile input is itself the output of a groupBy shuffle, whose
+    // row order is nondeterministic across evaluations. Without the
+    // operator's internal localCheckpoint, the offsets subtree and the
+    // local-rank subtree could range-slice two DIFFERENT orderings of
+    // that shuffle (when exchange reuse does not kick in) and the
+    // offset+local-rank sum silently stops being a global rank. Heavy
+    // ties (97 distinct values over 1000 rows) make a corrupted rank
+    // visible as a wrong cutoff instead of a harmless tie shuffle.
+    val base = spark.range(200000).toDF("id")
+      .withColumn("k", pmod($"id" * 2654435761L, lit(1000L)))
+      .groupBy($"k").agg(sum($"id").as("s"))
+      .withColumn("g", lit("g"))
+      .withColumn("v", pmod($"s", lit(97L)))
+    val got = Quantiles.exactPositional(base, "g", "v",
+        Seq("c1" -> (1.0 / 3), "c2" -> (2.0 / 3)))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    val vs = base.select($"v").collect().map(_.getLong(0)).toSeq
+    assert(got == (vs.size.toLong, oracle(vs, 1.0 / 3), oracle(vs, 2.0 / 3)))
+  }
+
   test("property: quantiles equal the sorted-array oracle on random groups") {
     import spark.implicits._
     import org.scalacheck.Gen
