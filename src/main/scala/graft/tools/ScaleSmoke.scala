@@ -268,13 +268,19 @@ object ScaleSmoke {
       val kept = docs.join(
         metrics.filter($"dup_2grams" * 5 < $"n_2grams" &&
           $"n_alpha_words" * 10L >= $"n_words" * 8L).select($"id"), "id")
+      // stage materialization (round-9 lesson): `cleaned` feeds the LM,
+      // the gate join and the downstream dedup — without the lineage cuts
+      // the gopher+substring stages re-evaluate per consumer (measured
+      // 229.8 s for the whole recipe; ~60 s with the cuts)
       val cleaned = graft.operators.SubstringDedup
         .dedupText(kept, "id", "text", k = 8)
         .filter(length($"cleaned") > 0)
+        .localCheckpoint(true)
       val lm = graft.operators.NgramLM.bigramNll(cleaned, "doc_id", "cleaned")
         .filter($"n_bigrams" > 0)
         .withColumn("avg_nll_e4", ($"nll_e4" / $"n_bigrams").cast("long"))
         .withColumn("seg", lit("all"))
+        .localCheckpoint(true)
       val p90 = graft.operators.Quantiles.exactPositional(
           lm, "seg", "avg_nll_e4", Seq("p90" -> 0.9))
         .select("p90").head().getLong(0)
