@@ -2606,4 +2606,19 @@ object Queries {
       idCol = "doc_id", textCol = "text")
       .orderBy($"doc_id")
   }
+
+  /** q139: DSIR importance resampling (Xie et al. 2023) — select the 100
+    * raw documents whose hashed-n-gram distribution best matches the
+    * English subset (the target), Gumbel-top-k without replacement. See
+    * [[graft.operators.Dsir]]; e4 fixed-point BIGINT weights make the
+    * whole selection deterministic and DuckDB-oracle-able at SF scale
+    * (the [[DsirMirror]] VALUES replay). */
+  def dsirResample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    graft.operators.Dsir.resampleTopK(
+        docs, docs.filter($"lang" === "en"), "doc_id", "text",
+        k = 100, buckets = 8192)
+      .orderBy($"rnk")
+  }
 }

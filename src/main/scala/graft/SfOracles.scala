@@ -17,7 +17,10 @@ import graft.text.{EnglishStemmer, Tokenize}
   * scale factors — the [[StdOracle]] pattern extended to: q35 (MinHash+LSH
   * fuzzy dedup), q36 (SimHash fingerprints), q37 (LSH-pruned n-gram
   * Jaccard top-20), q38 (random-hyperplane LSH kNN), q45 (text-UDF
-  * battery) and q50 (embedding near-dup clusters).
+  * battery), q50 (embedding near-dup clusters), and — since round 9 made
+  * the generic similarity-join operators' float aggregations
+  * order-deterministic (e9 fixed-point BIGINT sums) — q46/q49 via
+  * [[SimJoinSfMirror]].
   *
   * These queries compute UDF/signature values DuckDB cannot reproduce, so
   * they were driver-checked rows-only through round 8, with function
@@ -52,7 +55,10 @@ object SfOracles {
       simhashes: Seq[(Long, Long)],            // q36
       jaccardTop: Seq[(Long, Long, Double)],   // q37
       lshTopK: Seq[(Long, Int, Long, Double)], // q38
-      nearDupClusters: Seq[(Long, Long)])      // q50
+      nearDupClusters: Seq[(Long, Long)],      // q50
+      simGenTop: Seq[(String, Long)],          // q46: title → winning alias_id
+      simThr: Seq[(String, Long)],             // q49: title → winning alias_id
+      dsirTop: Seq[(Int, Long, Long, Long, Long)]) // q139 selected rows
 
   @volatile private var prepared: Option[Prepared] = None
 
@@ -227,11 +233,12 @@ object SfOracles {
   /** Re-derive every oracle map for `sfDir`. Idempotent per sfDir. */
   def prepare(spark: SparkSession, sfDir: String): Unit = synchronized {
     if (!prepared.exists(_.sfDir == sfDir)) {
-      val docs = Tables(spark, sfDir, "documents")
-        .selectExpr("cast(doc_id as long) as doc_id", "text")
+      val docs3 = Tables(spark, sfDir, "documents")
+        .selectExpr("cast(doc_id as long) as doc_id", "text", "lang")
         .collect()
-        .map(r => (r.getLong(0), r.getString(1)))
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
         .sortBy(_._1).toIndexedSeq
+      val docs = docs3.map(d => (d._1, d._2))
       // the SAME float→double cast the operators apply in withVecAndNorm
       val vecs = Tables(spark, sfDir, "embeddings")
         .selectExpr("cast(vec_id as long) as vec_id",
@@ -239,16 +246,21 @@ object SfOracles {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1).toIndexedSeq
+      val distinctTitles = docs.map(d => title40(d._2)).distinct.sorted
       prepared = Some(Prepared(
         sfDir,
-        textRows = docs.map(d => title40(d._2)).distinct.sorted
-          .map(textRowFor).toIndexedSeq,
+        textRows = distinctTitles.map(textRowFor).toIndexedSeq,
         fuzzyClusters = DedupGolden.recomputeFor(docs),
         simhashes = docs.map { case (id, t) =>
           (id, if (t == null) 0L else SimhashGolden.simhashOf(t)) },
         jaccardTop = jaccardTopRows(docs),
         lshTopK = lshTopKRows(vecs, maxQid = 10L, k = 5),
-        nearDupClusters = nearDupClusterRows(vecs, minCosine = 0.95)))
+        nearDupClusters = nearDupClusterRows(vecs, minCosine = 0.95),
+        simGenTop = distinctTitles.flatMap(t =>
+          SimJoinSfMirror.topKAgainstWinner(t).map(t -> _)),
+        simThr = distinctTitles.flatMap(t =>
+          SimJoinSfMirror.thresholdWinner(t).map(t -> _)),
+        dsirTop = DsirMirror.recompute(docs3)))
     }
   }
 
@@ -303,6 +315,20 @@ object SfOracles {
     cte("nd", "vec_id, cluster_id", prepared.map(_.nearDupClusters), "0, 0") {
       p: (Long, Long) => s"(${p._1}, ${p._2})" }
 
+  private def simGenCte: String =
+    cte("sg", "title, alias_id", prepared.map(_.simGenTop), "'', 0") {
+      p: (String, Long) => s"(${lit(p._1)}, ${p._2})" }
+
+  private def simThrCte: String =
+    cte("st", "title, alias_id", prepared.map(_.simThr), "'', 0") {
+      p: (String, Long) => s"(${lit(p._1)}, ${p._2})" }
+
+  private def dsirCte: String =
+    cte("ds", "rnk, doc_id, n_feats, logw_e4, key_e4",
+      prepared.map(_.dsirTop), "0, 0, 0, 0, 0") {
+      p: (Int, Long, Long, Long, Long) =>
+        s"(${p._1}, ${p._2}, ${p._3}, ${p._4}, ${p._5})" }
+
   /** Oracle SQL, same column names/ordering as the Spark side. */
   def oracles: Map[String, String] = Map(
     "q35_dedup_fuzzy" ->
@@ -334,5 +360,30 @@ object SfOracles {
       s"""WITH $nearDupCte
          |SELECT e.vec_id, CAST(n.cluster_id AS BIGINT) AS cluster_id
          |FROM embeddings e JOIN nd n ON n.vec_id = e.vec_id
-         |ORDER BY e.vec_id""".stripMargin)
+         |ORDER BY e.vec_id""".stripMargin,
+    // q46: one row per document; titles with no scored candidate fall back
+    // to (rnk 1, alias 0), matching the query wrapper's left-join coalesce
+    "q46_similarity_join_generic" ->
+      s"""WITH $simGenCte
+         |SELECT d.doc_id, CAST(1 AS INTEGER) AS rnk,
+         |       CAST(COALESCE(g.alias_id, 0) AS BIGINT) AS alias_id
+         |FROM documents d LEFT JOIN sg g ON g.title = substr(d.text, 1, 40)
+         |ORDER BY d.doc_id""".stripMargin,
+    // q49: only documents whose title clears the threshold emit a row
+    "q49_similarity_join_threshold" ->
+      s"""WITH $simThrCte
+         |SELECT d.doc_id, CAST(1 AS INTEGER) AS rnk,
+         |       CAST(g.alias_id AS BIGINT) AS alias_id
+         |FROM documents d JOIN st g ON g.title = substr(d.text, 1, 40)
+         |ORDER BY d.doc_id""".stripMargin,
+    // q139: the DSIR Gumbel-top-k selection, joined back to the live
+    // documents table so DuckDB verifies the selected ids exist
+    "q139_dsir_resample" ->
+      s"""WITH $dsirCte
+         |SELECT CAST(s.rnk AS INTEGER) AS rnk, d.doc_id,
+         |       CAST(s.n_feats AS BIGINT) AS n_feats,
+         |       CAST(s.logw_e4 AS BIGINT) AS logw_e4,
+         |       CAST(s.key_e4 AS BIGINT) AS key_e4
+         |FROM ds s JOIN documents d ON d.doc_id = s.doc_id
+         |ORDER BY s.rnk""".stripMargin)
 }

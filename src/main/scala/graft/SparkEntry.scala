@@ -160,7 +160,8 @@ object SparkEntry {
     "q135_incremental_dedup" -> (Queries.incrementalDedup _),
     "q136_lm_heldout" -> (Queries.lmHeldOut _),
     "q137_semdedup_golden" -> (Queries.semDedupGolden _),
-    "q138_ccnet_buckets" -> (Queries.ccnetBuckets _)
+    "q138_ccnet_buckets" -> (Queries.ccnetBuckets _),
+    "q139_dsir_resample" -> (Queries.dsirResample _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same

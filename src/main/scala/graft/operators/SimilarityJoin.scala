@@ -134,6 +134,20 @@ object SimilarityJoin {
     * ln(N/df) unsmoothed), so joining against the dictionary corpus as a
     * plain DataFrame reproduces [[topK]] — asserted in SimilarityJoinSpec.
     *
+    * DETERMINISM CONTRACT (round 9): every cross-partition float
+    * aggregation (per-doc norm², per-pair dot) rounds its addends to e9
+    * fixed-point BIGINT BEFORE summing — integer addition is
+    * order-proof, so the scores (and therefore the argmax) are
+    * bit-identical across partitionings, retries and speculative
+    * re-execution. A plain `sum(double)` here merges partial sums in
+    * nondeterministic order: two runs of the same 100 TB job could pick
+    * different winners on near-ties, and no external oracle could ever
+    * pin the output. Exact while per-group Σ|addend|·1e9 < 2⁶³ (norm²
+    * < 9.2e9 — any real document); scores deviate from the
+    * infinite-precision cosine by ≲1e-8. The per-doc-norm aggregation
+    * stays a map-side-combinable 8-byte HashAggregate (a sorted
+    * collect_list fold would shuffle whole term lists per doc).
+    *
     * @return (leftId, rnk, rightId, score)
     */
   def topKAgainst(
@@ -167,7 +181,8 @@ object SimilarityJoin {
     val rWeights = rTerms.join(idf, "term")
       .withColumn("dw", ($"cnt".cast("double") / $"len") * $"idf")
     val rNorms = rWeights.groupBy($"rid")
-      .agg(sqrt(sum($"dw" * $"dw")).as("doc_norm"))
+      .agg(sum(round($"dw" * $"dw" * lit(1e9)).cast("long")).as("dn2_e9"))
+      .select($"rid", sqrt($"dn2_e9".cast("double") / lit(1e9)).as("doc_norm"))
     // With an INFINITE cap this join is EXACT — and quadratic in the
     // worst case (all-co-occurrence; 764 s at 100k×100k, SCALE.md):
     // spec-only baseline territory, so exactness is opt-in
@@ -190,15 +205,18 @@ object SimilarityJoin {
       .groupBy($"qid", $"len", $"term").agg(count(lit(1)).as("cnt"))
     val lWeights = lTerms.join(idf, "term")
       .withColumn("qw", ($"cnt".cast("double") / $"len") * $"idf")
-    val lNorms = lWeights.groupBy($"qid").agg(sqrt(sum($"qw" * $"qw")).as("qnorm"))
+    val lNorms = lWeights.groupBy($"qid")
+      .agg(sum(round($"qw" * $"qw" * lit(1e9)).cast("long")).as("qn2_e9"))
+      .select($"qid", sqrt($"qn2_e9".cast("double") / lit(1e9)).as("qnorm"))
     val queriesW = lWeights.join(lNorms, "qid").select($"term", $"qid", $"qw", $"qnorm")
 
     val scored = queriesW.join(postings, "term")
       .groupBy($"qid", $"rid")
       .agg(first($"qnorm").as("qnorm"), first($"doc_norm").as("doc_norm"),
-        sum($"qw" * $"dw").as("dot"))
+        sum(round($"qw" * $"dw" * lit(1e9)).cast("long")).as("dot_e9"))
       .withColumn("score",
-        when($"doc_norm" > 0.0 && $"qnorm" > 0.0, $"dot" / ($"doc_norm" * $"qnorm"))
+        when($"doc_norm" > 0.0 && $"qnorm" > 0.0,
+          ($"dot_e9".cast("double") / lit(1e9)) / ($"doc_norm" * $"qnorm"))
           .otherwise(lit(0.0)))
 
     val w = Window.partitionBy($"qid").orderBy($"score".desc, $"rid".asc)
@@ -233,6 +251,12 @@ object SimilarityJoin {
     * exact score of every pair that survives. Set to 1.0 for strictly
     * lossless pruning.
     *
+    * Shares [[topKAgainst]]'s determinism contract: norm² sums and the
+    * prefix-filter mass sums are e9 fixed-point BIGINTs (order-proof
+    * across partitionings/retries), and the exact per-pair scoring UDF
+    * folds the smaller vector's terms in sorted order — the whole
+    * operator is bit-reproducible and externally oracle-able.
+    *
     * @return (leftId, rnk, rightId, score) with score ≥ minScore
     */
   def thresholdJoin(
@@ -265,7 +289,11 @@ object SimilarityJoin {
       .withColumn("dw", ($"cnt".cast("double") / $"len") * $"idf")
       .select($"term", $"df", $"rid", $"dw")
       .cache()
-    val rNorms = rWeights.groupBy($"rid").agg(sqrt(sum($"dw" * $"dw")).as("doc_norm"))
+    // e9 fixed-point norm² sums: order-proof (see topKAgainst determinism
+    // contract) while staying an 8-byte map-side-combinable aggregate
+    val rNorms = rWeights.groupBy($"rid")
+      .agg(sum(round($"dw" * $"dw" * lit(1e9)).cast("long")).as("dn2_e9"))
+      .select($"rid", sqrt($"dn2_e9".cast("double") / lit(1e9)).as("doc_norm"))
     // candidate-generation postings exclude ultra-common terms (they still
     // participate in exact scoring through the rWeights join below)
     val dfCap = if (maxDf <= 1.0) math.max(1.0, maxDf * numDocs) else maxDf
@@ -278,9 +306,13 @@ object SimilarityJoin {
       .groupBy($"qid", $"len", $"term").agg(count(lit(1)).as("cnt"))
     val lWeights = lTerms.join(idf, "term")
       .withColumn("qw", ($"cnt".cast("double") / $"len") * $"idf")
-      .select($"term", $"qid", $"qw")
+      // qw_e9 feeds the prefix-filter mass sums (BIGINT ⇒ order-proof)
+      .withColumn("qw_e9", round($"qw" * lit(1e9)).cast("long"))
+      .select($"term", $"qid", $"qw", $"qw_e9")
       .cache() // consumed by norms, prefix selection AND scoring
-    val lNorms = lWeights.groupBy($"qid").agg(sqrt(sum($"qw" * $"qw")).as("qnorm"))
+    val lNorms = lWeights.groupBy($"qid")
+      .agg(sum(round($"qw" * $"qw" * lit(1e9)).cast("long")).as("qn2_e9"))
+      .select($"qid", sqrt($"qn2_e9".cast("double") / lit(1e9)).as("qnorm"))
 
     // Prefix-filter term selection (AllPairs/PPJoin family) as pure window
     // algebra — no per-row vector maps, no UDF: sort a query's terms by
@@ -289,17 +321,22 @@ object SimilarityJoin {
     // doc sharing only later terms can never hit minScore. One shuffle,
     // keyed by qid. At τ ≤ 0 the filter keeps every term by construction,
     // so the window machinery is skipped (df-cap-only candidate pruning).
+    // Running head and total are BIGINT sums of qw_e9 (deterministic in
+    // any partitioning/merge order); the bound comparison carries a 1e-6
+    // slack so e9 rounding can only ADD prefix terms, never drop a term
+    // whose true tail mass still reaches τ — keeps the pruning lossless.
     val prefixTerms =
       if (minScore <= 0.0) lWeights.select($"qid", $"term")
       else {
-        val wq = Window.partitionBy($"qid").orderBy($"qw".desc, $"term".asc)
+        val wq = Window.partitionBy($"qid").orderBy($"qw_e9".desc, $"term".asc)
         lWeights
           .join(lNorms, "qid")
           .filter($"qnorm" > 0.0)
-          .withColumn("head",
-            coalesce(sum($"qw").over(wq.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
-          .withColumn("total", sum($"qw").over(Window.partitionBy($"qid")))
-          .filter(($"total" - $"head") / $"qnorm" >= minScore)
+          .withColumn("head_e9",
+            coalesce(sum($"qw_e9").over(wq.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("total_e9", sum($"qw_e9").over(Window.partitionBy($"qid")))
+          .filter(($"total_e9" - $"head_e9").cast("double") / lit(1e9) / $"qnorm" >=
+            lit(minScore - 1e-6))
           .select($"qid", $"term")
       }
 

@@ -28,6 +28,8 @@ class PlanAuditSpec extends AnyFunSuite {
                             // the score-side bigram stream because rows
                             // missing the w1 join still need V (1/V
                             // backoff) — linear stream × 1 row
+      "q139_dsir_resample", // two 1-row total aggregates broadcast onto
+                            // the B-row (≤8192) λ table — q134's shape
       "q138_ccnet_buckets") // two 1-row broadcasts: the vocab-size
                             // aggregate (via q134's scorer) and the
                             // tercile-cutoff row — bucketing stays

@@ -86,6 +86,51 @@ class SfOraclesSpec extends AnyFunSuite {
     assert(got == SfOracles.nearDupClusterRows(embeddingsJvm, minCosine = 0.95))
   }
 
+  test("sparkRoundToLong matches round(x*1e9)::long for adversarial weights") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, round}
+    // boundary-dense samples: exact .5 ulps, tiny/huge magnitudes, values
+    // whose canonical repr rounds differently than the binary expansion
+    val rnd = new scala.util.Random(7)
+    val samples = (Seq(0.0, 0.5e-9, 1.5e-9, 2.5e-9, 1.0 / 3.0, math.Pi,
+      6.907755278982137, 0.1 + 0.2) ++
+      (1 to 500).map(_ => rnd.nextDouble() * 50.0) ++
+      (1 to 200).map(_ => rnd.nextDouble() * 1e-6)).map(x => x * x)
+    val dist = samples.toDF("x")
+      .select(round(col("x") * lit(1e9)).cast("long")).collect().map(_.getLong(0))
+    val local = samples.map(x => SimJoinSfMirror.sparkRoundToLong(x * 1e9))
+    assert(local == dist.toSeq)
+  }
+
+  test("q46 mirror reproduces the distributed generic top-1 join at sf0.001") {
+    val got = Queries.similarityJoinGeneric(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty)
+    assert(got.exists(_._3 != 0L), "corpus should produce real matches")
+    got.foreach { case (id, rnk, alias) =>
+      val want = SimJoinSfMirror
+        .topKAgainstWinner(SfOracles.title40(docs(id))).getOrElse(0L)
+      assert(rnk == 1 && alias == want, s"doc $id: got $alias want $want")
+    }
+  }
+
+  test("q49 mirror reproduces the distributed threshold join at sf0.001") {
+    val got = Queries.similarityJoinThreshold(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = docs.toSeq.sortBy(_._1).flatMap { case (id, text) =>
+      SimJoinSfMirror.thresholdWinner(SfOracles.title40(text))
+        .map(alias => (id, 1, alias))
+    }
+    assert(want.nonEmpty, "threshold mirror should find some matches")
+    assert(got == want)
+  }
+
   test("q35 mirror reproduces the distributed fuzzy clustering at sf0.001") {
     val docs = Tables(spark, sfDir, "documents")
       .selectExpr("cast(doc_id as long) as doc_id", "text").collect()
