@@ -1,0 +1,120 @@
+package graft
+
+import java.security.MessageDigest
+
+/** Straight-line JVM mirror of q42 (IVF approximate kNN) for the
+  * SF-scale DuckDB oracle. Possible since round 9 moved the Lloyd loop
+  * driver-side ([[operators.Knn.trainCentroids]]): with per-cell means
+  * folded in ascending-id order, the whole IVF pipeline — md5-bucket
+  * training sample, first-`nCells`-by-id init, Lloyd iterations, cell
+  * assignment, probe selection, `graft_dot` cosine rerank — is a pure
+  * function of the vector corpus. This mirror re-derives every selected
+  * row from that published contract through independent imperative code
+  * (same IEEE operation order per scalar), never the DataFrame plan
+  * under test.
+  */
+object IvfMirror {
+
+  /** Left-to-right IEEE dot product — `graft_dot`'s summation order. */
+  private def dotAsc(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** `Sampling.hashSample` membership: first 4 hex chars of
+    * md5(id.toString bytes) < threshold(fraction). */
+  private def md5Bucket4(id: Long): String = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    f"${d(0)}%02x${d(1)}%02x"
+  }
+
+  private def hexThreshold(cum: Double): String =
+    f"${math.min(65535, math.floor(cum * 65536).toLong)}%04x"
+
+  private def nearestCell(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var dist = 0.0; var i = 0
+      val cv = cs(c)
+      while (i < v.length) { val t = v(i) - cv(i); dist += t * t; i += 1 }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `trainCentroids` contract: bounded md5-hash sample, init = first
+    * nCells by id, Lloyd with ascending-id mean folds. */
+  private[graft] def trainCentroids(vecs: IndexedSeq[(Long, Array[Double])],
+      nCells: Int, iterations: Int): Array[Array[Double]] = {
+    val n = vecs.size.toLong
+    val sampleCap = nCells.toLong * 100L
+    val sample: Array[Array[Double]] =
+      (if (n <= sampleCap) vecs
+       else {
+         val thr = hexThreshold(sampleCap.toDouble / n)
+         vecs.filter { case (id, _) => md5Bucket4(id) < thr }
+       }).sortBy(_._1).map(_._2).toArray
+    if (sample.isEmpty) return Array.empty
+    var centroids: Array[Array[Double]] = sample.take(nCells)
+    val dim = centroids(0).length
+    var iter = 0
+    while (iter < iterations) {
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val cnts = new Array[Long](nCells)
+      sample.foreach { v =>
+        val best = nearestCell(v, centroids)
+        cnts(best) += 1L
+        val s = sums(best)
+        var i = 0
+        while (i < dim && i < v.length) { s(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (cnts(c) == 0L) centroids(c)
+        else {
+          val s = sums(c); val m = new Array[Double](dim)
+          var i = 0
+          while (i < dim) { m(i) = s(i) / cnts(c); i += 1 }
+          m
+        }
+      }.toArray
+      iter += 1
+    }
+    centroids
+  }
+
+  /** q42 contract: `Knn.ivfTopK(emb, emb.filter(vec_id < maxQid), k = 5)`
+    * with the defaults (nCells 16, nProbe 4, iterations 5).
+    * Returns (qid, rnk, nid, score). */
+  def recompute(vecs: IndexedSeq[(Long, Array[Double])], maxQid: Long = 10L,
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
+      iterations: Int = 5): Seq[(Long, Int, Long, Double)] = {
+    val centroids = trainCentroids(vecs, nCells, iterations)
+    if (centroids.isEmpty) return Seq.empty
+    val norm = vecs.map { case (id, v) => id -> math.sqrt(dotAsc(v, v)) }.toMap
+    val cellOf = vecs.map { case (id, v) => id -> nearestCell(v, centroids) }.toMap
+    val byCell = vecs.groupBy { case (id, _) => cellOf(id) }
+
+    vecs.filter(_._1 < maxQid).sortBy(_._1).flatMap { case (qid, qv) =>
+      // probesUdf: nProbe nearest cells by (squared distance, cell id)
+      val probes = centroids.indices.map { c =>
+        var dist = 0.0; var i = 0
+        val cv = centroids(c)
+        while (i < qv.length) { val t = qv(i) - cv(i); dist += t * t; i += 1 }
+        (dist, c)
+      }.sorted.take(nProbe).map(_._2)
+      val cand = probes.flatMap(c => byCell.getOrElse(c, Seq.empty))
+        .filter(_._1 != qid)
+      cand.map { case (id, v) =>
+        (id, dotAsc(qv, v) / (norm(qid) * norm(id)))
+      }.sortBy { case (id, s) => (-s, id) }
+        .take(k).zipWithIndex
+        .map { case ((id, s), r) => (qid, r + 1, id, s) }
+    }
+  }
+}

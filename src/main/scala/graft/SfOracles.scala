@@ -58,7 +58,8 @@ object SfOracles {
       nearDupClusters: Seq[(Long, Long)],      // q50
       simGenTop: Seq[(String, Long)],          // q46: title → winning alias_id
       simThr: Seq[(String, Long)],             // q49: title → winning alias_id
-      dsirTop: Seq[(Int, Long, Long, Long, Long)]) // q139 selected rows
+      dsirTop: Seq[(Int, Long, Long, Long, Long)], // q139 selected rows
+      ivfTopK: Seq[(Long, Int, Long, Double)]) // q42
 
   @volatile private var prepared: Option[Prepared] = None
 
@@ -260,7 +261,8 @@ object SfOracles {
           SimJoinSfMirror.topKAgainstWinner(t).map(t -> _)),
         simThr = distinctTitles.flatMap(t =>
           SimJoinSfMirror.thresholdWinner(t).map(t -> _)),
-        dsirTop = DsirMirror.recompute(docs3)))
+        dsirTop = DsirMirror.recompute(docs3),
+        ivfTopK = IvfMirror.recompute(vecs)))
     }
   }
 
@@ -323,6 +325,11 @@ object SfOracles {
     cte("st", "title, alias_id", prepared.map(_.simThr), "'', 0") {
       p: (String, Long) => s"(${lit(p._1)}, ${p._2})" }
 
+  private def ivfCte: String =
+    cte("iv", "qid, rnk, nid, score", prepared.map(_.ivfTopK), "0, 0, 0, 0.0") {
+      p: (Long, Int, Long, Double) =>
+        s"(${p._1}, ${p._2}, ${p._3}, ${dlit(p._4)})" }
+
   private def dsirCte: String =
     cte("ds", "rnk, doc_id, n_feats, logw_e4, key_e4",
       prepared.map(_.dsirTop), "0, 0, 0, 0, 0") {
@@ -376,6 +383,13 @@ object SfOracles {
          |       CAST(g.alias_id AS BIGINT) AS alias_id
          |FROM documents d JOIN st g ON g.title = substr(d.text, 1, 40)
          |ORDER BY d.doc_id""".stripMargin,
+    // q42: IVF kNN — oracle-able since round 9's driver-side Lloyd loop
+    // (ascending-id mean folds) made the whole pipeline deterministic
+    "q42_knn_ivf" ->
+      s"""WITH $ivfCte
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
+         |       CAST(nid AS BIGINT) AS nid, score
+         |FROM iv ORDER BY qid, rnk""".stripMargin,
     // q139: the DSIR Gumbel-top-k selection, joined back to the live
     // documents table so DuckDB verifies the selected ids exist
     "q139_dsir_resample" ->

@@ -21,18 +21,24 @@ import graft.text.Tokenize
   * now a pure function of the title text and the static right side. This
   * mirror replays that contract through independent imperative code
   * (never the DataFrame plan under test): same IEEE operation order per
-  * scalar, same Spark `round` HALF_UP semantics, same prefix-filter
+  * scalar, same `(x·1e9 + 0.5)::long` fixed-point map, same prefix-filter
   * ordering (qw_e9 desc, term asc in UTF-8 binary order), same
   * smaller-side sorted-fold sparse dot as the scoring UDF.
   */
 object SimJoinSfMirror {
 
   /** Spark `round(double)` → `cast(long)` semantics: HALF_UP via
-    * `BigDecimal.valueOf` (canonical string repr), then truncate. */
+    * `BigDecimal.valueOf` (canonical string repr), then truncate. Used by
+    * [[DsirMirror]] for λ/Gumbel values (which can be negative). */
   private[graft] def sparkRoundToLong(x: Double): Long =
     if (x.isNaN || x.isInfinite) x.toLong
     else java.math.BigDecimal.valueOf(x)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue.toLong
+
+  /** The similarity operators' cheap fixed-point map for NONNEGATIVE
+    * values: `(x + 0.5)::long` (floor(x+0.5) = HALF_UP for x ≥ 0, pure
+    * codegen arithmetic — no BigDecimal in the hot path). */
+  private[graft] def halfUpNonNeg(x: Double): Long = (x + 0.5).toLong
 
   /** Spark string sort order (UTF-8 binary), used by the prefix window's
     * `$"term".asc` tie-break. */
@@ -68,10 +74,10 @@ object SimJoinSfMirror {
     }
   }
 
-  /** e9 fixed-point norm: `sqrt(sum(round(w*w*1e9)::long)::double / 1e9)`. */
+  /** e9 fixed-point norm: `sqrt(sum((w*w*1e9 + 0.5)::long)::double / 1e9)`. */
   private def normE9(w: Iterable[Double]): Double = {
     var s = 0L
-    w.foreach(x => s += sparkRoundToLong(x * x * 1e9))
+    w.foreach(x => s += halfUpNonNeg(x * x * 1e9))
     math.sqrt(s.toDouble / 1e9)
   }
 
@@ -107,12 +113,12 @@ object SimJoinSfMirror {
     val subCap = qw.keysIterator.filter(t => df(t).toDouble <= dfCap).toArray
     if (subCap.isEmpty) return None
     val cands = subCap.flatMap(t => postings.getOrElse(t, Array.empty[Long])).distinct
-    // score = (sum(round(qw*dw*1e9)::long)::double / 1e9) / (doc_norm * qnorm)
+    // score = (sum((qw*dw*1e9 + 0.5)::long)::double / 1e9) / (doc_norm * qnorm)
     val best = cands.map { rid =>
       val rd = rById(rid)
       var dotE9 = 0L
       subCap.foreach { t =>
-        rd.w.get(t).foreach(dw => dotE9 += sparkRoundToLong(qw(t) * dw * 1e9))
+        rd.w.get(t).foreach(dw => dotE9 += halfUpNonNeg(qw(t) * dw * 1e9))
       }
       val s =
         if (rd.norm > 0.0 && qnorm > 0.0) (dotE9.toDouble / 1e9) / (rd.norm * qnorm)
@@ -147,7 +153,7 @@ object SimJoinSfMirror {
 
     // prefix filter: (qw_e9 desc, term asc) order, BIGINT running mass,
     // keep while ((total-head)/1e9)/qnorm >= minScore - 1e-6
-    val qwE9 = qw.map { case (t, w) => t -> sparkRoundToLong(w * 1e9) }
+    val qwE9 = qw.map { case (t, w) => t -> halfUpNonNeg(w * 1e9) }
     val total = qwE9.valuesIterator.sum
     val ordered = qw.keysIterator.toArray
       .sorted(Ordering.by[String, Long](t => -qwE9(t)).orElse(utf8Ord))

@@ -152,8 +152,17 @@ object Knn {
     * the md5-hash sample is retry/engine-stable so training stays
     * deterministic (no RNG; init = first `nCells` rows by id). The model
     * is nCells×dim doubles on the driver — same footprint as any learned
-    * index. */
-  private def trainCentroids(
+    * index.
+    *
+    * The Lloyd loop itself runs DRIVER-SIDE on the collected sample
+    * (round 9): the previous distributed `avg(v[i])` per cell merged
+    * float partials in nondeterministic order, so centroids were
+    * ulp-unstable between runs and border vectors could flip cells —
+    * the one seam that kept the whole IVF family off the external
+    * oracle surface. Locally the per-cell means fold in ascending-id
+    * order (bit-reproducible), and 2 Spark jobs × iterations over a
+    * ≤ nCells·100-row sample were pure scheduling overhead anyway. */
+  private[graft] def trainCentroids(
       d: DataFrame, nCells: Int, iterations: Int): Array[Array[Double]] = {
     val spark = d.sparkSession
     import spark.implicits._
@@ -161,18 +170,44 @@ object Knn {
     val sampleCap = nCells.toLong * 100L
     val dTrain =
       if (n <= sampleCap) d
-      else Sampling.hashSample(d, "id", sampleCap.toDouble / n).cache()
-    var centroids: Array[Array[Double]] = dTrain.orderBy($"id".asc).limit(nCells)
-      .select($"v").collect().map(_.getSeq[Double](0).toArray)
-    if (centroids.isEmpty) return centroids // empty input: nothing to train
+      else Sampling.hashSample(d, "id", sampleCap.toDouble / n)
+    val sample: Array[Array[Double]] = dTrain
+      .select($"id".cast("long").as("id"), $"v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .map(_._2)
+    if (sample.isEmpty) return Array.empty
+    var centroids: Array[Array[Double]] = sample.take(nCells)
+    val dim = centroids(0).length
     var iter = 0
     while (iter < iterations) {
-      val assigned = dTrain.withColumn("cell", nearestUdf(centroids)($"v"))
-      val updated = assigned.groupBy($"cell")
-        .agg(array((0 until centroids(0).length).map(i =>
-          avg($"v"(i))): _*).as("c"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val cnts = new Array[Long](nCells)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var dist = 0.0; var i = 0
+          val cv = centroids(c)
+          while (i < v.length) { val t = v(i) - cv(i); dist += t * t; i += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        cnts(best) += 1L
+        val s = sums(best)
+        var i = 0
+        while (i < dim && i < v.length) { s(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (cnts(c) == 0L) centroids(c) // empty cell keeps its centroid
+        else {
+          val s = sums(c); val m = new Array[Double](dim)
+          var i = 0
+          while (i < dim) { m(i) = s(i) / cnts(c); i += 1 }
+          m
+        }
+      }.toArray
       iter += 1
     }
     centroids

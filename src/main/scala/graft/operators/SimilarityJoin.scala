@@ -139,7 +139,9 @@ object SimilarityJoin {
     * fixed-point BIGINT BEFORE summing — integer addition is
     * order-proof, so the scores (and therefore the argmax) are
     * bit-identical across partitionings, retries and speculative
-    * re-execution. A plain `sum(double)` here merges partial sums in
+    * re-execution. Rounding is `(x·1e9 + 0.5)::long` (= HALF_UP for the
+    * nonnegative weights here) — plain codegen arithmetic, not the
+    * BigDecimal-backed `round()`. A plain `sum(double)` here merges partial sums in
     * nondeterministic order: two runs of the same 100 TB job could pick
     * different winners on near-ties, and no external oracle could ever
     * pin the output. Exact while per-group Σ|addend|·1e9 < 2⁶³ (norm²
@@ -181,7 +183,7 @@ object SimilarityJoin {
     val rWeights = rTerms.join(idf, "term")
       .withColumn("dw", ($"cnt".cast("double") / $"len") * $"idf")
     val rNorms = rWeights.groupBy($"rid")
-      .agg(sum(round($"dw" * $"dw" * lit(1e9)).cast("long")).as("dn2_e9"))
+      .agg(sum(($"dw" * $"dw" * lit(1e9) + lit(0.5)).cast("long")).as("dn2_e9"))
       .select($"rid", sqrt($"dn2_e9".cast("double") / lit(1e9)).as("doc_norm"))
     // With an INFINITE cap this join is EXACT — and quadratic in the
     // worst case (all-co-occurrence; 764 s at 100k×100k, SCALE.md):
@@ -206,14 +208,14 @@ object SimilarityJoin {
     val lWeights = lTerms.join(idf, "term")
       .withColumn("qw", ($"cnt".cast("double") / $"len") * $"idf")
     val lNorms = lWeights.groupBy($"qid")
-      .agg(sum(round($"qw" * $"qw" * lit(1e9)).cast("long")).as("qn2_e9"))
+      .agg(sum(($"qw" * $"qw" * lit(1e9) + lit(0.5)).cast("long")).as("qn2_e9"))
       .select($"qid", sqrt($"qn2_e9".cast("double") / lit(1e9)).as("qnorm"))
     val queriesW = lWeights.join(lNorms, "qid").select($"term", $"qid", $"qw", $"qnorm")
 
     val scored = queriesW.join(postings, "term")
       .groupBy($"qid", $"rid")
       .agg(first($"qnorm").as("qnorm"), first($"doc_norm").as("doc_norm"),
-        sum(round($"qw" * $"dw" * lit(1e9)).cast("long")).as("dot_e9"))
+        sum(($"qw" * $"dw" * lit(1e9) + lit(0.5)).cast("long")).as("dot_e9"))
       .withColumn("score",
         when($"doc_norm" > 0.0 && $"qnorm" > 0.0,
           ($"dot_e9".cast("double") / lit(1e9)) / ($"doc_norm" * $"qnorm"))
@@ -292,7 +294,7 @@ object SimilarityJoin {
     // e9 fixed-point norm² sums: order-proof (see topKAgainst determinism
     // contract) while staying an 8-byte map-side-combinable aggregate
     val rNorms = rWeights.groupBy($"rid")
-      .agg(sum(round($"dw" * $"dw" * lit(1e9)).cast("long")).as("dn2_e9"))
+      .agg(sum(($"dw" * $"dw" * lit(1e9) + lit(0.5)).cast("long")).as("dn2_e9"))
       .select($"rid", sqrt($"dn2_e9".cast("double") / lit(1e9)).as("doc_norm"))
     // candidate-generation postings exclude ultra-common terms (they still
     // participate in exact scoring through the rWeights join below)
@@ -307,11 +309,11 @@ object SimilarityJoin {
     val lWeights = lTerms.join(idf, "term")
       .withColumn("qw", ($"cnt".cast("double") / $"len") * $"idf")
       // qw_e9 feeds the prefix-filter mass sums (BIGINT ⇒ order-proof)
-      .withColumn("qw_e9", round($"qw" * lit(1e9)).cast("long"))
+      .withColumn("qw_e9", ($"qw" * lit(1e9) + lit(0.5)).cast("long"))
       .select($"term", $"qid", $"qw", $"qw_e9")
       .cache() // consumed by norms, prefix selection AND scoring
     val lNorms = lWeights.groupBy($"qid")
-      .agg(sum(round($"qw" * $"qw" * lit(1e9)).cast("long")).as("qn2_e9"))
+      .agg(sum(($"qw" * $"qw" * lit(1e9) + lit(0.5)).cast("long")).as("qn2_e9"))
       .select($"qid", sqrt($"qn2_e9".cast("double") / lit(1e9)).as("qnorm"))
 
     // Prefix-filter term selection (AllPairs/PPJoin family) as pure window

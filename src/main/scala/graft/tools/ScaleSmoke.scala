@@ -29,9 +29,11 @@ object ScaleSmoke {
     //   SCALE_ONLY_NEWOPS   — substring dedup / bigram LM (+held-out) /
     //                         incremental dedup only
     //   SCALE_ONLY_PIPELINE — the composed e2e recipes only
+    //   SCALE_ONLY_DSIR     — the DSIR importance-resampling case only
     val onlyNewOps = sys.env.contains("SCALE_ONLY_NEWOPS")
     val onlyPipeline = sys.env.contains("SCALE_ONLY_PIPELINE")
-    val skipGeneral = onlyNewOps || onlyPipeline
+    val onlyDsir = sys.env.contains("SCALE_ONLY_DSIR")
+    val skipGeneral = onlyNewOps || onlyPipeline || onlyDsir
 
     def time[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -233,6 +235,16 @@ object ScaleSmoke {
       println(s"  contaminated test docs: ${out.filter($"contaminated").count()} of ${out.count()}")
     }
     } // !skipGeneral
+    if (onlyDsir || !skipGeneral && !sys.env.contains("SCALE_ONLY_SIMJOIN"))
+    time(s"DSIR importance resample ($nDocs raw docs, 5% target, 8192 buckets)") {
+      // zipf head grams all hash somewhere: the hottest bucket absorbs the
+      // most common unigram corpus-wide, which is exactly the map-side-
+      // combine shape (partial counts collapse to <=1 row/partition before
+      // the bucket exchange, same argument as q133's dup-gram count)
+      val target = docs.filter(pmod($"id", lit(20L)) === 0)
+      val top = graft.operators.Dsir.resampleTopK(docs, target, "id", "text", k = 1000)
+      println(s"  selected: ${top.count()} (want 1000)")
+    }
     if (!sys.env.contains("SCALE_SKIP_PIPELINE") && !onlyNewOps)
     time(s"corpus pipeline e2e ($nDocs docs: gopher metrics -> chunk dedup -> split -> pack)") {
       // the composed training-data path, end to end at 1M docs: rule

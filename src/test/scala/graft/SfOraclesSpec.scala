@@ -86,9 +86,9 @@ class SfOraclesSpec extends AnyFunSuite {
     assert(got == SfOracles.nearDupClusterRows(embeddingsJvm, minCosine = 0.95))
   }
 
-  test("sparkRoundToLong matches round(x*1e9)::long for adversarial weights") {
+  test("halfUpNonNeg matches (x*1e9 + 0.5)::long for adversarial weights") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, lit, round}
+    import org.apache.spark.sql.functions.{col, lit}
     // boundary-dense samples: exact .5 ulps, tiny/huge magnitudes, values
     // whose canonical repr rounds differently than the binary expansion
     val rnd = new scala.util.Random(7)
@@ -97,8 +97,21 @@ class SfOraclesSpec extends AnyFunSuite {
       (1 to 500).map(_ => rnd.nextDouble() * 50.0) ++
       (1 to 200).map(_ => rnd.nextDouble() * 1e-6)).map(x => x * x)
     val dist = samples.toDF("x")
-      .select(round(col("x") * lit(1e9)).cast("long")).collect().map(_.getLong(0))
-    val local = samples.map(x => SimJoinSfMirror.sparkRoundToLong(x * 1e9))
+      .select((col("x") * lit(1e9) + lit(0.5)).cast("long")).collect().map(_.getLong(0))
+    val local = samples.map(x => SimJoinSfMirror.halfUpNonNeg(x * 1e9))
+    assert(local == dist.toSeq)
+  }
+
+  test("sparkRoundToLong matches round(x*1e4)::long incl. negatives (DSIR λ/Gumbel)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, round}
+    val rnd = new scala.util.Random(11)
+    val samples = Seq(0.0, -0.5e-4, 1.5e-4, -2.5e-4, math.Pi, -math.E,
+      -6.907755278982137) ++
+      (1 to 500).map(_ => (rnd.nextDouble() - 0.5) * 40.0)
+    val dist = samples.toDF("x")
+      .select(round(col("x") * lit(1e4)).cast("long")).collect().map(_.getLong(0))
+    val local = samples.map(x => SimJoinSfMirror.sparkRoundToLong(x * 1e4))
     assert(local == dist.toSeq)
   }
 
@@ -129,6 +142,13 @@ class SfOraclesSpec extends AnyFunSuite {
     }
     assert(want.nonEmpty, "threshold mirror should find some matches")
     assert(got == want)
+  }
+
+  test("q42 mirror reproduces the distributed IVF kNN (rank AND score) at sf0.001") {
+    val got = Queries.knnIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty)
+    assert(got == IvfMirror.recompute(embeddingsJvm))
   }
 
   test("q35 mirror reproduces the distributed fuzzy clustering at sf0.001") {
