@@ -82,8 +82,8 @@ object DsirMirror {
     val lamE4 = rCounts.map { case (bk, cr) =>
       val ct = tCounts.getOrElse(bk, 0L)
       bk -> sparkRoundE4(
-        math.log((ct + 1L).toDouble / (tTot + b).toDouble) -
-          math.log((cr + 1L).toDouble / (rTot + b).toDouble))
+        StrictMath.log((ct + 1L).toDouble / (tTot + b).toDouble) -
+          StrictMath.log((cr + 1L).toDouble / (rTot + b).toDouble))
     }
 
     val perDocById = perDoc.toMap
@@ -96,7 +96,7 @@ object DsirMirror {
       // Long.MaxValue) + 0.5) / 2^63; g_e4 = round(-ln(-ln(u))*1e4)
       val h = SfOracles.xxh64("dsir-gumbel-" + id.toString)
       val u = ((h & Long.MaxValue).toDouble + 0.5) / 9.223372036854775808e18
-      val gE4 = sparkRoundE4(-math.log(-math.log(u)))
+      val gE4 = sparkRoundE4(-StrictMath.log(-StrictMath.log(u)))
       (id, nFeats, logw, logw + gE4)
     }
     rows.sortBy { case (id, _, _, key) => (-key, id) }

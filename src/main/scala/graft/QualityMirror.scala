@@ -1,0 +1,120 @@
+package graft
+
+/** Straight-line JVM mirror of q140 (seed-trained quality classifier)
+  * for the SF-scale DuckDB oracle: re-derives every document's score
+  * from the published contract of [[operators.QualityClassifier]] —
+  * same feature semantics (code-point counts, Java-regex character
+  * classes, Spark `trim`/`split` edge behavior), same bounded md5-hash
+  * seed sampling, same ascending-id full-batch gradient descent, same
+  * fixed-order scoring arithmetic — through independent imperative code,
+  * never the DataFrame plan under test.
+  */
+object QualityMirror {
+
+  /** Code-point count — Spark `length()` on strings. */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+  /** Spark `trim()`: strips the SPACE character only (not Java's
+    * whole-control-range `String.trim`). */
+  private def sparkTrim(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    s.substring(i, j)
+  }
+
+  /** The [[operators.QualityClassifier.featureCols]] contract for one
+    * text (null ⇒ empty). */
+  private[graft] def featuresOf(text: String): Array[Double] = {
+    val t = if (text == null) "" else text
+    // split(trim(t), "\s+") with Spark's limit -1 (trailing empties kept)
+    val toks = sparkTrim(t).split("\\s+", -1)
+    val nToks = toks.length.toDouble
+    val nDistinct = toks.distinct.length.toDouble
+    val nChars = cpLen(t).toDouble
+    val nPunct = cpLen(t.replaceAll("[^\\p{Punct}]", "")).toDouble
+    val nDigit = cpLen(t.replaceAll("[^0-9]", "")).toDouble
+    Array(
+      StrictMath.log(1.0 + nToks),
+      nDistinct / math.max(nToks, 1.0),
+      nPunct / math.max(nChars, 1.0),
+      nDigit / math.max(nChars, 1.0),
+      nChars / math.max(nToks, 1.0) / 10.0)
+  }
+
+  /** `Sampling.hashSample` membership (first 4 md5 hex chars of the id
+    * string vs the cumulative-fraction threshold). */
+  private def inHashSample(id: Long, fraction: Double): Boolean = {
+    if (fraction >= 1.0) return true
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    val bucket = f"${d(0)}%02x${d(1)}%02x"
+    val thr = f"${math.min(65535, math.floor(fraction * 65536).toLong)}%04x"
+    bucket < thr
+  }
+
+  private def sampleClass(rows: Seq[(Long, String)], sampleCap: Int)
+      : Seq[Array[Double]] = {
+    val n = rows.size
+    val kept =
+      if (n <= sampleCap) rows
+      else rows.filter { case (id, _) => inHashSample(id, sampleCap.toDouble / n) }
+    kept.sortBy(_._1).map { case (_, t) => featuresOf(t) }
+  }
+
+  /** The [[operators.QualityClassifier.train]] contract: positive rows
+    * (ascending id) then negative rows, zero init, full-batch GD. */
+  private[graft] def train(pos: Seq[(Long, String)], neg: Seq[(Long, String)],
+      sampleCap: Int = 2000, iterations: Int = 200,
+      learningRate: Double = 0.5): Array[Double] = {
+    val rows = sampleClass(pos, sampleCap).map(x => (x, 1.0)) ++
+      sampleClass(neg, sampleCap).map(x => (x, 0.0))
+    val d = 5
+    val w = new Array[Double](d + 1)
+    val invN = 1.0 / rows.length
+    var iter = 0
+    while (iter < iterations) {
+      val g = new Array[Double](d + 1)
+      rows.foreach { case (x, y) =>
+        var z = w(0)
+        var k = 0
+        while (k < d) { z += w(k + 1) * x(k); k += 1 }
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val err = p - y
+        g(0) += err
+        k = 0
+        while (k < d) { g(k + 1) += err * x(k); k += 1 }
+      }
+      var k = 0
+      while (k <= d) { w(k) -= learningRate * invN * g(k); k += 1 }
+      iter += 1
+    }
+    w
+  }
+
+  /** Fixed-order scoring arithmetic: left-nested z fold, sigmoid,
+    * `(·1e6 + 0.5)::long`, integer threshold compare. */
+  private[graft] def scoreOf(w: Array[Double], x: Array[Double]): Long = {
+    var z = w(0)
+    var k = 0
+    while (k < x.length) { z += w(k + 1) * x(k); k += 1 }
+    val sigmoid = 1.0 / (1.0 + StrictMath.exp(-z))
+    (sigmoid * 1e6 + 0.5).toLong
+  }
+
+  /** q140 contract: pos seed = source "src0", neg seed = source "src1",
+    * score the whole corpus at τ = 0.5.
+    * Input: (doc_id, text, source); output (doc_id, score_e6, keep). */
+  def recompute(docs: Seq[(Long, String, String)], tau: Double = 0.5)
+      : Seq[(Long, Long, Boolean)] = {
+    val w = train(
+      docs.collect { case (id, t, "src0") => (id, t) },
+      docs.collect { case (id, t, "src1") => (id, t) })
+    val tauE6 = (tau * 1e6).toLong
+    docs.sortBy(_._1).map { case (id, t, _) =>
+      val s = scoreOf(w, featuresOf(t))
+      (id, s, s >= tauE6)
+    }
+  }
+}

@@ -2621,4 +2621,21 @@ object Queries {
         k = 100, buckets = 8192)
       .orderBy($"rnk")
   }
+
+  /** q140: GPT-3-style seed-trained quality classifier — logistic
+    * regression trained driver-side on bounded samples of two seed
+    * classes (source src0 = positive, src1 = negative), then one
+    * map-side scoring pass over the whole corpus. Deterministic end to
+    * end (see [[graft.operators.QualityClassifier]]), so the e6
+    * fixed-point scores are DuckDB-oracle-able via [[QualityMirror]]. */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    graft.operators.QualityClassifier.trainAndScore(
+        raw = docs,
+        pos = docs.filter($"source" === "src0"),
+        neg = docs.filter($"source" === "src1"),
+        idCol = "doc_id", textCol = "text", tau = 0.5)
+      .orderBy($"doc_id")
+  }
 }

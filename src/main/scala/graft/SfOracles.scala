@@ -59,7 +59,8 @@ object SfOracles {
       simGenTop: Seq[(String, Long)],          // q46: title → winning alias_id
       simThr: Seq[(String, Long)],             // q49: title → winning alias_id
       dsirTop: Seq[(Int, Long, Long, Long, Long)], // q139 selected rows
-      ivfTopK: Seq[(Long, Int, Long, Double)]) // q42
+      ivfTopK: Seq[(Long, Int, Long, Double)],     // q42
+      qualityRows: Seq[(Long, Long, Boolean)])     // q140
 
   @volatile private var prepared: Option[Prepared] = None
 
@@ -234,12 +235,13 @@ object SfOracles {
   /** Re-derive every oracle map for `sfDir`. Idempotent per sfDir. */
   def prepare(spark: SparkSession, sfDir: String): Unit = synchronized {
     if (!prepared.exists(_.sfDir == sfDir)) {
-      val docs3 = Tables(spark, sfDir, "documents")
-        .selectExpr("cast(doc_id as long) as doc_id", "text", "lang")
+      val docs4 = Tables(spark, sfDir, "documents")
+        .selectExpr("cast(doc_id as long) as doc_id", "text", "lang", "source")
         .collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
         .sortBy(_._1).toIndexedSeq
-      val docs = docs3.map(d => (d._1, d._2))
+      val docs3 = docs4.map(d => (d._1, d._2, d._3))
+      val docs = docs4.map(d => (d._1, d._2))
       // the SAME float→double cast the operators apply in withVecAndNorm
       val vecs = Tables(spark, sfDir, "embeddings")
         .selectExpr("cast(vec_id as long) as vec_id",
@@ -262,7 +264,8 @@ object SfOracles {
         simThr = distinctTitles.flatMap(t =>
           SimJoinSfMirror.thresholdWinner(t).map(t -> _)),
         dsirTop = DsirMirror.recompute(docs3),
-        ivfTopK = IvfMirror.recompute(vecs)))
+        ivfTopK = IvfMirror.recompute(vecs),
+        qualityRows = QualityMirror.recompute(docs4.map(d => (d._1, d._2, d._4)))))
     }
   }
 
@@ -330,6 +333,11 @@ object SfOracles {
       p: (Long, Int, Long, Double) =>
         s"(${p._1}, ${p._2}, ${p._3}, ${dlit(p._4)})" }
 
+  private def qualityCte: String =
+    cte("qc", "doc_id, score_e6, keep", prepared.map(_.qualityRows),
+      "0, 0, false") {
+      p: (Long, Long, Boolean) => s"(${p._1}, ${p._2}, ${p._3})" }
+
   private def dsirCte: String =
     cte("ds", "rnk, doc_id, n_feats, logw_e4, key_e4",
       prepared.map(_.dsirTop), "0, 0, 0, 0, 0") {
@@ -390,6 +398,12 @@ object SfOracles {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
          |       CAST(nid AS BIGINT) AS nid, score
          |FROM iv ORDER BY qid, rnk""".stripMargin,
+    // q140: the seed-trained quality classifier's e6 scores + keep flags
+    "q140_quality_classifier" ->
+      s"""WITH $qualityCte
+         |SELECT d.doc_id, CAST(q.score_e6 AS BIGINT) AS score_e6, q.keep
+         |FROM documents d JOIN qc q ON q.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // q139: the DSIR Gumbel-top-k selection, joined back to the live
     // documents table so DuckDB verifies the selected ids exist
     "q139_dsir_resample" ->

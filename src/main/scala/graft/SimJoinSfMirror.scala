@@ -62,7 +62,7 @@ object SimJoinSfMirror {
 
   /** idf = ln(N/df) — `log(lit(numDocs.toDouble) / $"df")`. */
   private lazy val idf: Map[String, Double] =
-    df.map { case (t, d) => t -> math.log(numDocs.toDouble / d.toDouble) }
+    df.map { case (t, d) => t -> StrictMath.log(numDocs.toDouble / d.toDouble) }
 
   /** `($"cnt".cast("double") / $"len") * $"idf"` per in-vocabulary term;
     * OOV terms drop out but stay in the tf denominator. */

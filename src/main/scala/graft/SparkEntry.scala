@@ -161,7 +161,8 @@ object SparkEntry {
     "q136_lm_heldout" -> (Queries.lmHeldOut _),
     "q137_semdedup_golden" -> (Queries.semDedupGolden _),
     "q138_ccnet_buckets" -> (Queries.ccnetBuckets _),
-    "q139_dsir_resample" -> (Queries.dsirResample _)
+    "q139_dsir_resample" -> (Queries.dsirResample _),
+    "q140_quality_classifier" -> (Queries.qualityClassifier _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same

@@ -127,7 +127,7 @@ object ScaleSmoke {
       println(s"  docs losing chunks: $lossy")
     }
     } // !skipGeneral
-    if (!onlyPipeline) {
+    if (!onlyPipeline && !onlyDsir) {
     time(s"substring dedup ($nDocs docs, k=8)") {
       val out = graft.operators.SubstringDedup.dedupSpans(docs, "id", "text", k = 8)
       println(s"  docs losing tokens: ${out.filter($"dup_tokens" > 0).count()}")
@@ -245,7 +245,21 @@ object ScaleSmoke {
       val top = graft.operators.Dsir.resampleTopK(docs, target, "id", "text", k = 1000)
       println(s"  selected: ${top.count()} (want 1000)")
     }
-    if (!sys.env.contains("SCALE_SKIP_PIPELINE") && !onlyNewOps)
+    if (onlyDsir || !skipGeneral && !sys.env.contains("SCALE_ONLY_SIMJOIN"))
+    time(s"quality classifier (2×2000-doc seed samples train driver-side, score $nDocs docs)") {
+      // training cost is bounded by the seed sample regardless of corpus
+      // size; the corpus pass is one map-side codegen projection. Odd docs
+      // get digit/punct soup appended so the two classes are separable and
+      // the kept count verifies the learned boundary at scale.
+      val soup = docs.filter(pmod($"id", lit(2L)) === 1)
+        .withColumn("text", concat($"text", lit(" 77 !! 99 ### 11 $$ 22 %% 33 4242")))
+      val clean = docs.filter(pmod($"id", lit(2L)) === 0)
+      val out = graft.operators.QualityClassifier.trainAndScore(
+        clean.union(soup), clean, soup, "id", "text")
+      val kept = out.filter($"keep").count()
+      println(s"  kept: $kept of $nDocs (expect ~${nDocs / 2})")
+    }
+    if (!sys.env.contains("SCALE_SKIP_PIPELINE") && !onlyNewOps && !onlyDsir)
     time(s"corpus pipeline e2e ($nDocs docs: gopher metrics -> chunk dedup -> split -> pack)") {
       // the composed training-data path, end to end at 1M docs: rule
       // metrics gate, cross-doc chunk dedup (rebuilt text), deterministic
@@ -267,7 +281,7 @@ object ScaleSmoke {
       val nPacks = packed.select($"shard", $"pack").distinct().count()
       println(s"  kept ${kept.count()} of $nDocs; train packs: $nPacks")
     }
-    if (!sys.env.contains("SCALE_SKIP_PIPELINE") && !onlyNewOps)
+    if (!sys.env.contains("SCALE_SKIP_PIPELINE") && !onlyNewOps && !onlyDsir)
     time(s"corpus pipeline e2e v2 ($nDocs docs: gopher -> substring dedup -> chunk dedup -> LM gate -> split -> pack)") {
       // The full modern training-data recipe in ONE lineage, with the
       // round-7 operators composed in: rule metrics gate, corpus-wide
@@ -311,6 +325,7 @@ object ScaleSmoke {
       val nPacks = packed.select($"shard", $"pack").distinct().count()
       println(s"  survived LM gate (p90 avg_nll_e4=$p90): ${gated.count()}; train packs: $nPacks")
     }
+    if (!onlyDsir) {
     time(s"z-order clustered write (${nDocs * 10L} rows, 2 dims, 64 files)") {
       // 10M (user, time) rows → 64 Morton-clustered files; then measure
       // the data-skipping payoff: how many files a 1/16 time slice
@@ -339,8 +354,10 @@ object ScaleSmoke {
       println(s"  rows kept: ${capped.count()}")
     }
     }
+    }
 
     // --- embeddings: hash-derived 64-dim vectors
+    if (!onlyDsir) {
     val vecs = spark.range(nVecs.toLong)
       .withColumn("embedding", transform(sequence(lit(0), lit(63)),
         i => (pmod(xxhash64($"id", i), lit(2000L)) - 1000.0) / 1000.0))
@@ -372,6 +389,7 @@ object ScaleSmoke {
         minCosine = 0.999, nCells = 512, iterations = 3)
       println(s"  members deduped away: ${out.filter(!$"keep").count()} (expect 2000)")
     }
+    } // !onlyDsir (vector cases)
     spark.stop()
   }
 }
