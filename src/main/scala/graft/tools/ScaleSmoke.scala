@@ -325,6 +325,44 @@ object ScaleSmoke {
       val nPacks = packed.select($"shard", $"pack").distinct().count()
       println(s"  survived LM gate (p90 avg_nll_e4=$p90): ${gated.count()}; train packs: $nPacks")
     }
+    if (!sys.env.contains("SCALE_SKIP_PIPELINE") && !onlyNewOps && !onlyDsir)
+    time(s"corpus pipeline e2e v3 ($nDocs docs: soup-plant -> quality-classifier gate -> DSIR select -> substring dedup -> split -> pack)") {
+      // The round-9 selection operators composed into the recipe: 30% of
+      // docs get digit/punct soup planted; the seed-trained classifier
+      // (bounded driver-side LR) gates them out; DSIR then importance-
+      // resamples half of the survivors toward a clean target sample;
+      // the selected docs flow through substring dedup → split → pack.
+      val soiled = docs.withColumn("text",
+        when(pmod($"id", lit(10L)) < 3,
+          concat($"text", lit(" 77 !! 99 ### 11 $$ 22 %% 33 4242")))
+          .otherwise($"text"))
+      val scored = graft.operators.QualityClassifier.trainAndScore(
+        soiled, soiled.filter(pmod($"id", lit(10L)) >= 3),
+        soiled.filter(pmod($"id", lit(10L)) < 3), "id", "text")
+      // survivors feed BOTH the DSIR stage (two gram scans + gate join)
+      // — stage the gate output once (round-9 staging lesson)
+      val gatedQ = soiled
+        .join(scored.filter($"keep").select($"id"), "id")
+        .localCheckpoint(true)
+      val nGated = gatedQ.count()
+      val target = gatedQ.filter(pmod($"id", lit(20L)) === 0)
+      val selected = graft.operators.Dsir.resampleTopK(
+        gatedQ, target, "id", "text", k = (nDocs / 2).toInt)
+      val chosen = gatedQ.join(selected.select($"id"), "id")
+      val cleaned = graft.operators.SubstringDedup
+        .dedupText(chosen, "id", "text", k = 8)
+        .filter(length($"cleaned") > 0)
+        .withColumn("n_tokens",
+          size(split(trim($"cleaned"), "\\s+")).cast("bigint"))
+      val split3 = graft.operators.Sampling.deterministicSplit(
+        cleaned, "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      val packed = graft.operators.Packing.greedyPack(
+        split3.filter($"split" === "train"), "doc_id", "n_tokens",
+        ctxLen = 2048, nShards = 64)
+      val nPacks = packed.select($"shard", $"pack").distinct().count()
+      println(s"  quality gate kept $nGated of $nDocs (expect ~${nDocs * 7L / 10}); " +
+        s"DSIR selected ${selected.count()}; train packs: $nPacks")
+    }
     if (!onlyDsir) {
     time(s"z-order clustered write (${nDocs * 10L} rows, 2 dims, 64 files)") {
       // 10M (user, time) rows → 64 Morton-clustered files; then measure
