@@ -95,7 +95,11 @@ object DsirMirror {
       // deterministic Gumbel: u = ((xxhash64("dsir-gumbel-"+id) &
       // Long.MaxValue) + 0.5) / 2^63; g_e4 = round(-ln(-ln(u))*1e4)
       val h = SfOracles.xxh64("dsir-gumbel-" + id.toString)
-      val u = ((h & Long.MaxValue).toDouble + 0.5) / 9.223372036854775808e18
+      // clamped one ulp below 1.0 like the operator (the long→double
+      // cast rounds, so near-2^63 hashes would otherwise hit u = 1.0)
+      val u = math.min(
+        ((h & Long.MaxValue).toDouble + 0.5) / 9.223372036854775808e18,
+        0.9999999999999999)
       val gE4 = sparkRoundE4(-StrictMath.log(-StrictMath.log(u)))
       (id, nFeats, logw, logw + gE4)
     }

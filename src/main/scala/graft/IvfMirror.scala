@@ -1,7 +1,5 @@
 package graft
 
-import java.security.MessageDigest
-
 /** Straight-line JVM mirror of q42 (IVF approximate kNN) for the
   * SF-scale DuckDB oracle. Possible since round 9 moved the Lloyd loop
   * driver-side ([[operators.Knn.trainCentroids]]): with per-cell means
@@ -23,17 +21,6 @@ object IvfMirror {
     while (i < n) { acc += a(i) * b(i); i += 1 }
     acc
   }
-
-  /** `Sampling.hashSample` membership: first 4 hex chars of
-    * md5(id.toString bytes) < threshold(fraction). */
-  private def md5Bucket4(id: Long): String = {
-    val d = MessageDigest.getInstance("MD5")
-      .digest(id.toString.getBytes("UTF-8"))
-    f"${d(0)}%02x${d(1)}%02x"
-  }
-
-  private def hexThreshold(cum: Double): String =
-    f"${math.min(65535, math.floor(cum * 65536).toLong)}%04x"
 
   private def nearestCell(v: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue
@@ -57,8 +44,8 @@ object IvfMirror {
     val sample: Array[Array[Double]] =
       (if (n <= sampleCap) vecs
        else {
-         val thr = hexThreshold(sampleCap.toDouble / n)
-         vecs.filter { case (id, _) => md5Bucket4(id) < thr }
+         val frac = sampleCap.toDouble / n
+         vecs.filter { case (id, _) => MirrorHash.inHashSample(id, frac) }
        }).sortBy(_._1).map(_._2).toArray
     if (sample.isEmpty) return Array.empty
     var centroids: Array[Array[Double]] = sample.take(nCells)
@@ -110,9 +97,13 @@ object IvfMirror {
       }.sorted.take(nProbe).map(_._2)
       val cand = probes.flatMap(c => byCell.getOrElse(c, Seq.empty))
         .filter(_._1 != qid)
+      // Spark's rank window orders (score desc, id asc) with NaN as the
+      // LARGEST value and -0.0 = 0.0 — a zero-norm vector's NaN cosine
+      // must rank first here too (MirrorHash.scoreDescIdAsc), not last
+      // as Scala's total ordering would put it
       cand.map { case (id, v) =>
         (id, dotAsc(qv, v) / (norm(qid) * norm(id)))
-      }.sortBy { case (id, s) => (-s, id) }
+      }.sorted(MirrorHash.scoreDescIdAsc)
         .take(k).zipWithIndex
         .map { case ((id, s), r) => (qid, r + 1, id, s) }
     }

@@ -1,0 +1,38 @@
+package graft
+
+/** Shared mirror-side replicas of small engine contracts that several
+  * SF-oracle mirrors replay independently of the operators under test:
+  * the `Sampling.hashSample` md5-bucket membership and Spark SQL's
+  * double ordering (NaN largest, -0.0 = 0.0). One definition, so a
+  * change to either contract is fixed in one place.
+  */
+private[graft] object MirrorHash {
+
+  /** `Sampling.hashSample` membership: first 4 hex chars of
+    * md5(id.toString bytes) < threshold(fraction). */
+  def inHashSample(id: Long, fraction: Double): Boolean = {
+    if (fraction >= 1.0) return true
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    val bucket = f"${d(0)}%02x${d(1)}%02x"
+    bucket < hexThreshold(fraction)
+  }
+
+  def hexThreshold(cum: Double): String =
+    f"${math.min(65535, math.floor(cum * 65536).toLong)}%04x"
+
+  /** Spark SQL's double comparison: NaN is the LARGEST value and
+    * -0.0 equals 0.0 (Spark normalizes signed zeros before comparing).
+    * `java.lang.Double.compare` already places NaN above +Inf; only the
+    * signed-zero fold is added. */
+  def sparkCompare(a: Double, b: Double): Int =
+    java.lang.Double.compare(if (a == 0.0) 0.0 else a, if (b == 0.0) 0.0 else b)
+
+  /** Ordering for (score DESC, id ASC) rank windows, with Spark's NaN/
+    * signed-zero semantics — NaN ranks FIRST under DESC. */
+  val scoreDescIdAsc: Ordering[(Long, Double)] =
+    (x: (Long, Double), y: (Long, Double)) => {
+      val c = sparkCompare(y._2, x._2)
+      if (c != 0) c else java.lang.Long.compare(x._1, y._1)
+    }
+}

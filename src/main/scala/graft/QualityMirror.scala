@@ -43,23 +43,12 @@ object QualityMirror {
       nChars / math.max(nToks, 1.0) / 10.0)
   }
 
-  /** `Sampling.hashSample` membership (first 4 md5 hex chars of the id
-    * string vs the cumulative-fraction threshold). */
-  private def inHashSample(id: Long, fraction: Double): Boolean = {
-    if (fraction >= 1.0) return true
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(id.toString.getBytes("UTF-8"))
-    val bucket = f"${d(0)}%02x${d(1)}%02x"
-    val thr = f"${math.min(65535, math.floor(fraction * 65536).toLong)}%04x"
-    bucket < thr
-  }
-
   private def sampleClass(rows: Seq[(Long, String)], sampleCap: Int)
       : Seq[Array[Double]] = {
     val n = rows.size
     val kept =
       if (n <= sampleCap) rows
-      else rows.filter { case (id, _) => inHashSample(id, sampleCap.toDouble / n) }
+      else rows.filter { case (id, _) => MirrorHash.inHashSample(id, sampleCap.toDouble / n) }
     kept.sortBy(_._1).map { case (_, t) => featuresOf(t) }
   }
 

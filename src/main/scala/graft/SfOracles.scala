@@ -153,8 +153,10 @@ object SfOracles {
       val cand = (0 until tables)
         .flatMap(t => buckets.getOrElse((t, lshSignature(qv, t, bits)), Nil))
         .distinct.filter(_ != qid)
+      // Spark window ordering semantics (NaN largest, -0.0 = 0.0): a
+      // zero-norm vector's NaN cosine ranks FIRST under desc
       cand.map(id => (id, dotAsc(qv, byId(id)) / (norm(qid) * norm(id))))
-        .sortBy { case (id, s) => (-s, id) }
+        .sorted(MirrorHash.scoreDescIdAsc)
         .take(k).zipWithIndex
         .map { case ((id, s), r) => (qid, r + 1, id, s) }
     }
@@ -202,7 +204,10 @@ object SfOracles {
             seen += pair
             val score = dotAsc(byId(pair._1), byId(pair._2)) /
               (norm(pair._1) * norm(pair._2))
-            if (score >= minCosine) {
+            // Spark SQL comparison semantics: NaN is larger than every
+            // value, so a zero-norm pair's NaN cosine PASSES `>= τ` in
+            // the distributed plan and must pass here too
+            if (score >= minCosine || score.isNaN) {
               val (ri, rj) = (find(pair._1), find(pair._2))
               if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
             }

@@ -109,27 +109,43 @@ object Dsir {
         coalesce($"logw_e4", lit(0L)).as("logw_e4"))
   }
 
+  /** Per-doc selection keys for Gumbel-max resampling: weights plus the
+    * deterministic Gumbel perturbation, all map-side after
+    * [[importanceWeights]]. Output: (idCol, n_feats, logw_e4, g_e4,
+    * key_e4). For CORPUS-SCALE selection (k a large fraction of n),
+    * filter these keys against a [[Quantiles.exactPositional]] cutoff
+    * instead of calling [[resampleTopK]] — see the e2e v3 recipe — so
+    * nothing funnels through a single top-k merge. */
+  def importanceKeys(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 8192): DataFrame = {
+    val h = xxhash64(concat(lit("dsir-gumbel-"), col(idCol).cast("string")))
+    // u strictly inside (0, 1): (h & Long.MaxValue) + 0.5 halves cannot
+    // reach 0, and the upper end is clamped one ulp below 1.0 — the
+    // long→double cast ROUNDS, so hashes within 512 of 2^63 would
+    // otherwise land exactly on u = 1.0 and blow -ln(-ln(u)) up to +∞
+    // (a wrapped key that silently EXCLUDES a near-certain selection)
+    val u = least(
+      (h.bitwiseAND(lit(Long.MaxValue)).cast("double") + lit(0.5)) / lit(TwoPow63),
+      lit(0.9999999999999999))
+    importanceWeights(raw, target, idCol, textCol, buckets)
+      .withColumn("g_e4", round(-log(-log(u)) * 1e4).cast("long"))
+      .withColumn("key_e4", col("logw_e4") + col("g_e4"))
+  }
+
   /** Gumbel-top-k importance resampling: k raw docs drawn without
     * replacement with probability ∝ exp(logw), via the Gumbel-max trick
     * on a deterministic per-id uniform.
     *
     * Output: (rnk, idCol, n_feats, logw_e4, key_e4), rnk 1..k by
-    * (key_e4 desc, id asc).
+    * (key_e4 desc, id asc). The k selected rows pass through one
+    * TakeOrdered merge + one rank window, so this entry point is for
+    * BOUNDED k (thousands); for corpus-fraction selection use
+    * [[importanceKeys]] + a positional-quantile cutoff.
     */
   def resampleTopK(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, k: Int, buckets: Int = 8192): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val spark = raw.sparkSession
-    import spark.implicits._
-
-    val h = xxhash64(concat(lit("dsir-gumbel-"), col(idCol).cast("string")))
-    // u strictly inside (0, 1): (h & Long.MaxValue) + 0.5 halves can
-    // never reach 0 or 2^63, so -ln(-ln(u)) is always finite
-    val u = (h.bitwiseAND(lit(Long.MaxValue)).cast("double") + lit(0.5)) /
-      lit(TwoPow63)
-    val keyed = importanceWeights(raw, target, idCol, textCol, buckets)
-      .withColumn("g_e4", round(-log(-log(u)) * 1e4).cast("long"))
-      .withColumn("key_e4", col("logw_e4") + col("g_e4"))
+    val keyed = importanceKeys(raw, target, idCol, textCol, buckets)
       .orderBy(col("key_e4").desc, col(idCol).asc)
       .limit(k)
     // rank window over ≤ k rows (bounded by the limit above)

@@ -82,10 +82,14 @@ object QualityClassifier {
       learningRate: Double = 0.5): Array[Double] = {
     require(sampleCap >= 1 && iterations >= 1 && learningRate > 0.0,
       "sampleCap/iterations must be >= 1 and learningRate > 0")
-    val rows =
-      sampleFeatures(pos, idCol, textCol, sampleCap).map(r => (r._2, 1.0)) ++
-      sampleFeatures(neg, idCol, textCol, sampleCap).map(r => (r._2, 0.0))
-    require(rows.nonEmpty, "both seed classes are empty")
+    val posRows = sampleFeatures(pos, idCol, textCol, sampleCap)
+    val negRows = sampleFeatures(neg, idCol, textCol, sampleCap)
+    // loud failure, not a degenerate single-class model: an empty seed
+    // class (typo'd label, over-filtered source) would otherwise train a
+    // constant classifier that silently drops (or keeps) the WHOLE corpus
+    require(posRows.nonEmpty && negRows.nonEmpty,
+      s"both seed classes must be non-empty (pos=${posRows.length}, neg=${negRows.length})")
+    val rows = posRows.map(r => (r._2, 1.0)) ++ negRows.map(r => (r._2, 0.0))
     val d = FeatureNames.length
     val w = new Array[Double](d + 1) // bias at 0
     val invN = 1.0 / rows.length

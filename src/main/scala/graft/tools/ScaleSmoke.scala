@@ -326,7 +326,7 @@ object ScaleSmoke {
       println(s"  survived LM gate (p90 avg_nll_e4=$p90): ${gated.count()}; train packs: $nPacks")
     }
     if (!sys.env.contains("SCALE_SKIP_PIPELINE") && !onlyNewOps && !onlyDsir)
-    time(s"corpus pipeline e2e v3 ($nDocs docs: soup-plant -> quality-classifier gate -> DSIR select -> substring dedup -> split -> pack)") {
+    time(s"corpus pipeline e2e v3 ($nDocs docs: soup-plant -> quality-classifier gate -> DSIR p50-cutoff select -> substring dedup -> split -> pack)") {
       // The round-9 selection operators composed into the recipe: 30% of
       // docs get digit/punct soup planted; the seed-trained classifier
       // (bounded driver-side LR) gates them out; DSIR then importance-
@@ -346,8 +346,18 @@ object ScaleSmoke {
         .localCheckpoint(true)
       val nGated = gatedQ.count()
       val target = gatedQ.filter(pmod($"id", lit(20L)) === 0)
-      val selected = graft.operators.Dsir.resampleTopK(
-        gatedQ, target, "id", "text", k = (nDocs / 2).toInt)
+      // CORPUS-SCALE selection: resampleTopK's top-k merge is for bounded
+      // k (q139's 100), so selecting half the corpus goes through the
+      // scalable shape instead — map-side Gumbel keys + a range-
+      // partitioned positional-quantile cutoff, nothing on one task.
+      // keys feeds both the cutoff aggregate and the filter: staged once.
+      val keys = graft.operators.Dsir.importanceKeys(gatedQ, target, "id", "text")
+        .withColumn("seg", lit("all"))
+        .localCheckpoint(true)
+      val cutoff = graft.operators.Quantiles.exactPositional(
+          keys, "seg", "key_e4", Seq("p50" -> 0.5))
+        .select("p50").head().getLong(0)
+      val selected = keys.filter($"key_e4" >= cutoff)
       val chosen = gatedQ.join(selected.select($"id"), "id")
       val cleaned = graft.operators.SubstringDedup
         .dedupText(chosen, "id", "text", k = 8)
@@ -361,7 +371,7 @@ object ScaleSmoke {
         ctxLen = 2048, nShards = 64)
       val nPacks = packed.select($"shard", $"pack").distinct().count()
       println(s"  quality gate kept $nGated of $nDocs (expect ~${nDocs * 7L / 10}); " +
-        s"DSIR selected ${selected.count()}; train packs: $nPacks")
+        s"DSIR p50-cutoff selected ${selected.count()}; train packs: $nPacks")
     }
     if (!onlyDsir) {
     time(s"z-order clustered write (${nDocs * 10L} rows, 2 dims, 64 files)") {

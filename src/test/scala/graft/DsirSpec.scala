@@ -75,6 +75,21 @@ class DsirSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("importanceKeys and resampleTopK agree (the corpus-scale cutoff path)") {
+    val keys = Dsir.importanceKeys(rawDf, targetDf, "doc_id", "text", buckets = 512)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    val top = Dsir.resampleTopK(rawDf, targetDf, "doc_id", "text", k = 20, buckets = 512)
+      .collect()
+    assert(keys.size == 20 && top.length == 20)
+    top.foreach { r =>
+      val (logw, key) = keys(r.getLong(1))
+      assert(r.getLong(3) == logw && r.getLong(4) == key)
+    }
+    // the top-k by key over the full key set equals resampleTopK's pick
+    val wantOrder = keys.toSeq.sortBy { case (id, (_, key)) => (-key, id) }.map(_._1)
+    assert(top.sortBy(_.getInt(0)).map(_.getLong(1)).toSeq == wantOrder)
+  }
+
   test("argument validation") {
     intercept[IllegalArgumentException] {
       Dsir.resampleTopK(rawDf, targetDf, "doc_id", "text", k = 0)
