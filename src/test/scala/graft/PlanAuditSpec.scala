@@ -88,6 +88,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q133's gram count must combine map-side:\n$q133")
     assert(!q133.contains("windowspecdefinition(gram"),
       "q133 must never window over the gram key")
+    // q139: selection must be the distributed partial top-k
+    // (TakeOrderedAndProject), never a global sort feeding the limit —
+    // and the bucket-count aggregates must combine map-side (the hot
+    // bucket absorbing the most common unigram collapses per partition).
+    val q139 = SparkEntry.queries("q139_dsir_resample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q139.contains("TakeOrderedAndProject"),
+      s"q139's top-k must be a distributed TakeOrdered:\n$q139")
+    assert(q139.contains("partial_count") || q139.contains("partial_sum"),
+      s"q139's bucket counts must combine map-side:\n$q139")
+    // q140: the scoring pass is ONE map-side projection — the only
+    // exchange in the whole plan is the output ordering's range exchange
+    // (no hashpartitioning shuffle anywhere; features + weight fold +
+    // sigmoid + e6 cast all ride the scan).
+    val q140 = SparkEntry.queries("q140_quality_classifier")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!q140.contains("hashpartitioning"),
+      s"q140 scoring must be shuffle-free (range exchange for output order only):\n$q140")
   }
 
   test("no shipped query plans a cartesian product / unbounded nested-loop join") {
