@@ -8,15 +8,18 @@ package graft
   */
 private[graft] object MirrorHash {
 
-  /** `Sampling.hashSample` membership: first 4 hex chars of
-    * md5(id.toString bytes) < threshold(fraction). */
-  def inHashSample(id: Long, fraction: Double): Boolean = {
-    if (fraction >= 1.0) return true
+  /** The 16-bit md5 bucket both `Sampling.hashSample` and
+    * `Sampling.deterministicSplit` key on: first 4 hex chars of
+    * md5(id.toString bytes). */
+  def md5Bucket4(id: Long): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(id.toString.getBytes("UTF-8"))
-    val bucket = f"${d(0)}%02x${d(1)}%02x"
-    bucket < hexThreshold(fraction)
+    f"${d(0)}%02x${d(1)}%02x"
   }
+
+  /** `Sampling.hashSample` membership: bucket < threshold(fraction). */
+  def inHashSample(id: Long, fraction: Double): Boolean =
+    fraction >= 1.0 || md5Bucket4(id) < hexThreshold(fraction)
 
   def hexThreshold(cum: Double): String =
     f"${math.min(65535, math.floor(cum * 65536).toLong)}%04x"

@@ -2638,4 +2638,23 @@ object Queries {
         idCol = "doc_id", textCol = "text", tau = 0.5)
       .orderBy($"doc_id")
   }
+
+  /** q141: Bloom-filter decontamination — flag train docs containing any
+    * test-split 3-gram via a `bloom_filter_agg` bitset probed map-side
+    * (zero shuffles, zero joins; see
+    * [[graft.operators.CorpusFilters.bloomDecontaminate]]). The bitset
+    * is deterministic under any partitioning, so even the Bloom FALSE
+    * POSITIVES are oracle-verified through [[BloomMirror]]'s
+    * byte-identical local build. */
+  def bloomDecontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val labeled = graft.operators.Sampling.deterministicSplit(
+      Tables(spark, sfDir, "documents"), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    graft.operators.CorpusFilters.bloomDecontaminate(
+        labeled.filter($"split" === "train"),
+        labeled.filter($"split" === "test"),
+        "doc_id", "text", n = 3)
+      .orderBy($"doc_id")
+  }
 }

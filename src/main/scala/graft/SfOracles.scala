@@ -60,7 +60,8 @@ object SfOracles {
       simThr: Seq[(String, Long)],             // q49: title → winning alias_id
       dsirTop: Seq[(Int, Long, Long, Long, Long)], // q139 selected rows
       ivfTopK: Seq[(Long, Int, Long, Double)],     // q42
-      qualityRows: Seq[(Long, Long, Boolean)])     // q140
+      qualityRows: Seq[(Long, Long, Boolean)],     // q140
+      bloomRows: Seq[(Long, Long, Long, Boolean)]) // q141
 
   @volatile private var prepared: Option[Prepared] = None
 
@@ -270,7 +271,8 @@ object SfOracles {
           SimJoinSfMirror.thresholdWinner(t).map(t -> _)),
         dsirTop = DsirMirror.recompute(docs3),
         ivfTopK = IvfMirror.recompute(vecs),
-        qualityRows = QualityMirror.recompute(docs4.map(d => (d._1, d._2, d._4)))))
+        qualityRows = QualityMirror.recompute(docs4.map(d => (d._1, d._2, d._4))),
+        bloomRows = BloomMirror.recompute(docs)))
     }
   }
 
@@ -343,6 +345,12 @@ object SfOracles {
       "0, 0, false") {
       p: (Long, Long, Boolean) => s"(${p._1}, ${p._2}, ${p._3})" }
 
+  private def bloomCte: String =
+    cte("bl", "doc_id, n_grams, n_flagged, contaminated",
+      prepared.map(_.bloomRows), "0, 0, 0, false") {
+      p: (Long, Long, Long, Boolean) =>
+        s"(${p._1}, ${p._2}, ${p._3}, ${p._4})" }
+
   private def dsirCte: String =
     cte("ds", "rnk, doc_id, n_feats, logw_e4, key_e4",
       prepared.map(_.dsirTop), "0, 0, 0, 0, 0") {
@@ -403,6 +411,14 @@ object SfOracles {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
          |       CAST(nid AS BIGINT) AS nid, score
          |FROM iv ORDER BY qid, rnk""".stripMargin,
+    // q141: Bloom decontamination — even the FALSE POSITIVES are pinned
+    // (the bitset is partitioning-invariant and byte-replayed locally)
+    "q141_bloom_decontamination" ->
+      s"""WITH $bloomCte
+         |SELECT d.doc_id, CAST(b.n_grams AS BIGINT) AS n_grams,
+         |       CAST(b.n_flagged AS BIGINT) AS n_flagged, b.contaminated
+         |FROM bl b JOIN documents d ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // q140: the seed-trained quality classifier's e6 scores + keep flags
     "q140_quality_classifier" ->
       s"""WITH $qualityCte

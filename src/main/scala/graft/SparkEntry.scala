@@ -162,7 +162,8 @@ object SparkEntry {
     "q137_semdedup_golden" -> (Queries.semDedupGolden _),
     "q138_ccnet_buckets" -> (Queries.ccnetBuckets _),
     "q139_dsir_resample" -> (Queries.dsirResample _),
-    "q140_quality_classifier" -> (Queries.qualityClassifier _)
+    "q140_quality_classifier" -> (Queries.qualityClassifier _),
+    "q141_bloom_decontamination" -> (Queries.bloomDecontamination _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same

@@ -255,4 +255,68 @@ object CorpusFilters {
         coalesce($"n_shared", lit(0L)).as("n_shared"))
       .withColumn("contaminated", $"n_shared" * 2L >= $"n_grams")
   }
+
+  /** Bloom-filter decontamination — the SHUFFLE-FREE alternative to
+    * [[contamination]]'s gram equi-join: flag every train doc containing
+    * any test-set n-gram. The train side of the join variant exchanges
+    * its whole gram stream on the gram key; here the test side (small by
+    * construction — eval sets are curated) builds ONE Bloom filter with
+    * `bloom_filter_agg` (a pure bitset: partial OR-merges are
+    * associative/commutative/idempotent, so the bits are bit-identical
+    * under any partitioning — unlike HLL's HIP estimator, measured in
+    * `SketchGolden`), the ≤`numBits`-bit filter rides to executors as a
+    * plan literal (the footprint class of a broadcast dim), and the
+    * train side evaluates everything PER ROW: gram array → higher-order
+    * `filter` with `might_contain` → counts. Zero shuffles, zero joins.
+    *
+    * Bloom guarantees NO FALSE NEGATIVES: every truly contaminated doc
+    * is flagged. False positives (rate set by `numBits` vs the test
+    * gram count) only quarantine extra docs — the conservative direction
+    * for decontamination. Because the bitset is deterministic, even the
+    * false positives are reproducible and externally oracle-able
+    * (`BloomMirror` drives the same public sketch library — byte parity
+    * with the distributed agg is pinned in `BloomDecontSpec`).
+    *
+    * Output: (doc_id, n_grams, n_flagged, contaminated = n_flagged > 0);
+    * null/short texts score (0, 0, false).
+    */
+  def bloomDecontaminate(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, n: Int = 3,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    require(n >= 1 && expectedItems >= 1 && numBits >= 8,
+      s"need n/expectedItems >= 1 and numBits >= 8")
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val spark = train.sparkSession
+    import spark.implicits._
+
+    // 1-row bounded aggregate (≤ numBits bits however large the test set
+    // is) — collected like IVF's centroid model; duplicate grams need no
+    // dedup shuffle because Bloom insertion is idempotent
+    val bfAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64($"gram")),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bfBytes = test
+      .select(explode(wordNGrams(words(col(textCol)), n)).as("gram"))
+      .agg(bfAgg.as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+
+    val grams = wordNGrams(words(col(textCol)), n)
+    val flagged: Column => Column =
+      if (bfBytes == null) _ => lit(0) // empty test set: nothing to flag
+      else { gs =>
+        size(filter(gs, g => ColumnBridge.column(
+          BloomFilterMightContain(
+            Literal(bfBytes, BinaryType),
+            ColumnBridge.expression(xxhash64(g))))))
+      }
+    train.select(col(idCol).cast("long").as("doc_id"), grams.as("gs"))
+      .select($"doc_id",
+        coalesce(size($"gs"), lit(0)).cast("long").as("n_grams"),
+        coalesce(flagged($"gs"), lit(0)).cast("long").as("n_flagged"))
+      .withColumn("contaminated", $"n_flagged" > 0L)
+  }
 }

@@ -259,6 +259,18 @@ object ScaleSmoke {
       val kept = out.filter($"keep").count()
       println(s"  kept: $kept of $nDocs (expect ~${nDocs / 2})")
     }
+    if (onlyDsir || !skipGeneral && !sys.env.contains("SCALE_ONLY_SIMJOIN"))
+    time(s"bloom decontamination ($nDocs docs: 90% train probed map-side vs 5% test bloom)") {
+      // the shuffle-free alternative to the contamination equi-join: the
+      // test side collapses to one <=1MB bitset, the train gram stream
+      // never leaves its partitions
+      val labeled = graft.operators.Sampling.deterministicSplit(
+        docs, "id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      val out = graft.operators.CorpusFilters.bloomDecontaminate(
+        labeled.filter($"split" === "train"), labeled.filter($"split" === "test"),
+        "id", "text", n = 3)
+      println(s"  flagged: ${out.filter($"contaminated").count()} of ${out.count()} train docs")
+    }
     if (!sys.env.contains("SCALE_SKIP_PIPELINE") && !onlyNewOps && !onlyDsir)
     time(s"corpus pipeline e2e ($nDocs docs: gopher metrics -> chunk dedup -> split -> pack)") {
       // the composed training-data path, end to end at 1M docs: rule

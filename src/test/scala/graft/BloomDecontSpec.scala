@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusFilters
+
+/** Contract battery for Bloom-filter decontamination (q141): the
+  * no-false-negative guarantee vs the exact gram join, planted
+  * contamination recovery, byte parity between the distributed
+  * `bloom_filter_agg` and the mirror's local sketch build, partitioning
+  * invariance, hostile inputs, and mirror-vs-distributed on the live
+  * sf0.001 corpus. */
+class BloomDecontSpec extends AnyFunSuite {
+  import SparkSuiteBase.{spark, sfDir}
+  import spark.implicits._
+
+  private val leak = "the quick brown fox jumps over lazy rivers tonight"
+  private def testDf = Seq(
+    (900L, s"held out eval doc with $leak inside it"),
+    (901L, "another evaluation document kept apart")).toDF("doc_id", "text")
+  private def trainDf = Seq(
+    (1L, s"training doc that copied $leak verbatim"),          // contaminated
+    (2L, "a perfectly clean training document about nothing"), // clean
+    (3L, "short"),                                             // < n tokens
+    (4L, null.asInstanceOf[String]),                           // null text
+    (5L, "another evaluation document kept apart")             // full-copy dup
+  ).toDF("doc_id", "text")
+
+  test("planted contamination flagged; clean/short/null docs pass") {
+    val out = CorpusFilters.bloomDecontaminate(trainDf, testDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // the 9-token leak contributes 9-3+1 = 7 contiguous shared 3-grams
+    assert(out(1L)._3 && out(1L)._2 >= 7, "verbatim leak must be flagged on many grams")
+    assert(!out(2L)._3 && out(2L)._2 == 0L)
+    assert(out(3L) == ((0L, 0L, false)) && out(4L) == ((0L, 0L, false)))
+    assert(out(5L)._3, "a full copy of a test doc must be flagged")
+  }
+
+  test("no false negatives vs the exact gram join on sf0.001") {
+    val labeled = graft.operators.Sampling.deterministicSplit(
+      Tables(spark, sfDir, "documents"), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val train = labeled.filter($"split" === "train")
+    val test = labeled.filter($"split" === "test")
+    val bloom = CorpusFilters.bloomDecontaminate(train, test, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // exact truth: per-train-doc count of gram OCCURRENCES whose gram
+    // appears anywhere in the test split
+    val gramsOf = (df: org.apache.spark.sql.DataFrame) => df.select($"doc_id",
+      explode(CorpusFilters.wordNGrams(CorpusFilters.words($"text"), 3)).as("gram"))
+    val testGrams = gramsOf(test).select($"gram").distinct()
+    val truth = gramsOf(train).join(testGrams, "gram")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_true"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(truth.nonEmpty, "corpus should contain some real overlap")
+    truth.foreach { case (id, nTrue) =>
+      assert(bloom(id)._1 >= nTrue,
+        s"doc $id: bloom flagged ${bloom(id)._1} < $nTrue truly-shared grams (false negative!)")
+    }
+    val fp = bloom.count { case (id, (n, _)) => n > truth.getOrElse(id, 0L) }
+    assert(fp <= bloom.size / 20,
+      s"false-positive docs should be rare at these numBits: $fp of ${bloom.size}")
+  }
+
+  test("distributed bloom_filter_agg bytes == mirror's local sketch build") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val grams = Seq.tabulate(500)(i => s"gram number $i payload")
+    val agg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64($"g")),
+      Literal(1L << 20), Literal(1L << 23)).toAggregateExpression())
+    val dist = grams.toDF("g").repartition(13)
+      .agg(agg.as("bf")).collect()(0).getAs[Array[Byte]](0)
+    val local = org.apache.spark.util.sketch.BloomFilter.create(1L << 20, 1L << 23)
+    grams.foreach(g => local.putLong(SfOracles.xxh64(g)))
+    val baos = new java.io.ByteArrayOutputStream(); local.writeTo(baos)
+    assert(java.util.Arrays.equals(baos.toByteArray, dist),
+      "partial OR-merged distributed filter must be byte-identical to a local build")
+  }
+
+  test("output is invariant to input partitioning") {
+    val base = CorpusFilters.bloomDecontaminate(trainDf, testDf, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val repart = CorpusFilters.bloomDecontaminate(
+        trainDf.repartition(7), testDf.repartition(5), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(base == repart)
+  }
+
+  test("empty test corpus flags nothing") {
+    val out = CorpusFilters.bloomDecontaminate(
+        trainDf, testDf.filter($"doc_id" < 0), "doc_id", "text")
+      .collect().map(r => (r.getLong(2), r.getBoolean(3)))
+    assert(out.forall(_ == ((0L, false))))
+  }
+
+  test("distributed q141 reproduces the straight-line mirror at sf0.001") {
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toIndexedSeq
+    val want = BloomMirror.recompute(docs)
+    assert(want.nonEmpty && want.exists(_._4), "corpus should have real contamination")
+    val got = Queries.bloomDecontamination(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == want)
+  }
+}

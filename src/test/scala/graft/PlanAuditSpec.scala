@@ -106,6 +106,13 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!q140.contains("hashpartitioning"),
       s"q140 scoring must be shuffle-free (range exchange for output order only):\n$q140")
+    // q141: the Bloom probe is ONE map-side projection over the train
+    // scan — no shuffle, no join of any kind (the filter rides the plan
+    // as a literal); only the output ordering's range exchange remains.
+    val q141 = SparkEntry.queries("q141_bloom_decontamination")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!q141.contains("hashpartitioning") && !q141.contains("Join"),
+      s"q141 must be a joinless, shuffle-free probe:\n$q141")
   }
 
   test("no shipped query plans a cartesian product / unbounded nested-loop join") {
