@@ -34,11 +34,12 @@ object BloomMirror {
   }
 
   /** q141 contract: 90/5/5 split, 3-grams, flag train docs whose gram
-    * set intersects the test Bloom filter.
+    * set intersects the test Bloom filter (auto-sized:
+    * max(1024, occurrences) items × bitsPerItem bits, capped).
     * Input (doc_id, text); output (doc_id, n_grams, n_flagged,
     * contaminated) for every train doc. */
   def recompute(docs: Seq[(Long, String)], n: Int = 3,
-      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23)
+      bitsPerItem: Int = 15, maxBits: Long = 1L << 27)
       : Seq[(Long, Long, Long, Boolean)] = {
     val train = docs.filter(d => splitOf(d._1) == "train").sortBy(_._1)
     val testGrams = docs.filter(d => splitOf(d._1) == "test")
@@ -47,7 +48,9 @@ object BloomMirror {
       return train.map { case (id, t) =>
         (id, gramsOf(t, n).length.toLong, 0L, false)
       }
-    val bf = BloomFilter.create(expectedItems, numBits)
+    val items = math.max(1024L, testGrams.size.toLong)
+    val numBits = math.min(maxBits, items * bitsPerItem)
+    val bf = BloomFilter.create(items, numBits)
     testGrams.foreach(g => bf.putLong(SfOracles.xxh64(g)))
     train.map { case (id, t) =>
       val gs = gramsOf(t, n)

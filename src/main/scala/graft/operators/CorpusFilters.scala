@@ -277,14 +277,23 @@ object CorpusFilters {
     * (`BloomMirror` drives the same public sketch library — byte parity
     * with the distributed agg is pinned in `BloomDecontSpec`).
     *
+    * The filter is AUTO-SIZED from the counted test gram stream
+    * (`bitsPerItem` bits per occurrence, ~0.1% FP at the default 15) —
+    * a fixed-size filter is the classic Bloom footgun, measured here at
+    * 10M docs: a 2²³-bit filter sized for 2²⁰ items saturated on a 7M-
+    * gram test split and flagged EVERY train doc. `maxBits` caps the
+    * plan-literal footprint (16 MB at the default 2²⁷); beyond it the
+    * FP rate degrades gracefully — switch to [[contamination]]'s exact
+    * join or shard the test set if the eval corpus is that large.
+    *
     * Output: (doc_id, n_grams, n_flagged, contaminated = n_flagged > 0);
     * null/short texts score (0, 0, false).
     */
   def bloomDecontaminate(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, n: Int = 3,
-      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
-    require(n >= 1 && expectedItems >= 1 && numBits >= 8,
-      s"need n/expectedItems >= 1 and numBits >= 8")
+      bitsPerItem: Int = 15, maxBits: Long = 1L << 27): DataFrame = {
+    require(n >= 1 && bitsPerItem >= 1 && maxBits >= 1024,
+      s"need n/bitsPerItem >= 1 and maxBits >= 1024")
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -292,17 +301,25 @@ object CorpusFilters {
     val spark = train.sparkSession
     import spark.implicits._
 
+    // cached so the tokenize+gram pass over the (small) test side runs
+    // once for the sizing count and once more for the filter build
+    val testGrams = test
+      .select(explode(wordNGrams(words(col(textCol)), n)).as("gram"))
+      .cache()
+    // occurrences, not distinct (no dedup shuffle; an overestimate only
+    // lowers the FP rate)
+    val items = math.max(1024L, testGrams.count())
+    val numBits = math.min(maxBits, items * bitsPerItem)
     // 1-row bounded aggregate (≤ numBits bits however large the test set
     // is) — collected like IVF's centroid model; duplicate grams need no
     // dedup shuffle because Bloom insertion is idempotent
     val bfAgg = ColumnBridge.column(
       new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64($"gram")),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-    val bfBytes = test
-      .select(explode(wordNGrams(words(col(textCol)), n)).as("gram"))
-      .agg(bfAgg.as("bf"))
+        Literal(items), Literal(numBits)).toAggregateExpression())
+    val bfBytes = testGrams.agg(bfAgg.as("bf"))
       .collect()(0).getAs[Array[Byte]](0)
+    testGrams.unpersist()
 
     val grams = wordNGrams(words(col(textCol)), n)
     val flagged: Column => Column =
