@@ -90,6 +90,16 @@ class DsirSpec extends AnyFunSuite {
     assert(top.sortBy(_.getInt(0)).map(_.getLong(1)).toSeq == wantOrder)
   }
 
+  test("empty target corpus degrades to a defined uniform-ish draw (no NPE/throw)") {
+    // tTot = 0: λ_b = ln(1/B) − ln((c_r+1)/(r_tot+B)) is still defined
+    // for every bucket, weights are finite, and selection is pure Gumbel
+    val noTarget = targetDf.filter($"doc_id" < 0)
+    val out = Dsir.resampleTopK(rawDf, noTarget, "doc_id", "text", k = 5, buckets = 512)
+      .collect()
+    assert(out.length == 5)
+    assert(out.forall(r => r.getLong(3) != 0L), "weights should be computed, not zeroed")
+  }
+
   test("argument validation") {
     intercept[IllegalArgumentException] {
       Dsir.resampleTopK(rawDf, targetDf, "doc_id", "text", k = 0)
