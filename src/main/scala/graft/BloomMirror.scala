@@ -35,11 +35,17 @@ object BloomMirror {
 
   /** q141 contract: 90/5/5 split, 3-grams, flag train docs whose gram
     * set intersects the test Bloom filter (auto-sized:
-    * max(1024, occurrences) items × bitsPerItem bits, capped).
+    * max(1024, occurrences) items × bitsPerItem bits, capped at
+    * `maxBits` AND at the session's runtime bloomFilter confs —
+    * `confMaxItems`/`confMaxBits` default to Spark's conf defaults and
+    * MUST be the live session values when those confs are overridden,
+    * because `bloom_filter_agg` silently Math.min-clamps to them; the
+    * one sizing formula lives in `CorpusFilters.bloomSizing`).
     * Input (doc_id, text); output (doc_id, n_grams, n_flagged,
     * contaminated) for every train doc. */
   def recompute(docs: Seq[(Long, String)], n: Int = 3,
-      bitsPerItem: Int = 15, maxBits: Long = 1L << 27)
+      bitsPerItem: Int = 15, maxBits: Long = 1L << 27,
+      confMaxItems: Long = 4000000L, confMaxBits: Long = 1L << 26)
       : Seq[(Long, Long, Long, Boolean)] = {
     val train = docs.filter(d => splitOf(d._1) == "train").sortBy(_._1)
     val testGrams = docs.filter(d => splitOf(d._1) == "test")
@@ -48,8 +54,8 @@ object BloomMirror {
       return train.map { case (id, t) =>
         (id, gramsOf(t, n).length.toLong, 0L, false)
       }
-    val items = math.max(1024L, testGrams.size.toLong)
-    val numBits = math.min(maxBits, items * bitsPerItem)
+    val (items, numBits) = graft.operators.CorpusFilters.bloomSizing(
+      testGrams.size.toLong, bitsPerItem, maxBits, confMaxItems, confMaxBits)
     val bf = BloomFilter.create(items, numBits)
     testGrams.foreach(g => bf.putLong(SfOracles.xxh64(g)))
     train.map { case (id, t) =>

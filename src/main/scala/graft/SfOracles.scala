@@ -272,7 +272,9 @@ object SfOracles {
         dsirTop = DsirMirror.recompute(docs3),
         ivfTopK = IvfMirror.recompute(vecs),
         qualityRows = QualityMirror.recompute(docs4.map(d => (d._1, d._2, d._4))),
-        bloomRows = BloomMirror.recompute(docs)))
+        bloomRows = BloomMirror.recompute(docs,
+          confMaxItems = graft.operators.CorpusFilters.bloomConfMaxItems(spark),
+          confMaxBits = graft.operators.CorpusFilters.bloomConfMaxBits(spark))))
     }
   }
 

@@ -31,6 +31,39 @@ import org.apache.spark.sql.functions._
   */
 object CorpusFilters {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The session values Spark's `BloomFilterAggregate` silently
+    * `Math.min`-clamps its (estimatedNumItems, numBits) literals to —
+    * read here so [[bloomSizing]] can pre-apply the identical clamp. */
+  def bloomConfMaxItems(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+  def bloomConfMaxBits(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+
+  /** Effective (items, numBits) for the decontamination filter: the
+    * auto-size (`bitsPerItem` bits per counted gram occurrence, 1024
+    * floor, `maxBits` plan-footprint cap) pre-clamped to the session's
+    * runtime bloomFilter confs so the literals handed to
+    * `bloom_filter_agg` equal the values it actually builds with.
+    * `BloomMirror.recompute` replays this exact function — one formula,
+    * two callers, no drift. */
+  def bloomSizing(occurrences: Long, bitsPerItem: Int, maxBits: Long,
+      confMaxItems: Long, confMaxBits: Long): (Long, Long) = {
+    val items = math.min(confMaxItems, math.max(1024L, occurrences))
+    val numBits = math.min(math.min(maxBits, confMaxBits), items * bitsPerItem)
+    (items, numBits)
+  }
+
+  /** Expected Bloom FP rate (1 - e^(-k·n/m))^k with the same
+    * k = max(1, round(m/items·ln2)) the sketch library derives. */
+  def bloomFpRate(occurrences: Long, items: Long, numBits: Long): Double = {
+    val k = math.max(1L, math.round(numBits.toDouble / items * math.log(2)))
+    math.pow(1 - math.exp(-k.toDouble * occurrences / numBits), k.toDouble)
+  }
+
   /** Gopher's stopword list (table A1: "must contain ≥ 2 of ..."). */
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -286,6 +319,17 @@ object CorpusFilters {
     * FP rate degrades gracefully — switch to [[contamination]]'s exact
     * join or shard the test set if the eval corpus is that large.
     *
+    * SIZING IS ALSO CLAMPED TO THE SESSION'S RUNTIME BLOOM CONFS:
+    * Spark's `BloomFilterAggregate` silently applies
+    * `Math.min(literal, spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems/.maxNumBits)` (defaults 4,000,000 items / 2²⁶ bits)
+    * to whatever literals it is handed. Sizing here pre-clamps to the
+    * same conf values via [[bloomSizing]] so the literals we pass ARE
+    * the effective values — otherwise a >4M-gram test split would build
+    * a silently-smaller distributed filter than the mirror replays and
+    * diverge on false positives. A warning is logged when the clamp
+    * degrades the requested FP rate (raise the two confs to restore it).
+    *
     * Output: (doc_id, n_grams, n_flagged, contaminated = n_flagged > 0);
     * null/short texts score (0, 0, false).
     */
@@ -308,8 +352,15 @@ object CorpusFilters {
       .cache()
     // occurrences, not distinct (no dedup shuffle; an overestimate only
     // lowers the FP rate)
-    val items = math.max(1024L, testGrams.count())
-    val numBits = math.min(maxBits, items * bitsPerItem)
+    val occurrences = testGrams.count()
+    val (items, numBits) = bloomSizing(occurrences, bitsPerItem, maxBits,
+      bloomConfMaxItems(spark), bloomConfMaxBits(spark))
+    if (numBits < math.min(maxBits, math.max(1024L, occurrences) * bitsPerItem))
+      log.warn(s"bloomDecontaminate: filter clamped to $numBits bits for " +
+        s"$occurrences gram occurrences (requested ${bitsPerItem} bits/item); " +
+        f"estimated FP rate ${bloomFpRate(occurrences, items, numBits)}%.4f — " +
+        "raise maxBits and spark.sql.optimizer.runtime.bloomFilter.maxNumBits " +
+        "or fall back to the exact contamination join")
     // 1-row bounded aggregate (≤ numBits bits however large the test set
     // is) — collected like IVF's centroid model; duplicate grams need no
     // dedup shuffle because Bloom insertion is idempotent

@@ -99,6 +99,66 @@ class BloomDecontSpec extends AnyFunSuite {
     assert(out.forall(_ == ((0L, false))))
   }
 
+  // Spark's BloomFilterAggregate silently Math.min-clamps its literals to
+  // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits
+  // (defaults 4M / 2^26) — the divergence regime a >4M-gram test split
+  // enters at 10M+ docs. Pinned here by LOWERING the confs so a small
+  // corpus crosses the boundary, rather than building a 4M-item filter.
+  private def withLowBloomConfs[T](maxItems: Long, maxBits: Long)(f: => T): T = {
+    val ik = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bk = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (i0, b0) = (spark.conf.get(ik), spark.conf.get(bk))
+    spark.conf.set(ik, maxItems.toString); spark.conf.set(bk, maxBits.toString)
+    try f finally { spark.conf.set(ik, i0); spark.conf.set(bk, b0) }
+  }
+
+  test("Spark's internal conf clamp matches the model bloomSizing replays") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val grams = Seq.tabulate(5000)(i => s"clamp probe gram $i")
+    val dist = withLowBloomConfs(2000L, 16384L) {
+      // literals ABOVE the lowered confs: 5000 items / 75000 bits requested
+      val agg = ColumnBridge.column(new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64($"g")),
+        Literal(5000L), Literal(75000L)).toAggregateExpression())
+      grams.toDF("g").repartition(13).agg(agg.as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+    }
+    // Spark must have built with the CLAMPED (2000, 16384), not the literals
+    val clamped = org.apache.spark.util.sketch.BloomFilter.create(2000L, 16384L)
+    grams.foreach(g => clamped.putLong(SfOracles.xxh64(g)))
+    val baos = new java.io.ByteArrayOutputStream(); clamped.writeTo(baos)
+    assert(java.util.Arrays.equals(baos.toByteArray, dist),
+      "BloomFilterAggregate no longer clamps to the runtime.bloomFilter confs " +
+        "— revisit CorpusFilters.bloomSizing's pre-clamp")
+  }
+
+  test("operator == mirror ABOVE the conf clamp boundary") {
+    // ~60 test-split grams with the item cap forced below that, so the
+    // effective sizing is conf-clamped on both sides; any formula drift
+    // between bloomDecontaminate and BloomMirror diverges loudly here.
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id", "text").limit(400).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toIndexedSeq
+    val (maxI, maxB) = (1024L, 4096L) // item floor == cap; tiny saturating filter
+    val got = withLowBloomConfs(maxI, maxB) {
+      val df = graft.operators.Sampling.deterministicSplit(
+        docs.toDF("doc_id", "text"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      val train = df.filter($"split" === "train")
+      val test = df.filter($"split" === "test")
+      CorpusFilters.bloomDecontaminate(train, test, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .sortBy(_._1).toSeq
+    }
+    val want = BloomMirror.recompute(docs,
+      confMaxItems = maxI, confMaxBits = maxB)
+    assert(want.exists(_._3 > 0), "tiny clamped filter should flag something")
+    assert(got == want,
+      "operator and mirror must agree on the conf-clamped sizing")
+  }
+
   test("distributed q141 reproduces the straight-line mirror at sf0.001") {
     val docs = Tables(spark, sfDir, "documents")
       .selectExpr("cast(doc_id as long) as doc_id", "text").collect()

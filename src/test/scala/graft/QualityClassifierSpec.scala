@@ -69,10 +69,19 @@ class QualityClassifierSpec extends AnyFunSuite {
 
   test("sampling path stays deterministic above the cap") {
     // 3000 pos docs > cap 2000 exercises the md5-hash sample membership
-    val bigPos = (0 until 3000).map(i => (i.toLong, cleanText)).toDF("doc_id", "text")
+    val bigPosSeq = (0 until 3000).map(i => (i.toLong, cleanText))
+    val bigPos = bigPosSeq.toDF("doc_id", "text")
     val w1 = QualityClassifier.train(bigPos, negDf, "doc_id", "text")
     val w2 = QualityClassifier.train(bigPos.repartition(7), negDf, "doc_id", "text")
     assert(w1.sameElements(w2))
+    // and the MIRROR must agree above the cap too — pins the
+    // hash-sample membership contract (Sampling.hashSample vs
+    // MirrorHash.inHashSample) where a drift would otherwise surface
+    // only as a large-SF oracle failure
+    val wm = QualityMirror.train(
+      bigPosSeq, (200 until 230).map(i => (i.toLong, soupText)))
+    assert(w1.sameElements(wm),
+      "distributed train and mirror train must produce identical weights above sampleCap")
   }
 
   test("argument validation") {
