@@ -2555,15 +2555,15 @@ object Queries {
     * CCNet contract; they are q73/q65 trim territory, not LM territory). */
   def ccnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // localCheckpoint: the scored frame feeds BOTH the cutoff aggregate
+    // Stage.cut: the scored frame feeds BOTH the cutoff aggregate
     // (broadcast side) and the bucket projection — without the lineage
     // cut Spark plans the whole LM twice (measured 45 s vs 17 s at 1M
-    // docs); on a cluster use checkpoint() for fault tolerance
-    val scored = graft.operators.NgramLM.bigramNll(
-        Tables(spark, sfDir, "documents"), "doc_id", "text")
-      .filter($"n_bigrams" > 0)
-      .withColumn("ppl_e4", expr("nll_e4 div n_bigrams"))
-      .localCheckpoint(true)
+    // docs); reliable-checkpointed when the session has a checkpoint dir
+    val scored = graft.operators.Stage.cut(
+      graft.operators.NgramLM.bigramNll(
+          Tables(spark, sfDir, "documents"), "doc_id", "text")
+        .filter($"n_bigrams" > 0)
+        .withColumn("ppl_e4", expr("nll_e4 div n_bigrams")))
     val cuts = graft.operators.Quantiles.exactPositional(
         scored.withColumn("g", lit(1)), "g", "ppl_e4",
         Seq("c1" -> (1.0 / 3), "c2" -> (2.0 / 3)))

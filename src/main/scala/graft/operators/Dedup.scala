@@ -338,14 +338,24 @@ object Dedup {
 
   // ------------------------------------------------ connected components
 
-  /** Smallest-id label propagation over an undirected pair list.
-    * Iterative join+min-aggregate; converges in O(diameter) rounds (dup
-    * clusters are tiny, so a handful). At cluster scale each round is one
-    * shuffle; checkpoint every few rounds to cut lineage. */
+  /** Smallest-id labels over an undirected pair list: min-label
+    * propagation (hooking) PLUS pointer doubling (`label ← label(label)`,
+    * Shiloach–Vishkin / hash-to-min) each round, so a component of
+    * diameter d converges in O(log d) rounds rather than d — a 1,000-hop
+    * near-dup chain (the templated-web-page shape at corpus scale)
+    * resolves in ~10 rounds instead of silently splitting at a linear
+    * iteration cap. The default `maxIter = 30` therefore covers any
+    * diameter up to ~2^30, and an unconverged exit is LOUD
+    * (`IllegalStateException`), never a silently-split clustering.
+    *
+    * Each round is two bounded-key shuffles (edge-keyed min-aggregate +
+    * label self-join); label frames are staged via [[Stage.cut]] —
+    * reliable-checkpointed when the session has a checkpoint dir (set one
+    * on real clusters), executor-local otherwise. */
   def connectedComponents(
       vertices: DataFrame, // one column: "id"
       edges: DataFrame,    // columns: "id_a", "id_b"
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 30): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
     val sym = edges.select($"id_a".as("src"), $"id_b".as("dst"))
@@ -359,18 +369,34 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // hook: every vertex takes the min of its own and its neighbors'
+      // labels (edge-keyed shuffle; min combines map-side)
       val neighborMin = sym
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), "dst")
         .groupBy($"src".as("id")).agg(min($"nl").as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select($"id", least($"label", coalesce($"nmin", $"label")).as("label"))
-        .localCheckpoint(true) // cut lineage; avoids exponential replans
-      val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
+      val hooked = Stage.cut( // staged once: feeds both sides of the self-join
+        labels.join(neighborMin, Seq("id"), "left")
+          .select($"id", least($"label", coalesce($"nmin", $"label")).as("label")))
+      // double: label ← label(label). Labels are always vertex ids and
+      // label(x) ≤ x (monotone min), so one self-join halves every
+      // pointer chain; with hooking this gives the O(log d) bound.
+      val doubled = hooked.as("a")
+        .join(hooked.select($"id".as("pid"), $"label".as("pl")).as("p"),
+          $"a.label" === $"pid", "left")
+        .select($"a.id", coalesce($"pl", $"a.label").as("label"))
+      val staged = Stage.cut(doubled)
+      val changed = staged.join(labels.withColumnRenamed("label", "old"), "id")
         .filter($"label" =!= $"old").limit(1).count()
-      labels = updated
+      labels = staged
       converged = changed == 0L
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "with pointer doubling that needs a component diameter beyond " +
+          f"~2^$maxIter%d; raise maxIter (results would otherwise be a " +
+          "silently SPLIT clustering, never returned)")
     labels
   }
 
@@ -388,8 +414,8 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val pairs = minhashCandidatePairs(df, idCol, textCol, threshold = threshold)
-      .localCheckpoint(true) // computed once; reused as edges and vertex set
+    val pairs = Stage.cut( // computed once; reused as edges and vertex set
+      minhashCandidatePairs(df, idCol, textCol, threshold = threshold))
     val touched = pairs.select($"id_a".as("id"))
       .unionByName(pairs.select($"id_b".as("id"))).distinct()
     val labels = connectedComponents(touched, pairs)

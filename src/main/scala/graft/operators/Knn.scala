@@ -322,8 +322,9 @@ object Knn {
       tables: Int = 0, bits: Int = 0): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
-    val pairs = nearDupPairs(data, idCol, vecCol, minCosine, tables, bits)
-      .select($"id_a", $"id_b").localCheckpoint(true)
+    val pairs = Stage.cut(
+      nearDupPairs(data, idCol, vecCol, minCosine, tables, bits)
+        .select($"id_a", $"id_b"))
     val touched = pairs.select($"id_a".as("id"))
       .unionByName(pairs.select($"id_b".as("id"))).distinct()
     val labels = Dedup.connectedComponents(touched, pairs)
@@ -392,7 +393,7 @@ object Knn {
       .withColumn("score", dot(spark)($"va", $"vb") / ($"na" * $"nb"))
       .filter($"score" >= minCosine)
       .select($"id_a", $"id_b")
-      .localCheckpoint(true) // reused as edge list and vertex set
+      .transform(Stage.cut) // reused as edge list and vertex set
     val touched = edges.select($"id_a".as("id"))
       .unionByName(edges.select($"id_b".as("id"))).distinct()
     val labels = Dedup.connectedComponents(touched, edges)

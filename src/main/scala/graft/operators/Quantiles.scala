@@ -49,12 +49,12 @@ object Quantiles {
     // and offset+local-rank stops being a global rank: a silently wrong
     // quantile (observed: a tercile cutoff below the true rank value when
     // the input lineage contained a fresh LM-scoring shuffle). The
-    // checkpoint pins one materialized slicing for all consumers; on a
-    // cluster use checkpoint() for fault tolerance.
+    // checkpoint pins one materialized slicing for all consumers —
+    // reliable when the session has a checkpoint dir (Stage.cut).
     val parted = df
       .repartitionByRange(nSlices, col(groupCol), col(valCol))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
+      .transform(Stage.cut)
     val perSlice = parted.groupBy(col("pid"), col(groupCol))
       .agg(count(lit(1)).as("cnt"))
     val wOff = Window.partitionBy(col(groupCol)).orderBy(col("pid"))

@@ -33,13 +33,45 @@ object ScaleSmoke {
     val onlyNewOps = sys.env.contains("SCALE_ONLY_NEWOPS")
     val onlyPipeline = sys.env.contains("SCALE_ONLY_PIPELINE")
     val onlyDsir = sys.env.contains("SCALE_ONLY_DSIR")
-    val skipGeneral = onlyNewOps || onlyPipeline || onlyDsir
+    val onlyComponents = sys.env.contains("SCALE_ONLY_COMPONENTS")
+    val skipGeneral = onlyNewOps || onlyPipeline || onlyDsir || onlyComponents
 
     def time[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
       println(f"[scale] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       r
+    }
+
+    // SCALE_ONLY_COMPONENTS — the adversarial connected-components shape:
+    // one nDocs/1000-diameter chain (templated pages linking neighbor to
+    // neighbor) + nDocs/20 planted 10-member stars, over nDocs vertices.
+    // Linear label propagation needs diameter rounds here; the
+    // pointer-doubling implementation must stay at ~log2(diameter).
+    if (onlyComponents) {
+      val chainLen = math.max(1000L, nDocs.toLong / 1000L)
+      time(s"connected components ($nDocs vertices, chain diameter $chainLen + stars)") {
+        val vertices = spark.range(nDocs.toLong).toDF("id")
+        val chain = spark.range(chainLen - 1)
+          .select($"id".as("id_a"), ($"id" + 1L).as("id_b"))
+        // stars over the id space above the chain: hub h = chainLen + 11k
+        // with spokes h+1..h+9
+        val stars = spark.range((nDocs.toLong - chainLen) / 11)
+          .select((lit(chainLen) + $"id" * 11L).as("hub"),
+            explode(sequence(lit(1), lit(9))).as("k"))
+          .select($"hub".as("id_a"), ($"hub" + $"k").as("id_b"))
+        val labels = Dedup.connectedComponents(
+          vertices, chain.unionByName(stars)).cache()
+        val chainClusters = labels.filter($"id" < chainLen)
+          .select($"label").distinct().count()
+        val nonSingleton = labels.filter($"label" =!= $"id").count()
+        require(chainClusters == 1L,
+          s"chain split into $chainClusters clusters — convergence bug")
+        println(s"  chain clusters: $chainClusters (must be 1); " +
+          s"re-labelled vertices: $nonSingleton")
+        labels.unpersist()
+      }
+      spark.stop(); return
     }
 
     // --- documents: 16 hash-derived tokens from a 10k-word ZIPF-ish vocab

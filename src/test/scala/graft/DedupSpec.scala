@@ -117,4 +117,48 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
+
+  test("connected components: a 1,000-link chain resolves to ONE cluster " +
+      "within the O(log d) pointer-doubling budget") {
+    import spark.implicits._
+    // the templated-web-page shape: doc i near-dups doc i+1, diameter 1000
+    // — a linear-propagation implementation needs 1000 rounds and used to
+    // silently return a SPLIT clustering at its 10-round cap
+    val n = 1001L
+    val vertices = spark.range(n).toDF("id")
+    val edges = spark.range(n - 1)
+      .select($"id".as("id_a"), ($"id" + 1L).as("id_b"))
+    val labels = Dedup.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 0L),
+      s"all $n chained vertices must share cluster 0; got ${labels.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("connected components: unconverged exit is loud, not a split clustering") {
+    import spark.implicits._
+    val vertices = spark.range(40L).toDF("id")
+    val edges = spark.range(39L).select($"id".as("id_a"), ($"id" + 1L).as("id_b"))
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(vertices, edges, maxIter = 2).collect()
+    }
+  }
+
+  test("reliable checkpoint dir produces identical clusters (Stage.cut contract)") {
+    val base = Dedup.fuzzyClusters(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "suite session should start without one")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    try {
+      sc.setCheckpointDir(dir)
+      val reliable = Dedup.fuzzyClusters(fixture, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(reliable == base)
+      assert(new java.io.File(dir).exists)
+    } finally {
+      sc.setCheckpointDir(null) // Option(null) → None: restore local mode
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
 }
