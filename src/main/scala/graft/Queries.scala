@@ -2657,4 +2657,21 @@ object Queries {
         "doc_id", "text", n = 3)
       .orderBy($"doc_id")
   }
+
+  /** q143: ORDER-INVARIANT cardinality — per-lang linear-counting
+    * distinct estimate (k=1 `bloom_filter_agg` bitset, see
+    * [[graft.operators.CardinalitySketch.linearCount]]) next to the
+    * exact distinct count. The deterministic twin of the q63/q98
+    * HLL family: the bitset's OR-merge is partitioning-invariant, so
+    * the estimate is oracle-verified bit-for-bit ([[LinearCountMirror]])
+    * while the exact column is DuckDB's own COUNT(DISTINCT). */
+  def linearCountDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents").select($"lang", $"text")
+    val sk = graft.operators.CardinalitySketch.linearCount(
+      docs, Seq("lang"), "text")
+    val exact = docs.filter($"text".isNotNull)
+      .groupBy($"lang").agg(countDistinct($"text").as("n_exact"))
+    exact.join(sk, Seq("lang")).orderBy($"lang")
+  }
 }

@@ -61,7 +61,8 @@ object SfOracles {
       dsirTop: Seq[(Int, Long, Long, Long, Long)], // q139 selected rows
       ivfTopK: Seq[(Long, Int, Long, Double)],     // q42
       qualityRows: Seq[(Long, Long, Boolean)],     // q140
-      bloomRows: Seq[(Long, Long, Long, Boolean)]) // q141
+      bloomRows: Seq[(Long, Long, Long, Boolean)], // q141
+      lcRows: Seq[(String, Long, Long)])           // q143
 
   @volatile private var prepared: Option[Prepared] = None
 
@@ -274,7 +275,8 @@ object SfOracles {
         qualityRows = QualityMirror.recompute(docs4.map(d => (d._1, d._2, d._4))),
         bloomRows = BloomMirror.recompute(docs,
           confMaxItems = graft.operators.CorpusFilters.bloomConfMaxItems(spark),
-          confMaxBits = graft.operators.CorpusFilters.bloomConfMaxBits(spark))))
+          confMaxBits = graft.operators.CorpusFilters.bloomConfMaxBits(spark)),
+        lcRows = LinearCountMirror.recompute(docs3)))
     }
   }
 
@@ -353,6 +355,11 @@ object SfOracles {
       p: (Long, Long, Long, Boolean) =>
         s"(${p._1}, ${p._2}, ${p._3}, ${p._4})" }
 
+  private def lcCte: String =
+    cte("lc", "lang, n_set_bits, est_distinct", prepared.map(_.lcRows),
+      "'', 0, 0") {
+      p: (String, Long, Long) => s"(${lit(p._1)}, ${p._2}, ${p._3})" }
+
   private def dsirCte: String =
     cte("ds", "rnk, doc_id, n_feats, logw_e4, key_e4",
       prepared.map(_.dsirTop), "0, 0, 0, 0, 0") {
@@ -421,6 +428,17 @@ object SfOracles {
          |       CAST(b.n_flagged AS BIGINT) AS n_flagged, b.contaminated
          |FROM bl b JOIN documents d ON d.doc_id = b.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // q143: per-lang linear count — the estimate (and every register
+    // bit) is partitioning-invariant, so the mirror VALUES pin it while
+    // DuckDB derives the exact distinct column itself
+    "q143_linear_count" ->
+      s"""WITH $lcCte
+         |SELECT d.lang, CAST(count(DISTINCT d.text) AS BIGINT) AS n_exact,
+         |       lc.n_set_bits, lc.est_distinct
+         |FROM documents d JOIN lc ON lc.lang = d.lang
+         |WHERE d.text IS NOT NULL
+         |GROUP BY d.lang, lc.n_set_bits, lc.est_distinct
+         |ORDER BY d.lang""".stripMargin,
     // q140: the seed-trained quality classifier's e6 scores + keep flags
     "q140_quality_classifier" ->
       s"""WITH $qualityCte

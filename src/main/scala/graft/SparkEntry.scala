@@ -163,7 +163,8 @@ object SparkEntry {
     "q138_ccnet_buckets" -> (Queries.ccnetBuckets _),
     "q139_dsir_resample" -> (Queries.dsirResample _),
     "q140_quality_classifier" -> (Queries.qualityClassifier _),
-    "q141_bloom_decontamination" -> (Queries.bloomDecontamination _)
+    "q141_bloom_decontamination" -> (Queries.bloomDecontamination _),
+    "q143_linear_count" -> (Queries.linearCountDistinct _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same

@@ -149,7 +149,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q125_fuzzy_dedup_golden", "q126_ann_golden", // golden batteries over the candidate machinery (same UDFs as q35/q38/q42)
     "q127_simjoin_golden", // golden battery over the similarity join (same qvec UDF as q34)
     "q128_simjoin_generic_golden", "q129_simhash_golden", // golden batteries over the generic join / simhash (same UDFs as q46/q49/q36)
-    "q137_semdedup_golden") // k-means assignment + centroid-cosine UDFs (same family as q42)
+    "q137_semdedup_golden", // k-means assignment + centroid-cosine UDFs (same family as q42)
+    "q143_linear_count") // sketch-bytes popcount/estimate UDF over the 1-row-per-group register
 
   test("only declared UDF-bearing queries plan a ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
