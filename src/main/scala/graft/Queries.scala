@@ -2658,6 +2658,29 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** q142: corpus-trained BPE subword tokenization + TOKEN-AWARE
+    * sequence packing — q64's packer driven by subword counts instead
+    * of whitespace counts (whitespace mis-sizes contexts by 30-50% on
+    * web text). Training is bounded driver-side work (hash-sampled
+    * docs, one word-count shuffle, driver merge loop); encoding is one
+    * shuffle-free map pass with the merge table in the UDF closure
+    * (see [[graft.operators.Bpe]]); packing is the q64 window algebra.
+    * Fully deterministic — [[BpeMirror]] replays every stage. */
+  def bpePacking(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id", "text")
+    // 60 merges against the synthetic corpus's compact vocabulary:
+    // enough to fuse the frequent words, small enough that rare words
+    // stay genuinely multi-token (200 would fuse ALL 31 distinct words
+    // and degenerate BPE counts back to whitespace counts)
+    val merges = graft.operators.Bpe.train(
+      docs, "doc_id", "text", numMerges = 60)
+    graft.operators.Bpe.packByBpe(
+        docs, "doc_id", "text", merges, ctxLen = 512, nShards = 8)
+      .orderBy($"doc_id")
+  }
+
   /** q143: ORDER-INVARIANT cardinality — per-lang linear-counting
     * distinct estimate (k=1 `bloom_filter_agg` bitset, see
     * [[graft.operators.CardinalitySketch.linearCount]]) next to the

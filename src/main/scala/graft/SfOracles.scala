@@ -62,7 +62,8 @@ object SfOracles {
       ivfTopK: Seq[(Long, Int, Long, Double)],     // q42
       qualityRows: Seq[(Long, Long, Boolean)],     // q140
       bloomRows: Seq[(Long, Long, Long, Boolean)], // q141
-      lcRows: Seq[(String, Long, Long)])           // q143
+      lcRows: Seq[(String, Long, Long)],           // q143
+      bpeRows: Seq[(Long, Long, Long, Long)])      // q142
 
   @volatile private var prepared: Option[Prepared] = None
 
@@ -276,7 +277,8 @@ object SfOracles {
         bloomRows = BloomMirror.recompute(docs,
           confMaxItems = graft.operators.CorpusFilters.bloomConfMaxItems(spark),
           confMaxBits = graft.operators.CorpusFilters.bloomConfMaxBits(spark)),
-        lcRows = LinearCountMirror.recompute(docs3)))
+        lcRows = LinearCountMirror.recompute(docs3),
+        bpeRows = BpeMirror.recompute(docs)))
     }
   }
 
@@ -355,6 +357,11 @@ object SfOracles {
       p: (Long, Long, Long, Boolean) =>
         s"(${p._1}, ${p._2}, ${p._3}, ${p._4})" }
 
+  private def bpeCte: String =
+    cte("bp", "doc_id, n_tokens_bpe, shard, pack", prepared.map(_.bpeRows),
+      "0, 0, 0, 0") {
+      p: (Long, Long, Long, Long) => s"(${p._1}, ${p._2}, ${p._3}, ${p._4})" }
+
   private def lcCte: String =
     cte("lc", "lang, n_set_bits, est_distinct", prepared.map(_.lcRows),
       "'', 0, 0") {
@@ -427,6 +434,13 @@ object SfOracles {
          |SELECT d.doc_id, CAST(b.n_grams AS BIGINT) AS n_grams,
          |       CAST(b.n_flagged AS BIGINT) AS n_flagged, b.contaminated
          |FROM bl b JOIN documents d ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // q142: BPE token counts + packing — joined to the live documents
+    // table so DuckDB verifies every packed id exists exactly once
+    "q142_bpe_packing" ->
+      s"""WITH $bpeCte
+         |SELECT d.doc_id, b.n_tokens_bpe, b.shard, b.pack
+         |FROM documents d JOIN bp b ON b.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     // q143: per-lang linear count — the estimate (and every register
     // bit) is partitioning-invariant, so the mirror VALUES pin it while

@@ -164,6 +164,7 @@ object SparkEntry {
     "q139_dsir_resample" -> (Queries.dsirResample _),
     "q140_quality_classifier" -> (Queries.qualityClassifier _),
     "q141_bloom_decontamination" -> (Queries.bloomDecontamination _),
+    "q142_bpe_packing" -> (Queries.bpePacking _),
     "q143_linear_count" -> (Queries.linearCountDistinct _)
   )
 

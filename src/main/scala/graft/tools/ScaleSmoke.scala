@@ -34,7 +34,9 @@ object ScaleSmoke {
     val onlyPipeline = sys.env.contains("SCALE_ONLY_PIPELINE")
     val onlyDsir = sys.env.contains("SCALE_ONLY_DSIR")
     val onlyComponents = sys.env.contains("SCALE_ONLY_COMPONENTS")
-    val skipGeneral = onlyNewOps || onlyPipeline || onlyDsir || onlyComponents
+    val onlyBpe = sys.env.contains("SCALE_ONLY_BPE")
+    val skipGeneral =
+      onlyNewOps || onlyPipeline || onlyDsir || onlyComponents || onlyBpe
 
     def time[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -74,6 +76,24 @@ object ScaleSmoke {
       spark.stop(); return
     }
 
+    // SCALE_ONLY_BPE — q142's shape at nDocs: bounded-sample train (the
+    // cost that must NOT grow with nDocs), then the map-side encode+pack
+    // pass over everything. Run after `docs` is defined below.
+    def bpeSmoke(docs: DataFrame): Unit = {
+      val merges = time(s"BPE train (2000-doc sample of $nDocs)") {
+        graft.operators.Bpe.train(docs, "id", "text", numMerges = 200)
+      }
+      println(s"  merges learned: ${merges.length}")
+      time(s"BPE encode + pack ($nDocs docs, ctx 2048, 64 shards)") {
+        val packed = graft.operators.Bpe.packByBpe(
+          docs, "id", "text", merges, ctxLen = 2048, nShards = 64)
+        val stats = packed.agg(
+          sum($"n_tokens_bpe").as("toks"),
+          countDistinct($"shard", $"pack").as("packs")).collect()(0)
+        println(s"  total bpe tokens: ${stats.getLong(0)}; packs: ${stats.getLong(1)}")
+      }
+    }
+
     // --- documents: 16 hash-derived tokens from a 10k-word ZIPF-ish vocab
     // (token id = 10000·u³ — few very common words, long rare tail, like
     // real text; uniform weights are prefix-filtering's worst case and
@@ -88,6 +108,8 @@ object ScaleSmoke {
       .withColumn("text", concat_ws(" ", (0 until 16).map(zipfToken): _*))
       .select($"id", $"text")
     docs.cache(); docs.count()
+
+    if (onlyBpe) { bpeSmoke(docs); spark.stop(); return }
 
     if (!sys.env.contains("SCALE_ONLY_SIMJOIN") && !skipGeneral) {
     time(s"minhash dedup candidates ($nDocs docs)") {

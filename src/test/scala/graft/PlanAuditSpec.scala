@@ -150,6 +150,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q127_simjoin_golden", // golden battery over the similarity join (same qvec UDF as q34)
     "q128_simjoin_generic_golden", "q129_simhash_golden", // golden batteries over the generic join / simhash (same UDFs as q46/q49/q36)
     "q137_semdedup_golden", // k-means assignment + centroid-cosine UDFs (same family as q42)
+    "q142_bpe_packing", // per-word BPE merge-walk UDF (tokenization stays codegen)
     "q143_linear_count") // sketch-bytes popcount/estimate UDF over the 1-row-per-group register
 
   test("only declared UDF-bearing queries plan a ScalaUDF") {
