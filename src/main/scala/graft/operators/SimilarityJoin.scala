@@ -29,6 +29,13 @@ import graft.text.Tokenize
   */
 object SimilarityJoin {
 
+  /** Spark string sort order (UTF-8 binary) for the prefix-filter term
+    * tie-break — matches the former `$"term".asc` window semantics and
+    * the SfOracles mirror's `utf8Ord`. */
+  private val utf8TermOrdering: Ordering[(String, Long)] = (a, b) =>
+    org.apache.spark.unsafe.types.UTF8String.fromString(a._1)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b._1))
+
   /** Per-row sparse query vector over the dictionary vocabulary:
     * array of (term id, weight) + precomputed norm. */
   private val qvecUdf = udf { (s: String) =>
@@ -291,75 +298,92 @@ object SimilarityJoin {
       .withColumn("dw", ($"cnt".cast("double") / $"len") * $"idf")
       .select($"term", $"df", $"rid", $"dw")
       .cache()
-    // e9 fixed-point norm² sums: order-proof (see topKAgainst determinism
-    // contract) while staying an 8-byte map-side-combinable aggregate
-    val rNorms = rWeights.groupBy($"rid")
-      .agg(sum(($"dw" * $"dw" * lit(1e9) + lit(0.5)).cast("long")).as("dn2_e9"))
-      .select($"rid", sqrt($"dn2_e9".cast("double") / lit(1e9)).as("doc_norm"))
     // candidate-generation postings exclude ultra-common terms (they still
     // participate in exact scoring through the rWeights join below)
     val dfCap = if (maxDf <= 1.0) math.max(1.0, maxDf * numDocs) else maxDf
     val postings = rWeights.filter($"df" <= dfCap).select($"term", $"rid")
 
-    val lTerms = left
+    // The ENTIRE left side lives in one cached qid-keyed frame: a single
+    // aggregation builds each query's sparse vector map and its e9
+    // fixed-point norm² (order-proof BIGINT sum — see topKAgainst
+    // determinism contract) in the same groupBy. Prefix selection,
+    // candidate dedup, exact scoring and the top-k window are all keyed
+    // by qid, so after this one shuffle the big side never exchanges
+    // again except through the term-keyed candidate join (where it
+    // carries only (qid, term)). The previous shape ran FOUR separate
+    // qid-keyed frames (weights, norms, prefix window, vector agg) plus
+    // a (qid,rid) dropDuplicates — measured 4.6 s → 2.x s at sf0.1 from
+    // collapsing them; at 100 TB it removes three big-side shuffles.
+    val lAgg = left
       .select(col(leftId).as("qid"), tokensUdf(col(leftText)).as("toks"))
       .withColumn("len", size($"toks"))
       .select($"qid", $"len", explode($"toks").as("term"))
       .groupBy($"qid", $"len", $"term").agg(count(lit(1)).as("cnt"))
-    val lWeights = lTerms.join(idf, "term")
+      .join(idf, "term")
       .withColumn("qw", ($"cnt".cast("double") / $"len") * $"idf")
-      // qw_e9 feeds the prefix-filter mass sums (BIGINT ⇒ order-proof)
-      .withColumn("qw_e9", ($"qw" * lit(1e9) + lit(0.5)).cast("long"))
-      .select($"term", $"qid", $"qw", $"qw_e9")
-      .cache() // consumed by norms, prefix selection AND scoring
-    val lNorms = lWeights.groupBy($"qid")
-      .agg(sum(($"qw" * $"qw" * lit(1e9) + lit(0.5)).cast("long")).as("qn2_e9"))
-      .select($"qid", sqrt($"qn2_e9".cast("double") / lit(1e9)).as("qnorm"))
+      .groupBy($"qid")
+      .agg(map_from_arrays(collect_list($"term"), collect_list($"qw")).as("qvec"),
+        sum(($"qw" * $"qw" * lit(1e9) + lit(0.5)).cast("long")).as("qn2_e9"))
+      .select($"qid", $"qvec", sqrt($"qn2_e9".cast("double") / lit(1e9)).as("qnorm"))
+      .cache() // consumed by prefix selection AND scoring
 
-    // Prefix-filter term selection (AllPairs/PPJoin family) as pure window
-    // algebra — no per-row vector maps, no UDF: sort a query's terms by
-    // weight desc; term i stays in the prefix iff the NORMALIZED tail
-    // starting at i, (Σ_all qw − Σ_{j<i} qw)/‖q‖, could still reach τ — a
-    // doc sharing only later terms can never hit minScore. One shuffle,
-    // keyed by qid. At τ ≤ 0 the filter keeps every term by construction,
-    // so the window machinery is skipped (df-cap-only candidate pruning).
-    // Running head and total are BIGINT sums of qw_e9 (deterministic in
-    // any partitioning/merge order); the bound comparison carries a 1e-6
-    // slack so e9 rounding can only ADD prefix terms, never drop a term
-    // whose true tail mass still reaches τ — keeps the pruning lossless.
+    // Prefix-filter term selection (AllPairs/PPJoin family) as a map-side
+    // pass over the query vector: in (weight desc, term asc-UTF8) order a
+    // term i stays in the prefix iff the NORMALIZED tail starting at i,
+    // (Σ_{j≥i} qw)/‖q‖, could still reach τ — a doc sharing only later
+    // terms can never hit minScore. The tail is monotone decreasing, so
+    // the per-term filter is a take-while; computing it inside a UDF over
+    // the already-aggregated qvec replaces the former qid-window pass
+    // (join + shuffle + sort) with zero extra exchanges. The tail is a
+    // BIGINT sum of qw_e9 = (qw·1e9 + 0.5)::long (deterministic in any
+    // partitioning/merge order, identical algebra to the SfOracles
+    // mirror); the bound carries a 1e-6 slack so e9 rounding can only ADD
+    // prefix terms, never drop a term whose true tail mass still reaches
+    // τ — the pruning stays lossless. At τ ≤ 0 every term is kept by
+    // construction, so the UDF is skipped (df-cap-only pruning).
     val prefixTerms =
-      if (minScore <= 0.0) lWeights.select($"qid", $"term")
+      if (minScore <= 0.0) lAgg.select($"qid", explode(map_keys($"qvec")).as("term"))
       else {
-        val wq = Window.partitionBy($"qid").orderBy($"qw_e9".desc, $"term".asc)
-        lWeights
-          .join(lNorms, "qid")
-          .filter($"qnorm" > 0.0)
-          .withColumn("head_e9",
-            coalesce(sum($"qw_e9").over(wq.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .withColumn("total_e9", sum($"qw_e9").over(Window.partitionBy($"qid")))
-          .filter(($"total_e9" - $"head_e9").cast("double") / lit(1e9) / $"qnorm" >=
-            lit(minScore - 1e-6))
-          .select($"qid", $"term")
+        val bound = minScore - 1e-6
+        val prefixUdf = udf { (vec: Map[String, Double], qnorm: Double) =>
+          val ordered = vec.toArray
+            .map { case (t, qw) => (t, (qw * 1e9 + 0.5).toLong) }
+            .sorted(Ordering.by[(String, Long), Long](-_._2).orElse(utf8TermOrdering))
+          var tail = 0L
+          ordered.foreach(tail += _._2)
+          val out = Array.newBuilder[String]
+          var i = 0
+          var go = true
+          while (go && i < ordered.length) {
+            if (tail.toDouble / 1e9 / qnorm >= bound) {
+              out += ordered(i)._1; tail -= ordered(i)._2; i += 1
+            } else go = false
+          }
+          out.result()
+        }
+        lAgg.filter($"qnorm" > 0.0)
+          .select($"qid", explode(prefixUdf($"qvec", $"qnorm")).as("term"))
       }
 
+    // Candidate dedup as a qid-keyed collect_set (map-side combining)
+    // instead of a (qid,rid) dropDuplicates: the aggregate lands on the
+    // same hash partitioning as the cached lAgg, so the scoring join
+    // below is exchange-free on the big side.
     val candidates = prefixTerms
       .join(postings, "term") // df-capped: common prefix terms match nothing
-      .select($"qid", $"rid")
-      .dropDuplicates("qid", "rid")
+      .groupBy($"qid").agg(collect_set($"rid").as("rids"))
 
     // Exact scoring via per-side sparse vector maps joined onto the DEDUPED
-    // candidate pairs. Scoring from the postings (candidates ⋈ lWeights ⋈
+    // candidate pairs. Scoring from the postings (candidates ⋈ weights ⋈
     // rWeights + partial-agg dot) looks Spark-ier but multiplies every
     // candidate row by its query-term count and shuffles that expansion
     // twice — measured 1022 s vs 72 s for this shape at 100k×100k
     // (SCALE.md). One map per side per pair keeps the scoring cost
     // proportional to |candidates|.
     val rVecs = rWeights.groupBy($"rid")
-      .agg(map_from_arrays(collect_list($"term"), collect_list($"dw")).as("dvec"))
-      .join(rNorms, "rid")
-    val lVecs = lWeights.groupBy($"qid")
-      .agg(map_from_arrays(collect_list($"term"), collect_list($"qw")).as("qvec"))
-      .join(lNorms, "qid")
+      .agg(map_from_arrays(collect_list($"term"), collect_list($"dw")).as("dvec"),
+        sum(($"dw" * $"dw" * lit(1e9) + lit(0.5)).cast("long")).as("dn2_e9"))
+      .select($"rid", $"dvec", sqrt($"dn2_e9".cast("double") / lit(1e9)).as("doc_norm"))
     val sparseDot = udf { (a: Map[String, Double], b: Map[String, Double]) =>
       val (small, big) = if (a.size <= b.size) (a, b) else (b, a)
       // deterministic order: accumulate in sorted-key order
@@ -368,7 +392,8 @@ object SimilarityJoin {
       }
     }
     val scored = candidates
-      .join(lVecs, "qid")
+      .join(lAgg, "qid") // zip join: both sides already qid-partitioned
+      .select($"qid", $"qvec", $"qnorm", explode($"rids").as("rid"))
       .join(rVecs, "rid")
       .withColumn("score",
         when($"doc_norm" > 0.0 && $"qnorm" > 0.0,
