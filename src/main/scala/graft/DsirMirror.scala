@@ -35,15 +35,16 @@ object DsirMirror {
   }
 
   /** Unigram + bigram feature stream (bigrams joined by single spaces,
-    * the `graft_ngrams(ts, 2)` contract). */
-  private def gramsOf(text: String): Array[String] = {
+    * the `graft_ngrams(ts, 2)` contract). Shared with the q144 hashed
+    * quality-classifier mirror (same feature space by design). */
+  private[graft] def gramsOf(text: String): Array[String] = {
     val ts = tokensOf(text)
     if (ts.length < 2) ts
     else ts ++ (0 until ts.length - 1).map(i => ts(i) + " " + ts(i + 1))
   }
 
   /** `pmod(xxhash64(gram), buckets)`. */
-  private def bucketOf(gram: String, buckets: Long): Long = {
+  private[graft] def bucketOf(gram: String, buckets: Long): Long = {
     val h = SfOracles.xxh64(gram)
     ((h % buckets) + buckets) % buckets
   }

@@ -106,4 +106,79 @@ object QualityMirror {
       (id, s, s >= tauE6)
     }
   }
+
+  // ------------------------------------------------------------------
+  // q144: hashed-n-gram (fastText-style) variant
+  // ------------------------------------------------------------------
+
+  /** Per-doc hashed-gram features for one text: (nGrams, sparse
+    * ascending-(bucket, count) pairs) — the
+    * [[operators.QualityClassifier.hashedGrams]] /
+    * `pmod(xxhash64(gram), D)` contract, re-derived through the local
+    * expression evaluators (null text ⇒ empty, the `coalesce` in the
+    * operator). */
+  private[graft] def hashedFeaturesOf(text: String, buckets: Int)
+      : (Long, Array[(Int, Long)]) = {
+    val grams = DsirMirror.gramsOf(if (text == null) "" else text)
+    val m = scala.collection.mutable.HashMap.empty[Int, Long]
+    grams.foreach { g =>
+      val b = DsirMirror.bucketOf(g, buckets.toLong).toInt
+      m.update(b, m.getOrElse(b, 0L) + 1L)
+    }
+    (grams.length.toLong, m.toArray.sortBy(_._1))
+  }
+
+  private def sampleClassHashed(rows: Seq[(Long, String)], sampleCap: Int,
+      buckets: Int): Seq[(Long, Array[(Int, Long)])] = {
+    val n = rows.size
+    val kept =
+      if (n <= sampleCap) rows
+      else rows.filter { case (id, _) => MirrorHash.inHashSample(id, sampleCap.toDouble / n) }
+    kept.sortBy(_._1).map { case (_, t) => hashedFeaturesOf(t, buckets) }
+  }
+
+  /** The [[operators.QualityClassifier.trainHashed]] contract: local
+    * sampling membership + sparse features, then the SHARED
+    * `trainSparse` driver loop (training runs driver-side in the
+    * distributed path too — the BPE `learnMerges` precedent; the loop's
+    * own determinism is pinned by QualityClassifierSpec's hand-planted
+    * vectors). */
+  private[graft] def trainHashed(pos: Seq[(Long, String)],
+      neg: Seq[(Long, String)], buckets: Int = 4096, sampleCap: Int = 2000,
+      iterations: Int = 200, learningRate: Double = 0.5): Array[Double] =
+    operators.QualityClassifier.trainSparse(
+      sampleClassHashed(pos, sampleCap, buckets).map { case (n, x) => (x, n, 1.0) } ++
+        sampleClassHashed(neg, sampleCap, buckets).map { case (n, x) => (x, n, 0.0) },
+      buckets, iterations, learningRate)
+
+  /** Fixed-order scoring replay: z = w0 + (Σ_g w[bucket(g)])/n folded
+    * left-to-right in the document's own gram order — the Column
+    * `aggregate` fold — then sigmoid and `(·1e6 + 0.5)::long`. */
+  private[graft] def scoreHashedOf(w: Array[Double], text: String,
+      buckets: Int): (Long, Long) = {
+    val grams = DsirMirror.gramsOf(if (text == null) "" else text)
+    var s = 0.0
+    grams.foreach(g => s += w(DsirMirror.bucketOf(g, buckets.toLong).toInt + 1))
+    val z = w(0) + (if (grams.length > 0) s / grams.length.toDouble else 0.0)
+    val sigmoid = 1.0 / (1.0 + StrictMath.exp(-z))
+    (grams.length.toLong, (sigmoid * 1e6 + 0.5).toLong)
+  }
+
+  /** q144 contract: pos seed = source "src0", neg seed = source "src1",
+    * hashed-bigram LR at D=4096, score the whole corpus at τ = 0.5.
+    * Input: (doc_id, text, source); output (doc_id, n_grams, score_e6,
+    * keep). */
+  def recomputeHashed(docs: Seq[(Long, String, String)],
+      buckets: Int = 4096, tau: Double = 0.5)
+      : Seq[(Long, Long, Long, Boolean)] = {
+    val w = trainHashed(
+      docs.collect { case (id, t, "src0") => (id, t) },
+      docs.collect { case (id, t, "src1") => (id, t) },
+      buckets = buckets)
+    val tauE6 = (tau * 1e6).toLong
+    docs.sortBy(_._1).map { case (id, t, _) =>
+      val (n, s) = scoreHashedOf(w, t, buckets)
+      (id, n, s, s >= tauE6)
+    }
+  }
 }

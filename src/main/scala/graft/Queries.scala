@@ -2639,6 +2639,25 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** q144: hashed-n-gram (fastText-style) quality classifier — the same
+    * seed-trained discriminative stage as q140 but over D=4096 hashed
+    * unigram+bigram buckets (the DSIR feature space), the feature set
+    * the GPT-3/LLaMA filtering recipe actually deploys. Training is a
+    * bounded sparse collect + driver GD; scoring is ONE shuffle-free
+    * map pass with the bucket weights as a plan literal (see
+    * [[graft.operators.QualityClassifier.scoreHashed]]). Deterministic
+    * end to end, oracled via [[QualityMirror.recomputeHashed]]. */
+  def hashedQualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    graft.operators.QualityClassifier.trainAndScoreHashed(
+        raw = docs,
+        pos = docs.filter($"source" === "src0"),
+        neg = docs.filter($"source" === "src1"),
+        idCol = "doc_id", textCol = "text", tau = 0.5)
+      .orderBy($"doc_id")
+  }
+
   /** q141: Bloom-filter decontamination — flag train docs containing any
     * test-split 3-gram via a `bloom_filter_agg` bitset probed map-side
     * (zero shuffles, zero joins; see

@@ -63,7 +63,8 @@ object SfOracles {
       qualityRows: Seq[(Long, Long, Boolean)],     // q140
       bloomRows: Seq[(Long, Long, Long, Boolean)], // q141
       lcRows: Seq[(String, Long, Long)],           // q143
-      bpeRows: Seq[(Long, Long, Long, Long)])      // q142
+      bpeRows: Seq[(Long, Long, Long, Long)],      // q142
+      hashedQualityRows: Seq[(Long, Long, Long, Boolean)]) // q144
 
   @volatile private var prepared: Option[Prepared] = None
 
@@ -274,6 +275,8 @@ object SfOracles {
         dsirTop = DsirMirror.recompute(docs3),
         ivfTopK = IvfMirror.recompute(vecs),
         qualityRows = QualityMirror.recompute(docs4.map(d => (d._1, d._2, d._4))),
+        hashedQualityRows =
+          QualityMirror.recomputeHashed(docs4.map(d => (d._1, d._2, d._4))),
         bloomRows = BloomMirror.recompute(docs,
           confMaxItems = graft.operators.CorpusFilters.bloomConfMaxItems(spark),
           confMaxBits = graft.operators.CorpusFilters.bloomConfMaxBits(spark)),
@@ -350,6 +353,12 @@ object SfOracles {
     cte("qc", "doc_id, score_e6, keep", prepared.map(_.qualityRows),
       "0, 0, false") {
       p: (Long, Long, Boolean) => s"(${p._1}, ${p._2}, ${p._3})" }
+
+  private def hashedQualityCte: String =
+    cte("hq", "doc_id, n_grams, score_e6, keep",
+      prepared.map(_.hashedQualityRows), "0, 0, 0, false") {
+      p: (Long, Long, Long, Boolean) =>
+        s"(${p._1}, ${p._2}, ${p._3}, ${p._4})" }
 
   private def bloomCte: String =
     cte("bl", "doc_id, n_grams, n_flagged, contaminated",
@@ -458,6 +467,13 @@ object SfOracles {
       s"""WITH $qualityCte
          |SELECT d.doc_id, CAST(q.score_e6 AS BIGINT) AS score_e6, q.keep
          |FROM documents d JOIN qc q ON q.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // q144: the hashed-n-gram classifier's gram counts + e6 scores
+    "q144_hashed_quality_classifier" ->
+      s"""WITH $hashedQualityCte
+         |SELECT d.doc_id, CAST(q.n_grams AS BIGINT) AS n_grams,
+         |       CAST(q.score_e6 AS BIGINT) AS score_e6, q.keep
+         |FROM documents d JOIN hq q ON q.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     // q139: the DSIR Gumbel-top-k selection, joined back to the live
     // documents table so DuckDB verifies the selected ids exist

@@ -165,7 +165,8 @@ object SparkEntry {
     "q140_quality_classifier" -> (Queries.qualityClassifier _),
     "q141_bloom_decontamination" -> (Queries.bloomDecontamination _),
     "q142_bpe_packing" -> (Queries.bpePacking _),
-    "q143_linear_count" -> (Queries.linearCountDistinct _)
+    "q143_linear_count" -> (Queries.linearCountDistinct _),
+    "q144_hashed_quality_classifier" -> (Queries.hashedQualityClassifier _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same

@@ -138,4 +138,168 @@ object QualityClassifier {
       learningRate: Double = 0.5): DataFrame =
     score(raw, idCol, textCol,
       train(pos, neg, idCol, textCol, sampleCap, iterations, learningRate), tau)
+
+  // ------------------------------------------------------------------
+  // Hashed-n-gram variant — the feature set the papers actually deploy.
+  // ------------------------------------------------------------------
+  //
+  // The 5 hand features above capture surface statistics; the
+  // GPT-3/LLaMA/fastText-style classifier is a LINEAR MODEL OVER HASHED
+  // N-GRAMS (Joulin et al. 2016, fastText; Brown et al. 2020 §A): each
+  // document is a bag of unigrams+bigrams hashed into D buckets, the
+  // feature vector is the normalized bucket-count vector x_b = c_b/n,
+  // and a logistic regression separates the classes on VOCABULARY, not
+  // just shape. Feature definition is deliberately identical to
+  // [[Dsir]]'s hashed-gram generative model (`pmod(xxhash64(gram), D)`
+  // over `graft_tokens` unigrams + space-joined bigrams) — one shared
+  // feature space across the discriminative and generative selectors.
+  //
+  // Scale/determinism shape (unchanged from the 5-feature variant):
+  //  - TRAINING collects a bounded SPARSE sample: per sampled doc at
+  //    most min(buckets, #grams) (bucket, count) rows — the collect is
+  //    capped by sampleCap·buckets regardless of corpus size — then
+  //    runs the same fixed-iteration full-batch GD driver-side
+  //    ([[trainSparse]], shared verbatim with the oracle mirror — the
+  //    BPE `learnMerges` precedent: training is driver work even on a
+  //    cluster, so sharing pins determinism, not circularity).
+  //  - SCORING stays ONE shuffle-free map pass: the D bucket weights
+  //    ride the plan as an array literal (~32 KB at D=4096 — far under
+  //    the 1 MB Bloom-bitset precedent) and each document folds
+  //    z = w0 + (Σ_g w[bucket(g)])/n left-to-right over its staged gram
+  //    array with a higher-order `aggregate` — no join, no exchange,
+  //    no UDF. The float fold order is the document's own gram order,
+  //    so the sum is per-row deterministic under any partitioning.
+
+  /** Unigrams + space-joined bigrams of the staged token array `ts` —
+    * the [[Dsir]] feature contract. */
+  def hashedGrams(ts: Column): Column =
+    concat(ts, CorpusFilters.wordNGrams(ts, 2))
+
+  /** One training row: (id, nGrams, sparse (bucket, count) pairs). */
+  private type SparseRow = (Long, Long, Array[(Int, Long)])
+
+  /** Deterministic bounded SPARSE sample of one seed class: md5-hash
+    * membership above `sampleCap` (the [[Sampling.hashSample]]
+    * contract), per-doc bucket counts aggregated BEFORE the collect so
+    * the driver never sees more than ≈ sampleCap·buckets rows. */
+  private def sampleSparse(df: DataFrame, idCol: String, textCol: String,
+      sampleCap: Int, buckets: Int): Array[SparseRow] = {
+    val n = df.count()
+    val dSample =
+      if (n <= sampleCap) df
+      else Sampling.hashSample(df, idCol, sampleCap.toDouble / n)
+    val ts = CorpusFilters.words(coalesce(col(textCol), lit("")))
+    val staged = dSample
+      .select(col(idCol).cast("long").as("id"), ts.as("ts"))
+      .select(col("id"), hashedGrams(col("ts")).as("grams"))
+      .select(col("id"), size(col("grams")).as("n"),
+        explode_outer(col("grams")).as("gram"))
+      .select(col("id"), col("n"),
+        when(col("gram").isNotNull,
+          pmod(xxhash64(col("gram")), lit(buckets.toLong)).cast("int")).as("bucket"))
+      .groupBy(col("id"), col("n"), col("bucket"))
+      .agg(count(col("bucket")).as("c"))
+      .collect()
+    staged
+      .groupBy(r => (r.getLong(0), r.getInt(1).toLong))
+      .map { case ((id, nG), rows) =>
+        val sparse = rows
+          .collect { case r if !r.isNullAt(2) => (r.getInt(2), r.getLong(3)) }
+          .sortBy(_._1)
+        (id, nG, sparse)
+      }
+      .toArray.sortBy(_._1)
+  }
+
+  /** Fixed-iteration full-batch logistic GD over sparse normalized
+    * bucket counts; bias at index 0, bucket b's weight at b+1. Shared
+    * verbatim with [[graft.QualityMirror]] — both sides run this exact
+    * driver-side loop, with determinism pinned by the spec's planted
+    * vectors. */
+  private[graft] def trainSparse(
+      rows: Seq[(Array[(Int, Long)], Long, Double)], // (sparse, nGrams, label)
+      buckets: Int, iterations: Int, learningRate: Double): Array[Double] = {
+    val w = new Array[Double](buckets + 1)
+    val invN = 1.0 / rows.length
+    var iter = 0
+    while (iter < iterations) {
+      val g = new Array[Double](buckets + 1)
+      rows.foreach { case (x, nG, y) =>
+        val inv = if (nG > 0L) 1.0 / nG.toDouble else 0.0
+        var z = w(0)
+        var k = 0
+        while (k < x.length) {
+          z += w(x(k)._1 + 1) * (x(k)._2.toDouble * inv); k += 1
+        }
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val err = p - y
+        g(0) += err
+        k = 0
+        while (k < x.length) {
+          g(x(k)._1 + 1) += err * (x(k)._2.toDouble * inv); k += 1
+        }
+      }
+      var k = 0
+      while (k <= buckets) { w(k) -= learningRate * invN * g(k); k += 1 }
+      iter += 1
+    }
+    w
+  }
+
+  /** Train the hashed-n-gram logistic regression on two seed classes.
+    * Returns buckets+1 weights (bias first). Fully deterministic:
+    * bounded sparse samples, positive-then-negative ascending-id fold,
+    * zero init, fixed lr/iterations. */
+  def trainHashed(pos: DataFrame, neg: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096, sampleCap: Int = 2000,
+      iterations: Int = 200, learningRate: Double = 0.5): Array[Double] = {
+    require(buckets >= 2 && sampleCap >= 1 && iterations >= 1 && learningRate > 0.0,
+      "buckets must be >= 2, sampleCap/iterations >= 1 and learningRate > 0")
+    val posRows = sampleSparse(pos, idCol, textCol, sampleCap, buckets)
+    val negRows = sampleSparse(neg, idCol, textCol, sampleCap, buckets)
+    require(posRows.nonEmpty && negRows.nonEmpty,
+      s"both seed classes must be non-empty (pos=${posRows.length}, neg=${negRows.length})")
+    trainSparse(
+      posRows.map(r => (r._3, r._2, 1.0)).toSeq ++
+        negRows.map(r => (r._3, r._2, 0.0)).toSeq,
+      buckets, iterations, learningRate)
+  }
+
+  /** Score every row map-side with a trained hashed-gram weight vector:
+    * z = w0 + (Σ_g w[bucket(g)])/n folded left-to-right over the staged
+    * gram array, `score_e6 = (sigmoid(z)·1e6 + 0.5)::long`, `keep` an
+    * integer compare. No join, no shuffle, no UDF — the D weights are a
+    * plan literal. Output: (idCol, n_grams, score_e6, keep). */
+  def scoreHashed(df: DataFrame, idCol: String, textCol: String,
+      weights: Array[Double], buckets: Int = 4096,
+      tau: Double = 0.5): DataFrame = {
+    require(weights.length == buckets + 1,
+      s"need ${buckets + 1} weights (bias first), got ${weights.length}")
+    val wArr = typedLit(weights.drop(1).toSeq)
+    val ts = CorpusFilters.words(coalesce(col(textCol), lit("")))
+    val staged = df
+      .select(col(idCol), ts.as("__ts"))
+      .select(col(idCol), hashedGrams(col("__ts")).as("__grams"))
+    val n = size(col("__grams"))
+    val s = aggregate(col("__grams"), lit(0.0), (acc, g) =>
+      acc + element_at(wArr,
+        (pmod(xxhash64(g), lit(buckets.toLong)) + lit(1L)).cast("int")))
+    val z = lit(weights(0)) +
+      when(n > 0, s / n.cast("double")).otherwise(lit(0.0))
+    val sigmoid = lit(1.0) / (lit(1.0) + exp(-z))
+    staged
+      .select(col(idCol), n.cast("long").as("n_grams"),
+        (sigmoid * lit(1e6) + lit(0.5)).cast("long").as("score_e6"))
+      .withColumn("keep", col("score_e6") >= lit((tau * 1e6).toLong))
+  }
+
+  /** Train the hashed model on the seeds, score the whole corpus. */
+  def trainAndScoreHashed(raw: DataFrame, pos: DataFrame, neg: DataFrame,
+      idCol: String, textCol: String, tau: Double = 0.5,
+      buckets: Int = 4096, sampleCap: Int = 2000, iterations: Int = 200,
+      learningRate: Double = 0.5): DataFrame =
+    scoreHashed(raw, idCol, textCol,
+      trainHashed(pos, neg, idCol, textCol, buckets, sampleCap,
+        iterations, learningRate),
+      buckets, tau)
 }

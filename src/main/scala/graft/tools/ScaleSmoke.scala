@@ -35,8 +35,9 @@ object ScaleSmoke {
     val onlyDsir = sys.env.contains("SCALE_ONLY_DSIR")
     val onlyComponents = sys.env.contains("SCALE_ONLY_COMPONENTS")
     val onlyBpe = sys.env.contains("SCALE_ONLY_BPE")
+    val onlyHqc = sys.env.contains("SCALE_ONLY_HQC")
     val skipGeneral =
-      onlyNewOps || onlyPipeline || onlyDsir || onlyComponents || onlyBpe
+      onlyNewOps || onlyPipeline || onlyDsir || onlyComponents || onlyBpe || onlyHqc
 
     def time[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -313,6 +314,22 @@ object ScaleSmoke {
       val kept = out.filter($"keep").count()
       println(s"  kept: $kept of $nDocs (expect ~${nDocs / 2})")
     }
+    if (onlyHqc || onlyDsir ||
+        !skipGeneral && !sys.env.contains("SCALE_ONLY_SIMJOIN"))
+    time(s"hashed quality classifier (D=4096 hashed bigrams, score $nDocs docs)") {
+      // q144's shape: the same bounded-seed/driver-GD cost split as the
+      // 5-feature classifier, but the scoring pass folds each doc's gram
+      // stream against a 4096-weight plan literal — still one shuffle-free
+      // map pass. Classes differ by an appended VOCABULARY marker (no
+      // shape difference), which only the hashed model can separate.
+      val odd = docs.filter(pmod($"id", lit(2L)) === 1)
+        .withColumn("text", concat($"text", lit(" zorblat quixen vantor murle")))
+      val even = docs.filter(pmod($"id", lit(2L)) === 0)
+      val out = graft.operators.QualityClassifier.trainAndScoreHashed(
+        even.union(odd), even, odd, "id", "text")
+      val kept = out.filter($"keep").count()
+      println(s"  kept: $kept of $nDocs (expect ~${nDocs / 2})")
+    }
     if (onlyDsir || !skipGeneral && !sys.env.contains("SCALE_ONLY_SIMJOIN"))
     time(s"bloom decontamination ($nDocs docs: 90% train probed map-side vs 5% test bloom)") {
       // the shuffle-free alternative to the contamination equi-join: the
@@ -325,7 +342,7 @@ object ScaleSmoke {
         "id", "text", n = 3)
       println(s"  flagged: ${out.filter($"contaminated").count()} of ${out.count()} train docs")
     }
-    if (!sys.env.contains("SCALE_SKIP_PIPELINE") && !onlyNewOps && !onlyDsir)
+    if (!sys.env.contains("SCALE_SKIP_PIPELINE") && !onlyNewOps && !onlyDsir && !onlyHqc)
     time(s"corpus pipeline e2e ($nDocs docs: gopher metrics -> chunk dedup -> split -> pack)") {
       // the composed training-data path, end to end at 1M docs: rule
       // metrics gate, cross-doc chunk dedup (rebuilt text), deterministic
@@ -347,7 +364,7 @@ object ScaleSmoke {
       val nPacks = packed.select($"shard", $"pack").distinct().count()
       println(s"  kept ${kept.count()} of $nDocs; train packs: $nPacks")
     }
-    if (!sys.env.contains("SCALE_SKIP_PIPELINE") && !onlyNewOps && !onlyDsir)
+    if (!sys.env.contains("SCALE_SKIP_PIPELINE") && !onlyNewOps && !onlyDsir && !onlyHqc)
     time(s"corpus pipeline e2e v2 ($nDocs docs: gopher -> substring dedup -> chunk dedup -> LM gate -> split -> pack)") {
       // The full modern training-data recipe in ONE lineage, with the
       // round-7 operators composed in: rule metrics gate, corpus-wide
@@ -391,7 +408,7 @@ object ScaleSmoke {
       val nPacks = packed.select($"shard", $"pack").distinct().count()
       println(s"  survived LM gate (p90 avg_nll_e4=$p90): ${gated.count()}; train packs: $nPacks")
     }
-    if (!sys.env.contains("SCALE_SKIP_PIPELINE") && !onlyNewOps && !onlyDsir)
+    if (!sys.env.contains("SCALE_SKIP_PIPELINE") && !onlyNewOps && !onlyDsir && !onlyHqc)
     time(s"corpus pipeline e2e v3 ($nDocs docs: soup-plant -> quality-classifier gate -> DSIR p50-cutoff select -> substring dedup -> split -> pack)") {
       // The round-9 selection operators composed into the recipe: 30% of
       // docs get digit/punct soup planted; the seed-trained classifier

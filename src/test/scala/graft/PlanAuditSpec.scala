@@ -106,6 +106,14 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!q140.contains("hashpartitioning"),
       s"q140 scoring must be shuffle-free (range exchange for output order only):\n$q140")
+    // q144: same contract for the hashed-n-gram variant — the D bucket
+    // weights ride the plan as an array literal and the gram fold is a
+    // higher-order aggregate over the staged token array: no join, no
+    // hashpartitioning exchange, no ScalaUDF in the scoring pass.
+    val q144 = SparkEntry.queries("q144_hashed_quality_classifier")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!q144.contains("hashpartitioning"),
+      s"q144 scoring must be shuffle-free (range exchange for output order only):\n$q144")
     // q141: the Bloom probe is ONE map-side projection over the train
     // scan — no shuffle, no join of any kind (the filter rides the plan
     // as a literal); only the output ordering's range exchange remains.

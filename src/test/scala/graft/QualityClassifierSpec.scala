@@ -92,4 +92,123 @@ class QualityClassifierSpec extends AnyFunSuite {
       QualityClassifier.train(posDf, negDf, "doc_id", "text", sampleCap = 0)
     }
   }
+
+  // ---------------------------------------------------------------
+  // q144: hashed-n-gram variant
+  // ---------------------------------------------------------------
+
+  // same surface SHAPE (word lengths, no punctuation/digits), disjoint
+  // VOCABULARY — the 5 hand features cannot separate these, hashed
+  // n-grams must
+  private val vocabPosText =
+    "gentle meadow rivers carry quiet morning light across green valley fields " * 3
+  private val vocabNegText =
+    "broken jagged cinder blocks litter empty parking garage concrete floors " * 3
+  private def vocabPos =
+    (0 until 30).map(i => (100L + i, vocabPosText)).toDF("doc_id", "text")
+  private def vocabNeg =
+    (200 until 230).map(i => (i.toLong, vocabNegText)).toDF("doc_id", "text")
+
+  test("hashed classifier separates planted disjoint-vocabulary classes") {
+    val raw = vocabPos.union(vocabNeg)
+    val out = QualityClassifier.trainAndScoreHashed(
+        raw, vocabPos, vocabNeg, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    val (posRows, negRows) = out.partition(_._1 < 200L)
+    assert(posRows.forall(_._3) && negRows.forall(r => !r._3),
+      "every pos-vocabulary doc kept, every neg-vocabulary doc dropped")
+    assert(posRows.map(_._2).min > negRows.map(_._2).max)
+    // capability gain over q140: the 5 shape features CANNOT separate
+    // these (both classes are clean prose) — the hand-feature model
+    // scores the two classes identically
+    val flat = QualityClassifier.trainAndScore(
+        raw, vocabPos, vocabNeg, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (fp, fn) = flat.partition(_._1 < 200L)
+    assert(fp.map(_._2).max - fn.map(_._2).min < 200000,
+      "planted classes must NOT be shape-separable (else the test is vacuous)")
+  }
+
+  test("hashed planted accuracy on the clean-vs-soup classes too") {
+    val raw = posDf.union(negDf)
+    val out = QualityClassifier.trainAndScoreHashed(raw, posDf, negDf, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    val (posRows, negRows) = out.partition(_._1 < 200L)
+    assert(posRows.forall(_._3) && negRows.forall(r => !r._3))
+  }
+
+  test("trainSparse determinism pinned by hand-planted vectors") {
+    // two docs, D = 8: doc A has bucket 1 twice + bucket 3 once (n=3),
+    // doc B has bucket 2 once (n=1). One GD iteration from zero init:
+    // p = 0.5 for every doc, err = p - y = ∓0.5,
+    // g_bias = (-0.5 + 0.5) = 0; g[1+1] = -0.5·(2/3); g[3+1] = -0.5·(1/3);
+    // g[2+1] = +0.5·1. With lr=0.5, invN=0.5: w = -0.25·g.
+    val rows = Seq(
+      (Array((1, 2L), (3, 1L)), 3L, 1.0),
+      (Array((2, 1L)), 1L, 0.0))
+    val w = QualityClassifier.trainSparse(rows, buckets = 8,
+      iterations = 1, learningRate = 0.5)
+    assert(w(0) == 0.0)
+    assert(w(2) == -0.25 * (-0.5 * (2.0 / 3.0)))
+    assert(w(4) == -0.25 * (-0.5 * (1.0 / 3.0)))
+    assert(w(3) == -0.25 * (0.5 * 1.0))
+    assert((1 to 8).forall(k => k == 2 || k == 3 || k == 4 || w(k) == 0.0))
+  }
+
+  test("hashed output is invariant to input partitioning") {
+    val raw = vocabPos.union(vocabNeg)
+    val base = QualityClassifier.trainAndScoreHashed(raw, vocabPos, vocabNeg,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val repart = QualityClassifier.trainAndScoreHashed(
+        raw.repartition(11), vocabPos.repartition(5), vocabNeg.repartition(3),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(base == repart)
+  }
+
+  test("distributed q144 reproduces the straight-line mirror at sf0.001") {
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toIndexedSeq
+    val want = QualityMirror.recomputeHashed(docs)
+    assert(want.nonEmpty)
+    val got = Queries.hashedQualityClassifier(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == want)
+  }
+
+  test("hashed sampling + training stay mirror-identical above the cap") {
+    val bigPosSeq = (0 until 3000).map(i => (i.toLong, vocabPosText))
+    val negSeq = (200 until 230).map(i => (i.toLong, vocabNegText))
+    val bigPos = bigPosSeq.toDF("doc_id", "text")
+    val w1 = QualityClassifier.trainHashed(bigPos, vocabNeg, "doc_id", "text")
+    val w2 = QualityClassifier.trainHashed(
+      bigPos.repartition(7), vocabNeg, "doc_id", "text")
+    assert(w1.sameElements(w2))
+    val wm = QualityMirror.trainHashed(bigPosSeq, negSeq)
+    assert(w1.sameElements(wm),
+      "distributed trainHashed and mirror must produce identical weights above sampleCap")
+  }
+
+  test("hashed argument validation + null/empty text scoring") {
+    intercept[IllegalArgumentException] {
+      QualityClassifier.scoreHashed(posDf, "doc_id", "text",
+        Array(0.0, 1.0), buckets = 4096)
+    }
+    intercept[IllegalArgumentException] {
+      QualityClassifier.trainHashed(posDf, negDf, "doc_id", "text", buckets = 1)
+    }
+    // null/empty docs score at sigmoid(bias) with n_grams = 0
+    val w = QualityClassifier.trainHashed(vocabPos, vocabNeg, "doc_id", "text")
+    val edge = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = QualityClassifier.scoreHashed(edge, "doc_id", "text", w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val biasScore = (1.0 / (1.0 + StrictMath.exp(-w(0))) * 1e6 + 0.5).toLong
+    assert(out.forall { case (_, n, s) => n == 0L && s == biasScore })
+  }
 }
