@@ -214,15 +214,26 @@ object SimilarityJoin {
       .groupBy($"qid", $"len", $"term").agg(count(lit(1)).as("cnt"))
     val lWeights = lTerms.join(idf, "term")
       .withColumn("qw", ($"cnt".cast("double") / $"len") * $"idf")
+      .cache() // consumed by the norm aggregation AND the candidate join
     val lNorms = lWeights.groupBy($"qid")
       .agg(sum(($"qw" * $"qw" * lit(1e9) + lit(0.5)).cast("long")).as("qn2_e9"))
       .select($"qid", sqrt($"qn2_e9".cast("double") / lit(1e9)).as("qnorm"))
-    val queriesW = lWeights.join(lNorms, "qid").select($"term", $"qid", $"qw", $"qnorm")
 
-    val scored = queriesW.join(postings, "term")
+    // qnorm attaches at the CANDIDATE level, not the term level: joining
+    // lNorms onto every (qid, term) row before the postings join shuffles
+    // the whole term frame by qid just to carry one double along, and the
+    // subsequent (qid, rid) aggregate + qid window then need two more
+    // exchanges (hashpartitioning(qid, rid) does not satisfy the window's
+    // qid clustering). Deferring the join means the dot aggregation runs
+    // straight off the postings join, the candidates-by-qid join is the
+    // only qid exchange, and the top-k window rides that partitioning
+    // with no further shuffle. Score algebra is unchanged (e9 BIGINT dot,
+    // same norms, same zero-norm guard).
+    val scored = lWeights.select($"term", $"qid", $"qw").join(postings, "term")
       .groupBy($"qid", $"rid")
-      .agg(first($"qnorm").as("qnorm"), first($"doc_norm").as("doc_norm"),
+      .agg(first($"doc_norm").as("doc_norm"),
         sum(($"qw" * $"dw" * lit(1e9) + lit(0.5)).cast("long")).as("dot_e9"))
+      .join(lNorms, "qid")
       .withColumn("score",
         when($"doc_norm" > 0.0 && $"qnorm" > 0.0,
           ($"dot_e9".cast("double") / lit(1e9)) / ($"doc_norm" * $"qnorm"))

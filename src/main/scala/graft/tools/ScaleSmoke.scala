@@ -112,6 +112,66 @@ object ScaleSmoke {
 
     if (onlyBpe) { bpeSmoke(docs); spark.stop(); return }
 
+    // SCALE_ONLY_THIRD — the third decade (run with nDocs = 100000000,
+    // SPARK_DRIVER_MEM=100g): the two headline dedup operators at 100M
+    // docs, then the Bloom decontamination CAP regime with PLANTED
+    // ground truth — the conf clamp (4M items / 2^26 bits) is a
+    // documented warning elsewhere; here the clamp-degraded FP rate is a
+    // MEASURED number, at both a mild overrun (~7M-gram test split) and
+    // full saturation (~70M grams).
+    if (sys.env.contains("SCALE_ONLY_THIRD")) {
+      // One case per JVM (SCALE_THIRD_CASE=minhash|substr|bloom): at 100M
+      // docs each operator's shuffle footprint alone approaches the local
+      // disk; running them in one process retains every stage's shuffle
+      // files until the job ends (AQE reuse) and fills the disk — the
+      // first combined attempt died on minhash with ~194 GB of temp.
+      val thirdCase = sys.env.getOrElse("SCALE_THIRD_CASE", "all")
+      if (thirdCase == "all" || thirdCase == "minhash")
+      time(s"minhash dedup candidates ($nDocs docs)") {
+        val pairs = Dedup.minhashCandidatePairs(docs, "id", "text", threshold = 0.9)
+        println(s"  candidate dup pairs: ${pairs.count()}")
+      }
+      if (thirdCase == "all" || thirdCase == "substr")
+      time(s"substring dedup ($nDocs docs, k=8)") {
+        val out = graft.operators.SubstringDedup.dedupSpans(docs, "id", "text", k = 8)
+        println(s"  docs losing tokens: ${out.filter($"dup_tokens" > 0).count()}")
+      }
+      if (thirdCase != "all" && thirdCase != "bloom") { spark.stop(); return }
+      // Disjoint vocabularies ("t" test tokens vs "w" train tokens) make
+      // the contamination truth exact by construction: every 100th train
+      // doc appends the VERBATIM first 3-gram of test doc (id div 100)
+      // mod nTest — so flagged = planted + false positives, and the FP
+      // count is flagged − nDocs/100, not an estimate.
+      def bloomCap(fracDen: Long): Unit = {
+        val nTest = nDocs.toLong / fracDen
+        def ttok(k: org.apache.spark.sql.Column, i: Int) =
+          concat(lit("t"), pmod(xxhash64(k, lit(i)), lit(2000000L)))
+        def wtok(i: Int) =
+          concat(lit("w"), pmod(xxhash64($"id", lit(1000 + i)), lit(2000000L)))
+        val test = spark.range(nTest).select($"id",
+          concat_ws(" ", (0 until 16).map(i => ttok($"id", i)): _*).as("text"))
+        val leakSrc = pmod(expr("id div 100"), lit(nTest))
+        val train = spark.range(nDocs.toLong).select($"id",
+          when(pmod($"id", lit(100L)) === 0,
+            concat_ws(" ",
+              (0 until 16).map(i => wtok(i)) ++ (0 until 3).map(i => ttok(leakSrc, i)): _*))
+            .otherwise(concat_ws(" ", (0 until 16).map(i => wtok(i)): _*))
+            .as("text"))
+        val planted = nDocs.toLong / 100L
+        time(s"bloom decontamination CAP regime ($nDocs train docs vs $nTest test docs, ~${nTest * 14L} grams vs 4M-item/2^26-bit clamp)") {
+          val out = graft.operators.CorpusFilters.bloomDecontaminate(
+            train, test, "id", "text", n = 3)
+          val flagged = out.filter($"contaminated").count()
+          val fp = flagged - planted
+          println(f"  flagged: $flagged of $nDocs (planted leaks: $planted, " +
+            f"false positives: $fp = ${fp.toDouble / (nDocs - planted) * 100}%.2f%% of clean docs)")
+        }
+      }
+      bloomCap(200L) // ~0.5% test split: ~7M grams, mild clamp overrun
+      bloomCap(20L)  // 5% test split: ~70M grams, full register saturation
+      spark.stop(); return
+    }
+
     if (!sys.env.contains("SCALE_ONLY_SIMJOIN") && !skipGeneral) {
     time(s"minhash dedup candidates ($nDocs docs)") {
       val pairs = Dedup.minhashCandidatePairs(docs, "id", "text", threshold = 0.9)
