@@ -2658,6 +2658,32 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** q145: token-budget corpus selection — rank every document by an
+    * integer quality score (distinct-token ratio in e6 fixed point, a
+    * DuckDB-parity expression) and greedily select the (score desc,
+    * doc_id) prefix whose cumulative whitespace-token count fits a
+    * budget of half the corpus tokens. The selection runs through
+    * [[graft.operators.Budget.selectByBudget]]'s range-partitioned
+    * sharded-cumsum plan — never a global single-task order window —
+    * while the oracle states the same semantics as one SQL window. */
+  def tokenBudgetSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toksArr = split(trim($"text"), "\\s+")
+    val scored = Tables(spark, sfDir, "documents")
+      .select($"doc_id",
+        size(toksArr).cast("long").as("n_toks"),
+        size(array_distinct(toksArr)).cast("long").as("nd"))
+      .withColumn("score_e6", expr("(nd * 1000000) div n_toks"))
+      .select($"doc_id", $"score_e6", $"n_toks")
+    // half the corpus's tokens: a 1-row aggregate (bounded driver scalar,
+    // the numDocs pattern) so the budget scales with the SF under test
+    val budget = scored.agg(expr("sum(n_toks) div 2")).collect()(0).getLong(0)
+    graft.operators.Budget.selectByBudget(
+        scored, "doc_id", "score_e6", "n_toks", budget)
+      .select($"doc_id", $"score_e6", $"n_toks", $"cum_w".as("cum_toks"), $"selected")
+      .orderBy($"doc_id")
+  }
+
   /** q141: Bloom-filter decontamination — flag train docs containing any
     * test-split 3-gram via a `bloom_filter_agg` bitset probed map-side
     * (zero shuffles, zero joins; see

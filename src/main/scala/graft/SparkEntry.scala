@@ -166,7 +166,8 @@ object SparkEntry {
     "q141_bloom_decontamination" -> (Queries.bloomDecontamination _),
     "q142_bpe_packing" -> (Queries.bpePacking _),
     "q143_linear_count" -> (Queries.linearCountDistinct _),
-    "q144_hashed_quality_classifier" -> (Queries.hashedQualityClassifier _)
+    "q144_hashed_quality_classifier" -> (Queries.hashedQualityClassifier _),
+    "q145_token_budget_select" -> (Queries.tokenBudgetSelect _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -613,6 +614,26 @@ object SparkEntry {
         |SELECT shard, pack, COUNT(*) AS n_docs,
         |  CAST(SUM(n_toks) AS BIGINT) AS pack_tokens
         |FROM p GROUP BY shard, pack ORDER BY shard, pack""".stripMargin,
+    // Token-budget selection oracle: the operator's sharded-cumsum plan
+    // must equal ONE global-order SQL window (score desc, doc_id ties),
+    // with the budget itself derived in-query (half the corpus tokens).
+    "q145_token_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
+        |    (CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |       * 1000000) // CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS score_e6
+        |  FROM documents),
+        |b AS (SELECT CAST(SUM(n_toks) // 2 AS BIGINT) AS budget FROM t),
+        |c AS (SELECT doc_id, score_e6, n_toks,
+        |        SUM(n_toks) OVER (ORDER BY score_e6 DESC, doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum_toks
+        |      FROM t)
+        |SELECT c.doc_id, c.score_e6, c.n_toks,
+        |  CAST(c.cum_toks AS BIGINT) AS cum_toks,
+        |  c.cum_toks <= b.budget AS selected
+        |FROM c, b ORDER BY c.doc_id""".stripMargin,
     // End-to-end pipeline oracle: every stage (dedup keep-first, quality
     // blend, lang filter, md5 split, rollup) mirrored in SQL — verifies
     // the COMPOSITION, not just the operators.

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget corpus selection — "take the best documents, by score,
+  * until the token budget is spent": the greedy selection step the
+  * classifier-filtered pretraining recipes deploy (DCLM / FineWeb-Edu
+  * style: rank by quality-classifier score, keep the prefix whose
+  * cumulative token count fits the training budget). The q140/q144
+  * classifiers and the DSIR weights produce the scores; THIS operator
+  * turns a score column + a token-count column + one budget scalar into
+  * a deterministic selected-set.
+  *
+  * Semantics: order rows by (score desc, id asc) — a total order, so
+  * ties are deterministic — and select every row whose running token
+  * total INCLUDING ITSELF is ≤ budget. The running total is monotone
+  * along the order, so the selection is a prefix; equivalently (and how
+  * the DuckDB oracle states it):
+  * `SUM(w) OVER (ORDER BY score DESC, id ROWS UNBOUNDED PRECEDING) <= budget`.
+  *
+  * Planned for 100 TB (the [[Quantiles.exactPositional]] pattern — a
+  * naive global-order window sorts the whole corpus on ONE task):
+  *  1. `repartitionByRange(score desc, id)` spreads the sort: each slice
+  *     holds a contiguous run of the global order. `Stage.cut` pins ONE
+  *     materialized slicing for both consumers (the round-9 lesson: the
+  *     per-slice totals and the local cumsums must see the SAME
+  *     nondeterministically-sampled range boundaries).
+  *  2. per-slice token totals — ≤ nSlices rows — come to the driver
+  *     (a bounded driver model, like the similarity joins' numDocs) and
+  *     prefix-sum into per-slice offsets, re-joined as a broadcast.
+  *  3. per-row running totals are LOCAL windows keyed by slice id;
+  *     global cumulative = offset + local. BIGINT end to end — exact and
+  *     order-proof in any partitioning.
+  */
+object Budget {
+
+  /** @param budget  inclusive cumulative-weight cap (tokens)
+    * @return (idCol, scoreCol, weightCol, cum_w, selected), one row per
+    *         input row; `selected` marks the in-budget prefix
+    */
+  def selectByBudget(df: DataFrame, idCol: String, scoreCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    val spark = df.sparkSession
+    val nSlices = spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .select(col(idCol), col(scoreCol), col(weightCol))
+      .repartitionByRange(nSlices, col(scoreCol).desc, col(idCol).asc)
+      .withColumn("pid", spark_partition_id())
+      .transform(Stage.cut)
+    // ≤ nSlices rows: the bounded driver fold (ascending pid) that turns
+    // per-slice totals into exclusive prefix offsets
+    val perSlice = parted.groupBy(col("pid"))
+      .agg(sum(col(weightCol)).as("wsum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = perSlice
+      .scanLeft((0, 0L, 0L)) { case ((_, _, acc), (pid, wsum)) =>
+        (pid, acc, acc + wsum)
+      }
+      .drop(1).map { case (pid, off, _) => (pid, off) }
+    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn("lcum", sum(col(weightCol)).over(wLocal))
+      .join(broadcast(offsetsDf), "pid")
+      .withColumn("cum_w", col("offset") + col("lcum"))
+      .withColumn("selected", col("cum_w") <= lit(budget))
+      .select(col(idCol), col(scoreCol), col(weightCol),
+        col("cum_w"), col("selected"))
+  }
+}

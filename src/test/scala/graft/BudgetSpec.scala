@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Budget
+
+/** Contract battery for token-budget selection (q145): hand-computed
+  * prefix semantics (greedy include-self ≤ budget, (score desc, id asc)
+  * tie order), budget edges, partitioning invariance, and agreement with
+  * the naive single-window formulation on a corpus large enough to span
+  * many range slices. */
+class BudgetSpec extends AnyFunSuite {
+  import SparkSuiteBase.spark
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, Long, Long)], budget: Long) =
+    Budget.selectByBudget(
+        rows.toDF("id", "score", "w"), "id", "score", "w", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._1).toSeq
+
+  test("hand-computed prefix: greedy include-self, crossing doc excluded") {
+    // order by (score desc, id): id 3 (s9,w4) -> id 1 (s7,w5) -> id 2 (s7,w5)
+    //   -> id 4 (s1,w2); cums 4, 9, 14, 16. budget 9: ids 3,1 selected —
+    // id 2 CROSSES (14 > 9) and id 4 would fit alone (4+5+2=11 > 9 too,
+    // but greedy-prefix means it is excluded regardless)
+    val got = run(Seq((1L, 7L, 5L), (2L, 7L, 5L), (3L, 9L, 4L), (4L, 1L, 2L)), 9L)
+    assert(got == Seq((1L, 9L, true), (2L, 14L, false), (3L, 4L, true), (4L, 16L, false)))
+  }
+
+  test("tie on score breaks by ascending id") {
+    val got = run(Seq((10L, 5L, 3L), (2L, 5L, 3L), (7L, 5L, 3L)), 6L)
+    // order: 2, 7, 10 — cums 3, 6, 9
+    assert(got == Seq((2L, 3L, true), (7L, 6L, true), (10L, 9L, false)))
+  }
+
+  test("budget edges: zero budget selects nothing, huge budget everything") {
+    val rows = Seq((1L, 3L, 2L), (2L, 2L, 2L))
+    assert(run(rows, 0L).forall(!_._3))
+    assert(run(rows, 1000L).forall(_._3))
+    intercept[IllegalArgumentException] {
+      Budget.selectByBudget(rows.toDF("id", "score", "w"), "id", "score", "w", -1L)
+    }
+  }
+
+  test("matches the naive global window across many range slices, any partitioning") {
+    // 10k rows over 32 shuffle partitions: score collides heavily (1000
+    // distinct values) so ties cross slice boundaries; weights vary
+    val df = spark.range(10000).select(
+      $"id",
+      pmod(xxhash64($"id"), lit(1000L)).as("score"),
+      (pmod(xxhash64($"id", lit(1)), lit(50L)) + 1L).as("w"))
+    val budget = 10000L * 25L / 2L
+    val got = Budget.selectByBudget(df, "id", "score", "w", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).sortBy(_._1).toSeq
+    val naive = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, s, _) => (-s, id) }
+      .scanLeft((0L, 0L, 0L, false)) { case ((_, _, acc, _), (id, s, w)) =>
+        (id, s, acc + w, acc + w <= budget)
+      }.drop(1).map { case (id, _, cum, sel) => (id, cum, sel) }
+      .sortBy(_._1).toSeq
+    assert(got == naive)
+    val repart = Budget.selectByBudget(df.repartition(7), "id", "score", "w", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).sortBy(_._1).toSeq
+    assert(repart == got)
+  }
+}

@@ -76,6 +76,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q68 must rank over the checkpointed slicing (pid column):\n$q68")
     assert(q68.contains("hashpartitioning(pid#"),
       s"q68 local ranks must be keyed by the slice id:\n$q68")
+    // q145: the token-budget cumsum must ride the SAME sharded machinery —
+    // local windows keyed by the checkpointed slice id, never one global
+    // empty-partition order window over the whole corpus.
+    val q145 = SparkEntry.queries("q145_token_budget_select")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q145.contains("Scan ExistingRDD") && q145.contains("pid#"),
+      s"q145 must cumsum over the checkpointed slicing (pid column):\n$q145")
+    assert(q145.contains("hashpartitioning(pid#"),
+      s"q145 local cumsums must be keyed by the slice id:\n$q145")
     // q133: the dup-gram detector must be the map-side-combining COUNT
     // aggregate (partial_count below the gram exchange) — a window or a
     // non-combining aggregate over the gram key would pin a viral
