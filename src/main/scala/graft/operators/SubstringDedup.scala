@@ -84,14 +84,35 @@ object SubstringDedup {
     // posexplode's 0-based index + 1 IS the 1-based token start.
     val grams = toks
       .select($"doc_id", posexplode(CorpusFilters.wordNGrams($"ts", k)))
-      .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"col".as("gram"))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"col".as("gram"),
+        xxhash64($"col").as("gh"))
 
-    val dupGrams = grams.groupBy($"gram")
+    // TWO-PASS dup detection (round 10): counting the GRAM STRINGS
+    // directly shuffles ~80 bytes per distinct gram per partition — on a
+    // mostly-unique corpus that is nearly the whole posting stream (the
+    // 100M-doc smoke filled 230 GB of local shuffle temp and died).
+    // Pass 1 counts 8-byte xxhash64 keys (map-side combinable, ~5-10×
+    // fewer exchange bytes) into a candidate set: collisions can only
+    // ADD counts, so candidates are a SUPERSET of the true ≥ minRepeat
+    // grams — no false negatives. Pass 2 recounts EXACTLY, on gram
+    // strings, restricted to candidate postings (true dups + the odd
+    // 2⁻⁶⁴ collision stray — a tiny fraction of the corpus), so the
+    // final span decisions are still made on real strings: bit-identical
+    // output to the single-pass formulation, q133's oracle untouched.
+    val candHashes = grams.groupBy($"gh")
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= minRepeat)
+      .select($"gh")
+    // cached: consumed by the exact recount AND the hits join; bounded
+    // by true dup postings (+ collision strays), not the corpus
+    val candPost = grams.join(candHashes, Seq("gh"))
+      .select($"doc_id", $"pos", $"gram").cache()
+    val dupGrams = candPost.groupBy($"gram")
       .agg(count(lit(1)).as("c"))
       .filter($"c" >= minRepeat)
       .select($"gram")
 
-    val hits = grams.join(dupGrams, Seq("gram")).select($"doc_id", $"pos")
+    val hits = candPost.join(dupGrams, Seq("gram")).select($"doc_id", $"pos")
 
     // Gaps-and-islands on hit starts: running max of span-end over the
     // strictly-preceding frame; a hit opens a new island iff it starts
