@@ -374,17 +374,28 @@ object Dedup {
       val neighborMin = sym
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), "dst")
         .groupBy($"src".as("id")).agg(min($"nl").as("nmin"))
-      val hooked = Stage.cut( // staged once: feeds both sides of the self-join
-        labels.join(neighborMin, Seq("id"), "left")
-          .select($"id", least($"label", coalesce($"nmin", $"label")).as("label")))
+      val hookedRaw = labels.join(neighborMin, Seq("id"), "left")
+        .select($"id", least($"label", coalesce($"nmin", $"label")).as("label"))
       // double: label ← label(label). Labels are always vertex ids and
       // label(x) ≤ x (monotone min), so one self-join halves every
       // pointer chain; with hooking this gives the O(log d) bound.
-      val doubled = hooked.as("a")
-        .join(hooked.select($"id".as("pid"), $"label".as("pl")).as("p"),
-          $"a.label" === $"pid", "left")
-        .select($"a.id", coalesce($"pl", $"a.label").as("label"))
-      val staged = Stage.cut(doubled)
+      // ONLY from round 3 (r10): hooking alone converges diameter ≤ 2
+      // components — the star-around-min-id shape of almost every real
+      // dedup cluster — in two rounds, and the doubling self-join plus
+      // its extra lineage cut is pure per-round overhead there (measured
+      // 0.4 s on q35 at sf0.1). A genuine chain still gets the
+      // Shiloach-Vishkin bound: 2 plain + 28 doubled rounds cover
+      // diameter ~2^28 at the default maxIter = 30.
+      val next =
+        if (iter < 2) hookedRaw
+        else {
+          val hooked = Stage.cut(hookedRaw) // feeds both sides of the self-join
+          hooked.as("a")
+            .join(hooked.select($"id".as("pid"), $"label".as("pl")).as("p"),
+              $"a.label" === $"pid", "left")
+            .select($"a.id", coalesce($"pl", $"a.label").as("label"))
+        }
+      val staged = Stage.cut(next)
       val changed = staged.join(labels.withColumnRenamed("label", "old"), "id")
         .filter($"label" =!= $"old").limit(1).count()
       labels = staged
