@@ -516,6 +516,50 @@ object ScaleSmoke {
       println(s"  quality gate kept $nGated of $nDocs (expect ~${nDocs * 7L / 10}); " +
         s"DSIR p50-cutoff selected ${selected.count()}; train packs: $nPacks")
     }
+    time(s"corpus pipeline e2e v4 ($nDocs docs: vocab-plant -> hashed-classifier gate -> BPE counts -> token-budget select -> substring dedup -> BPE pack)") {
+      // The round-10 operators composed end to end: 30% of docs carry a
+      // junk VOCABULARY marker with no shape signal — only the hashed
+      // q144 model can gate it; survivors get corpus-trained BPE token
+      // counts; the q145 budget selector keeps the best docs (distinct-
+      // token-ratio score) until half the surviving BPE tokens are
+      // spent; the winners flow through substring dedup into BPE-sized
+      // packs (token-aware contexts, the q142 point).
+      val soiled = docs.withColumn("text",
+        when(pmod($"id", lit(10L)) < 3,
+          concat($"text", lit(" zorblat quixen vantor murle glipnok")))
+          .otherwise($"text"))
+      val scored = graft.operators.QualityClassifier.trainAndScoreHashed(
+        soiled, soiled.filter(pmod($"id", lit(10L)) >= 3),
+        soiled.filter(pmod($"id", lit(10L)) < 3), "id", "text")
+      val gated = soiled
+        .join(scored.filter($"keep").select($"id"), "id")
+        .localCheckpoint(true) // feeds BPE train, budget scoring AND the winner join
+      val nGated = gated.count()
+      val merges = graft.operators.Bpe.train(gated, "id", "text", numMerges = 200)
+      val bpeCount = graft.operators.Bpe.tokenCountCol(merges)
+      val toksArr = split(trim($"text"), "\\s+")
+      val cand = gated.select($"id",
+          size(array_distinct(toksArr)).cast("long").as("nd"),
+          size(toksArr).cast("long").as("nt"),
+          bpeCount($"text").cast("long").as("w"))
+        .withColumn("score_e6", expr("(nd * 1000000) div nt"))
+        .select($"id", $"score_e6", $"w")
+      val budget = cand.agg(expr("sum(w) div 2")).head().getLong(0)
+      val sel = graft.operators.Budget.selectByBudget(
+        cand, "id", "score_e6", "w", budget)
+      val chosen = gated.join(sel.filter($"selected").select($"id"), "id")
+      val cleaned = graft.operators.SubstringDedup
+        .dedupText(chosen, "id", "text", k = 8)
+        .filter(length($"cleaned") > 0)
+      val packed = graft.operators.Bpe.packByBpe(
+        cleaned, "doc_id", "cleaned", merges, ctxLen = 2048, nShards = 64)
+      val stats = packed.agg(
+        sum($"n_tokens_bpe").as("toks"),
+        countDistinct($"shard", $"pack").as("packs")).collect()(0)
+      println(s"  hashed gate kept $nGated of $nDocs (expect ~${nDocs * 7L / 10}); " +
+        s"budget $budget BPE tokens; packed ${stats.getLong(0)} tokens into " +
+        s"${stats.getLong(1)} packs")
+    }
     if (!onlyDsir) {
     time(s"z-order clustered write (${nDocs * 10L} rows, 2 dims, 64 files)") {
       // 10M (user, time) rows → 64 Morton-clustered files; then measure
