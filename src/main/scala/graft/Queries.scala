@@ -2684,6 +2684,21 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** q146: sliding-window chunking — every document split into
+    * 32-token windows at stride 24 (25% overlap), the embedding/RAG
+    * context-window prep step. One shuffle-free map pass (see
+    * [[graft.operators.Chunker]]); chunk text surfaced as md5 so the
+    * oracle compare stays compact. */
+  def chunkStride(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Chunker.strideChunks(
+        Tables(spark, sfDir, "documents"), "doc_id", "text",
+        chunkLen = 32, stride = 24)
+      .select($"doc_id", $"chunk_id", $"start_tok", $"n_toks",
+        md5($"chunk_text".cast("binary")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** q141: Bloom-filter decontamination — flag train docs containing any
     * test-split 3-gram via a `bloom_filter_agg` bitset probed map-side
     * (zero shuffles, zero joins; see

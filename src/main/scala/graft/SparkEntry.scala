@@ -167,7 +167,8 @@ object SparkEntry {
     "q142_bpe_packing" -> (Queries.bpePacking _),
     "q143_linear_count" -> (Queries.linearCountDistinct _),
     "q144_hashed_quality_classifier" -> (Queries.hashedQualityClassifier _),
-    "q145_token_budget_select" -> (Queries.tokenBudgetSelect _)
+    "q145_token_budget_select" -> (Queries.tokenBudgetSelect _),
+    "q146_chunk_stride" -> (Queries.chunkStride _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -614,6 +615,28 @@ object SparkEntry {
         |SELECT shard, pack, COUNT(*) AS n_docs,
         |  CAST(SUM(n_toks) AS BIGINT) AS pack_tokens
         |FROM p GROUP BY shard, pack ORDER BY shard, pack""".stripMargin,
+    // Sliding-window chunking oracle: same window arithmetic via
+    // generate_series + 1-based inclusive list slicing (DuckDB
+    // list_slice end-inclusive vs Spark slice length-based).
+    "q146_chunk_stride" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(COALESCE(text, '')), '\s+') AS ts
+        |  FROM documents),
+        |n AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n FROM t),
+        |c AS (
+        |  SELECT doc_id, ts, n,
+        |    CAST(unnest(generate_series(0, (greatest(n - 32, 0) + 23) // 24)) AS BIGINT)
+        |      AS chunk_id
+        |  FROM n),
+        |s AS (
+        |  SELECT doc_id, chunk_id, chunk_id * 24 + 1 AS start_tok,
+        |    list_slice(ts, CAST(chunk_id * 24 + 1 AS BIGINT),
+        |               least(CAST(chunk_id * 24 + 32 AS BIGINT), n)) AS chunk
+        |  FROM c)
+        |SELECT doc_id, chunk_id, CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(len(chunk) AS BIGINT) AS n_toks,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     // Token-budget selection oracle: the operator's sharded-cumsum plan
     // must equal ONE global-order SQL window (score desc, doc_id ties),
     // with the budget itself derived in-query (half the corpus tokens).
