@@ -83,7 +83,17 @@ object QualityMirror {
   }
 
   /** Fixed-order scoring arithmetic: left-nested z fold, sigmoid,
-    * `(·1e6 + 0.5)::long`, integer threshold compare. */
+    * `(·1e6 + 0.5)::long`, integer threshold compare.
+    *
+    * `StrictMath.exp` (and `StrictMath.log` in [[featuresOf]]) is
+    * deliberate and VERIFIED against the engine, not a 1-ulp gamble:
+    * Spark 4's `exp`/`ln` produce StrictMath values on every path —
+    * constant folding, interpreted eval AND whole-stage codegen (checked
+    * empirically round 11 over range-derived inputs where
+    * `Math.exp(x) != StrictMath.exp(x)`: 1891/1891 exp and 773/773 ln
+    * matched StrictMath, 0 matched Math — Spark's math codegen is
+    * platform-independent by design). Scala's `math.exp` (= `Math.exp`,
+    * intrinsified) would be the 1-ulp flake here. */
   private[graft] def scoreOf(w: Array[Double], x: Array[Double]): Long = {
     var z = w(0)
     var k = 0

@@ -2668,7 +2668,11 @@ object Queries {
     * while the oracle states the same semantics as one SQL window. */
   def tokenBudgetSelect(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val toksArr = split(trim($"text"), "\\s+")
+    // coalesce BEFORE tokenizing (the q144/q146 contract): Spark's
+    // size(split(trim(NULL))) is -1 under legacy sizeOfNull while DuckDB
+    // yields NULL — either would poison n_toks and every downstream
+    // cumulative sum if null documents ever appear
+    val toksArr = split(trim(coalesce($"text", lit(""))), "\\s+")
     val scored = Tables(spark, sfDir, "documents")
       .select($"doc_id",
         size(toksArr).cast("long").as("n_toks"),

@@ -643,9 +643,9 @@ object SparkEntry {
     "q145_token_budget_select" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
-        |    (CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT)
-        |       * 1000000) // CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |    CAST(len(string_split_regex(trim(COALESCE(text, '')), '\s+')) AS BIGINT) AS n_toks,
+        |    (CAST(len(list_distinct(string_split_regex(trim(COALESCE(text, '')), '\s+'))) AS BIGINT)
+        |       * 1000000) // CAST(len(string_split_regex(trim(COALESCE(text, '')), '\s+')) AS BIGINT)
         |      AS score_e6
         |  FROM documents),
         |b AS (SELECT CAST(SUM(n_toks) // 2 AS BIGINT) AS budget FROM t),

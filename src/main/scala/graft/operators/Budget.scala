@@ -45,15 +45,18 @@ object Budget {
     require(budget >= 0L, s"budget must be >= 0, got $budget")
     val spark = df.sparkSession
     val nSlices = spark.sessionState.conf.numShufflePartitions
+    // the BIGINT contract is enforced, not assumed: an int/double weight
+    // column is cast up front (so every cumsum below sums longs), and an
+    // all-NULL slice's sum coalesces to 0 instead of NPEing the driver fold
     val parted = df
-      .select(col(idCol), col(scoreCol), col(weightCol))
+      .select(col(idCol), col(scoreCol), col(weightCol).cast("long").as(weightCol))
       .repartitionByRange(nSlices, col(scoreCol).desc, col(idCol).asc)
       .withColumn("pid", spark_partition_id())
       .transform(Stage.cut)
     // ≤ nSlices rows: the bounded driver fold (ascending pid) that turns
     // per-slice totals into exclusive prefix offsets
     val perSlice = parted.groupBy(col("pid"))
-      .agg(sum(col(weightCol)).as("wsum"))
+      .agg(coalesce(sum(col(weightCol)), lit(0L)).as("wsum"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = perSlice
       .scanLeft((0, 0L, 0L)) { case ((_, _, acc), (pid, wsum)) =>

@@ -344,9 +344,11 @@ object Dedup {
     * diameter d converges in O(log d) rounds rather than d — a 1,000-hop
     * near-dup chain (the templated-web-page shape at corpus scale)
     * resolves in ~10 rounds instead of silently splitting at a linear
-    * iteration cap. The default `maxIter = 30` therefore covers any
-    * diameter up to ~2^30, and an unconverged exit is LOUD
-    * (`IllegalStateException`), never a silently-split clustering.
+    * iteration cap. Doubling is deferred for the first two rounds (the
+    * star-shape fast path — see the inline note), so the default
+    * `maxIter = 30` covers any diameter up to ~2^(30−2) = 2^28, and an
+    * unconverged exit is LOUD (`IllegalStateException`), never a
+    * silently-split clustering.
     *
     * Each round is two bounded-key shuffles (edge-keyed min-aggregate +
     * label self-join); label frames are staged via [[Stage.cut]] —
@@ -405,9 +407,10 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
-          "with pointer doubling that needs a component diameter beyond " +
-          f"~2^$maxIter%d; raise maxIter (results would otherwise be a " +
-          "silently SPLIT clustering, never returned)")
+          "with pointer doubling (deferred for the first 2 rounds) that " +
+          f"needs a component diameter beyond ~2^${maxIter - 2}%d; raise " +
+          "maxIter (results would otherwise be a silently SPLIT " +
+          "clustering, never returned)")
     labels
   }
 

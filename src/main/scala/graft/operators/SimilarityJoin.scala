@@ -380,6 +380,15 @@ object SimilarityJoin {
     // instead of a (qid,rid) dropDuplicates: the aggregate lands on the
     // same hash partitioning as the cached lAgg, so the scoring join
     // below is exchange-free on the big side.
+    //
+    // PER-QID MEMORY BOUND: collect_set concentrates one query's whole
+    // candidate set in a single row, which is only safe because the
+    // df-cap upstream bounds it — each of the ≤|prefix| query terms
+    // matches ≤ maxDf postings, so |rids| ≤ |prefix|·maxDf (the shipped
+    // q49 runs ~10 terms × 1000 df-cap = ≤10⁴ ids ≈ 80 KB/row). Callers
+    // raising maxDf toward ∞ should switch this back to the spilling
+    // (qid,rid) dropDuplicates shape — an unbounded hot query would
+    // otherwise build one executor-resident array per row.
     val candidates = prefixTerms
       .join(postings, "term") // df-capped: common prefix terms match nothing
       .groupBy($"qid").agg(collect_set($"rid").as("rids"))
