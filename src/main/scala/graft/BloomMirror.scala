@@ -33,19 +33,24 @@ object BloomMirror {
     else "test"
   }
 
+  /** Spark `pmod(long, long)` — the shard key arithmetic. */
+  private def pmodL(h: Long, m: Long): Long = { val r = h % m; if (r < 0) r + m else r }
+
   /** q141 contract: 90/5/5 split, 3-grams, flag train docs whose gram
-    * set intersects the test Bloom filter (auto-sized:
-    * max(1024, occurrences) items × bitsPerItem bits, capped at
-    * `maxBits` AND at the session's runtime bloomFilter confs —
-    * `confMaxItems`/`confMaxBits` default to Spark's conf defaults and
-    * MUST be the live session values when those confs are overridden,
-    * because `bloom_filter_agg` silently Math.min-clamps to them; the
-    * one sizing formula lives in `CorpusFilters.bloomSizing`).
+    * set intersects the test Bloom filter bank (auto-sized + SHARDED by
+    * the exact `CorpusFilters.bloomShardCount`/`bloomSizing` arithmetic:
+    * `nShards` cap-sized filters keyed by `pmod(xxhash64(gram),
+    * nShards)`, each sized for the uniform ceil-split of the global
+    * occurrence count, capped at `maxBits` AND the session's runtime
+    * bloomFilter confs — `confMaxItems`/`confMaxBits` MUST be the live
+    * session values when those confs are overridden, because
+    * `bloom_filter_agg` silently Math.min-clamps to them).
     * Input (doc_id, text); output (doc_id, n_grams, n_flagged,
     * contaminated) for every train doc. */
   def recompute(docs: Seq[(Long, String)], n: Int = 3,
       bitsPerItem: Int = 15, maxBits: Long = 1L << 27,
-      confMaxItems: Long = 4000000L, confMaxBits: Long = 1L << 26)
+      confMaxItems: Long = 4000000L, confMaxBits: Long = 1L << 26,
+      maxShards: Int = 64)
       : Seq[(Long, Long, Long, Boolean)] = {
     val train = docs.filter(d => splitOf(d._1) == "train").sortBy(_._1)
     val testGrams = docs.filter(d => splitOf(d._1) == "test")
@@ -54,13 +59,26 @@ object BloomMirror {
       return train.map { case (id, t) =>
         (id, gramsOf(t, n).length.toLong, 0L, false)
       }
+    val occurrences = testGrams.size.toLong
+    val nShards = graft.operators.CorpusFilters.bloomShardCount(
+      occurrences, bitsPerItem, maxBits, confMaxItems, confMaxBits, maxShards)
+    val perShardOcc = (occurrences + nShards - 1L) / nShards
     val (items, numBits) = graft.operators.CorpusFilters.bloomSizing(
-      testGrams.size.toLong, bitsPerItem, maxBits, confMaxItems, confMaxBits)
-    val bf = BloomFilter.create(items, numBits)
-    testGrams.foreach(g => bf.putLong(SfOracles.xxh64(g)))
+      perShardOcc, bitsPerItem, maxBits, confMaxItems, confMaxBits)
+    val bfs = new Array[BloomFilter](nShards)
+    testGrams.foreach { g =>
+      val h = SfOracles.xxh64(g)
+      val s = pmodL(h, nShards.toLong).toInt
+      if (bfs(s) == null) bfs(s) = BloomFilter.create(items, numBits)
+      bfs(s).putLong(h)
+    }
     train.map { case (id, t) =>
       val gs = gramsOf(t, n)
-      val flagged = gs.count(g => bf.mightContainLong(SfOracles.xxh64(g)))
+      val flagged = gs.count { g =>
+        val h = SfOracles.xxh64(g)
+        val bf = bfs(pmodL(h, nShards.toLong).toInt)
+        bf != null && bf.mightContainLong(h)
+      }
       (id, gs.length.toLong, flagged.toLong, flagged > 0)
     }
   }

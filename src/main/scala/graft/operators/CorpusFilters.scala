@@ -64,6 +64,25 @@ object CorpusFilters {
     math.pow(1 - math.exp(-k.toDouble * occurrences / numBits), k.toDouble)
   }
 
+  /** Gram capacity of ONE conf-cap-sized filter at the requested FP
+    * design point (`bitsPerItem` bits per occurrence): the item conf cap
+    * and the bits-derived cap, whichever binds first. This is the shard
+    * size of the sharded decontamination build. */
+  def bloomShardCapacity(bitsPerItem: Int, maxBits: Long,
+      confMaxItems: Long, confMaxBits: Long): Long =
+    math.max(1L, math.min(confMaxItems, math.min(maxBits, confMaxBits) / bitsPerItem))
+
+  /** Number of cap-sized filters needed for `occurrences` gram
+    * occurrences at the design FP rate, bounded by `maxShards` (the
+    * plan-footprint guard — beyond it the per-shard FP degrades
+    * gracefully instead of the filter count growing without bound). */
+  def bloomShardCount(occurrences: Long, bitsPerItem: Int, maxBits: Long,
+      confMaxItems: Long, confMaxBits: Long, maxShards: Int): Int = {
+    val cap = bloomShardCapacity(bitsPerItem, maxBits, confMaxItems, confMaxBits)
+    val need = math.max(1L, (occurrences + cap - 1L) / cap)
+    math.min(maxShards.toLong, need).toInt
+  }
+
   /** Gopher's stopword list (table A1: "must contain ≥ 2 of ..."). */
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -327,17 +346,34 @@ object CorpusFilters {
     * same conf values via [[bloomSizing]] so the literals we pass ARE
     * the effective values — otherwise a >4M-gram test split would build
     * a silently-smaller distributed filter than the mirror replays and
-    * diverge on false positives. A warning is logged when the clamp
-    * degrades the requested FP rate (raise the two confs to restore it).
+    * diverge on false positives.
+    *
+    * SHARDED ABOVE THE CONF CAP (round 11): one cap-sized filter
+    * saturates on a big eval suite — MEASURED at the 100M-doc decade:
+    * 28.8% clean-doc FP at ~7M test grams against the (4M, 2²⁶) caps,
+    * 100% at ~70M. So when the counted gram stream exceeds one filter's
+    * design capacity ([[bloomShardCapacity]]), the build splits into
+    * `nShards` cap-sized filters keyed by `pmod(xxhash64(gram),
+    * nShards)` — ONE extra groupBy over the (small) test side, ≤
+    * nShards collected rows — and the train-side probe picks the
+    * matching shard per gram map-side (a CASE chain over per-shard
+    * plan literals; everything stays codegen, zero joins, zero train-
+    * side shuffles). Per-shard OR-merge keeps the full determinism
+    * story: every shard's bitset is partitioning-invariant, so the
+    * mirror replays even the false positives byte-for-byte. `maxShards`
+    * caps the plan footprint (default 64 × ≤8 MB conf-capped filters);
+    * only beyond BOTH caps does the FP rate degrade, with a loud
+    * warning (raise maxShards/the confs, or use the exact join).
     *
     * Output: (doc_id, n_grams, n_flagged, contaminated = n_flagged > 0);
     * null/short texts score (0, 0, false).
     */
   def bloomDecontaminate(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, n: Int = 3,
-      bitsPerItem: Int = 15, maxBits: Long = 1L << 27): DataFrame = {
-    require(n >= 1 && bitsPerItem >= 1 && maxBits >= 1024,
-      s"need n/bitsPerItem >= 1 and maxBits >= 1024")
+      bitsPerItem: Int = 15, maxBits: Long = 1L << 27,
+      maxShards: Int = 64): DataFrame = {
+    require(n >= 1 && bitsPerItem >= 1 && maxBits >= 1024 && maxShards >= 1,
+      s"need n/bitsPerItem/maxShards >= 1 and maxBits >= 1024")
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -353,33 +389,59 @@ object CorpusFilters {
     // occurrences, not distinct (no dedup shuffle; an overestimate only
     // lowers the FP rate)
     val occurrences = testGrams.count()
-    val (items, numBits) = bloomSizing(occurrences, bitsPerItem, maxBits,
-      bloomConfMaxItems(spark), bloomConfMaxBits(spark))
-    if (numBits < math.min(maxBits, math.max(1024L, occurrences) * bitsPerItem))
-      log.warn(s"bloomDecontaminate: filter clamped to $numBits bits for " +
-        s"$occurrences gram occurrences (requested ${bitsPerItem} bits/item); " +
-        f"estimated FP rate ${bloomFpRate(occurrences, items, numBits)}%.4f — " +
-        "raise maxBits and spark.sql.optimizer.runtime.bloomFilter.maxNumBits " +
-        "or fall back to the exact contamination join")
-    // 1-row bounded aggregate (≤ numBits bits however large the test set
-    // is) — collected like IVF's centroid model; duplicate grams need no
-    // dedup shuffle because Bloom insertion is idempotent
+    val confItems = bloomConfMaxItems(spark)
+    val confBits = bloomConfMaxBits(spark)
+    val nShards = bloomShardCount(occurrences, bitsPerItem, maxBits,
+      confItems, confBits, maxShards)
+    // uniform per-shard sizing from the GLOBAL count (ceil split): the
+    // mirror replays this exact arithmetic, and one groupBy pass builds
+    // every shard with the same literals
+    val perShardOcc = (occurrences + nShards - 1L) / math.max(1L, nShards.toLong)
+    val (items, numBits) = bloomSizing(perShardOcc, bitsPerItem, maxBits,
+      confItems, confBits)
+    if (numBits < math.min(maxBits, perShardOcc * bitsPerItem))
+      log.warn(s"bloomDecontaminate: $nShards shards of $numBits bits still " +
+        s"clamped for $occurrences gram occurrences (requested " +
+        s"$bitsPerItem bits/item); per-shard estimated FP rate " +
+        f"${bloomFpRate(perShardOcc, items, numBits)}%.4f — raise maxShards/" +
+        "maxBits/the runtime.bloomFilter confs, or fall back to the exact " +
+        "contamination join")
+    // ≤ nShards bounded rows (each ≤ numBits bits however large the test
+    // set is) — collected like IVF's centroid model; duplicate grams need
+    // no dedup shuffle because Bloom insertion is idempotent
     val bfAgg = ColumnBridge.column(
       new BloomFilterAggregate(
-        ColumnBridge.expression(xxhash64($"gram")),
+        ColumnBridge.expression($"gh"),
         Literal(items), Literal(numBits)).toAggregateExpression())
-    val bfBytes = testGrams.agg(bfAgg.as("bf"))
-      .collect()(0).getAs[Array[Byte]](0)
+    val bfByShard = new Array[Array[Byte]](nShards)
+    testGrams.select(xxhash64($"gram").as("gh"))
+      .groupBy(pmod($"gh", lit(nShards.toLong)).as("shard"))
+      .agg(bfAgg.as("bf"))
+      .collect()
+      .foreach(r => bfByShard(r.getLong(0).toInt) = r.getAs[Array[Byte]](1))
     testGrams.unpersist()
 
     val grams = wordNGrams(words(col(textCol)), n)
     val flagged: Column => Column =
-      if (bfBytes == null) _ => lit(0) // empty test set: nothing to flag
+      if (occurrences == 0L) _ => lit(0) // empty test set: nothing to flag
       else { gs =>
-        size(filter(gs, g => ColumnBridge.column(
-          BloomFilterMightContain(
-            Literal(bfBytes, BinaryType),
-            ColumnBridge.expression(xxhash64(g))))))
+        size(filter(gs, g => {
+          val h = xxhash64(g)
+          def probe(s: Int): Column = ColumnBridge.column(
+            BloomFilterMightContain(
+              Literal(bfByShard(s), BinaryType),
+              ColumnBridge.expression(h)))
+          if (nShards == 1) probe(0)
+          else {
+            // CASE chain over the populated shards; a gram landing on an
+            // empty shard (no test gram hashed there) cannot be flagged
+            val sh = pmod(h, lit(nShards.toLong))
+            (0 until nShards).filter(bfByShard(_) != null)
+              .foldLeft(lit(false)) { (acc, s) =>
+                when(sh === lit(s.toLong), probe(s)).otherwise(acc)
+              }
+          }
+        }))
       }
     train.select(col(idCol).cast("long").as("doc_id"), grams.as("gs"))
       .select($"doc_id",

@@ -159,6 +159,53 @@ class BloomDecontSpec extends AnyFunSuite {
       "operator and mirror must agree on the conf-clamped sizing")
   }
 
+  test("sharded build above one filter's capacity: operator == mirror " +
+      "across the shard boundary, and the design FP rate is restored") {
+    // Lowered confs so a ~4k-gram test split needs MULTIPLE cap-sized
+    // filters: capacity = min(500, 16384/15) = 500 -> 8 shards. The train
+    // side uses a DISJOINT vocabulary, so every flagged doc is a false
+    // positive by construction — a single clamped filter (maxShards = 1,
+    // yesterday's behavior) saturates (~100% FP), the sharded bank must
+    // come back to the ~bitsPerItem design rate (~0 of 200 docs).
+    val (maxI, maxB) = (500L, 16384L)
+    val docs = (0L until 2000L).map { id =>
+      val vocab = if (BloomMirror.splitOf(id) == "test") "t" else "w"
+      (id, (0 until 40).map(i => s"$vocab${id}x$i").mkString(" "))
+    }
+    val nShards = CorpusFilters.bloomShardCount(
+      occurrences = docs.count(d => BloomMirror.splitOf(d._1) == "test") * 38L,
+      bitsPerItem = 15, maxBits = 1L << 27,
+      confMaxItems = maxI, confMaxBits = maxB, maxShards = 64)
+    assert(nShards > 1, s"scenario must cross the shard boundary, got $nShards")
+    val (gotSharded, gotSingle) = withLowBloomConfs(maxI, maxB) {
+      val df = graft.operators.Sampling.deterministicSplit(
+        docs.toDF("doc_id", "text"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      val train = df.filter($"split" === "train")
+      val test = df.filter($"split" === "test")
+      def run(maxShards: Int) =
+        CorpusFilters.bloomDecontaminate(train, test, "doc_id", "text",
+            maxShards = maxShards)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+          .sortBy(_._1).toSeq
+      (run(64), run(1))
+    }
+    val want = BloomMirror.recompute(docs, confMaxItems = maxI, confMaxBits = maxB)
+    assert(gotSharded == want,
+      "operator and mirror must agree bit-for-bit across the shard boundary")
+    val fpSharded = gotSharded.count(_._4)
+    val fpSingle = gotSingle.count(_._4)
+    // per-gram design FP here is ~6e-4 (486 occ in 7500 bits, k=10); at
+    // 38 probed grams/doc that is ~2.3% of docs — allow 2x headroom
+    assert(fpSharded <= gotSharded.size / 20,
+      s"sharded bank should restore the design FP rate, got $fpSharded of ${gotSharded.size}")
+    assert(fpSingle > gotSingle.size / 2,
+      s"the single clamped filter should saturate here (the regime sharding fixes), got $fpSingle")
+    // mirror honors maxShards identically (the capped-degradation path)
+    assert(gotSingle == BloomMirror.recompute(docs,
+      confMaxItems = maxI, confMaxBits = maxB, maxShards = 1))
+  }
+
   test("distributed q141 reproduces the straight-line mirror at sf0.001") {
     val docs = Tables(spark, sfDir, "documents")
       .selectExpr("cast(doc_id as long) as doc_id", "text").collect()
