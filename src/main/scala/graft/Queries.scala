@@ -2745,6 +2745,33 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** q147: BPE token IDS end to end — the last step from "measures the
+    * tokens" (q142 counts) to "produces the training data": stable ids
+    * assigned from the merge table ([[graft.operators.Bpe.vocabOf]]:
+    * unk, eow, training chars, merge products in rank order), every
+    * document encoded to one flattened `array<int>` in a single
+    * shuffle-free map pass, then chunked into 32-id context windows at
+    * stride 24 (q146's window algebra over SUBWORD ids instead of
+    * whitespace tokens — and with the empty-doc contract fixed: 0
+    * tokens → 0 chunks). Output is one bounded row per doc whose
+    * `chunks_md5` chain pins every window's exact id content
+    * ([[graft.operators.Chunker.strideChunkDigest]]); the oracle
+    * replays it via [[BpeMirror.recomputeIds]]. */
+  def bpeChunkIds(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id", "text")
+    // same 60-merge training as q142 (see bpePacking's vocabulary note)
+    val (merges, vocab) = graft.operators.Bpe.trainWithVocab(
+      docs, "doc_id", "text", numMerges = 60)
+    val ids = graft.operators.Bpe.tokenIdsCol(merges, vocab)
+    graft.operators.Chunker.strideChunkDigest(
+        docs.select($"doc_id", ids($"text").as("ids")), "doc_id", "ids",
+        chunkLen = 32, stride = 24)
+      .select($"doc_id", $"n_items".as("n_ids"), $"n_chunks", $"chunks_md5")
+      .orderBy($"doc_id")
+  }
+
   /** q143: ORDER-INVARIANT cardinality — per-lang linear-counting
     * distinct estimate (k=1 `bloom_filter_agg` bitset, see
     * [[graft.operators.CardinalitySketch.linearCount]]) next to the

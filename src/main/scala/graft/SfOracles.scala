@@ -64,6 +64,7 @@ object SfOracles {
       bloomRows: Seq[(Long, Long, Long, Boolean)], // q141
       lcRows: Seq[(String, Long, Long)],           // q143
       bpeRows: Seq[(Long, Long, Long, Long)],      // q142
+      bpeIdRows: Seq[(Long, Long, Long, String)],  // q147
       hashedQualityRows: Seq[(Long, Long, Long, Boolean)]) // q144
 
   @volatile private var prepared: Option[Prepared] = None
@@ -281,7 +282,8 @@ object SfOracles {
           confMaxItems = graft.operators.CorpusFilters.bloomConfMaxItems(spark),
           confMaxBits = graft.operators.CorpusFilters.bloomConfMaxBits(spark)),
         lcRows = LinearCountMirror.recompute(docs3),
-        bpeRows = BpeMirror.recompute(docs)))
+        bpeRows = BpeMirror.recompute(docs),
+        bpeIdRows = BpeMirror.recomputeIds(docs)))
     }
   }
 
@@ -371,6 +373,12 @@ object SfOracles {
       "0, 0, 0, 0") {
       p: (Long, Long, Long, Long) => s"(${p._1}, ${p._2}, ${p._3}, ${p._4})" }
 
+  private def bpeIdCte: String =
+    cte("bpi", "doc_id, n_ids, n_chunks, chunks_md5",
+      prepared.map(_.bpeIdRows), "0, 0, 0, ''") {
+      p: (Long, Long, Long, String) =>
+        s"(${p._1}, ${p._2}, ${p._3}, ${lit(p._4)})" }
+
   private def lcCte: String =
     cte("lc", "lang, n_set_bits, est_distinct", prepared.map(_.lcRows),
       "'', 0, 0") {
@@ -450,6 +458,15 @@ object SfOracles {
       s"""WITH $bpeCte
          |SELECT d.doc_id, b.n_tokens_bpe, b.shard, b.pack
          |FROM documents d JOIN bp b ON b.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // q147: BPE token-id chunk digests — joined to the live documents
+    // table; every 32-id window's exact content is pinned by the md5
+    // chain the mirror re-derives
+    "q147_bpe_chunk_ids" ->
+      s"""WITH $bpeIdCte
+         |SELECT d.doc_id, CAST(b.n_ids AS BIGINT) AS n_ids,
+         |       CAST(b.n_chunks AS BIGINT) AS n_chunks, b.chunks_md5
+         |FROM documents d JOIN bpi b ON b.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     // q143: per-lang linear count — the estimate (and every register
     // bit) is partitioning-invariant, so the mirror VALUES pin it while

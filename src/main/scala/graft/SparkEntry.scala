@@ -168,7 +168,8 @@ object SparkEntry {
     "q143_linear_count" -> (Queries.linearCountDistinct _),
     "q144_hashed_quality_classifier" -> (Queries.hashedQualityClassifier _),
     "q145_token_budget_select" -> (Queries.tokenBudgetSelect _),
-    "q146_chunk_stride" -> (Queries.chunkStride _)
+    "q146_chunk_stride" -> (Queries.chunkStride _),
+    "q147_bpe_chunk_ids" -> (Queries.bpeChunkIds _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -617,17 +618,21 @@ object SparkEntry {
         |FROM p GROUP BY shard, pack ORDER BY shard, pack""".stripMargin,
     // Sliding-window chunking oracle: same window arithmetic via
     // generate_series + 1-based inclusive list slicing (DuckDB
-    // list_slice end-inclusive vs Spark slice length-based).
+    // list_slice end-inclusive vs Spark slice length-based). Empty/null
+    // text tokenizes to ZERO tokens and emits ZERO chunks (the round-11
+    // contract fix — previously one chunk holding one empty token).
     "q146_chunk_stride" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(COALESCE(text, '')), '\s+') AS ts
+        |  SELECT doc_id,
+        |    CASE WHEN trim(COALESCE(text, '')) = '' THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS ts
         |  FROM documents),
         |n AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n FROM t),
         |c AS (
         |  SELECT doc_id, ts, n,
         |    CAST(unnest(generate_series(0, (greatest(n - 32, 0) + 23) // 24)) AS BIGINT)
         |      AS chunk_id
-        |  FROM n),
+        |  FROM n WHERE n > 0),
         |s AS (
         |  SELECT doc_id, chunk_id, chunk_id * 24 + 1 AS start_tok,
         |    list_slice(ts, CAST(chunk_id * 24 + 1 AS BIGINT),

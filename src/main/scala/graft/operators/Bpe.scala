@@ -161,25 +161,100 @@ object Bpe {
     if (text == null) 0
     else countTokensOfWords(graft.DsirMirror.tokensOf(text), ranks)
 
-  /** Train a merge table on `df`: md5 hash-sample to ≤ `sampleCap` docs,
-    * one distributed word-count pass over the sample, keep the
-    * `maxWords` most frequent words (count DESC, word ASC — a bounded
-    * TakeOrdered collect), learn `numMerges` merges driver-side. */
-  def train(df: DataFrame, idCol: String, textCol: String,
-      numMerges: Int = 256, sampleCap: Int = 2000, maxWords: Int = 20000)
-      : Array[(String, String)] = {
+  /** Train-side word-frequency table of `df`: md5 hash-sample to ≤
+    * `sampleCap` docs, one distributed word-count pass over the sample,
+    * keep the `maxWords` most frequent words (count DESC, word ASC — a
+    * bounded TakeOrdered collect). */
+  def trainTable(df: DataFrame, idCol: String, textCol: String,
+      sampleCap: Int = 2000, maxWords: Int = 20000): Seq[(String, Long)] = {
     require(sampleCap >= 1 && maxWords >= 1,
       "sampleCap and maxWords must be >= 1")
     val n = df.count()
     val sample =
       if (n <= sampleCap) df
       else Sampling.hashSample(df, idCol, sampleCap.toDouble / n)
-    val counts = sample
+    sample
       .select(explode(CorpusFilters.words(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), asc("w")).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    learnMerges(counts, numMerges)
+  }
+
+  /** Train a merge table on `df` ([[trainTable]] + driver-side
+    * [[learnMerges]]). */
+  def train(df: DataFrame, idCol: String, textCol: String,
+      numMerges: Int = 256, sampleCap: Int = 2000, maxWords: Int = 20000)
+      : Array[(String, String)] =
+    learnMerges(trainTable(df, idCol, textCol, sampleCap, maxWords), numMerges)
+
+  /** [[train]] but also returning the stable token-id vocabulary
+    * ([[vocabOf]]) — the form a pretraining/RAG pipeline consumes
+    * (id arrays, not just counts). */
+  def trainWithVocab(df: DataFrame, idCol: String, textCol: String,
+      numMerges: Int = 256, sampleCap: Int = 2000, maxWords: Int = 20000)
+      : (Array[(String, String)], Array[String]) = {
+    val table = trainTable(df, idCol, textCol, sampleCap, maxWords)
+    val merges = learnMerges(table, numMerges)
+    (merges, vocabOf(table, merges))
+  }
+
+  // ------------------------------------------------------- token ids
+
+  /** Id of any subword unit not derivable from the training vocabulary
+    * (an unseen character at encode time). */
+  val UnkId = 0
+
+  /** Stable token-id vocabulary from a training word-count table and its
+    * learned merges: index 0 = `<unk>`, then [[Eow]], then the sorted
+    * distinct characters of the training words (every single-character
+    * unit an in-vocabulary word can decompose to), then the merge
+    * products in learned-rank order (first occurrence wins on the rare
+    * duplicate product — e.g. ("ab","c") and ("a","bc") both fusing to
+    * "abc"). A pure function of (wordCounts, merges), so the id of every
+    * unit is reproducible from the training contract alone. */
+  def vocabOf(wordCounts: Seq[(String, Long)],
+      merges: Array[(String, String)]): Array[String] = {
+    val out = mutable.LinkedHashSet.empty[String]
+    out += "<unk>"
+    out += Eow
+    wordCounts.iterator.flatMap(_._1.map(_.toString))
+      .toIndexedSeq.distinct.sorted.foreach(out += _)
+    merges.foreach { case (a, b) => out += (a + b) }
+    out.toArray
+  }
+
+  /** Encode one word to token IDS: [[encodeWord]] units mapped through
+    * the vocabulary index; unknown units → [[UnkId]]. */
+  def encodeWordIds(word: String, ranks: Map[(String, String), Int],
+      vocabIdx: Map[String, Int]): Array[Int] =
+    encodeWord(word, ranks).map(u => vocabIdx.getOrElse(u, UnkId))
+
+  /** Map-side BPE token-ID Column: each document's words encoded in
+    * order, subword id arrays concatenated — `array<int>` out. Same
+    * closure/memo shape as [[tokenCountCol]] (the merge table and vocab
+    * index ride the UDF closure like a broadcast dim; the bounded
+    * executor-local memo caches per-word id arrays). Null text → empty
+    * array. */
+  def tokenIdsCol(merges: Array[(String, String)], vocab: Array[String])
+      : Column => Column = {
+    val ranks = merges.zipWithIndex.toMap
+    val idx = vocab.zipWithIndex.toMap
+    val memo = new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+    val f = udf((ws: Seq[String]) =>
+      if (ws == null) Array.empty[Int]
+      else {
+        val b = Array.newBuilder[Int]
+        ws.foreach { w =>
+          var ids = memo.get(w)
+          if (ids == null) {
+            ids = encodeWordIds(w, ranks, idx)
+            if (memo.size < MemoCap) memo.put(w, ids)
+          }
+          b ++= ids
+        }
+        b.result()
+      })
+    text => f(CorpusFilters.words(text))
   }
 
   /** Map-side BPE token count Column: tokenization stays in the

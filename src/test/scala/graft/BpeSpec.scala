@@ -58,6 +58,44 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabOf assigns hand-computed stable ids; encodeWordIds maps " +
+      "units through them with unk fallback") {
+    val merges = Bpe.learnMerges(sennrich, 5)
+    val vocab = Bpe.vocabOf(sennrich, merges)
+    // <unk>, </w>, sorted distinct chars d e i l n o r s t w, then merge
+    // products in rank order
+    assert(vocab.toSeq == Seq("<unk>", "</w>",
+      "d", "e", "i", "l", "n", "o", "r", "s", "t", "w",
+      "es", "est", "est</w>", "lo", "low"))
+    val ranks = merges.zipWithIndex.toMap
+    val idx = vocab.zipWithIndex.toMap
+    // "lowest" -> [low, est</w>] -> [16, 14]
+    assert(Bpe.encodeWordIds("lowest", ranks, idx).toSeq == Seq(16, 14))
+    // unseen chars x/y/z -> unk, trailing bare </w> -> 1
+    assert(Bpe.encodeWordIds("xyz", ranks, idx).toSeq == Seq(0, 0, 0, 1))
+    // duplicate merge product: first occurrence wins, no double entry
+    val dup = Bpe.vocabOf(Seq(("abc", 1L)),
+      Array(("a", "b"), ("ab", "c"), ("a", "bc")))
+    assert(dup.count(_ == "abc") == 1)
+  }
+
+  test("distributed token-id arrays match the JVM path on adversarial strings") {
+    val merges = Bpe.learnMerges(sennrich, 5)
+    val vocab = Bpe.vocabOf(sennrich, merges)
+    val ranks = merges.zipWithIndex.toMap
+    val idx = vocab.zipWithIndex.toMap
+    val samples = Seq(null.asInstanceOf[String], "", " ", "Lowest NEWEST",
+      "ü ü", "mixed lowest 42", "a  double  spaced  line", "😀 low 😀")
+    val idsCol = Bpe.tokenIdsCol(merges, vocab)
+    val got = samples.toDF("text").select(idsCol($"text").as("ids"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    samples.zip(got).foreach { case (s, g) =>
+      val want = DsirMirror.tokensOf(s)
+        .flatMap(w => Bpe.encodeWordIds(w, ranks, idx)).toSeq
+      assert(g == want, s"id mismatch for ${Option(s).map(_.take(20))}")
+    }
+  }
+
   test("training is invariant to input partitioning") {
     val docs = Tables(spark, sfDir, "documents")
       .selectExpr("cast(doc_id as long) as doc_id", "text")
@@ -79,6 +117,22 @@ class BpeSpec extends AnyFunSuite {
     assert(want.map(_._2) != ws.toSeq)
     val got = Queries.bpePacking(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
+  test("distributed q147 reproduces the straight-line id-chunk mirror at sf0.001") {
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toIndexedSeq
+    val want = BpeMirror.recomputeIds(docs)
+    assert(want.nonEmpty && want.exists(_._3 > 1),
+      "corpus should contain multi-chunk docs")
+    // BPE ids per doc must outnumber whitespace tokens somewhere (subword
+    // splitting) — otherwise the id stream is vacuously word-level
+    val ws = docs.map(d => DsirMirror.tokensOf(d._2).length.toLong)
+    assert(want.map(_._2).zip(ws).exists { case (n, w) => n > w })
+    val got = Queries.bpeChunkIds(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
     assert(got == want)
   }
 }

@@ -34,12 +34,50 @@ class ChunkerSpec extends AnyFunSuite {
     assert(got == Seq((0L, 1L, 3L, "a b c"), (1L, 4L, 3L, "d e f")))
   }
 
-  test("short doc yields exactly one short chunk; null text one empty-ish chunk") {
+  test("short doc yields exactly one short chunk; empty/null text ZERO chunks") {
     assert(run("a b", 32, 24) == Seq((0L, 1L, 2L, "a b")))
-    // null → coalesce("") → split gives a single empty token (the q64
-    // whitespace-token contract — DuckDB string_split_regex agrees)
-    val got = run(null, 32, 24)
-    assert(got == Seq((0L, 1L, 1L, "")))
+    // round-11 contract fix: 0 tokens in → 0 chunks out (previously the
+    // split(trim('')) artifact emitted one chunk of one empty token)
+    assert(run(null, 32, 24).isEmpty)
+    assert(run("", 32, 24).isEmpty)
+    assert(run("   ", 32, 24).isEmpty)
+  }
+
+  test("strideChunksOf chunks arbitrary arrays with the same algebra") {
+    val df = Seq(
+      (1L, Seq(10, 20, 30, 40, 50, 60, 70)),
+      (2L, Seq.empty[Int])).toDF("doc_id", "ids")
+    val got = Chunker.strideChunksOf(df, "doc_id", "ids", 4, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Int](4).toSeq))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, 1L, 4L, Seq(10, 20, 30, 40)),
+      (1L, 1L, 3L, 4L, Seq(30, 40, 50, 60)),
+      (1L, 2L, 5L, 3L, Seq(50, 60, 70))))
+  }
+
+  test("strideChunkDigest equals the md5 chain recomputed from the explode path") {
+    val df = Seq(
+      (1L, (1 to 103).map(_ * 7).toSeq),
+      (2L, Seq(5, 6)),
+      (3L, Seq.empty[Int])).toDF("doc_id", "ids")
+    val digest = Chunker.strideChunkDigest(df, "doc_id", "ids", 32, 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val exploded = Chunker.strideChunksOf(df, "doc_id", "ids", 32, 24)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](4).mkString(",")))
+      .groupBy(_._1)
+    val want = Seq(1L, 2L, 3L).map { id =>
+      val chunks = exploded.getOrElse(id, Array.empty).sortBy(_._2)
+      val n = df.collect().find(_.getLong(0) == id).get.getSeq[Int](1).size.toLong
+      (id, n, chunks.length.toLong, md5hex(chunks.map(c => md5hex(c._3)).mkString("|")))
+    }
+    assert(digest == want)
   }
 
   test("every token is covered and offsets follow the stride") {

@@ -168,6 +168,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q128_simjoin_generic_golden", "q129_simhash_golden", // golden batteries over the generic join / simhash (same UDFs as q46/q49/q36)
     "q137_semdedup_golden", // k-means assignment + centroid-cosine UDFs (same family as q42)
     "q142_bpe_packing", // per-word BPE merge-walk UDF (tokenization stays codegen)
+    "q147_bpe_chunk_ids", // same merge-walk UDF emitting id arrays (chunk digest stays codegen)
     "q143_linear_count") // sketch-bytes popcount/estimate UDF over the 1-row-per-group register
 
   test("only declared UDF-bearing queries plan a ScalaUDF") {
