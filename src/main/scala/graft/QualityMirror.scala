@@ -191,4 +191,39 @@ object QualityMirror {
       (id, n, s, s >= tauE6)
     }
   }
+
+  /** q149 contract: held-out evaluation of the hashed classifier.
+    * Labeled docs = source src0 (positive) / src1 (negative); seeds =
+    * the 80% md5-bucket split (`deterministicSplit("seed"->0.8,
+    * "eval"->0.2)` — bucket < hexThreshold(0.8); an id-modulo split
+    * would correlate with the round-robin source assignment), held-out
+    * = the other 20%; D=4096, τ=0.5.
+    * Output ONE row (n_eval, tp, fp, fn, tn, precision_e6, recall_e6,
+    * accuracy_e6) — integer floor division, empty denominators → 0. */
+  def recomputeHashedEval(docs: Seq[(Long, String, String)],
+      buckets: Int = 4096, tau: Double = 0.5)
+      : (Long, Long, Long, Long, Long, Long, Long, Long) = {
+    val labeled = docs.filter(d => d._3 == "src0" || d._3 == "src1")
+    val isSeed = (id: Long) =>
+      MirrorHash.md5Bucket4(id) < MirrorHash.hexThreshold(0.8)
+    val seeds = labeled.filter(d => isSeed(d._1))
+    val held = labeled.filterNot(d => isSeed(d._1))
+    val w = trainHashed(
+      seeds.collect { case (id, t, "src0") => (id, t) },
+      seeds.collect { case (id, t, "src1") => (id, t) },
+      buckets = buckets)
+    val tauE6 = (tau * 1e6).toLong
+    var tp = 0L; var fp = 0L; var fn = 0L; var tn = 0L
+    held.foreach { case (_, t, src) =>
+      val keep = scoreHashedOf(w, t, buckets)._2 >= tauE6
+      val pos = src == "src0"
+      if (pos && keep) tp += 1
+      else if (!pos && keep) fp += 1
+      else if (pos && !keep) fn += 1
+      else tn += 1
+    }
+    val n = tp + fp + fn + tn
+    def ratio(num: Long, den: Long) = if (den == 0L) 0L else num * 1000000L / den
+    (n, tp, fp, fn, tn, ratio(tp, tp + fp), ratio(tp, tp + fn), ratio(tp + tn, n))
+  }
 }

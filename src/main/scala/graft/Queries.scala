@@ -2745,6 +2745,33 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** q149: held-out classifier evaluation — filter quality as a
+    * first-class oracle output: the q144 hashed model is trained only on
+    * the labeled docs' 80% md5-bucket "seed" split
+    * ([[graft.operators.Sampling.deterministicSplit]] — content-stable,
+    * NOT id-modulo, because the synthetic corpus assigns `source`
+    * round-robin by doc_id and any modulo split would correlate with the
+    * label), scores the DISJOINT 20% split, and emits one row of
+    * confusion counts + e6 precision / recall / accuracy
+    * ([[graft.operators.QualityClassifier.evaluateHashed]] — label
+    * carried through the scoring projection, shuffle-free up to the
+    * final 1-row aggregate). Oracled via
+    * [[QualityMirror.recomputeHashedEval]]. */
+  def classifierEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val labeled = Tables(spark, sfDir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id", "text", "source")
+      .filter($"source".isin("src0", "src1"))
+    val split = graft.operators.Sampling.deterministicSplit(
+      labeled, "doc_id", Seq("seed" -> 0.8, "eval" -> 0.2))
+    val seeds = split.filter($"split" === "seed")
+    graft.operators.QualityClassifier.evaluateHashed(
+      seeds.filter($"source" === "src0"), seeds.filter($"source" === "src1"),
+      split.filter($"split" === "eval")
+        .withColumn("is_pos", $"source" === "src0"),
+      "doc_id", "text", "is_pos")
+  }
+
   /** q147: BPE token IDS end to end — the last step from "measures the
     * tokens" (q142 counts) to "produces the training data": stable ids
     * assigned from the merge table ([[graft.operators.Bpe.vocabOf]]:

@@ -65,7 +65,8 @@ object SfOracles {
       lcRows: Seq[(String, Long, Long)],           // q143
       bpeRows: Seq[(Long, Long, Long, Long)],      // q142
       bpeIdRows: Seq[(Long, Long, Long, String)],  // q147
-      hashedQualityRows: Seq[(Long, Long, Long, Boolean)]) // q144
+      hashedQualityRows: Seq[(Long, Long, Long, Boolean)], // q144
+      hashedEvalRow: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)]) // q149
 
   @volatile private var prepared: Option[Prepared] = None
 
@@ -278,6 +279,8 @@ object SfOracles {
         qualityRows = QualityMirror.recompute(docs4.map(d => (d._1, d._2, d._4))),
         hashedQualityRows =
           QualityMirror.recomputeHashed(docs4.map(d => (d._1, d._2, d._4))),
+        hashedEvalRow = Seq(
+          QualityMirror.recomputeHashedEval(docs4.map(d => (d._1, d._2, d._4)))),
         bloomRows = BloomMirror.recompute(docs,
           confMaxItems = graft.operators.CorpusFilters.bloomConfMaxItems(spark),
           confMaxBits = graft.operators.CorpusFilters.bloomConfMaxBits(spark)),
@@ -372,6 +375,12 @@ object SfOracles {
     cte("bp", "doc_id, n_tokens_bpe, shard, pack", prepared.map(_.bpeRows),
       "0, 0, 0, 0") {
       p: (Long, Long, Long, Long) => s"(${p._1}, ${p._2}, ${p._3}, ${p._4})" }
+
+  private def hashedEvalCte: String =
+    cte("hqe", "n_eval, tp, fp, fn, tn, precision_e6, recall_e6, accuracy_e6",
+      prepared.map(_.hashedEvalRow), "0, 0, 0, 0, 0, 0, 0, 0") {
+      p: (Long, Long, Long, Long, Long, Long, Long, Long) =>
+        s"(${p._1}, ${p._2}, ${p._3}, ${p._4}, ${p._5}, ${p._6}, ${p._7}, ${p._8})" }
 
   private def bpeIdCte: String =
     cte("bpi", "doc_id, n_ids, n_chunks, chunks_md5",
@@ -492,6 +501,16 @@ object SfOracles {
          |       CAST(q.score_e6 AS BIGINT) AS score_e6, q.keep
          |FROM documents d JOIN hq q ON q.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // q149: held-out classifier evaluation — one integer confusion row
+    "q149_classifier_eval" ->
+      s"""WITH $hashedEvalCte
+         |SELECT CAST(n_eval AS BIGINT) AS n_eval, CAST(tp AS BIGINT) AS tp,
+         |       CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+         |       CAST(tn AS BIGINT) AS tn,
+         |       CAST(precision_e6 AS BIGINT) AS precision_e6,
+         |       CAST(recall_e6 AS BIGINT) AS recall_e6,
+         |       CAST(accuracy_e6 AS BIGINT) AS accuracy_e6
+         |FROM hqe""".stripMargin,
     // q139: the DSIR Gumbel-top-k selection, joined back to the live
     // documents table so DuckDB verifies the selected ids exist
     "q139_dsir_resample" ->

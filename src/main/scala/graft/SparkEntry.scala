@@ -169,7 +169,8 @@ object SparkEntry {
     "q144_hashed_quality_classifier" -> (Queries.hashedQualityClassifier _),
     "q145_token_budget_select" -> (Queries.tokenBudgetSelect _),
     "q146_chunk_stride" -> (Queries.chunkStride _),
-    "q147_bpe_chunk_ids" -> (Queries.bpeChunkIds _)
+    "q147_bpe_chunk_ids" -> (Queries.bpeChunkIds _),
+    "q149_classifier_eval" -> (Queries.classifierEval _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same

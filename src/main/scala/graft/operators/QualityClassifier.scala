@@ -265,32 +265,83 @@ object QualityClassifier {
       buckets, iterations, learningRate)
   }
 
-  /** Score every row map-side with a trained hashed-gram weight vector:
-    * z = w0 + (Σ_g w[bucket(g)])/n folded left-to-right over the staged
-    * gram array, `score_e6 = (sigmoid(z)·1e6 + 0.5)::long`, `keep` an
-    * integer compare. No join, no shuffle, no UDF — the D weights are a
-    * plan literal. Output: (idCol, n_grams, score_e6, keep). */
-  def scoreHashed(df: DataFrame, idCol: String, textCol: String,
-      weights: Array[Double], buckets: Int = 4096,
-      tau: Double = 0.5): DataFrame = {
+  /** `score_e6` Column over a STAGED gram-array column: z = w0 +
+    * (Σ_g w[bucket(g)])/n folded left-to-right over the document's own
+    * gram order, sigmoid, `(·1e6 + 0.5)::long`. The D bucket weights
+    * ride the plan as an array literal. */
+  private def hashedScoreE6(grams: Column, weights: Array[Double],
+      buckets: Int): Column = {
     require(weights.length == buckets + 1,
       s"need ${buckets + 1} weights (bias first), got ${weights.length}")
     val wArr = typedLit(weights.drop(1).toSeq)
-    val ts = CorpusFilters.words(coalesce(col(textCol), lit("")))
-    val staged = df
-      .select(col(idCol), ts.as("__ts"))
-      .select(col(idCol), hashedGrams(col("__ts")).as("__grams"))
-    val n = size(col("__grams"))
-    val s = aggregate(col("__grams"), lit(0.0), (acc, g) =>
+    val n = size(grams)
+    val s = aggregate(grams, lit(0.0), (acc, g) =>
       acc + element_at(wArr,
         (pmod(xxhash64(g), lit(buckets.toLong)) + lit(1L)).cast("int")))
     val z = lit(weights(0)) +
       when(n > 0, s / n.cast("double")).otherwise(lit(0.0))
-    val sigmoid = lit(1.0) / (lit(1.0) + exp(-z))
+    (lit(1.0) / (lit(1.0) + exp(-z)) * lit(1e6) + lit(0.5)).cast("long")
+  }
+
+  /** Score every row map-side with a trained hashed-gram weight vector:
+    * [[hashedScoreE6]] over the staged gram array, `keep` an integer
+    * compare. No join, no shuffle, no UDF — the D weights are a plan
+    * literal. Output: (idCol, n_grams, score_e6, keep). */
+  def scoreHashed(df: DataFrame, idCol: String, textCol: String,
+      weights: Array[Double], buckets: Int = 4096,
+      tau: Double = 0.5): DataFrame = {
+    val ts = CorpusFilters.words(coalesce(col(textCol), lit("")))
+    val staged = df
+      .select(col(idCol), ts.as("__ts"))
+      .select(col(idCol), hashedGrams(col("__ts")).as("__grams"))
     staged
-      .select(col(idCol), n.cast("long").as("n_grams"),
-        (sigmoid * lit(1e6) + lit(0.5)).cast("long").as("score_e6"))
+      .select(col(idCol), size(col("__grams")).cast("long").as("n_grams"),
+        hashedScoreE6(col("__grams"), weights, buckets).as("score_e6"))
       .withColumn("keep", col("score_e6") >= lit((tau * 1e6).toLong))
+  }
+
+  /** Held-out evaluation of the hashed classifier — filter quality as a
+    * FIRST-CLASS oracle-able output instead of a smoke print: train on
+    * the two seed classes, score a DISJOINT labeled split, and emit one
+    * row of confusion counts + e6 fixed-point metrics (precision /
+    * recall / accuracy — integer floor division, engine-exact; an empty
+    * denominator yields 0, loudly visible next to the raw counts).
+    *
+    * `eval` must carry `labelCol` (boolean, true = positive class) —
+    * scoring keeps the label in the SAME projection, so the whole pass
+    * stays shuffle-free up to the final 1-row aggregate (no score-to-
+    * label join). At 100 TB the eval split is curated and bounded, but
+    * nothing here depends on that: the pass is a map over `eval` however
+    * large it is.
+    *
+    * Output row: (n_eval, tp, fp, fn, tn, precision_e6, recall_e6,
+    * accuracy_e6) — BIGINT throughout. */
+  def evaluateHashed(pos: DataFrame, neg: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, labelCol: String, tau: Double = 0.5,
+      buckets: Int = 4096, sampleCap: Int = 2000, iterations: Int = 200,
+      learningRate: Double = 0.5): DataFrame = {
+    val w = trainHashed(pos, neg, idCol, textCol, buckets, sampleCap,
+      iterations, learningRate)
+    val ts = CorpusFilters.words(coalesce(col(textCol), lit("")))
+    val staged = eval
+      .select(col(labelCol).cast("boolean").as("__pos"), ts.as("__ts"))
+      .select(col("__pos"), hashedGrams(col("__ts")).as("__grams"))
+    val keep = hashedScoreE6(col("__grams"), w, buckets) >=
+      lit((tau * 1e6).toLong)
+    staged.select(col("__pos"), keep.as("__keep"))
+      .agg(
+        count(lit(1)).as("n_eval"),
+        coalesce(sum(when(col("__pos") && col("__keep"), 1L).otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(!col("__pos") && col("__keep"), 1L).otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(col("__pos") && !col("__keep"), 1L).otherwise(0L)), lit(0L)).as("fn"),
+        coalesce(sum(when(!col("__pos") && !col("__keep"), 1L).otherwise(0L)), lit(0L)).as("tn"))
+      .select(col("n_eval"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN 0L ELSE (tp * 1000000L) div (tp + fp) END")
+          .as("precision_e6"),
+        expr("CASE WHEN tp + fn = 0 THEN 0L ELSE (tp * 1000000L) div (tp + fn) END")
+          .as("recall_e6"),
+        expr("CASE WHEN n_eval = 0 THEN 0L ELSE ((tp + tn) * 1000000L) div n_eval END")
+          .as("accuracy_e6"))
   }
 
   /** Train the hashed model on the seeds, score the whole corpus. */

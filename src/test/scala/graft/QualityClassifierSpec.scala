@@ -211,4 +211,47 @@ class QualityClassifierSpec extends AnyFunSuite {
     val biasScore = (1.0 / (1.0 + StrictMath.exp(-w(0))) * 1e6 + 0.5).toLong
     assert(out.forall { case (_, n, s) => n == 0L && s == biasScore })
   }
+
+  test("evaluateHashed: perfect confusion on planted separable classes, " +
+      "metrics arithmetic exact") {
+    // disjoint train/eval ids; vocab-separable classes -> the held-out
+    // confusion must be perfect and the e6 metrics exactly 1e6
+    val evalDf = ((300 until 320).map(i => (i.toLong, vocabPosText, true)) ++
+        (400 until 430).map(i => (i.toLong, vocabNegText, false)))
+      .toDF("doc_id", "text", "is_pos")
+    val row = QualityClassifier.evaluateHashed(
+        vocabPos, vocabNeg, evalDf, "doc_id", "text", "is_pos")
+      .collect()(0)
+    val Seq(n, tp, fp, fn, tn, p6, r6, a6) =
+      (0 until 8).map(row.getLong(_))
+    assert((n, tp, fp, fn, tn) == ((50L, 20L, 0L, 0L, 30L)))
+    assert((p6, r6, a6) == ((1000000L, 1000000L, 1000000L)))
+    // an imperfect split exercises the floor-division arithmetic: flip
+    // some labels so the confusion is mixed but still deterministic
+    val flipped = ((300 until 320).map(i => (i.toLong, vocabPosText, i >= 315)) ++
+        (400 until 430).map(i => (i.toLong, vocabNegText, i < 410)))
+      .toDF("doc_id", "text", "is_pos")
+    val r2 = QualityClassifier.evaluateHashed(
+        vocabPos, vocabNeg, flipped, "doc_id", "text", "is_pos").collect()(0)
+    val (n2, tp2, fp2, fn2, tn2) =
+      (r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3), r2.getLong(4))
+    assert(n2 == tp2 + fp2 + fn2 + tn2)
+    assert((tp2, fp2, fn2, tn2) == ((5L, 15L, 10L, 20L)))
+    assert(r2.getLong(5) == 5L * 1000000L / 20L)   // precision tp/(tp+fp)
+    assert(r2.getLong(6) == 5L * 1000000L / 15L)   // recall tp/(tp+fn)
+    assert(r2.getLong(7) == 25L * 1000000L / 50L)  // accuracy
+  }
+
+  test("distributed q149 reproduces the straight-line eval mirror at sf0.001") {
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toIndexedSeq
+    val want = QualityMirror.recomputeHashedEval(docs)
+    assert(want._1 > 0L && want._1 == want._2 + want._3 + want._4 + want._5)
+    val row = Queries.classifierEval(spark, sfDir).collect()(0)
+    val got = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5), row.getLong(6), row.getLong(7))
+    assert(got == want)
+  }
 }
