@@ -24,8 +24,10 @@ import graft.operators.Bpe
 object BpeMirror {
 
   /** The `Bpe.trainTable` contract replayed locally: hash-sample
-    * membership, exact word counts, (count DESC, word ASC) cut. */
-  private def tableOf(docs: Seq[(Long, String)], sampleCap: Int,
+    * membership, exact word counts, (count DESC, word ASC) cut.
+    * Shared with [[PipelineMirror]] (q148 trains BPE on the gated
+    * sub-corpus through the same contract). */
+  private[graft] def tableOf(docs: Seq[(Long, String)], sampleCap: Int,
       maxWords: Int): Seq[(String, Long)] = {
     val n = docs.size
     val sample =

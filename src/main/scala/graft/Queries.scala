@@ -2745,6 +2745,61 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** q148: the composed training-data pipeline (ScaleSmoke e2e v4
+    * promoted to an ORACLE query): hashed-classifier gate (q144) →
+    * BPE trained on the gated docs (q142 knobs) → token-budget
+    * selection by distinct-token-ratio score (q145 semantics, budget =
+    * half the gated BPE tokens) → exact substring dedup of the winners
+    * (q133) → ctx-512 BPE packing of the CLEANED text over 8 shards
+    * (q64/q142 algebra). Composition is where staging/lineage bugs hide
+    * (the round-9 two-traversal hazard), so the gate output, the
+    * selected set and the dedup output are each staged once via
+    * [[graft.operators.Stage.cut]] for their multiple consumers, and
+    * every stage is mirrored end to end by
+    * [[PipelineMirror.recomputeV4]]. */
+  def pipelineV4(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id", "text", "source")
+    val scored = graft.operators.QualityClassifier.trainAndScoreHashed(
+      docs, docs.filter($"source" === "src0"),
+      docs.filter($"source" === "src1"), "doc_id", "text", tau = 0.5)
+    // gate output feeds BPE training, budget scoring AND the winner join
+    val gated = docs.select($"doc_id", $"text")
+      .join(scored.filter($"keep").select($"doc_id"), "doc_id")
+      .transform(graft.operators.Stage.cut)
+    val merges = graft.operators.Bpe.train(
+      gated, "doc_id", "text", numMerges = 60)
+    val cnt = graft.operators.Bpe.tokenCountCol(merges)
+    val toksArr = split(trim(coalesce($"text", lit(""))), "\\s+")
+    val cand = gated.select($"doc_id",
+        size(array_distinct(toksArr)).cast("long").as("nd"),
+        size(toksArr).cast("long").as("nt"),
+        cnt($"text").cast("long").as("n_tokens_bpe"))
+      .withColumn("score_e6", expr("(nd * 1000000) div nt"))
+      .select($"doc_id", $"score_e6", $"n_tokens_bpe")
+    val budget = cand.agg(expr("sum(n_tokens_bpe) div 2"))
+      .collect()(0).getLong(0)
+    val winners = graft.operators.Budget.selectByBudget(
+        cand, "doc_id", "score_e6", "n_tokens_bpe", budget)
+      .filter($"selected").select($"doc_id", $"score_e6", $"n_tokens_bpe")
+      .transform(graft.operators.Stage.cut) // feeds dedup AND the final join
+    val cleaned = graft.operators.SubstringDedup.dedupText(
+        gated.join(winners.select($"doc_id"), "doc_id"),
+        "doc_id", "text", k = 8, minRepeat = 2)
+      .transform(graft.operators.Stage.cut) // feeds packing AND the stats join
+    val packed = graft.operators.Bpe.packByBpe(
+        cleaned.select($"doc_id", $"cleaned"), "doc_id", "cleaned",
+        merges, ctxLen = 512, nShards = 8)
+      .select($"doc_id", $"n_tokens_bpe".as("n_clean_bpe"), $"shard", $"pack")
+    winners
+      .join(cleaned.select($"doc_id", $"n_spans", $"dup_tokens"), "doc_id")
+      .join(packed, "doc_id")
+      .select($"doc_id", $"score_e6", $"n_tokens_bpe", $"n_spans",
+        $"dup_tokens", $"n_clean_bpe", $"shard", $"pack")
+      .orderBy($"doc_id")
+  }
+
   /** q149: held-out classifier evaluation — filter quality as a
     * first-class oracle output: the q144 hashed model is trained only on
     * the labeled docs' 80% md5-bucket "seed" split

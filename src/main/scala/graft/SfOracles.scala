@@ -66,7 +66,8 @@ object SfOracles {
       bpeRows: Seq[(Long, Long, Long, Long)],      // q142
       bpeIdRows: Seq[(Long, Long, Long, String)],  // q147
       hashedQualityRows: Seq[(Long, Long, Long, Boolean)], // q144
-      hashedEvalRow: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)]) // q149
+      hashedEvalRow: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)], // q149
+      pipelineV4Rows: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)]) // q148
 
   @volatile private var prepared: Option[Prepared] = None
 
@@ -286,7 +287,8 @@ object SfOracles {
           confMaxBits = graft.operators.CorpusFilters.bloomConfMaxBits(spark)),
         lcRows = LinearCountMirror.recompute(docs3),
         bpeRows = BpeMirror.recompute(docs),
-        bpeIdRows = BpeMirror.recomputeIds(docs)))
+        bpeIdRows = BpeMirror.recomputeIds(docs),
+        pipelineV4Rows = PipelineMirror.recomputeV4(docs4.map(d => (d._1, d._2, d._4)))))
     }
   }
 
@@ -379,6 +381,12 @@ object SfOracles {
   private def hashedEvalCte: String =
     cte("hqe", "n_eval, tp, fp, fn, tn, precision_e6, recall_e6, accuracy_e6",
       prepared.map(_.hashedEvalRow), "0, 0, 0, 0, 0, 0, 0, 0") {
+      p: (Long, Long, Long, Long, Long, Long, Long, Long) =>
+        s"(${p._1}, ${p._2}, ${p._3}, ${p._4}, ${p._5}, ${p._6}, ${p._7}, ${p._8})" }
+
+  private def pipelineV4Cte: String =
+    cte("pv4", "doc_id, score_e6, n_tokens_bpe, n_spans, dup_tokens, n_clean_bpe, shard, pack",
+      prepared.map(_.pipelineV4Rows), "0, 0, 0, 0, 0, 0, 0, 0") {
       p: (Long, Long, Long, Long, Long, Long, Long, Long) =>
         s"(${p._1}, ${p._2}, ${p._3}, ${p._4}, ${p._5}, ${p._6}, ${p._7}, ${p._8})" }
 
@@ -500,6 +508,19 @@ object SfOracles {
          |SELECT d.doc_id, CAST(q.n_grams AS BIGINT) AS n_grams,
          |       CAST(q.score_e6 AS BIGINT) AS score_e6, q.keep
          |FROM documents d JOIN hq q ON q.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // q148: the composed v4 pipeline — one row per SELECTED doc, joined
+    // to the live documents table so DuckDB verifies the winner set
+    "q148_pipeline_v4" ->
+      s"""WITH $pipelineV4Cte
+         |SELECT d.doc_id, CAST(p.score_e6 AS BIGINT) AS score_e6,
+         |       CAST(p.n_tokens_bpe AS BIGINT) AS n_tokens_bpe,
+         |       CAST(p.n_spans AS BIGINT) AS n_spans,
+         |       CAST(p.dup_tokens AS BIGINT) AS dup_tokens,
+         |       CAST(p.n_clean_bpe AS BIGINT) AS n_clean_bpe,
+         |       CAST(p.shard AS BIGINT) AS shard,
+         |       CAST(p.pack AS BIGINT) AS pack
+         |FROM documents d JOIN pv4 p ON p.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     // q149: held-out classifier evaluation — one integer confusion row
     "q149_classifier_eval" ->

@@ -170,6 +170,7 @@ object SparkEntry {
     "q145_token_budget_select" -> (Queries.tokenBudgetSelect _),
     "q146_chunk_stride" -> (Queries.chunkStride _),
     "q147_bpe_chunk_ids" -> (Queries.bpeChunkIds _),
+    "q148_pipeline_v4" -> (Queries.pipelineV4 _),
     "q149_classifier_eval" -> (Queries.classifierEval _)
   )
 

@@ -54,10 +54,11 @@ object SubstringDedup {
     * pipeline a range exchange it rarely needs).
     */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
-                 k: Int = 8, minRepeat: Int = 2): DataFrame = {
+                 k: Int = 8, minRepeat: Int = 2,
+                 singlePassMaxDocs: Long = 1000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    dedupText(df, idCol, textCol, k, minRepeat)
+    dedupText(df, idCol, textCol, k, minRepeat, singlePassMaxDocs)
       .select($"doc_id", $"n_tokens", $"n_spans", $"dup_tokens",
         md5($"cleaned".cast("binary")).as("cleaned_md5"))
   }
@@ -71,7 +72,8 @@ object SubstringDedup {
     * [[dedupSpans]] (which is now a thin md5 projection over this).
     */
   def dedupText(df: DataFrame, idCol: String, textCol: String,
-                k: Int = 8, minRepeat: Int = 2): DataFrame = {
+                k: Int = 8, minRepeat: Int = 2,
+                singlePassMaxDocs: Long = 1000000L): DataFrame = {
     require(k >= 2, s"gram width must be >= 2, got $k")
     require(minRepeat >= 2, s"minRepeat must be >= 2, got $minRepeat")
     val spark = df.sparkSession
@@ -87,32 +89,49 @@ object SubstringDedup {
       .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"col".as("gram"),
         xxhash64($"col").as("gh"))
 
-    // TWO-PASS dup detection (round 10): counting the GRAM STRINGS
-    // directly shuffles ~80 bytes per distinct gram per partition — on a
-    // mostly-unique corpus that is nearly the whole posting stream (the
-    // 100M-doc smoke filled 230 GB of local shuffle temp and died).
-    // Pass 1 counts 8-byte xxhash64 keys (map-side combinable, ~5-10×
-    // fewer exchange bytes) into a candidate set: collisions can only
-    // ADD counts, so candidates are a SUPERSET of the true ≥ minRepeat
-    // grams — no false negatives. Pass 2 recounts EXACTLY, on gram
-    // strings, restricted to candidate postings (true dups + the odd
-    // 2⁻⁶⁴ collision stray — a tiny fraction of the corpus), so the
-    // final span decisions are still made on real strings: bit-identical
-    // output to the single-pass formulation, q133's oracle untouched.
-    val candHashes = grams.groupBy($"gh")
-      .agg(count(lit(1)).as("c"))
-      .filter($"c" >= minRepeat)
-      .select($"gh")
-    // cached: consumed by the exact recount AND the hits join; bounded
-    // by true dup postings (+ collision strays), not the corpus
-    val candPost = grams.join(candHashes, Seq("gh"))
-      .select($"doc_id", $"pos", $"gram").cache()
-    val dupGrams = candPost.groupBy($"gram")
-      .agg(count(lit(1)).as("c"))
-      .filter($"c" >= minRepeat)
-      .select($"gram")
-
-    val hits = candPost.join(dupGrams, Seq("gram")).select($"doc_id", $"pos")
+    // TWO-PASS dup detection (round 10), ADAPTIVE (round 11): counting
+    // the GRAM STRINGS directly shuffles ~80 bytes per distinct gram per
+    // partition — on a mostly-unique corpus that is nearly the whole
+    // posting stream (the 100M-doc smoke filled 230 GB of local shuffle
+    // temp and died). Pass 1 counts 8-byte xxhash64 keys (map-side
+    // combinable, ~5-10× fewer exchange bytes) into a candidate set:
+    // collisions can only ADD counts, so candidates are a SUPERSET of
+    // the true ≥ minRepeat grams — no false negatives. Pass 2 recounts
+    // EXACTLY, on gram strings, restricted to candidate postings (true
+    // dups + the odd 2⁻⁶⁴ collision stray — a tiny fraction of the
+    // corpus), so the final span decisions are still made on real
+    // strings: BIT-IDENTICAL output to the single-pass formulation.
+    //
+    // The trade only pays when the posting stream dwarfs the exchange:
+    // measured 27.0 s vs 84.5 s @10M docs and survival-vs-death @100M,
+    // but at small corpora the extra counting pass is pure overhead
+    // (q133 at sf0.1: +0.4 s). Below `singlePassMaxDocs` (one cheap
+    // count() of the input — column-pruned parquet scan) the plan
+    // drops to the direct string count; either path yields the same
+    // bytes, pinned by SubstringDedupSpec's path-equivalence case.
+    val nDocs = df.count()
+    val hits =
+      if (nDocs <= singlePassMaxDocs) {
+        val dupGrams = grams.groupBy($"gram")
+          .agg(count(lit(1)).as("c"))
+          .filter($"c" >= minRepeat)
+          .select($"gram")
+        grams.join(dupGrams, Seq("gram")).select($"doc_id", $"pos")
+      } else {
+        val candHashes = grams.groupBy($"gh")
+          .agg(count(lit(1)).as("c"))
+          .filter($"c" >= minRepeat)
+          .select($"gh")
+        // cached: consumed by the exact recount AND the hits join; bounded
+        // by true dup postings (+ collision strays), not the corpus
+        val candPost = grams.join(candHashes, Seq("gh"))
+          .select($"doc_id", $"pos", $"gram").cache()
+        val dupGrams = candPost.groupBy($"gram")
+          .agg(count(lit(1)).as("c"))
+          .filter($"c" >= minRepeat)
+          .select($"gram")
+        candPost.join(dupGrams, Seq("gram")).select($"doc_id", $"pos")
+      }
 
     // Gaps-and-islands on hit starts: running max of span-end over the
     // strictly-preceding frame; a hit opens a new island iff it starts

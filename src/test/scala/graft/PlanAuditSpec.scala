@@ -169,6 +169,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q137_semdedup_golden", // k-means assignment + centroid-cosine UDFs (same family as q42)
     "q142_bpe_packing", // per-word BPE merge-walk UDF (tokenization stays codegen)
     "q147_bpe_chunk_ids", // same merge-walk UDF emitting id arrays (chunk digest stays codegen)
+    "q148_pipeline_v4", // composed v4 recipe: BPE merge-walk UDF in the count+pack stages
     "q143_linear_count") // sketch-bytes popcount/estimate UDF over the 1-row-per-group register
 
   test("only declared UDF-bearing queries plan a ScalaUDF") {

@@ -12,7 +12,7 @@ import graft.operators.SubstringDedup
   * no-repeat identity — every expectation derived by hand, cleaned text
   * checked via the same md5 the query surfaces. */
 class SubstringDedupSpec extends AnyFunSuite {
-  import SparkSuiteBase.spark
+  import SparkSuiteBase.{spark, sfDir}
 
   private def md5hex(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -161,5 +161,21 @@ class SubstringDedupSpec extends AnyFunSuite {
     val b = SubstringDedup.dedupSpans(df8, "doc_id", "text", k = 4)
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
+  }
+
+  test("single-pass and two-pass plans produce identical bytes") {
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id", "text")
+    def run(threshold: Long) = graft.operators.SubstringDedup
+      .dedupSpans(docs, "doc_id", "text", k = 8, minRepeat = 2,
+        singlePassMaxDocs = threshold)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    val single = run(Long.MaxValue)
+    val two = run(0L)
+    assert(single.nonEmpty && single.exists(_._4 > 0L))
+    assert(single == two,
+      "the adaptive pre-pass skip must not change a single output byte")
   }
 }
