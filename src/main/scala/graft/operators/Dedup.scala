@@ -137,24 +137,54 @@ object Dedup {
       val slice = (0 until rowsPerBand).map(r => $"sig"(b * rowsPerBand + r))
       struct(lit(b).as("band"), hash(slice: _*).as("bh"))
     }
-    // Bucket join on IDS ONLY (the exploded frame and the candidate
-    // shuffle move ~20-byte rows, not 256-byte signature arrays); DISTINCT
-    // before verification so a pair colliding in several bands is verified
-    // once, with signatures attached only to the deduped pairs.
+    // Bucket pairing on IDS ONLY (the exploded frame moves ~20-byte
+    // rows, not 256-byte signature arrays), as ONE exchange (round 11):
+    // the r10 self-join form shuffled the exploded (band, bh, id) frame
+    // TWICE — once per join side; ReuseExchange does not unify the
+    // auto-deduplicated subtrees (verified empirically on the executed
+    // plan) and at 100M docs each copy is ~40 GB raw, which is what
+    // overran this sandbox's local disk. Instead each bucket groups its
+    // member ids (ONE exchange) and in-bucket pairs are emitted
+    // MAP-SIDE by a double explode with the a < b triangle filter —
+    // same n²-per-bucket output the join produced, zero extra
+    // exchanges. LSH buckets are tiny by construction (expected
+    // occupancy ≈ 1 under sane hashing; a duplicated block of k docs
+    // collides as k members), so the per-bucket array row is bounded;
+    // a corpus where one bucket holds millions of members produces an
+    // n² candidate set under EITHER formulation — run exact dedup
+    // first. DISTINCT before verification so a pair colliding in
+    // several bands is verified once.
     val buckets = sigs
       .withColumn("bk", explode(array(bandCols: _*)))
       .select($"bk.band".as("band"), $"bk.bh".as("bh"), $"id")
-    val cand = buckets.select($"band", $"bh", $"id".as("id_a"))
-      .join(buckets.select($"band", $"bh", $"id".as("id_b")), Seq("band", "bh"))
+    val cand = buckets.groupBy($"band", $"bh")
+      .agg(collect_list($"id").as("ids"))
+      .filter(size($"ids") > 1)
+      .select($"ids", explode($"ids").as("id_a"))
+      .select($"id_a", explode($"ids").as("id_b"))
       .filter($"id_a" < $"id_b")
       .select($"id_a", $"id_b")
       .dropDuplicates("id_a", "id_b")
 
-    cand
-      .join(sigs.select($"id".as("id_a"), $"sig".as("sig_a")), "id_a")
-      .join(sigs.select($"id".as("id_b"), $"sig".as("sig_b")), "id_b")
+    // Verification with ONE signature exchange (round 11): r10 attached
+    // sig arrays via two id-keyed joins, exchanging the ~270-byte
+    // signature frame TWICE (2 × 27 GB at 100M docs — the measured
+    // disk killer of the third decade). Instead each deduped pair
+    // explodes into its two member rows, joins the signature frame ONCE
+    // on id, and re-groups by the pair key collecting exactly two
+    // signatures; the per-position agreement count is symmetric, so the
+    // collect order is irrelevant and the result is bit-identical to
+    // the two-join form (DedupSpec pins it against the JVM mirror).
+    // Exchange bytes: sigs once (27 GB) + 2·|pairs| sig-carrying rows
+    // (~3 GB at 5M pairs) instead of 54 GB + the pair intermediate.
+    val sides = cand.select($"id_a", $"id_b",
+      explode(array($"id_a", $"id_b")).as("id"))
+    sides.join(sigs, "id")
+      .groupBy($"id_a", $"id_b")
+      .agg(collect_list($"sig").as("ss"))
       .withColumn("est_jaccard",
-        aggregate(zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
+        aggregate(
+          zip_with($"ss"(0), $"ss"(1), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
       .filter($"est_jaccard" >= threshold)
       .select($"id_a", $"id_b", $"est_jaccard")

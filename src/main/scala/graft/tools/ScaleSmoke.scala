@@ -79,12 +79,14 @@ object ScaleSmoke {
 
     // SCALE_ONLY_BPE — q142's shape at nDocs: bounded-sample train (the
     // cost that must NOT grow with nDocs), then the map-side encode+pack
-    // pass over everything. Run after `docs` is defined below.
+    // pass over everything; since round 11 also the q147 shape — token-ID
+    // arrays chunked into ctx windows and digested per doc, still one
+    // shuffle-free pass. Run after `docs` is defined below.
     def bpeSmoke(docs: DataFrame): Unit = {
-      val merges = time(s"BPE train (2000-doc sample of $nDocs)") {
-        graft.operators.Bpe.train(docs, "id", "text", numMerges = 200)
+      val (merges, vocab) = time(s"BPE train (2000-doc sample of $nDocs)") {
+        graft.operators.Bpe.trainWithVocab(docs, "id", "text", numMerges = 200)
       }
-      println(s"  merges learned: ${merges.length}")
+      println(s"  merges learned: ${merges.length}; vocab size: ${vocab.length}")
       time(s"BPE encode + pack ($nDocs docs, ctx 2048, 64 shards)") {
         val packed = graft.operators.Bpe.packByBpe(
           docs, "id", "text", merges, ctxLen = 2048, nShards = 64)
@@ -92,6 +94,20 @@ object ScaleSmoke {
           sum($"n_tokens_bpe").as("toks"),
           countDistinct($"shard", $"pack").as("packs")).collect()(0)
         println(s"  total bpe tokens: ${stats.getLong(0)}; packs: ${stats.getLong(1)}")
+      }
+      time(s"BPE token-id encode + 32-id/stride-24 chunk digest ($nDocs docs)") {
+        // the q147 shape: id arrays + per-doc window digests in ONE
+        // shuffle-free map pass (no explode, no aggregate beyond the
+        // 1-row summary)
+        val ids = graft.operators.Bpe.tokenIdsCol(merges, vocab)
+        val digests = graft.operators.Chunker.strideChunkDigest(
+          docs.select($"id", ids($"text").as("ids")), "id", "ids",
+          chunkLen = 32, stride = 24)
+        val stats = digests.agg(
+          sum($"n_items").as("ids"), sum($"n_chunks").as("chunks"),
+          countDistinct($"chunks_md5").as("distinct_digests")).collect()(0)
+        println(s"  total ids: ${stats.getLong(0)}; windows: ${stats.getLong(1)}; " +
+          s"distinct digests: ${stats.getLong(2)}")
       }
     }
 
@@ -126,6 +142,12 @@ object ScaleSmoke {
       // files until the job ends (AQE reuse) and fills the disk — the
       // first combined attempt died on minhash with ~194 GB of temp.
       val thirdCase = sys.env.getOrElse("SCALE_THIRD_CASE", "all")
+      // 100M-decade cases: drop the docs cache (each case scans docs at
+      // most once, and regeneration from spark.range is pure codegen) —
+      // the ~20 GB cached block store would otherwise evict the minhash
+      // signature cache to disk on a heap that must stay under the host
+      // RAM, and this sandbox's local disk is the binding constraint.
+      docs.unpersist(true)
       if (thirdCase == "all" || thirdCase == "minhash")
       time(s"minhash dedup candidates ($nDocs docs)") {
         val pairs = Dedup.minhashCandidatePairs(docs, "id", "text", threshold = 0.9)
