@@ -280,4 +280,19 @@ object Bpe {
       cnt(col(textCol)).cast("long").as("n_tokens_bpe"))
     Packing.greedyPack(withCounts, idCol, "n_tokens_bpe", ctxLen, nShards)
   }
+
+  /** [[packByBpe]] emitting the token-ID ARRAYS alongside the counts —
+    * the shard rows a pretraining pipeline actually writes out:
+    * (idCol, ids, n_tokens_bpe, shard, pack). One encode pass: the
+    * count IS `size(ids)` (each subword unit maps to exactly one id in
+    * [[encodeWordIds]]), so no second merge walk runs and the pack
+    * assignment is provably identical to [[packByBpe]]'s. */
+  def packByBpeWithIds(df: DataFrame, idCol: String, textCol: String,
+      merges: Array[(String, String)], vocab: Array[String],
+      ctxLen: Int, nShards: Int): DataFrame = {
+    val idsC = tokenIdsCol(merges, vocab)
+    val withIds = df.select(col(idCol), idsC(col(textCol)).as("ids"))
+      .withColumn("n_tokens_bpe", size(col("ids")).cast("long"))
+    Packing.greedyPack(withIds, idCol, "n_tokens_bpe", ctxLen, nShards)
+  }
 }

@@ -135,4 +135,22 @@ class BpeSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
     assert(got == want)
   }
+
+  test("packByBpeWithIds: id arrays ride the q142 pack assignment unchanged") {
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id", "text")
+    val (merges, vocab) = Bpe.trainWithVocab(docs, "doc_id", "text", numMerges = 60)
+    val plain = Queries.bpePacking(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val withIds = Bpe.packByBpeWithIds(
+        docs, "doc_id", "text", merges, vocab, ctxLen = 512, nShards = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).length, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    // count == |ids| by construction, and (count, shard, pack) must all
+    // match the count-only packer bit for bit
+    withIds.foreach { case (_, nIds, n, _, _) => assert(nIds.toLong == n) }
+    assert(withIds.map(t => (t._1, t._3, t._4, t._5)) == plain)
+  }
 }

@@ -161,4 +161,20 @@ class DedupSpec extends AnyFunSuite {
       assert(sc.getCheckpointDir.isEmpty)
     }
   }
+
+  test("minhash: single-exchange and join verification plans are bit-identical") {
+    val docs = Tables(spark, SparkSuiteBase.sfDir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id", "text")
+    def run(threshold: Long) = Dedup.minhashCandidatePairs(
+        docs, "doc_id", "text", threshold = 0.8,
+        singleExchangeMinDocs = threshold)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val joined = run(Long.MaxValue)  // small-corpus join forms
+    val grouped = run(0L)            // big-corpus single-exchange forms
+    assert(joined.nonEmpty)
+    assert(joined == grouped,
+      "the adaptive plan switch must not change a single output value")
+  }
 }
