@@ -2745,6 +2745,31 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** q150: PER-GROUP token-budget selection — each language spends its
+    * own budget (half of that language's tokens) on its best documents
+    * by distinct-token-ratio score: the data-mixing deployment shape
+    * (per-language/domain token targets) of q145. Runs through
+    * [[graft.operators.Budget.selectByBudgetPerGroup]]'s composite
+    * range-partitioned plan (group-contiguous slices, bounded
+    * per-cell driver fold — never one window task per viral group)
+    * while the oracle states the semantics as two plain SQL windows. */
+  def tokenBudgetPerLang(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toksArr = split(trim(coalesce($"text", lit(""))), "\\s+")
+    val scored = Tables(spark, sfDir, "documents")
+      .select($"lang", $"doc_id",
+        size(toksArr).cast("long").as("n_toks"),
+        size(array_distinct(toksArr)).cast("long").as("nd"))
+      .withColumn("score_e6", expr("(nd * 1000000) div n_toks"))
+      .select($"lang", $"doc_id", $"score_e6", $"n_toks")
+    graft.operators.Budget.selectByBudgetPerGroup(
+        scored, "lang", "doc_id", "score_e6", "n_toks",
+        budgetNum = 1L, budgetDen = 2L)
+      .select($"lang", $"doc_id", $"score_e6", $"n_toks",
+        $"group_w".as("lang_toks"), $"cum_w".as("cum_toks"), $"selected")
+      .orderBy($"doc_id")
+  }
+
   /** q148: the composed training-data pipeline (ScaleSmoke e2e v4
     * promoted to an ORACLE query): hashed-classifier gate (q144) →
     * BPE trained on the gated docs (q142 knobs) → token-budget

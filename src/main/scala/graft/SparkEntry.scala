@@ -171,7 +171,8 @@ object SparkEntry {
     "q146_chunk_stride" -> (Queries.chunkStride _),
     "q147_bpe_chunk_ids" -> (Queries.bpeChunkIds _),
     "q148_pipeline_v4" -> (Queries.pipelineV4 _),
-    "q149_classifier_eval" -> (Queries.classifierEval _)
+    "q149_classifier_eval" -> (Queries.classifierEval _),
+    "q150_token_budget_per_lang" -> (Queries.tokenBudgetPerLang _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -664,6 +665,28 @@ object SparkEntry {
         |  CAST(c.cum_toks AS BIGINT) AS cum_toks,
         |  c.cum_toks <= b.budget AS selected
         |FROM c, b ORDER BY c.doc_id""".stripMargin,
+    // Per-group budget oracle: the composite-range sharded plan must
+    // equal TWO plain SQL windows per language (running prefix + group
+    // total); selection is the integer cross-multiply cum*den <= tot*num.
+    "q150_token_budget_per_lang" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split_regex(trim(COALESCE(text, '')), '\s+')) AS BIGINT) AS n_toks,
+        |    (CAST(len(list_distinct(string_split_regex(trim(COALESCE(text, '')), '\s+'))) AS BIGINT)
+        |       * 1000000) // CAST(len(string_split_regex(trim(COALESCE(text, '')), '\s+')) AS BIGINT)
+        |      AS score_e6
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, score_e6, n_toks,
+        |    SUM(n_toks) OVER (PARTITION BY lang) AS lang_toks,
+        |    SUM(n_toks) OVER (PARTITION BY lang ORDER BY score_e6 DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_toks
+        |  FROM t)
+        |SELECT lang, doc_id, score_e6, n_toks,
+        |  CAST(lang_toks AS BIGINT) AS lang_toks,
+        |  CAST(cum_toks AS BIGINT) AS cum_toks,
+        |  cum_toks * 2 <= lang_toks AS selected
+        |FROM c ORDER BY doc_id""".stripMargin,
     // End-to-end pipeline oracle: every stage (dedup keep-first, quality
     // blend, lang filter, md5 split, rollup) mirrored in SQL — verifies
     // the COMPOSITION, not just the operators.

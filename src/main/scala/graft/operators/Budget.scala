@@ -36,6 +36,82 @@ import org.apache.spark.sql.functions._
   */
 object Budget {
 
+  /** PER-GROUP budget selection — the data-mixing deployment shape
+    * (DoReMi / per-language token targets): within every group, order
+    * by (score desc, id asc) and keep the prefix whose cumulative
+    * weight is ≤ `budgetNum/budgetDen` of the GROUP's total weight
+    * (integer arithmetic: `cum_w ≤ (total_g · budgetNum) div budgetDen`
+    * — engine-exact, SQL-expressible as two windows).
+    *
+    * Plan (the [[selectByBudget]] machinery with a composite range
+    * key): `repartitionByRange(group, score desc, id)` — the PRIMARY
+    * key is the group, so each group's global order occupies a
+    * CONTIGUOUS slice range and distinct (slice, group) cells number at
+    * most nSlices + nGroups − 1. The bounded driver fold turns per-cell
+    * sums into per-cell exclusive offsets and per-group totals in one
+    * pass; per-row cumsums stay local windows keyed by (slice, group).
+    * Never a single-task window per group — a viral group (one language
+    * = half the corpus) spreads over many slices exactly like q68's
+    * positional quantiles. The driver model is bounded by the GROUP
+    * CARDINALITY (languages, domains-classes, sources — dozens to
+    * thousands); for millions of micro-groups use a plain per-group
+    * window instead, where no group can straddle an executor.
+    *
+    * @return (groupCol, idCol, scoreCol, weightCol, group_w, cum_w,
+    *         selected), one row per input row */
+  def selectByBudgetPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, weightCol: String,
+      budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(budgetNum >= 0L && budgetDen >= 1L,
+      s"need budgetNum >= 0 and budgetDen >= 1, got $budgetNum/$budgetDen")
+    val spark = df.sparkSession
+    val nSlices = spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .select(col(groupCol), col(idCol), col(scoreCol),
+        col(weightCol).cast("long").as(weightCol))
+      .repartitionByRange(nSlices,
+        col(groupCol).asc, col(scoreCol).desc, col(idCol).asc)
+      .withColumn("pid", spark_partition_id())
+      .transform(Stage.cut)
+    // ≤ nSlices + nGroups − 1 cells: per-(slice, group) sums → per-cell
+    // exclusive prefix offsets (ascending pid within group) + group totals
+    val cells = parted.groupBy(col("pid"), col(groupCol))
+      .agg(coalesce(sum(col(weightCol)), lit(0L)).as("wsum"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    val byGroup = cells.groupBy(_._2)
+    val offsets = byGroup.toSeq.flatMap { case (g, cs) =>
+      var acc = 0L
+      cs.sortBy(_._1).map { case (pid, _, wsum) =>
+        val off = acc; acc += wsum; (pid, g, off)
+      }
+    }
+    val totals = byGroup.map { case (g, cs) => g -> cs.map(_._3).sum }
+    val offsetsDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(offsets.map { case (pid, g, off) =>
+          org.apache.spark.sql.Row(pid, g,
+            off, totals(g))
+        }),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pid",
+            org.apache.spark.sql.types.IntegerType),
+          parted.schema(groupCol),
+          org.apache.spark.sql.types.StructField("offset",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("group_w",
+            org.apache.spark.sql.types.LongType))))
+    val wLocal = Window.partitionBy(col("pid"), col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn("lcum", sum(col(weightCol)).over(wLocal))
+      .join(broadcast(offsetsDf), Seq("pid", groupCol))
+      .withColumn("cum_w", col("offset") + col("lcum"))
+      .withColumn("selected",
+        col("cum_w") * lit(budgetDen) <= col("group_w") * lit(budgetNum))
+      .select(col(groupCol), col(idCol), col(scoreCol), col(weightCol),
+        col("group_w"), col("cum_w"), col("selected"))
+  }
+
   /** @param budget  inclusive cumulative-weight cap (tokens)
     * @return (idCol, scoreCol, weightCol, cum_w, selected), one row per
     *         input row; `selected` marks the in-budget prefix

@@ -538,7 +538,7 @@ object ScaleSmoke {
       println(s"  quality gate kept $nGated of $nDocs (expect ~${nDocs * 7L / 10}); " +
         s"DSIR p50-cutoff selected ${selected.count()}; train packs: $nPacks")
     }
-    time(s"corpus pipeline e2e v4 ($nDocs docs: vocab-plant -> hashed-classifier gate -> BPE counts -> token-budget select -> substring dedup -> BPE pack)") {
+    val v4Out = time(s"corpus pipeline e2e v4 ($nDocs docs: vocab-plant -> hashed-classifier gate -> BPE counts -> token-budget select -> substring dedup -> BPE pack)") {
       // The round-10 operators composed end to end: 30% of docs carry a
       // junk VOCABULARY marker with no shape signal — only the hashed
       // q144 model can gate it; survivors get corpus-trained BPE token
@@ -557,7 +557,8 @@ object ScaleSmoke {
         .join(scored.filter($"keep").select($"id"), "id")
         .localCheckpoint(true) // feeds BPE train, budget scoring AND the winner join
       val nGated = gated.count()
-      val merges = graft.operators.Bpe.train(gated, "id", "text", numMerges = 200)
+      val (merges, vocab) = graft.operators.Bpe.trainWithVocab(
+        gated, "id", "text", numMerges = 200)
       val bpeCount = graft.operators.Bpe.tokenCountCol(merges)
       val toksArr = split(trim($"text"), "\\s+")
       val cand = gated.select($"id",
@@ -581,6 +582,25 @@ object ScaleSmoke {
       println(s"  hashed gate kept $nGated of $nDocs (expect ~${nDocs * 7L / 10}); " +
         s"budget $budget BPE tokens; packed ${stats.getLong(0)} tokens into " +
         s"${stats.getLong(1)} packs")
+      // cleaned winners staged once for the v5 id-array step below
+      (cleaned.localCheckpoint(true), merges, vocab)
+    }
+    time(s"corpus pipeline e2e v5 ($nDocs docs: v4 winners packed WITH id arrays + 32/24 chunk digests)") {
+      // round 11: the same winners, but emitting what a pretraining/RAG
+      // pipeline actually writes — packs carrying array<int> token ids
+      // (one encode pass; count IS size(ids)) and per-doc window digests
+      val (cleaned, merges, vocab) = v4Out
+      val packedIds = graft.operators.Bpe.packByBpeWithIds(
+        cleaned.select($"doc_id", $"cleaned"), "doc_id", "cleaned",
+        merges, vocab, ctxLen = 2048, nShards = 64)
+      val digests = graft.operators.Chunker.strideChunkDigest(
+        packedIds.select($"doc_id", $"ids"), "doc_id", "ids", 32, 24)
+      val st = packedIds.agg(
+        sum(size($"ids")).as("ids"),
+        countDistinct($"shard", $"pack").as("packs")).collect()(0)
+      val dg = digests.agg(sum($"n_chunks")).collect()(0)
+      println(s"  packed ${st.getLong(0)} ids into ${st.getLong(1)} packs; " +
+        s"chunk windows: ${dg.getLong(0)}")
     }
     if (!onlyDsir) {
     time(s"z-order clustered write (${nDocs * 10L} rows, 2 dims, 64 files)") {

@@ -65,4 +65,54 @@ class BudgetSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).sortBy(_._1).toSeq
     assert(repart == got)
   }
+
+  test("per-group: hand-computed prefixes per group, half-budget cross-multiply") {
+    // group A total 10 -> budget 5: (score desc, id) order A2(w=3,s=9),
+    // A1(w=4,s=5), A3(w=3,s=1) -> cum 3 selected, 7 not, 10 not.
+    // group B total 8 -> budget 4: B1(w=4,s=7) cum 4 selected (4*2<=8),
+    // B2(w=4,s=3) cum 8 not.
+    val rows = Seq(
+      ("A", 1L, 5L, 4L), ("A", 2L, 9L, 3L), ("A", 3L, 1L, 3L),
+      ("B", 4L, 7L, 4L), ("B", 5L, 3L, 4L))
+    val got = Budget.selectByBudgetPerGroup(
+        rows.toDF("g", "id", "score", "w"), "g", "id", "score", "w", 1L, 2L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 10L, 7L, false), (2L, 10L, 3L, true), (3L, 10L, 10L, false),
+      (4L, 8L, 4L, true), (5L, 8L, 8L, false)))
+  }
+
+  test("per-group matches naive per-group windows across slices; viral group spreads") {
+    // 20k rows, 5 groups with one VIRAL group holding 60% of all rows —
+    // the shape that kills a window-per-group plan; ties cross slices
+    val df = spark.range(20000).select(
+      when(pmod($"id", lit(10L)) < 6, lit("HOT"))
+        .otherwise(concat(lit("g"), pmod($"id", lit(4L)))).as("g"),
+      $"id",
+      pmod(xxhash64($"id"), lit(500L)).as("score"),
+      (pmod(xxhash64($"id", lit(1)), lit(50L)) + 1L).as("w"))
+    val got = Budget.selectByBudgetPerGroup(df, "g", "id", "score", "w", 1L, 2L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .sortBy(_._1).toSeq
+    val naive = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val tot = rs.map(_._4).sum
+        var acc = 0L
+        rs.sortBy { case (_, id, s, _) => (-s, id) }.map { case (_, id, _, w) =>
+          acc += w
+          (id, tot, acc, acc * 2L <= tot)
+        }
+      }.sortBy(_._1).toSeq
+    assert(got == naive)
+    val repart = Budget.selectByBudgetPerGroup(
+        df.repartition(7), "g", "id", "score", "w", 1L, 2L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .sortBy(_._1).toSeq
+    assert(repart == got)
+  }
 }
