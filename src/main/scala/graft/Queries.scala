@@ -2770,6 +2770,41 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** q151: deterministic training-order shuffle — the seeded global
+    * pseudo-random permutation applied to a corpus before the training
+    * data loader reads it. Semantics = ONE global
+    * `ROW_NUMBER() OVER (ORDER BY md5(seed:id), id)` window (what the
+    * oracle states verbatim); the plan is
+    * [[graft.operators.TrainOrder.deterministicShuffle]]'s sharded form
+    * (range partition on the uniform digest, bounded per-slice driver
+    * offsets, local rank windows — never a single sort task). */
+  def trainingOrderShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.TrainOrder.deterministicShuffle(
+        Tables(spark, sfDir, "documents").select($"doc_id"),
+        "doc_id", "epoch0")
+      .orderBy($"doc_id")
+  }
+
+  /** q152: BM25 top-k lexical retrieval — every 50th document's first 6
+    * tokens form a query; each query retrieves its 5 best documents by
+    * Okapi BM25 (k1=1.2, b=0.75, Lucene-shape positive idf) through
+    * [[graft.operators.Bm25.topK]]: query-term-pruned posting build,
+    * e4 fixed-point contributions so the per-(query, doc) sum is
+    * BIGINT (the q134 ln precedent), ties on doc_id. The keyword
+    * retriever a RAG stack runs beside the embedding ANN (q19/q38/q42). */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val qs = docs.filter($"doc_id" % 50 === 0)
+      .select($"doc_id".as("qid"),
+        explode(slice(graft.operators.CorpusFilters.words($"text"), 1, 6))
+          .as("term"))
+      .distinct()
+    graft.operators.Bm25.topK(docs, "doc_id", "text", qs, k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** q148: the composed training-data pipeline (ScaleSmoke e2e v4
     * promoted to an ORACLE query): hashed-classifier gate (q144) →
     * BPE trained on the gated docs (q142 knobs) → token-budget

@@ -172,7 +172,9 @@ object SparkEntry {
     "q147_bpe_chunk_ids" -> (Queries.bpeChunkIds _),
     "q148_pipeline_v4" -> (Queries.pipelineV4 _),
     "q149_classifier_eval" -> (Queries.classifierEval _),
-    "q150_token_budget_per_lang" -> (Queries.tokenBudgetPerLang _)
+    "q150_token_budget_per_lang" -> (Queries.tokenBudgetPerLang _),
+    "q151_training_order_shuffle" -> (Queries.trainingOrderShuffle _),
+    "q152_bm25_topk" -> (Queries.bm25TopK _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -687,6 +689,65 @@ object SparkEntry {
         |  CAST(cum_toks AS BIGINT) AS cum_toks,
         |  cum_toks * 2 <= lang_toks AS selected
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Training-order shuffle oracle: the sharded range-partition plan
+    // must equal ONE global ROW_NUMBER window over the md5 digest order
+    // (md5 because both engines hash UTF-8 bytes to the same lowercase
+    // hex — the deterministic-split precedent).
+    "q151_training_order_shuffle" ->
+      """SELECT doc_id,
+        |  md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  CAST(ROW_NUMBER() OVER (
+        |    ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // BM25 oracle: identical double expression tree from exact integer
+    // inputs (tf, df, dl, N, Σdl), rounded to e4 per contribution (the
+    // q134 ln precedent) so the per-(query, doc) sum is BIGINT; the
+    // k1+1 factor is written (1.2 + 1.0) so both engines constant-fold
+    // the same IEEE add rather than parsing a different literal.
+    "q152_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(len(ts)), 0) AS BIGINT) AS sumdl
+        |  FROM toks),
+        |qt AS (
+        |  SELECT DISTINCT qid, term FROM (
+        |    SELECT doc_id AS qid, unnest(ts[1:6]) AS term
+        |    FROM toks WHERE doc_id % 50 = 0)),
+        |posting AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+        |         CAST(max(dl) AS BIGINT) AS dl
+        |  FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks)
+        |  WHERE term IN (SELECT term FROM qt)
+        |  GROUP BY doc_id, term),
+        |dfs AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM posting GROUP BY term),
+        |contrib AS (
+        |  SELECT q.qid, p.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (t.n - d.df + 0.5) / (d.df + 0.5)) *
+        |      ((p.tf * (1.2 + 1.0)) /
+        |       (p.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+        |         (p.dl / (CAST(t.sumdl AS DOUBLE) / t.n)))))
+        |      * 1e4) AS BIGINT) AS c_e4
+        |  FROM qt q
+        |  JOIN posting p ON q.term = p.term
+        |  JOIN dfs d ON q.term = d.term
+        |  CROSS JOIN tot t),
+        |scores AS (
+        |  SELECT qid, doc_id, CAST(sum(c_e4) AS BIGINT) AS score_e4
+        |  FROM contrib GROUP BY qid, doc_id),
+        |ranked AS (
+        |  SELECT qid, doc_id, score_e4,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY score_e4 DESC, doc_id) AS rank
+        |  FROM scores)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score_e4
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // End-to-end pipeline oracle: every stage (dedup keep-first, quality
     // blend, lang filter, md5 split, rollup) mirrored in SQL — verifies
     // the COMPOSITION, not just the operators.

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 top-k lexical retrieval (Robertson–Spärck Jones / Okapi BM25 —
+  * Robertson & Zaragoza 2009, "The Probabilistic Relevance Framework")
+  * — the canonical keyword scorer a RAG pipeline runs beside the
+  * embedding ANN retriever (q19/q38/q42): score every document against
+  * each query's term set and keep the k best.
+  *
+  * Score, per (query, doc): Σ over the query's DISTINCT terms of
+  * `idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with the
+  * Lucene-shape `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))` (always
+  * > 0, so BM25's troublesome negative-idf regime never arises).
+  * Tokenization is the corpus contract ([[CorpusFilters.words]]:
+  * lower → split `\s+` → drop empties — exactly DuckDB's
+  * `list_filter(string_split_regex(lower(text),'\s+'), t -> t <> '')`).
+  *
+  * Engine-exactness (the q134 precedent): each (query, term, doc)
+  * contribution is computed in doubles from exact integer inputs
+  * (tf, df, dl, N, Σdl) with BOTH engines evaluating the identical
+  * expression tree, then rounded to e4 fixed point — ln is the only
+  * non-correctly-rounded step and e4 granularity keeps an ulp flip
+  * astronomically unlikely — so the per-(query, doc) sum is pure BIGINT:
+  * partitioning- and merge-order-proof. Ranking ties break on doc id.
+  *
+  * 100 TB plan — one pruned index pass, no full-vocabulary state:
+  *  1. queries (qid, term) are SMALL (a retrieval batch); their distinct
+  *     term set broadcasts onto the exploded token stream BEFORE the
+  *     posting aggregation, so the one big shuffle carries only tokens
+  *     matching some query term (a serving deployment scoring arbitrary
+  *     workloads would materialize the full posting index ONCE instead —
+  *     same aggregation, no prune; this operator is the batch shape).
+  *  2. dl rides the exploded rows (computed with the same `words` call,
+  *     collapsed by CollapseProject into one tokenize) — document length
+  *     never needs a big-side join.
+  *  3. df per surviving term = posting row count per term — a
+  *     query-term-bounded frame that broadcasts back; N and Σdl are a
+  *     1-row broadcast (the q73/q90 bounds-row shape).
+  *  4. the (qid, doc) score aggregation is the single unavoidable
+  *     exchange; the top-k window rides a qid-bounded frame
+  *     (≤ nQueries·candidates rows), never the corpus.
+  */
+object Bm25 {
+
+  /** @param queries (qid: BIGINT, term: STRING) — distinct rows, small
+    *                (one retrieval batch; broadcast twice)
+    * @return (qid, rank 1..k, doc_id, score_e4) for docs sharing ≥ 1
+    *         term with the query */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      CorpusFilters.words(col(textCol)).as("ts"))
+    // 1-row corpus bounds: N docs, total token count (for avgdl)
+    val totals = toks.agg(count(lit(1)).as("n"),
+      coalesce(sum(size($"ts")), lit(0L)).cast("long").as("sumdl"))
+
+    // the query batch feeds three consumers (term-set prune, df join,
+    // scoring join) — stage the SMALL frame once instead of re-deriving
+    // it per consumer (it may carry an upstream corpus scan, as q152's
+    // does)
+    val qStaged = Stage.cut(
+      queries.select(col("qid").cast("long").as("qid"), col("term")))
+    val qTermSet = qStaged.select($"term").distinct()
+    // prune the token stream to query terms BEFORE the tf aggregation:
+    // the posting shuffle is bounded by matching tokens, not the corpus.
+    // Stage the result — df aggregation AND the scoring join both read
+    // it, and without the cut Catalyst re-runs the corpus explode +
+    // aggregation once per consumer (two full index builds).
+    val postings = Stage.cut(toks
+      .select($"doc_id", size($"ts").cast("long").as("dl"),
+        explode($"ts").as("term"))
+      .join(broadcast(qTermSet), Seq("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), max($"dl").as("dl")))
+
+    // df over the pruned postings equals corpus df for every query term
+    val dfs = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+
+    val avgdl: Column = $"sumdl".cast("double") / $"n"
+    val idf: Column =
+      log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+    val tfPart: Column = ($"tf" * lit(k1 + 1.0)) /
+      ($"tf" + lit(k1) * (lit(1.0) - lit(b) + lit(b) * ($"dl" / avgdl)))
+
+    val scores = qStaged
+      .join(postings, Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .select($"qid", $"doc_id",
+        round(idf * tfPart * lit(1e4)).cast("long").as("c_e4"))
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"c_e4").as("score_e4"))
+
+    val w = Window.partitionBy($"qid")
+      .orderBy($"score_e4".desc, $"doc_id".asc)
+    scores
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"qid", $"rank", $"doc_id", $"score_e4")
+  }
+}

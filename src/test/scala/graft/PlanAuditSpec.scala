@@ -30,10 +30,13 @@ class PlanAuditSpec extends AnyFunSuite {
                             // backoff) — linear stream × 1 row
       "q139_dsir_resample", // two 1-row total aggregates broadcast onto
                             // the B-row (≤8192) λ table — q134's shape
-      "q138_ccnet_buckets") // two 1-row broadcasts: the vocab-size
+      "q138_ccnet_buckets", // two 1-row broadcasts: the vocab-size
                             // aggregate (via q134's scorer) and the
                             // tercile-cutoff row — bucketing stays
                             // map-side
+      "q152_bm25_topk")     // 1-row (N, Σdl) corpus-bounds broadcast
+                            // ridden on the query-term-pruned posting
+                            // stream — q134's shape
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =
@@ -85,6 +88,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q145 must cumsum over the checkpointed slicing (pid column):\n$q145")
     assert(q145.contains("hashpartitioning(pid#"),
       s"q145 local cumsums must be keyed by the slice id:\n$q145")
+    // q151: the training-order permutation must rank over the ONE
+    // checkpointed range slicing of the digest key — local row_numbers
+    // keyed by the slice id plus driver offsets, never a global-order
+    // single-task window over the corpus.
+    val q151 = SparkEntry.queries("q151_training_order_shuffle")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q151.contains("Scan ExistingRDD") && q151.contains("pid#"),
+      s"q151 must rank over the checkpointed slicing (pid column):\n$q151")
+    assert(q151.contains("hashpartitioning(pid#"),
+      s"q151 local ranks must be keyed by the slice id:\n$q151")
     // q133: the dup-gram detector must be the map-side-combining COUNT
     // aggregate (partial_count below the gram exchange) — a window or a
     // non-combining aggregate over the gram key would pin a viral
