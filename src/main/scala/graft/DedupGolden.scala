@@ -164,6 +164,48 @@ object DedupGolden {
     out.result()
   }
 
+  /** Straight-line mirror of the q153 incremental fuzzy-dedup contract
+    * (`Dedup.minhashIncremental`): per incoming doc, count history docs
+    * with a fully-agreeing band AND estimated Jaccard ≥ 0.8, and check
+    * for an earlier (smaller-id) in-batch match; status precedence
+    * dup_history > dup_batch > new. Exact-slice banding equals the
+    * operator's hash-bucketing at this threshold (≥ 52/64 agreements
+    * leave ≤ 12 disagreeing positions over 16 bands — some band must
+    * agree fully, the q35 argument). */
+  def recomputeIncrementalFor(incoming: Seq[(Long, String)],
+      history: Seq[(Long, String)]): Seq[(Long, String, Long)] = {
+    def sigsOf(d: Seq[(Long, String)]) =
+      d.map { case (id, t) =>
+        (id, minhashSigOf(if (t == null) "" else t, ShingleSize)) }
+    val inc = sigsOf(incoming).sortBy(_._1)
+    val hist = sigsOf(history)
+    def bandAgrees(si: Array[Int], sj: Array[Int]): Boolean = {
+      var bnd = 0
+      while (bnd < Bands) {
+        var r = 0
+        while (r < RowsPerBand &&
+          si(bnd * RowsPerBand + r) == sj(bnd * RowsPerBand + r)) r += 1
+        if (r == RowsPerBand) return true
+        bnd += 1
+      }
+      false
+    }
+    def matches(si: Array[Int], sj: Array[Int]): Boolean =
+      bandAgrees(si, sj) && {
+        var eq = 0; var k = 0
+        while (k < NumHashes) { if (si(k) == sj(k)) eq += 1; k += 1 }
+        eq.toDouble / NumHashes >= Threshold
+      }
+    inc.map { case (id, si) =>
+      val nHist = hist.count { case (_, sj) => matches(si, sj) }.toLong
+      val dupB = nHist == 0L && inc.exists { case (a, sa) =>
+        a < id && matches(sa, si) }
+      val status =
+        if (nHist > 0L) "dup_history" else if (dupB) "dup_batch" else "new"
+      (id, status, nHist)
+    }
+  }
+
   /** (doc_id, cluster_id) pinned rows from the checked-in fixture. */
   lazy val rows: Seq[(Long, Long)] = {
     val src = Source.fromResource("dedup_golden_snapshot.tsv")(scala.io.Codec.UTF8)

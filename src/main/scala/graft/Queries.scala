@@ -2786,6 +2786,23 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** q153: ingestion-time incremental FUZZY dedup — the MinHash+LSH
+    * counterpart of q135's exact-key incremental dedup: odd doc_ids are
+    * the incoming batch, even doc_ids the already-ingested history;
+    * each incoming doc is classified dup_history (est. Jaccard ≥ 0.8 vs
+    * ≥ 1 history doc), dup_batch (earlier in-batch near-dup) or new,
+    * with the verified history-match count. See
+    * [[graft.operators.Dedup.minhashIncremental]]. */
+  def minhashIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    graft.operators.Dedup.minhashIncremental(
+      incoming = docs.filter($"doc_id" % 2 === 1),
+      history = docs.filter($"doc_id" % 2 === 0),
+      idCol = "doc_id", textCol = "text")
+      .orderBy($"doc_id")
+  }
+
   /** q152: BM25 top-k lexical retrieval — every 50th document's first 6
     * tokens form a query; each query retrieves its 5 best documents by
     * Okapi BM25 (k1=1.2, b=0.75, Lucene-shape positive idf) through

@@ -67,7 +67,8 @@ object SfOracles {
       bpeIdRows: Seq[(Long, Long, Long, String)],  // q147
       hashedQualityRows: Seq[(Long, Long, Long, Boolean)], // q144
       hashedEvalRow: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)], // q149
-      pipelineV4Rows: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)]) // q148
+      pipelineV4Rows: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)], // q148
+      incFuzzyRows: Seq[(Long, String, Long)]) // q153: doc_id, status, n_hist_dups
 
   @volatile private var prepared: Option[Prepared] = None
 
@@ -288,7 +289,10 @@ object SfOracles {
         lcRows = LinearCountMirror.recompute(docs3),
         bpeRows = BpeMirror.recompute(docs),
         bpeIdRows = BpeMirror.recomputeIds(docs),
-        pipelineV4Rows = PipelineMirror.recomputeV4(docs4.map(d => (d._1, d._2, d._4)))))
+        pipelineV4Rows = PipelineMirror.recomputeV4(docs4.map(d => (d._1, d._2, d._4))),
+        incFuzzyRows = DedupGolden.recomputeIncrementalFor(
+          incoming = docs.filter(_._1 % 2 == 1),
+          history = docs.filter(_._1 % 2 == 0))))
     }
   }
 
@@ -396,6 +400,11 @@ object SfOracles {
       p: (Long, Long, Long, String) =>
         s"(${p._1}, ${p._2}, ${p._3}, ${lit(p._4)})" }
 
+  private def incFuzzyCte: String =
+    cte("ifz", "doc_id, status, n_hist_dups",
+      prepared.map(_.incFuzzyRows), "0, '', 0") {
+      p: (Long, String, Long) => s"(${p._1}, ${lit(p._2)}, ${p._3})" }
+
   private def lcCte: String =
     cte("lc", "lang, n_set_bits, est_distinct", prepared.map(_.lcRows),
       "'', 0, 0") {
@@ -479,6 +488,15 @@ object SfOracles {
     // q147: BPE token-id chunk digests — joined to the live documents
     // table; every 32-id window's exact content is pinned by the md5
     // chain the mirror re-derives
+    // q153: incremental fuzzy dedup — the mirror replays the whole
+    // candidate machine (exact-slice banding == the operator's hash
+    // buckets at this threshold), so even n_hist_dups counts are pinned
+    "q153_minhash_incremental" ->
+      s"""WITH $incFuzzyCte
+         |SELECT d.doc_id, f.status, CAST(f.n_hist_dups AS BIGINT) AS n_hist_dups
+         |FROM documents d JOIN ifz f ON f.doc_id = d.doc_id
+         |WHERE d.doc_id % 2 = 1
+         |ORDER BY d.doc_id""".stripMargin,
     "q147_bpe_chunk_ids" ->
       s"""WITH $bpeIdCte
          |SELECT d.doc_id, CAST(b.n_ids AS BIGINT) AS n_ids,

@@ -174,7 +174,8 @@ object SparkEntry {
     "q149_classifier_eval" -> (Queries.classifierEval _),
     "q150_token_budget_per_lang" -> (Queries.tokenBudgetPerLang _),
     "q151_training_order_shuffle" -> (Queries.trainingOrderShuffle _),
-    "q152_bm25_topk" -> (Queries.bm25TopK _)
+    "q152_bm25_topk" -> (Queries.bm25TopK _),
+    "q153_minhash_incremental" -> (Queries.minhashIncrementalDedup _)
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same

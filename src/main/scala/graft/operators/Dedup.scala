@@ -69,6 +69,100 @@ object Dedup {
           .otherwise("new").as("status"))
   }
 
+  /** Ingestion-time incremental FUZZY dedup — the MinHash+LSH
+    * counterpart of [[incremental]]: classify each incoming document
+    * `dup_history` (estimated Jaccard ≥ threshold vs ≥ 1 already-ingested
+    * doc), `dup_batch` (no history match, but a verified match with an
+    * EARLIER — smaller-id — doc of the same batch), or `new`. The
+    * daily-crawl-increment shape: near-duplicates of yesterday's corpus
+    * must not re-enter, and the batch must not admit two copies of the
+    * same new page.
+    *
+    * Same published candidate machine as [[minhashCandidatePairs]]
+    * (3-gram shingles, 64-hash Kirsch–Mitzenmacher signatures, 16-band
+    * LSH, signature-agreement verification), so at threshold ≥
+    * 1 − bands/numHashes + 1/numHashes every verified pair provably
+    * contains a fully-agreeing band — hash-bucketing and exact-slice
+    * banding admit the identical verified set (the q35 mirror argument).
+    *
+    * 100 TB shape: the INCOMING BATCH is the small side — its bucket
+    * and signature frames broadcast, so the history-side bucket stream
+    * is probed map-side and history is never shuffled; candidate
+    * verification joins ride the (bounded) candidate frame. History
+    * signatures/buckets are recomputed here for statelessness — a
+    * production ingest materializes them once as the corpus index and
+    * appends per batch (the [[incremental]] history-key table precedent).
+    *
+    * @return (doc_id, status, n_hist_dups) — one row per incoming doc;
+    *         n_hist_dups counts verified distinct history matches */
+  def minhashIncremental(incoming: DataFrame, history: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val spark = incoming.sparkSession
+    import spark.implicits._
+
+    val sigUdf = udf((s: String) => minhashSig(s, shingleSize, numHashes))
+    // batch-sized: cached + broadcast below (consumed by buckets, both
+    // verification joins and the final status assembly)
+    val incSigs = incoming
+      .select(col(idCol).cast("long").as("id"), sigUdf(col(textCol)).as("sig"))
+      .cache()
+    val histSigs = history
+      .select(col(idCol).cast("long").as("id"), sigUdf(col(textCol)).as("sig"))
+
+    def bucketsOf(sigs: DataFrame): DataFrame = {
+      val bandCols = (0 until bands).map { b =>
+        val slice = (0 until rowsPerBand).map(r => $"sig"(b * rowsPerBand + r))
+        struct(lit(b).as("band"), hash(slice: _*).as("bh"))
+      }
+      sigs.withColumn("bk", explode(array(bandCols: _*)))
+        .select($"bk.band".as("band"), $"bk.bh".as("bh"), $"id")
+    }
+    val agreement = (a: Column, b: Column) =>
+      aggregate(
+        zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble)
+
+    // incoming×history candidates: batch buckets broadcast onto the
+    // history bucket stream — map-side probe, zero history shuffles
+    val candIH = bucketsOf(histSigs)
+      .join(broadcast(bucketsOf(incSigs)
+        .select($"band", $"bh", $"id".as("inc_id"))), Seq("band", "bh"))
+      .select($"inc_id", $"id".as("hist_id"))
+      .dropDuplicates("inc_id", "hist_id")
+    val nHist = candIH
+      .join(broadcast(incSigs.select($"id".as("inc_id"), $"sig".as("sig_i"))),
+        "inc_id")
+      .join(histSigs.select($"id".as("hist_id"), $"sig".as("sig_h")), "hist_id")
+      .filter(agreement($"sig_i", $"sig_h") >= threshold)
+      .groupBy($"inc_id").agg(count(lit(1)).as("n_hist_dups"))
+
+    // within-batch earlier-doc matches: the small-corpus join form of
+    // minhashCandidatePairs over the batch alone
+    val incB = bucketsOf(incSigs)
+    val dupBatch = incB.select($"band", $"bh", $"id".as("id_a"))
+      .join(incB.select($"band", $"bh", $"id".as("id_b")), Seq("band", "bh"))
+      .filter($"id_a" < $"id_b")
+      .dropDuplicates("id_a", "id_b")
+      .join(broadcast(incSigs.select($"id".as("id_a"), $"sig".as("sig_a"))), "id_a")
+      .join(broadcast(incSigs.select($"id".as("id_b"), $"sig".as("sig_b"))), "id_b")
+      .filter(agreement($"sig_a", $"sig_b") >= threshold)
+      .select($"id_b".as("id")).distinct()
+      .withColumn("__dup_batch", lit(true))
+
+    incSigs.select($"id".as("doc_id"))
+      .join(nHist.withColumnRenamed("inc_id", "doc_id"), Seq("doc_id"), "left")
+      .join(dupBatch.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        when(coalesce($"n_hist_dups", lit(0L)) > 0L, "dup_history")
+          .when($"__dup_batch", "dup_batch")
+          .otherwise("new").as("status"),
+        coalesce($"n_hist_dups", lit(0L)).as("n_hist_dups"))
+  }
+
   // ----------------------------------------------------------- minhash
 
   /** Word n-gram shingles of a whitespace-tokenized, lowercased text. */

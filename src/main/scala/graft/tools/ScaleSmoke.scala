@@ -36,8 +36,9 @@ object ScaleSmoke {
     val onlyComponents = sys.env.contains("SCALE_ONLY_COMPONENTS")
     val onlyBpe = sys.env.contains("SCALE_ONLY_BPE")
     val onlyHqc = sys.env.contains("SCALE_ONLY_HQC")
-    val skipGeneral =
-      onlyNewOps || onlyPipeline || onlyDsir || onlyComponents || onlyBpe || onlyHqc
+    val onlyR11 = sys.env.contains("SCALE_ONLY_R11")
+    val skipGeneral = onlyNewOps || onlyPipeline || onlyDsir ||
+      onlyComponents || onlyBpe || onlyHqc || onlyR11
 
     def time[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -127,6 +128,77 @@ object ScaleSmoke {
     docs.cache(); docs.count()
 
     if (onlyBpe) { bpeSmoke(docs); spark.stop(); return }
+
+    // SCALE_ONLY_R11 — the round-11 operators at nDocs: per-group budget
+    // selection under viral-group skew (q150), the training-order
+    // permutation (q151), and BM25 retrieval where the query terms are
+    // zipf-common words, so postings cover most of the corpus — the
+    // worst realistic candidate fanout (q152).
+    if (onlyR11) {
+      time(s"per-group token-budget select ($nDocs docs, 5 langs, 60% viral)") {
+        // one language holds 60% of all rows — the shape that pins a
+        // window-per-group plan to a single task
+        val scored = docs.select(
+          when(pmod($"id", lit(10L)) < 6, lit("hot"))
+            .otherwise(concat(lit("l"), pmod($"id", lit(4L)))).as("lang"),
+          $"id",
+          pmod(xxhash64($"id", lit(7)), lit(1000000L)).as("score_e6"),
+          (pmod(xxhash64($"id", lit(8)), lit(200L)) + 1L).as("n_toks"))
+        val sel = graft.operators.Budget.selectByBudgetPerGroup(
+          scored, "lang", "id", "score_e6", "n_toks", 1L, 2L)
+        val agg = sel.groupBy($"lang").agg(
+          sum(when($"selected", $"n_toks").otherwise(0L)).as("spent"),
+          max($"group_w").as("total")).collect()
+        agg.foreach { r =>
+          assert(r.getLong(1) * 2 <= r.getLong(2),
+            s"budget overspent for ${r.getString(0)}: $r")
+        }
+        println(s"  spent/total per lang: " + agg.sortBy(_.getString(0))
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}/${r.getLong(2)}")
+          .mkString(" "))
+      }
+      time(s"training-order shuffle ($nDocs rows)") {
+        val out = graft.operators.TrainOrder.deterministicShuffle(
+          docs.select($"id"), "id", "epoch0")
+        val st = out.agg(count(lit(1)).as("n"), max($"pos").as("mx")).collect()(0)
+        assert(st.getLong(0) == nDocs.toLong && st.getLong(1) == nDocs.toLong,
+          s"permutation not exact: $st")
+        println(s"  rows: ${st.getLong(0)}; max pos: ${st.getLong(1)}")
+      }
+      time(s"incremental fuzzy dedup (2% batch vs $nDocs-doc history)") {
+        // batch = id%100 ∈ {4, 50}: the %100==4 docs sit inside the
+        // generator's planted exact-dup blocks (ids n*100+0..4 share a
+        // seed), so their 4 block-mates are HISTORY — expected
+        // dup_history with n_hist_dups=4; the %100==50 docs are unique —
+        // expected new. History is never shuffled (batch buckets
+        // broadcast).
+        val m = pmod($"id", lit(100L))
+        val out = graft.operators.Dedup.minhashIncremental(
+          docs.filter(m === 4L || m === 50L), docs.filter(m =!= 4L && m =!= 50L),
+          "id", "text")
+        val st = out.groupBy($"status")
+          .agg(count(lit(1)).as("n"), sum($"n_hist_dups").as("nh"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        println(s"  status counts: " +
+          st.map(r => s"${r._1}=${r._2}(nh=${r._3})").mkString(" "))
+        val nBlocks = nDocs.toLong / 100L
+        val hist = st.find(_._1 == "dup_history").map(r => (r._2, r._3))
+        assert(hist.contains((nBlocks, nBlocks * 4L)),
+          s"expected $nBlocks dup_history with ${nBlocks * 4} total matches, got $st")
+      }
+      time(s"BM25 top-10 (100 queries x <=6 zipf-common terms over $nDocs docs)") {
+        val qs = docs.filter($"id" < 100L)
+          .select($"id".as("qid"),
+            explode(slice(split($"text", " "), 1, 6)).as("term"))
+          .distinct()
+        val top = graft.operators.Bm25.topK(docs, "id", "text", qs, k = 10)
+        val st = top.agg(count(lit(1)).as("rows"),
+          countDistinct($"qid").as("qs")).collect()(0)
+        println(s"  result rows: ${st.getLong(0)}; queries answered: ${st.getLong(1)}")
+      }
+      spark.stop(); return
+    }
 
     // SCALE_ONLY_THIRD — the third decade (run with nDocs = 100000000,
     // SPARK_DRIVER_MEM=100g): the two headline dedup operators at 100M

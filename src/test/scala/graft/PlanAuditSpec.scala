@@ -177,6 +177,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q38_knn_lsh", "q42_knn_ivf", // vector signature/assignment UDFs
     "q121_text_udfs_golden", // golden battery over the UDF family itself
     "q125_fuzzy_dedup_golden", "q126_ann_golden", // golden batteries over the candidate machinery (same UDFs as q35/q38/q42)
+    "q153_minhash_incremental", // same minhash signature UDF as q35
     "q127_simjoin_golden", // golden battery over the similarity join (same qvec UDF as q34)
     "q128_simjoin_generic_golden", "q129_simhash_golden", // golden batteries over the generic join / simhash (same UDFs as q46/q49/q36)
     "q137_semdedup_golden", // k-means assignment + centroid-cosine UDFs (same family as q42)
