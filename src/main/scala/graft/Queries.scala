@@ -2756,8 +2756,10 @@ object Queries {
   def tokenBudgetPerLang(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val toksArr = split(trim(coalesce($"text", lit(""))), "\\s+")
+    // null lang would fall out of the equi-join on the group key (and
+    // DuckDB's PARTITION BY groups nulls) — coalesce on both engines
     val scored = Tables(spark, sfDir, "documents")
-      .select($"lang", $"doc_id",
+      .select(coalesce($"lang", lit("")).as("lang"), $"doc_id",
         size(toksArr).cast("long").as("n_toks"),
         size(array_distinct(toksArr)).cast("long").as("nd"))
       .withColumn("score_e6", expr("(nd * 1000000) div n_toks"))

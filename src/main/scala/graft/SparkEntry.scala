@@ -673,7 +673,7 @@ object SparkEntry {
     // total); selection is the integer cross-multiply cum*den <= tot*num.
     "q150_token_budget_per_lang" ->
       """WITH t AS (
-        |  SELECT lang, doc_id,
+        |  SELECT COALESCE(lang, '') AS lang, doc_id,
         |    CAST(len(string_split_regex(trim(COALESCE(text, '')), '\s+')) AS BIGINT) AS n_toks,
         |    (CAST(len(list_distinct(string_split_regex(trim(COALESCE(text, '')), '\s+'))) AS BIGINT)
         |       * 1000000) // CAST(len(string_split_regex(trim(COALESCE(text, '')), '\s+')) AS BIGINT)

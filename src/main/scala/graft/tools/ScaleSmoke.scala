@@ -135,6 +135,13 @@ object ScaleSmoke {
     // zipf-common words, so postings cover most of the corpus — the
     // worst realistic candidate fanout (q152).
     if (onlyR11) {
+      // SCALE_R11_CASE=budget|shuffle|incdedup|bm25 runs ONE case per JVM
+      // (the SCALE_THIRD_CASE precedent: AQE retains every stage's
+      // shuffle temp until the job ends, so 100M-decade cases share a
+      // JVM at their peril); unset = all four.
+      val r11Case = sys.env.getOrElse("SCALE_R11_CASE", "")
+      def wants(c: String) = r11Case.isEmpty || r11Case == c
+      if (wants("budget"))
       time(s"per-group token-budget select ($nDocs docs, 5 langs, 60% viral)") {
         // one language holds 60% of all rows — the shape that pins a
         // window-per-group plan to a single task
@@ -157,6 +164,7 @@ object ScaleSmoke {
           .map(r => s"${r.getString(0)}=${r.getLong(1)}/${r.getLong(2)}")
           .mkString(" "))
       }
+      if (wants("shuffle"))
       time(s"training-order shuffle ($nDocs rows)") {
         val out = graft.operators.TrainOrder.deterministicShuffle(
           docs.select($"id"), "id", "epoch0")
@@ -165,6 +173,7 @@ object ScaleSmoke {
           s"permutation not exact: $st")
         println(s"  rows: ${st.getLong(0)}; max pos: ${st.getLong(1)}")
       }
+      if (wants("incdedup"))
       time(s"incremental fuzzy dedup (2% batch vs $nDocs-doc history)") {
         // batch = id%100 ∈ {4, 50}: the %100==4 docs sit inside the
         // generator's planted exact-dup blocks (ids n*100+0..4 share a
@@ -187,6 +196,7 @@ object ScaleSmoke {
         assert(hist.contains((nBlocks, nBlocks * 4L)),
           s"expected $nBlocks dup_history with ${nBlocks * 4} total matches, got $st")
       }
+      if (wants("bm25"))
       time(s"BM25 top-10 (100 queries x <=6 zipf-common terms over $nDocs docs)") {
         val qs = docs.filter($"id" < 100L)
           .select($"id".as("qid"),
