@@ -41,7 +41,8 @@ object Bench {
     // lakes, streaming replays through Queries.cachedLayout) fold that
     // setup into their first run no matter how slow it is — retime them
     // UNCONDITIONALLY so steady measures the read path, not the build.
-    val layoutBacked = Set("q104", "q112", "q123", "q131", "q132")
+    val layoutBacked = Set("q104", "q112", "q123", "q131", "q132",
+      "q154", "q155", "q156")
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t1 = once(name, fn)
       val steady =
@@ -112,9 +113,13 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Hard guard on the driver's ~2000-char tail window: shed detail in
     // stages rather than let the JSON head get truncated (the BENCH_r03
-    // failure mode). 1: drop the noise map. 2: drop per-query decimals to
-    // 2 (saves ~1 char/query). 3: last resort, totals only — per-query
-    // numbers are still on stderr either way.
+    // failure mode). Round 12 re-ordered the ladder after BENCH_r11
+    // arrived WITHOUT the regress map (the 153-query 3-decimal map +
+    // vsPrev overflowed 1950 and the old ladder dropped vsPrev before
+    // precision): the round-over-round regress map is the verdict's
+    // self-regression watch, so precision and the noise map shed FIRST
+    // — a compact vsPrev (1-decimal prev total, 2-decimal regress, top
+    // 4, short sf) survives down to the last rung.
     def qsMap(dec: Int): String = results
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" +
         String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v)) }
@@ -122,15 +127,28 @@ object Bench {
     // prev_steady_total covers only the shared queries (new queries have no
     // prev number), so value - prev_steady_total is NOT the round delta when
     // the surface grew — the per-query regress map is the honest signal.
+    def f1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val regressShort = timed.map { case (n, _, s) =>
+        val q = n.takeWhile(_ != '_')
+        (q, s - prevSteady.getOrElse(q, s))
+      }.filter(_._2 > 0.3).sortBy(-_._2).take(4)
+      .map { case (k, d) => "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(d)) }
+      .mkString("{", ",", "}")
     val vsPrev =
       if (prevSteady.isEmpty) ""
       else s""","prev_steady_total":${f(prevTotal)},"regress":$regress"""
+    val vsPrevShort =
+      if (prevSteady.isEmpty) ""
+      else s""","prev_steady_total":${f1(prevTotal)},"regress":$regressShort"""
+    val sfShort = new java.io.File(sfDir).getName
     val candidates = Seq(
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"noise":$noise$vsPrev,"sf":"$sfDir"}""",
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$vsPrev,"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qsMap(2)},"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qsMap(2)}$vsPrevShort,"sf":"$sfShort"}""",
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qsMap(2)},"sf":"$sfShort"}""",
+      s"""{"metric":"total","value":${f(total)},"unit":"sec"$vsPrevShort,"sf":"$sfShort"}""")
     println(candidates.find(_.length <= 1950).getOrElse(candidates.last))
     spark.stop()
   }

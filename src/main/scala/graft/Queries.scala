@@ -2788,6 +2788,27 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** q156: the training-order permutation MATERIALIZED as a streamable
+    * layout — [[graft.operators.TrainOrder.writeOrdered]] writes q151's
+    * permutation range-partitioned and sorted by `pos` (8 files, each a
+    * contiguous pos range) plus an ordered manifest, then this query
+    * reads the sink back: the round trip must reproduce q151's rows
+    * EXACTLY (same oracle), proving a loader can stream the files in
+    * manifest order and see the global order with zero load-time
+    * sorting. Per-file monotonicity and manifest range disjointness are
+    * spec-pinned (`TrainOrderSpec`). */
+  def trainingOrderSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = cachedLayout(s"q156_ordsink_${sfDir.hashCode.toHexString}") { d =>
+      graft.operators.TrainOrder.writeOrdered(
+        Tables(spark, sfDir, "documents").select($"doc_id"),
+        "doc_id", "epoch0", d, nFiles = 8)
+    }
+    spark.read.parquet(s"$dir/data")
+      .select($"doc_id", $"shuffle_key", $"pos")
+      .orderBy($"doc_id")
+  }
+
   /** q153: ingestion-time incremental FUZZY dedup — the MinHash+LSH
     * counterpart of q135's exact-key incremental dedup: odd doc_ids are
     * the incoming batch, even doc_ids the already-ingested history;
@@ -2805,6 +2826,41 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** q154: incremental fuzzy dedup against the PERSISTED MinHash index
+    * — q153's classification, production-shaped: the even-id history is
+    * signatured ONCE into bucketed signature/band-bucket tables
+    * ([[graft.operators.Dedup.writeMinhashIndex]]) and every batch
+    * probes the index without re-signaturing history
+    * ([[graft.operators.Dedup.minhashIncrementalAgainstIndex]]) — the
+    * cost that scales with a 100 TB history instead of the batch is
+    * paid at build time. Output is bit-identical to q153 on the same
+    * odd/even split (same oracle); the zero-full-history-exchange plan
+    * shape is spec-pinned (`MinhashIndexSpec`). */
+  def minhashIndexIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val tbl = s"g_mhidx_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q154_mhidx_${sfDir.hashCode.toHexString}") { d =>
+      graft.operators.Dedup.writeMinhashIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+        tbl, s"$d/idx", numBuckets = 8)
+    }
+    graft.operators.Dedup.minhashIncrementalAgainstIndex(
+        docs.filter($"doc_id" % 2 === 1), tbl, "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  /** The q152/q155 retrieval batch: every 50th document's first 6
+    * tokens form a query. */
+  private def bm25QueryBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents").filter($"doc_id" % 50 === 0)
+      .select($"doc_id".as("qid"),
+        explode(slice(graft.operators.CorpusFilters.words($"text"), 1, 6))
+          .as("term"))
+      .distinct()
+  }
+
   /** q152: BM25 top-k lexical retrieval — every 50th document's first 6
     * tokens form a query; each query retrieves its 5 best documents by
     * Okapi BM25 (k1=1.2, b=0.75, Lucene-shape positive idf) through
@@ -2815,12 +2871,30 @@ object Queries {
   def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, sfDir, "documents")
-    val qs = docs.filter($"doc_id" % 50 === 0)
-      .select($"doc_id".as("qid"),
-        explode(slice(graft.operators.CorpusFilters.words($"text"), 1, 6))
-          .as("term"))
-      .distinct()
-    graft.operators.Bm25.topK(docs, "doc_id", "text", qs, k = 5)
+    graft.operators.Bm25.topK(docs, "doc_id", "text",
+        bm25QueryBatch(spark, sfDir), k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** q155: BM25 against the PERSISTED serving index — the same
+    * retrieval batch and ranking as q152, but scored through
+    * [[graft.operators.Bm25.buildIndex]] +
+    * [[graft.operators.Bm25.topKAgainstIndex]]: the posting/df/bounds
+    * tables are materialized once (bucketed+sorted by term), the batch's
+    * distinct terms push into the posting scan as a term-IN filter
+    * (bucket + row-group pruning), and per-call cost is bounded by the
+    * query terms' posting lists instead of the corpus. At the default
+    * `maxDf = ∞` the ranking is bit-identical to q152 (same oracle). */
+  def bm25IndexTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = s"g_bm25idx_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q155_bm25idx_${sfDir.hashCode.toHexString}") { d =>
+      graft.operators.Bm25.buildIndex(
+        Tables(spark, sfDir, "documents"), "doc_id", "text",
+        tbl, s"$d/idx", numBuckets = 8)
+    }
+    graft.operators.Bm25.topKAgainstIndex(
+        bm25QueryBatch(spark, sfDir), tbl, k = 5)
       .orderBy($"qid", $"rank")
   }
 

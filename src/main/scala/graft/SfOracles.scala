@@ -497,6 +497,16 @@ object SfOracles {
          |FROM documents d JOIN ifz f ON f.doc_id = d.doc_id
          |WHERE d.doc_id % 2 = 1
          |ORDER BY d.doc_id""".stripMargin,
+    // q154: the SAME mirror rows as q153 — the persisted-index probe
+    // must classify bit-identically to the stateless form on the same
+    // odd/even split (the index only changes where history signatures
+    // are stored, never what they are)
+    "q154_minhash_index_incremental" ->
+      s"""WITH $incFuzzyCte
+         |SELECT d.doc_id, f.status, CAST(f.n_hist_dups AS BIGINT) AS n_hist_dups
+         |FROM documents d JOIN ifz f ON f.doc_id = d.doc_id
+         |WHERE d.doc_id % 2 = 1
+         |ORDER BY d.doc_id""".stripMargin,
     "q147_bpe_chunk_ids" ->
       s"""WITH $bpeIdCte
          |SELECT d.doc_id, CAST(b.n_ids AS BIGINT) AS n_ids,

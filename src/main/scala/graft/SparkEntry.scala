@@ -175,8 +175,70 @@ object SparkEntry {
     "q150_token_budget_per_lang" -> (Queries.tokenBudgetPerLang _),
     "q151_training_order_shuffle" -> (Queries.trainingOrderShuffle _),
     "q152_bm25_topk" -> (Queries.bm25TopK _),
-    "q153_minhash_incremental" -> (Queries.minhashIncrementalDedup _)
+    "q153_minhash_incremental" -> (Queries.minhashIncrementalDedup _),
+    "q154_minhash_index_incremental" -> (Queries.minhashIndexIncrementalDedup _),
+    "q155_bm25_index_topk" -> (Queries.bm25IndexTopK _),
+    "q156_training_order_sink" -> (Queries.trainingOrderSink _)
   )
+
+  /** Shared by q151 (the sharded permutation plan) and q156 (the
+    * pos-range sink round trip): one global ROW_NUMBER window over the
+    * md5 digest order states the semantics both must match. */
+  private val trainingOrderOracleSql: String =
+    """SELECT doc_id,
+      |  md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+      |  CAST(ROW_NUMBER() OVER (
+      |    ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |    AS BIGINT) AS pos
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Shared by q152 (batch shape) and q155 (persisted-index shape):
+    * identical double expression tree from exact integer inputs
+    * (tf, df, dl, N, Σdl), each contribution e4-rounded so the
+    * per-(query, doc) sum is BIGINT. */
+  private val bm25OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+      |  FROM documents),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(coalesce(sum(len(ts)), 0) AS BIGINT) AS sumdl
+      |  FROM toks),
+      |qt AS (
+      |  SELECT DISTINCT qid, term FROM (
+      |    SELECT doc_id AS qid, unnest(ts[1:6]) AS term
+      |    FROM toks WHERE doc_id % 50 = 0)),
+      |posting AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+      |         CAST(max(dl) AS BIGINT) AS dl
+      |  FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks)
+      |  WHERE term IN (SELECT term FROM qt)
+      |  GROUP BY doc_id, term),
+      |dfs AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM posting GROUP BY term),
+      |contrib AS (
+      |  SELECT q.qid, p.doc_id,
+      |    CAST(round(
+      |      ln(1.0 + (t.n - d.df + 0.5) / (d.df + 0.5)) *
+      |      ((p.tf * (1.2 + 1.0)) /
+      |       (p.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+      |         (p.dl / (CAST(t.sumdl AS DOUBLE) / t.n)))))
+      |      * 1e4) AS BIGINT) AS c_e4
+      |  FROM qt q
+      |  JOIN posting p ON q.term = p.term
+      |  JOIN dfs d ON q.term = d.term
+      |  CROSS JOIN tot t),
+      |scores AS (
+      |  SELECT qid, doc_id, CAST(sum(c_e4) AS BIGINT) AS score_e4
+      |  FROM contrib GROUP BY qid, doc_id),
+      |ranked AS (
+      |  SELECT qid, doc_id, score_e4,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY score_e4 DESC, doc_id) AS rank
+      |  FROM scores)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score_e4
+      |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
     * column names, same deterministic ordering). UDF-bearing and
@@ -694,61 +756,21 @@ object SparkEntry {
     // must equal ONE global ROW_NUMBER window over the md5 digest order
     // (md5 because both engines hash UTF-8 bytes to the same lowercase
     // hex — the deterministic-split precedent).
-    "q151_training_order_shuffle" ->
-      """SELECT doc_id,
-        |  md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
-        |  CAST(ROW_NUMBER() OVER (
-        |    ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
-        |    AS BIGINT) AS pos
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q151_training_order_shuffle" -> trainingOrderOracleSql,
+    // q156 shares q151's oracle VERBATIM: the pos-range sink round trip
+    // (write streamable layout → read back) must reproduce the
+    // permutation exactly — losslessness IS the check.
+    "q156_training_order_sink" -> trainingOrderOracleSql,
     // BM25 oracle: identical double expression tree from exact integer
     // inputs (tf, df, dl, N, Σdl), rounded to e4 per contribution (the
     // q134 ln precedent) so the per-(query, doc) sum is BIGINT; the
     // k1+1 factor is written (1.2 + 1.0) so both engines constant-fold
     // the same IEEE add rather than parsing a different literal.
-    "q152_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
-        |  FROM documents),
-        |tot AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n,
-        |         CAST(coalesce(sum(len(ts)), 0) AS BIGINT) AS sumdl
-        |  FROM toks),
-        |qt AS (
-        |  SELECT DISTINCT qid, term FROM (
-        |    SELECT doc_id AS qid, unnest(ts[1:6]) AS term
-        |    FROM toks WHERE doc_id % 50 = 0)),
-        |posting AS (
-        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
-        |         CAST(max(dl) AS BIGINT) AS dl
-        |  FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks)
-        |  WHERE term IN (SELECT term FROM qt)
-        |  GROUP BY doc_id, term),
-        |dfs AS (
-        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM posting GROUP BY term),
-        |contrib AS (
-        |  SELECT q.qid, p.doc_id,
-        |    CAST(round(
-        |      ln(1.0 + (t.n - d.df + 0.5) / (d.df + 0.5)) *
-        |      ((p.tf * (1.2 + 1.0)) /
-        |       (p.tf + 1.2 * (1.0 - 0.75 + 0.75 *
-        |         (p.dl / (CAST(t.sumdl AS DOUBLE) / t.n)))))
-        |      * 1e4) AS BIGINT) AS c_e4
-        |  FROM qt q
-        |  JOIN posting p ON q.term = p.term
-        |  JOIN dfs d ON q.term = d.term
-        |  CROSS JOIN tot t),
-        |scores AS (
-        |  SELECT qid, doc_id, CAST(sum(c_e4) AS BIGINT) AS score_e4
-        |  FROM contrib GROUP BY qid, doc_id),
-        |ranked AS (
-        |  SELECT qid, doc_id, score_e4,
-        |    ROW_NUMBER() OVER (PARTITION BY qid
-        |      ORDER BY score_e4 DESC, doc_id) AS rank
-        |  FROM scores)
-        |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score_e4
-        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q152_bm25_topk" -> bm25OracleSql,
+    // q155 shares q152's oracle VERBATIM: the persisted-index shape must
+    // rank identically to the batch shape at maxDf = ∞ (same postings,
+    // df, bounds, scoring tree — only the storage layout differs).
+    "q155_bm25_index_topk" -> bm25OracleSql,
     // End-to-end pipeline oracle: every stage (dedup keep-first, quality
     // blend, lang filter, md5 split, rollup) mirrored in SQL — verifies
     // the COMPOSITION, not just the operators.

@@ -102,12 +102,26 @@ object Budget {
     val wLocal = Window.partitionBy(col("pid"), col(groupCol))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL-SAFE group equality (round 12, ADVICE): a plain using-column
+    // join drops every null-group row (null = null is never true), which
+    // would break the one-row-per-input-row contract — the local window
+    // and the driver fold both treat null as an ordinary group value, so
+    // the offsets re-attachment must too (<=>).
+    val off = broadcast(offsetsDf)
+      .withColumnRenamed("pid", "__opid").withColumnRenamed(groupCol, "__og")
     parted
       .withColumn("lcum", sum(col(weightCol)).over(wLocal))
-      .join(broadcast(offsetsDf), Seq("pid", groupCol))
+      .join(off, col("pid") === col("__opid") && col(groupCol) <=> col("__og"))
       .withColumn("cum_w", col("offset") + col("lcum"))
+      // DECIMAL(38,0) cross-multiply (round 12, ADVICE): any long × long
+      // product is < 2^126 ≈ 8.5e37 < 1e38, so the comparison is exact
+      // for EVERY representable cum_w/group_w/budget pair — the bare
+      // BIGINT product silently wrapped once totals × budget terms
+      // crossed 2^63 (corpus-scale token counts with a large user
+      // denominator). DuckDB's oracle promotes to HUGEINT the same way.
       .withColumn("selected",
-        col("cum_w") * lit(budgetDen) <= col("group_w") * lit(budgetNum))
+        col("cum_w").cast("decimal(38,0)") * lit(budgetDen) <=
+          col("group_w").cast("decimal(38,0)") * lit(budgetNum))
       .select(col(groupCol), col(idCol), col(scoreCol), col(weightCol),
         col("group_w"), col("cum_w"), col("selected"))
   }

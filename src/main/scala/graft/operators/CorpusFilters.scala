@@ -356,9 +356,14 @@ object CorpusFilters {
     * `nShards` cap-sized filters keyed by `pmod(xxhash64(gram),
     * nShards)` — ONE extra groupBy over the (small) test side, ≤
     * nShards collected rows — and the train-side probe picks the
-    * matching shard per gram map-side (a CASE chain over per-shard
-    * plan literals; everything stays codegen, zero joins, zero train-
-    * side shuffles). Per-shard OR-merge keeps the full determinism
+    * matching shard per gram map-side (zero joins, zero train-side
+    * shuffles): at ≤ `literalMaxShards` shards a CASE chain over
+    * per-shard plan literals, above it ONE broadcast variable holding
+    * every bitset probed by shard index
+    * ([[graft.expressions.ShardedBloomProbe]], round 12 — the literal
+    * chain measured ~131 MB of plan constants at 18 shards, serialized
+    * into every task; the broadcast crosses the wire once per executor;
+    * flags byte-identical either way). Per-shard OR-merge keeps the full determinism
     * story: every shard's bitset is partitioning-invariant, so the
     * mirror replays even the false positives byte-for-byte. `maxShards`
     * caps the plan footprint (default 64 × ≤8 MB conf-capped filters);
@@ -371,9 +376,10 @@ object CorpusFilters {
   def bloomDecontaminate(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, n: Int = 3,
       bitsPerItem: Int = 15, maxBits: Long = 1L << 27,
-      maxShards: Int = 64): DataFrame = {
+      maxShards: Int = 64, literalMaxShards: Int = 4): DataFrame = {
     require(n >= 1 && bitsPerItem >= 1 && maxBits >= 1024 && maxShards >= 1,
       s"need n/bitsPerItem/maxShards >= 1 and maxBits >= 1024")
+    require(literalMaxShards >= 1, "need literalMaxShards >= 1")
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -424,6 +430,24 @@ object CorpusFilters {
     val grams = wordNGrams(words(col(textCol)), n)
     val flagged: Column => Column =
       if (occurrences == 0L) _ => lit(0) // empty test set: nothing to flag
+      else if (nShards > literalMaxShards) { gs =>
+        // BROADCAST-VARIABLE shards (round 12): above a few shards the
+        // literal CASE chain below serializes every bitset into the
+        // plan (~131 MB of plan constants MEASURED at 18 shards, ~0.5 GB
+        // at the 64-shard envelope) and ships it with EVERY task — the
+        // bitsets cross the wire once per executor as one broadcast
+        // instead, probed by shard index through the same
+        // BloomFilter.mightContainLong. Flags are byte-identical to the
+        // literal path (same bitsets, same keying — BloomDecontSpec pins
+        // the boundary); determinism story unchanged.
+        val bcast = spark.sparkContext.broadcast(bfByShard)
+        size(filter(gs, g => {
+          val h = xxhash64(g)
+          ColumnBridge.column(graft.expressions.ShardedBloomProbe(
+            ColumnBridge.expression(pmod(h, lit(nShards.toLong))),
+            ColumnBridge.expression(h), bcast))
+        }))
+      }
       else { gs =>
         size(filter(gs, g => {
           val h = xxhash64(g)

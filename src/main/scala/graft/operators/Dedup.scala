@@ -16,6 +16,8 @@ import scala.util.hashing.MurmurHash3
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   // ------------------------------------------------------------- exact
 
   /** Keep the lowest-id row per exact duplicate group of `keyCols`.
@@ -98,43 +100,115 @@ object Dedup {
   def minhashIncremental(incoming: DataFrame, history: DataFrame,
       idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      broadcastMaxBatchDocs: Long = 2000000L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
-    val spark = incoming.sparkSession
-    import spark.implicits._
-
     val sigUdf = udf((s: String) => minhashSig(s, shingleSize, numHashes))
-    // batch-sized: cached + broadcast below (consumed by buckets, both
-    // verification joins and the final status assembly)
-    val incSigs = incoming
-      .select(col(idCol).cast("long").as("id"), sigUdf(col(textCol)).as("sig"))
-      .cache()
     val histSigs = history
       .select(col(idCol).cast("long").as("id"), sigUdf(col(textCol)).as("sig"))
+    incrementalCore(incoming, histSigs,
+      bandBucketsOf(histSigs, bands, numHashes / bands),
+      idCol, textCol, shingleSize, numHashes, bands, threshold,
+      broadcastMaxBatchDocs)
+  }
 
-    def bucketsOf(sigs: DataFrame): DataFrame = {
-      val bandCols = (0 until bands).map { b =>
-        val slice = (0 until rowsPerBand).map(r => $"sig"(b * rowsPerBand + r))
-        struct(lit(b).as("band"), hash(slice: _*).as("bh"))
-      }
-      sigs.withColumn("bk", explode(array(bandCols: _*)))
-        .select($"bk.band".as("band"), $"bk.bh".as("bh"), $"id")
+  /** Band-bucket frame of a (id, sig) signature frame: one (band, bh,
+    * id) row per band per doc, where bh hashes signature positions
+    * [band·r, (band+1)·r) — the LSH keying every MinHash operator here
+    * shares (identical column expressions ⇒ identical buckets). */
+  private def bandBucketsOf(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r))
+      struct(lit(b).as("band"), hash(slice: _*).as("bh"))
     }
-    val agreement = (a: Column, b: Column) =>
+    sigs.withColumn("bk", explode(array(bandCols: _*)))
+      .select(col("bk.band").as("band"), col("bk.bh").as("bh"), col("id"))
+  }
+
+  /** Fraction of agreeing signature positions — the MinHash Jaccard
+    * estimator shared by every verification join here. */
+  private def sigAgreement(numHashes: Int): (Column, Column) => Column =
+    (a: Column, b: Column) =>
       aggregate(
         zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble)
 
+  /** Shared implementation of both incremental-fuzzy-dedup entry points:
+    * [[minhashIncremental]] (history re-signatured statelessly) and
+    * [[minhashIncrementalAgainstIndex]] (history frames read from the
+    * persisted bucketed index — NEVER re-signatured). The history side
+    * arrives as two frames — (id, sig) signatures and (band, bh, id)
+    * band buckets — and is never shuffled in full: the batch side of
+    * every join broadcasts (below `broadcastMaxBatchDocs`; above it the
+    * joins fall back to plain shuffle equi-joins — same rows, the
+    * broadcast() hint is the only difference, spec-pinned identical),
+    * and every exchange above a history scan carries only
+    * candidate-bounded post-join rows. */
+  private def incrementalCore(incoming: DataFrame,
+      histSigs: DataFrame, histBuckets: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int,
+      threshold: Double, broadcastMaxBatchDocs: Long): DataFrame = {
+    val (assembled, incSigs) = incrementalAssembled(incoming, histSigs,
+      histBuckets, idCol, textCol, shingleSize, numHashes, bands, threshold,
+      broadcastMaxBatchDocs)
+    // stage the (batch-sized) output so the cached signatures can be
+    // released immediately — without the cut, a consumer evaluating the
+    // lazy plan after unpersist would re-signature the batch per join
+    val out = Stage.cut(assembled)
+    incSigs.unpersist()
+    out
+  }
+
+  /** The UN-STAGED classification frame + the still-cached batch
+    * signature frame — `private[graft]` so `MinhashIndexSpec` can pin
+    * the physical plan shape (every exchange above a history/index scan
+    * must sit above the candidate-bounding broadcast join) before the
+    * lineage cut erases it. Production callers go through
+    * [[minhashIncremental]] / [[minhashIncrementalAgainstIndex]]. */
+  private[graft] def incrementalAssembled(incoming: DataFrame,
+      histSigs: DataFrame, histBuckets: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int,
+      threshold: Double, broadcastMaxBatchDocs: Long): (DataFrame, DataFrame) = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    val sigUdf = udf((s: String) => minhashSig(s, shingleSize, numHashes))
+    // batch-sized: cached (consumed by buckets, both verification joins
+    // and the final status assembly), unpersisted after the output is
+    // staged (round 12 ADVICE: repeated ingest batches in one session
+    // must not accumulate cached signature frames)
+    val incSigs = incoming
+      .select(col(idCol).cast("long").as("id"), sigUdf(col(textCol)).as("sig"))
+      .cache()
+    // one cheap action on the cached batch picks broadcast vs shuffle
+    // joins (and materializes the cache before the plans fan out)
+    val nBatch = incSigs.count()
+    // HARDENED batch contract (round 12): broadcasting a 10M-doc batch
+    // would ship a ~bands×10M-row bucket frame to every task — above the
+    // bound the same joins run as plain shuffles, loudly. Results are
+    // identical either way (broadcast() is a distribution hint, not a
+    // semantic change).
+    val bc: DataFrame => DataFrame =
+      if (nBatch <= broadcastMaxBatchDocs) broadcast
+      else { df =>
+        log.warn(s"minhashIncremental: batch of $nBatch docs exceeds " +
+          s"broadcastMaxBatchDocs=$broadcastMaxBatchDocs — falling back " +
+          "to shuffle joins (identical results, bigger exchanges)")
+        df
+      }
+    val agreement = sigAgreement(numHashes)
+
     // incoming×history candidates: batch buckets broadcast onto the
     // history bucket stream — map-side probe, zero history shuffles
-    val candIH = bucketsOf(histSigs)
-      .join(broadcast(bucketsOf(incSigs)
+    val candIH = histBuckets
+      .join(bc(bandBucketsOf(incSigs, bands, numHashes / bands)
         .select($"band", $"bh", $"id".as("inc_id"))), Seq("band", "bh"))
       .select($"inc_id", $"id".as("hist_id"))
       .dropDuplicates("inc_id", "hist_id")
     val nHist = candIH
-      .join(broadcast(incSigs.select($"id".as("inc_id"), $"sig".as("sig_i"))),
+      .join(bc(incSigs.select($"id".as("inc_id"), $"sig".as("sig_i"))),
         "inc_id")
       .join(histSigs.select($"id".as("hist_id"), $"sig".as("sig_h")), "hist_id")
       .filter(agreement($"sig_i", $"sig_h") >= threshold)
@@ -142,18 +216,18 @@ object Dedup {
 
     // within-batch earlier-doc matches: the small-corpus join form of
     // minhashCandidatePairs over the batch alone
-    val incB = bucketsOf(incSigs)
+    val incB = bandBucketsOf(incSigs, bands, numHashes / bands)
     val dupBatch = incB.select($"band", $"bh", $"id".as("id_a"))
       .join(incB.select($"band", $"bh", $"id".as("id_b")), Seq("band", "bh"))
       .filter($"id_a" < $"id_b")
       .dropDuplicates("id_a", "id_b")
-      .join(broadcast(incSigs.select($"id".as("id_a"), $"sig".as("sig_a"))), "id_a")
-      .join(broadcast(incSigs.select($"id".as("id_b"), $"sig".as("sig_b"))), "id_b")
+      .join(bc(incSigs.select($"id".as("id_a"), $"sig".as("sig_a"))), "id_a")
+      .join(bc(incSigs.select($"id".as("id_b"), $"sig".as("sig_b"))), "id_b")
       .filter(agreement($"sig_a", $"sig_b") >= threshold)
       .select($"id_b".as("id")).distinct()
       .withColumn("__dup_batch", lit(true))
 
-    incSigs.select($"id".as("doc_id"))
+    val assembled = incSigs.select($"id".as("doc_id"))
       .join(nHist.withColumnRenamed("inc_id", "doc_id"), Seq("doc_id"), "left")
       .join(dupBatch.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select($"doc_id",
@@ -161,6 +235,78 @@ object Dedup {
           .when($"__dup_batch", "dup_batch")
           .otherwise("new").as("status"),
         coalesce($"n_hist_dups", lit(0L)).as("n_hist_dups"))
+    (assembled, incSigs)
+  }
+
+  // ------------------------------------------------ persisted LSH index
+
+  /** Materialize the MinHash history index ONCE — the production form of
+    * [[minhashIncremental]]'s history side. The stateless entry point
+    * re-signatures the ENTIRE history corpus on every ingest batch; at a
+    * 100 TB history with daily batches that per-batch signature CPU
+    * dominates everything else the operator does, and it scales with
+    * history rather than with the batch. This writer runs the signature
+    * pass once and persists BOTH frames the probe needs as bucketed
+    * parquet tables (the [[graft.sources.Bucketing]] machinery — layout
+    * declared at write time so later consumers join/aggregate on the key
+    * without an exchange):
+    *
+    *  - `{table}_sigs`    (id, sig array<int>)   bucketed+sorted by id
+    *  - `{table}_buckets` (band, bh, id)         bucketed+sorted by (band, bh)
+    *  - `{table}_meta`    1 row (shingle_size, num_hashes, bands) — the
+    *    probe derives its parameters FROM the index, so a mismatched
+    *    re-probe is impossible by construction.
+    *
+    * A daily ingest appends its batch's signatures/buckets to the same
+    * tables after classification (plain bucketed INSERT — same layout);
+    * re-running this writer rebuilds from scratch.
+    */
+  def writeMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      table: String, path: String, numBuckets: Int = 64,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sigUdf = udf((s: String) => minhashSig(s, shingleSize, numHashes))
+    // ONE signature pass feeds both tables: the UDF is the dominant cost
+    // and without the cut each bucketed write would re-run it
+    val sigs = Stage.cut(corpus
+      .select(col(idCol).cast("long").as("id"), sigUdf(col(textCol)).as("sig")))
+    graft.sources.Bucketing.writeBucketed(
+      spark, sigs, s"${table}_sigs", s"$path/sigs", numBuckets, Seq("id"))
+    graft.sources.Bucketing.writeBucketed(
+      spark, bandBucketsOf(sigs, bands, numHashes / bands),
+      s"${table}_buckets", s"$path/buckets", numBuckets, Seq("band", "bh"))
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
+    Seq((shingleSize, numHashes, bands))
+      .toDF("shingle_size", "num_hashes", "bands")
+      .write.format("parquet").option("path", s"$path/meta")
+      .mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  /** [[minhashIncremental]] probing a PERSISTED history index written by
+    * [[writeMinhashIndex]] — bit-identical classification (same
+    * candidate machine, same verification; `MinhashIndexSpec` pins it
+    * row-for-row against the stateless form) with the history signature
+    * cost paid ONCE at index-build time instead of per batch. The
+    * history side is two bucketed scans: batch buckets broadcast onto
+    * the band-bucket scan (map-side probe), batch candidates broadcast
+    * onto the signature scan — zero exchanges carry full-history rows
+    * (spec-pinned: every exchange above an index scan sits above the
+    * candidate-bounding broadcast join). Signature parameters come from
+    * the index's meta table; only the threshold is per-call. */
+  def minhashIncrementalAgainstIndex(incoming: DataFrame, table: String,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      broadcastMaxBatchDocs: Long = 2000000L): DataFrame = {
+    val spark = incoming.sparkSession
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1, s"index ${table}_meta must hold exactly 1 row")
+    val (shingleSize, numHashes, bands) =
+      (meta(0).getInt(0), meta(0).getInt(1), meta(0).getInt(2))
+    incrementalCore(incoming,
+      spark.table(s"${table}_sigs"), spark.table(s"${table}_buckets"),
+      idCol, textCol, shingleSize, numHashes, bands, threshold,
+      broadcastMaxBatchDocs)
   }
 
   // ----------------------------------------------------------- minhash
@@ -216,7 +362,8 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.8,
-      singleExchangeMinDocs: Long = 1000000L): DataFrame = {
+      singleExchangeMinDocs: Long = 1000000L,
+      numDocsHint: Long = -1L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val spark = df.sparkSession
@@ -230,8 +377,12 @@ object Dedup {
     // aggregation exchanges — measured 1.4 s vs 2.1 s at sf0.1). Both
     // forms are bit-identical (DedupSpec pins them against each other
     // and the JVM mirror); one cheap count() of the column-pruned input
-    // picks the path.
-    val bigCorpus = df.count() >= singleExchangeMinDocs
+    // picks the path — UNLESS the caller already knows the row count
+    // (`numDocsHint >= 0`, round 12 ADVICE): a derived input (a gated /
+    // joined frame mid-pipeline) pays a full lineage re-evaluation for
+    // that count, so composed pipelines pass the count they have.
+    val bigCorpus =
+      (if (numDocsHint >= 0L) numDocsHint else df.count()) >= singleExchangeMinDocs
 
     val sigUdf = udf((s: String) => minhashSig(s, shingleSize, numHashes))
     // cached: consumed by band bucketing AND the post-dedup verification

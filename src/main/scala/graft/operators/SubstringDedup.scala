@@ -55,10 +55,11 @@ object SubstringDedup {
     */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 8, minRepeat: Int = 2,
-                 singlePassMaxDocs: Long = 1000000L): DataFrame = {
+                 singlePassMaxDocs: Long = 1000000L,
+                 numDocsHint: Long = -1L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    dedupText(df, idCol, textCol, k, minRepeat, singlePassMaxDocs)
+    dedupText(df, idCol, textCol, k, minRepeat, singlePassMaxDocs, numDocsHint)
       .select($"doc_id", $"n_tokens", $"n_spans", $"dup_tokens",
         md5($"cleaned".cast("binary")).as("cleaned_md5"))
   }
@@ -73,7 +74,8 @@ object SubstringDedup {
     */
   def dedupText(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 8, minRepeat: Int = 2,
-                singlePassMaxDocs: Long = 1000000L): DataFrame = {
+                singlePassMaxDocs: Long = 1000000L,
+                numDocsHint: Long = -1L): DataFrame = {
     require(k >= 2, s"gram width must be >= 2, got $k")
     require(minRepeat >= 2, s"minRepeat must be >= 2, got $minRepeat")
     val spark = df.sparkSession
@@ -109,7 +111,10 @@ object SubstringDedup {
     // count() of the input — column-pruned parquet scan) the plan
     // drops to the direct string count; either path yields the same
     // bytes, pinned by SubstringDedupSpec's path-equivalence case.
-    val nDocs = df.count()
+    // Callers holding a derived input (gated/joined mid-pipeline frames
+    // whose lineage is expensive to re-evaluate) pass `numDocsHint`
+    // instead (round 12 ADVICE).
+    val nDocs = if (numDocsHint >= 0L) numDocsHint else df.count()
     val hits =
       if (nDocs <= singlePassMaxDocs) {
         val dupGrams = grams.groupBy($"gram")

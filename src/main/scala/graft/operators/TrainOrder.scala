@@ -35,8 +35,9 @@ import org.apache.spark.sql.functions._
   *     boundaries are sampled nondeterministically, so two evaluations
   *     could slice differently and break offset+local = global).
   *
-  * At 100 TB the output is typically written bucketed/sorted by `pos`
-  * ranges so the loader streams slices in order without another sort.
+  * At 100 TB the output is written range-partitioned/sorted by `pos`
+  * so the loader streams slices in order without another sort — that is
+  * [[writeOrdered]].
   */
 object TrainOrder {
 
@@ -69,5 +70,41 @@ object TrainOrder {
       .join(broadcast(offsetsDf), Seq("pid"))
       .withColumn("pos", col("offset") + col("lrn"))
       .select(col(idCol), col("shuffle_key"), col("pos"))
+  }
+
+  /** Materialize the permutation AS A STREAMABLE LAYOUT — the sink the
+    * scaladoc above promises: `nFiles` parquet files, each holding one
+    * CONTIGUOUS `pos` range with rows sorted by `pos` inside, plus a
+    * manifest (file, min_pos, max_pos, n_rows) ordered by min_pos. A
+    * data loader streams the files in manifest order and reads training
+    * examples in exact global order with ZERO sorting at load time —
+    * without this layout every epoch re-sorts the corpus.
+    *
+    * Plan: [[deterministicShuffle]] (already sharded — no global sort
+    * task) → `repartitionByRange(nFiles, pos)` (pos is the dense rank
+    * 1..n, so ranges are uniform by construction — no skewed file) →
+    * `sortWithinPartitions(pos)` → parquet under `{path}/data`; the
+    * manifest derives from ONE read-back aggregation keyed by file name
+    * (≤ nFiles rows) and lands at `{path}/manifest`.
+    *
+    * @return the read-back data frame ({idCol}, shuffle_key, pos) —
+    *         exactly [[deterministicShuffle]]'s rows (round-trip pinned
+    *         by `TrainOrderSpec` and the q156 oracle) */
+  def writeOrdered(df: DataFrame, idCol: String, seed: String,
+      path: String, nFiles: Int): DataFrame = {
+    require(nFiles >= 1, s"need nFiles >= 1, got $nFiles")
+    val spark = df.sparkSession
+    deterministicShuffle(df, idCol, seed)
+      .repartitionByRange(nFiles, col("pos").asc)
+      .sortWithinPartitions(col("pos").asc)
+      .write.mode("overwrite").parquet(s"$path/data")
+    val back = spark.read.parquet(s"$path/data")
+    back.groupBy(input_file_name().as("file"))
+      .agg(min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("min_pos"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/manifest")
+    back
   }
 }

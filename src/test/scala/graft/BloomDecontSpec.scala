@@ -206,6 +206,38 @@ class BloomDecontSpec extends AnyFunSuite {
       confMaxItems = maxI, confMaxBits = maxB, maxShards = 1))
   }
 
+  test("broadcast-variable shards == literal CASE chain byte-for-byte " +
+      "across the literalMaxShards boundary") {
+    // same 8-shard scenario as above; run the probe once with every
+    // shard as a plan literal (literalMaxShards = 64) and once through
+    // the ONE-broadcast ShardedBloomProbe path (default, 8 > 4) — the
+    // bitsets and keying are identical, so every flag (including false
+    // positives) must match exactly
+    val (maxI, maxB) = (500L, 16384L)
+    val docs = (0L until 1500L).map { id =>
+      val vocab = if (BloomMirror.splitOf(id) == "test") "t" else "w"
+      (id, (0 until 40).map(i => s"$vocab${id}y$i").mkString(" "))
+    }
+    val (viaBroadcast, viaLiterals) = withLowBloomConfs(maxI, maxB) {
+      val df = graft.operators.Sampling.deterministicSplit(
+        docs.toDF("doc_id", "text"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      val train = df.filter($"split" === "train")
+      val test = df.filter($"split" === "test")
+      def run(literalMaxShards: Int) =
+        CorpusFilters.bloomDecontaminate(train, test, "doc_id", "text",
+            literalMaxShards = literalMaxShards)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+          .sortBy(_._1).toSeq
+      (run(4), run(64))
+    }
+    assert(viaBroadcast == viaLiterals,
+      "broadcast shard probe must reproduce the literal path exactly")
+    assert(viaBroadcast == BloomMirror.recompute(docs,
+      confMaxItems = maxI, confMaxBits = maxB),
+      "and both must equal the straight-line mirror")
+  }
+
   test("distributed q141 reproduces the straight-line mirror at sf0.001") {
     val docs = Tables(spark, sfDir, "documents")
       .selectExpr("cast(doc_id as long) as doc_id", "text").collect()

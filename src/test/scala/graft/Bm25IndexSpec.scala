@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bm25
+
+/** Contract battery for the persisted BM25 serving index (q155,
+  * `Bm25.buildIndex` + `topKAgainstIndex`): the index shape must rank
+  * bit-identically to the batch shape at `maxDf = ∞` (on a constructed
+  * corpus AND on the live sf0.001 q152 batch), and the `maxDf`
+  * common-term bound must drop exactly the over-frequent terms from
+  * scoring — the declared-lossy stopword prune. */
+class Bm25IndexSpec extends AnyFunSuite {
+  import SparkSuiteBase.{spark, sfDir}
+  import spark.implicits._
+
+  private def buildIdx(docs: Seq[(Long, String)], table: String): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$table").toString
+    Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text",
+      table, s"$dir/idx", numBuckets = 4)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  // "the" appears in every doc (the stopword); distinguishing terms are rare
+  private val corpus: Seq[(Long, String)] = (0L until 60L).map { i =>
+    val rare = s"rare${i % 7}"
+    (i, s"the common filler words and the $rare token doc$i")
+  }
+
+  test("index shape == batch shape at maxDf = ∞ (constructed corpus)") {
+    buildIdx(corpus, "g_bm25_spec_eq")
+    val queries = Seq((1L, "the"), (1L, "rare3"), (2L, "rare5"), (3L, "doc11"))
+      .toDF("qid", "term")
+    val batch = rows(Bm25.topK(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", queries, k = 5))
+    val viaIndex = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_eq", k = 5))
+    assert(viaIndex == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("q155 (index) == q152 (batch) on the live sf0.001 corpus") {
+    val batch = rows(SparkEntry.queries("q152_bm25_topk")(spark, sfDir))
+    val viaIndex = rows(SparkEntry.queries("q155_bm25_index_topk")(spark, sfDir))
+    assert(viaIndex == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("maxDf drops exactly the over-frequent terms from scoring (lossy, declared)") {
+    buildIdx(corpus, "g_bm25_spec_maxdf")
+    // q1 mixes the stopword with a rare term; q2 is stopword-only
+    val queries = Seq((1L, "the"), (1L, "rare2"), (2L, "the")).toDF("qid", "term")
+    val unbounded = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_maxdf", k = 60))
+    // df("the") = 60 > 10 >= df(rare2); the bound excludes "the" entirely
+    val bounded = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_maxdf",
+      k = 60, maxDf = 10L))
+    // q2 (stopword-only) loses all candidates; q1 keeps only rare2's docs
+    assert(unbounded.exists(_._1 == 2L))
+    assert(!bounded.exists(_._1 == 2L))
+    val q1Docs = bounded.filter(_._1 == 1L).map(_._3).toSet
+    val rare2Docs = corpus.filter(_._2.contains("rare2 ")).map(_._1).toSet
+    assert(q1Docs == rare2Docs,
+      s"q1 candidates must be exactly rare2's postings, got $q1Docs vs $rare2Docs")
+    // and the bounded scores equal a batch run against a corpus-equivalent
+    // query with the stopword removed (score EXCLUDES the dropped term)
+    val noStop = rows(Bm25.topK(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      Seq((1L, "rare2")).toDF("qid", "term"), k = 60))
+    assert(bounded.filter(_._1 == 1L) == noStop)
+  }
+}

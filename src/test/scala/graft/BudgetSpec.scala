@@ -115,4 +115,42 @@ class BudgetSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
     assert(repart == got)
   }
+
+  test("per-group: NULL group values are one ordinary group, never dropped " +
+      "(round-12 ADVICE: the offsets join is null-safe)") {
+    val rows = Seq(
+      (Some("A"), 1L, 5L, 4L), (Some("A"), 2L, 9L, 3L),
+      (None, 3L, 8L, 2L), (None, 4L, 6L, 2L), (None, 5L, 1L, 2L))
+    val df = rows.map { case (g, id, s, w) => (g.orNull, id, s, w) }
+      .toDF("g", "id", "score", "w")
+    val got = Budget.selectByBudgetPerGroup(df, "g", "id", "score", "w", 1L, 2L)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(4),
+        r.getLong(5), r.getBoolean(6)))
+      .sortBy(_._2).toSeq
+    // CONTRACT: one row per input row — null-group rows included
+    assert(got.map(_._2) == Seq(1L, 2L, 3L, 4L, 5L))
+    // null group total 6 (cum·2 <= 6): id 3 cum 2 selected, id 4 cum 4
+    // not, id 5 cum 6 not; group A total 7 (cum·2 <= 7): id 2 (s=9)
+    // cum 3 selected, id 1 cum 7 not
+    assert(got == Seq(
+      (Some("A"), 1L, 7L, 7L, false), (Some("A"), 2L, 7L, 3L, true),
+      (None, 3L, 6L, 2L, true), (None, 4L, 6L, 4L, false),
+      (None, 5L, 6L, 6L, false)))
+  }
+
+  test("per-group: corpus-scale cross-multiply does not overflow Long " +
+      "(decimal(38,0) products)") {
+    // cum_w · budgetDen ≈ 6e18 · 1e4 = 6e22 >> Long.MaxValue: the old
+    // BIGINT product wrapped negative and flipped `selected`
+    val big = 3000000000000000000L // 3e18
+    val rows = Seq(("G", 1L, 9L, big), ("G", 2L, 5L, big))
+    val got = Budget.selectByBudgetPerGroup(
+        rows.toDF("g", "id", "score", "w"), "g", "id", "score", "w",
+        5000L, 10000L) // exactly half the group's 6e18 total
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(5), r.getBoolean(6)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, big, true), (2L, 2L * big, false)))
+  }
 }

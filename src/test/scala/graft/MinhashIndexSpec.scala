@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+import graft.operators.Dedup
+
+/** Contract battery for the PERSISTED MinHash history index (q154,
+  * `Dedup.writeMinhashIndex` + `minhashIncrementalAgainstIndex`): the
+  * index probe must classify bit-identically to the stateless
+  * `minhashIncremental` on the same corpus (planted + randomized), the
+  * broadcast→shuffle batch fallback must be a pure distribution change,
+  * and the physical plan must never shuffle full-history rows — every
+  * exchange above an index scan sits above the candidate-bounding
+  * broadcast join. */
+class MinhashIndexSpec extends AnyFunSuite {
+  import SparkSuiteBase.spark
+  import spark.implicits._
+
+  private def words(group: String, n: Int): IndexedSeq[String] =
+    (0 until n).map(i => s"${group}w$i")
+  private def variant(group: String, base: IndexedSeq[String], subs: Seq[Int]): String =
+    subs.foldLeft(base) { (ws, i) => ws.updated(i, s"${group}x$i") }.mkString(" ")
+
+  private def buildIndex(history: Seq[(Long, String)], table: String): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$table").toString
+    Dedup.writeMinhashIndex(history.toDF("doc_id", "text"),
+      "doc_id", "text", table, s"$dir/idx", numBuckets = 4)
+  }
+
+  private def collectRows(df: DataFrame): Seq[(Long, String, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+  test("index probe == stateless form on planted classifications") {
+    val a = words("a", 50); val c = words("c", 50)
+    val history = Seq(
+      0L -> a.mkString(" "),
+      2L -> words("h", 50).mkString(" "))
+    val incoming = Seq(
+      1L -> variant("a", a, Seq(25)),     // near-dup of history doc 0
+      3L -> a.mkString(" "),              // exact copy of history doc 0
+      5L -> c.mkString(" "),              // first of an in-batch pair
+      7L -> variant("c", c, Seq(10)),     // near-dup of incoming doc 5
+      9L -> words("f", 50).mkString(" ")) // fresh
+    buildIndex(history, "g_mhidx_spec_planted")
+    val viaIndex = collectRows(Dedup.minhashIncrementalAgainstIndex(
+      incoming.toDF("doc_id", "text"), "g_mhidx_spec_planted", "doc_id", "text"))
+    val stateless = collectRows(Dedup.minhashIncremental(
+      incoming.toDF("doc_id", "text"), history.toDF("doc_id", "text"),
+      "doc_id", "text"))
+    assert(viaIndex == stateless)
+    assert(viaIndex == Seq(
+      (1L, "dup_history", 1L), (3L, "dup_history", 1L),
+      (5L, "new", 0L), (7L, "dup_batch", 0L), (9L, "new", 0L)))
+  }
+
+  test("index probe == stateless form on a randomized 400-doc corpus; " +
+      "shuffle fallback (broadcastMaxBatchDocs=0) identical") {
+    val rnd = new scala.util.Random(7)
+    val all = (0L until 400L).map { i =>
+      val seed = if (i % 100 < 10) i - (i % 20) else i
+      val base = (0 until 30).map(k => s"t${seed}_${k}")
+      val ws = if (seed != i && i % 2 == 1)
+        base.updated(rnd.nextInt(30), s"z$i") else base
+      i -> ws.mkString(" ")
+    }
+    val incoming = all.filter(_._1 % 2 == 1)
+    val history = all.filter(_._1 % 2 == 0)
+    buildIndex(history, "g_mhidx_spec_rand")
+    val viaIndex = collectRows(Dedup.minhashIncrementalAgainstIndex(
+      incoming.toDF("doc_id", "text"), "g_mhidx_spec_rand", "doc_id", "text"))
+    assert(viaIndex == collectRows(Dedup.minhashIncremental(
+      incoming.toDF("doc_id", "text"), history.toDF("doc_id", "text"),
+      "doc_id", "text")))
+    assert(viaIndex.exists(_._2 == "dup_history"), "corpus must plant history dups")
+    // above-bound batches fall back to shuffle joins: same rows exactly
+    val viaShuffle = collectRows(Dedup.minhashIncrementalAgainstIndex(
+      incoming.toDF("doc_id", "text"), "g_mhidx_spec_rand", "doc_id", "text",
+      broadcastMaxBatchDocs = 0L))
+    assert(viaShuffle == viaIndex)
+  }
+
+  test("plan pin: no exchange carries full-history index rows — every " +
+      "shuffle above an index scan sits above the broadcast join") {
+    val history = (0L until 50L).map(i => i -> s"hist doc $i xxxxx")
+    val incoming = (0L until 9L).map(i => (2 * i + 1) -> s"batch doc $i")
+    buildIndex(history, "g_mhidx_spec_plan")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (assembled, incSigs) = Dedup.incrementalAssembled(
+        incoming.toDF("doc_id", "text"),
+        spark.table("g_mhidx_spec_plan_sigs"),
+        spark.table("g_mhidx_spec_plan_buckets"),
+        "doc_id", "text", 3, 64, 16, 0.8, 2000000L)
+      val plan = assembled.queryExecution.executedPlan
+      def indexScan(p: SparkPlan): Boolean = p.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("g_mhidx_spec_plan")) => s
+      }.nonEmpty
+      val offenders = plan.collect {
+        case ex: ShuffleExchangeExec if indexScan(ex) &&
+          ex.collect { case b: BroadcastHashJoinExec => b }.isEmpty => ex
+      }
+      assert(offenders.isEmpty,
+        s"full-history rows crossed an exchange un-bounded by the " +
+          s"broadcast candidate join:\n${offenders.mkString("\n")}")
+      // and the index IS read through broadcast joins, not re-signatured:
+      // no ScalaUDF may apply to the history side (batch side only)
+      assert(indexScan(plan), "plan must actually scan the index tables")
+      incSigs.unpersist()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}

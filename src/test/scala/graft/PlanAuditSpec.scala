@@ -34,9 +34,12 @@ class PlanAuditSpec extends AnyFunSuite {
                             // aggregate (via q134's scorer) and the
                             // tercile-cutoff row — bucketing stays
                             // map-side
-      "q152_bm25_topk")     // 1-row (N, Σdl) corpus-bounds broadcast
+      "q152_bm25_topk",     // 1-row (N, Σdl) corpus-bounds broadcast
                             // ridden on the query-term-pruned posting
                             // stream — q134's shape
+      "q155_bm25_index_topk") // the same 1-row bounds broadcast, read
+                              // from the index's bounds table instead of
+                              // aggregated — identical shape to q152
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =

@@ -58,4 +58,43 @@ class TrainOrderSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(one == Seq((0L, 1L)))
   }
+
+  test("writeOrdered sink: lossless round trip, pos-contiguous files, " +
+      "ordered disjoint manifest — a loader streams with zero sorting") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ordsink").toString
+    val n = 5000L
+    val df = spark.range(n).toDF("id")
+    val back = TrainOrder.writeOrdered(df, "id", "ep0", dir, nFiles = 8)
+    // round trip is EXACTLY the permutation
+    val want = TrainOrder.deterministicShuffle(df, "id", "ep0")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val got = back.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+    // each data file holds a CONTIGUOUS pos range, rows pos-sorted inside
+    // (read row order per file IS the loader's stream order)
+    val perFile = spark.read.parquet(s"$dir/data")
+      .select(input_file_name().as("file"), col("pos"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(perFile.size > 1, "sink should spread over multiple files")
+    perFile.values.foreach { ps =>
+      assert(ps == ps.sorted, "rows inside a file must be pos-sorted")
+      assert(ps.last - ps.head + 1 == ps.length, "file pos range must be contiguous")
+    }
+    // manifest: one row per data file, ordered by min_pos, ranges disjoint
+    // and covering 1..n
+    val manifest = spark.read.parquet(s"$dir/manifest")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(manifest.map(_._1).toSet == perFile.keySet)
+    assert(manifest == manifest.sortBy(_._2), "manifest must arrive ordered by min_pos")
+    val ranges = manifest.sortBy(_._2)
+    assert(ranges.head._2 == 1L && ranges.last._3 == n)
+    ranges.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 == a._3 + 1, s"manifest ranges must chain: $a then $b")
+    case _ => }
+    assert(ranges.map(_._4).sum == n)
+  }
 }
