@@ -37,8 +37,9 @@ object ScaleSmoke {
     val onlyBpe = sys.env.contains("SCALE_ONLY_BPE")
     val onlyHqc = sys.env.contains("SCALE_ONLY_HQC")
     val onlyR11 = sys.env.contains("SCALE_ONLY_R11")
+    val onlyR12 = sys.env.contains("SCALE_ONLY_R12")
     val skipGeneral = onlyNewOps || onlyPipeline || onlyDsir ||
-      onlyComponents || onlyBpe || onlyHqc || onlyR11
+      onlyComponents || onlyBpe || onlyHqc || onlyR11 || onlyR12
 
     def time[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -210,6 +211,131 @@ object ScaleSmoke {
       spark.stop(); return
     }
 
+    // SCALE_ONLY_R12 — the round-12 production shapes, one case per JVM
+    // (SCALE_R12_CASE=mhindex|bm25index|pipe):
+    //   mhindex   — build the 98%-history MinHash index ONCE
+    //               (writeMinhashIndex), then probe the 2% batch against
+    //               it (the q154 shape): classification must recover the
+    //               planted dups WITHOUT re-signaturing history. The
+    //               number that matters is PROBE ≪ BUILD — the stateless
+    //               r11 smoke paid ~BUILD on every batch.
+    //   bm25index — build the BM25 serving index, answer the same
+    //               zipf-common query batch against it at maxDf = ∞
+    //               (checksum-equal to the batch shape) and at a
+    //               stopword bound (the common-term cost drop).
+    //   pipe      — the composed v4 pipeline alone (the oracle-gated
+    //               q148 recipe) for the third-decade composition row.
+    if (onlyR12) {
+      val r12Case = sys.env.getOrElse("SCALE_R12_CASE", "")
+      def wants(c: String) = r12Case.isEmpty || r12Case == c
+      if (wants("mhindex")) {
+        // 100M-decade case: drop the docs cache (the THIRD precedent —
+        // local disk is the binding constraint; each side scans docs once
+        // and regeneration is pure codegen)
+        docs.unpersist(true)
+        val m = pmod($"id", lit(100L))
+        val history = docs.filter(m =!= 4L && m =!= 50L)
+        val batch = docs.filter(m === 4L || m === 50L)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_mhidx_smoke").toString
+        time(s"minhash index BUILD ($nDocs-doc corpus, 98% history)") {
+          graft.operators.Dedup.writeMinhashIndex(history, "id", "text",
+            "g_mhidx_smoke", s"$dir/idx", numBuckets = 64)
+        }
+        time(s"minhash index PROBE (2% batch vs the prebuilt index)") {
+          val out = graft.operators.Dedup.minhashIncrementalAgainstIndex(
+            batch, "g_mhidx_smoke", "id", "text")
+          val st = out.groupBy($"status")
+            .agg(count(lit(1)).as("n"), sum($"n_hist_dups").as("nh"))
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+            .sortBy(_._1)
+          println(s"  status counts: " +
+            st.map(r => s"${r._1}=${r._2}(nh=${r._3})").mkString(" "))
+          val nBlocks = nDocs.toLong / 100L
+          val hist = st.find(_._1 == "dup_history").map(r => (r._2, r._3))
+          assert(hist.contains((nBlocks, nBlocks * 4L)),
+            s"expected $nBlocks dup_history with ${nBlocks * 4} matches, got ${st.mkString(" ")}")
+        }
+      }
+      if (wants("bm25index")) {
+        val qs = docs.filter($"id" < 100L)
+          .select($"id".as("qid"),
+            explode(slice(split($"text", " "), 1, 6)).as("term"))
+          .distinct().localCheckpoint(true)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_bm25idx_smoke").toString
+        time(s"bm25 index BUILD ($nDocs docs)") {
+          graft.operators.Bm25.buildIndex(docs, "id", "text",
+            "g_bm25_smoke", s"$dir/idx", numBuckets = 64)
+        }
+        val batchSums = time(s"bm25 BATCH shape (100 zipf-common queries, $nDocs docs)") {
+          graft.operators.Bm25.topK(docs, "id", "text", qs, k = 10)
+            .agg(count(lit(1)).as("rows"), sum($"score_e4").as("ssum"),
+              sum($"doc_id").as("dsum")).collect()(0)
+        }
+        val idxSums = time(s"bm25 INDEX shape (same queries, maxDf=inf)") {
+          graft.operators.Bm25.topKAgainstIndex(qs, "g_bm25_smoke", k = 10)
+            .agg(count(lit(1)).as("rows"), sum($"score_e4").as("ssum"),
+              sum($"doc_id").as("dsum")).collect()(0)
+        }
+        assert(batchSums == idxSums,
+          s"index ranking diverged from batch: $idxSums vs $batchSums")
+        println(s"  checksums equal: $idxSums")
+        time(s"bm25 INDEX shape, maxDf = ${nDocs / 100} (stopword bound)") {
+          val top = graft.operators.Bm25.topKAgainstIndex(qs, "g_bm25_smoke",
+            k = 10, maxDf = nDocs.toLong / 100L)
+          println(s"  result rows with common terms pruned: ${top.count()}")
+        }
+      }
+      if (wants("pipe")) {
+        // the q148/v4 recipe verbatim (vocab-plant -> hashed gate -> BPE
+        // -> budget select -> substring dedup -> BPE pack) at nDocs —
+        // the composition row for the third decade
+        docs.unpersist(true)
+        time(s"composed v4 pipeline ($nDocs docs, third-decade composition)") {
+          val soiled = docs.withColumn("text",
+            when(pmod($"id", lit(10L)) < 3,
+              concat($"text", lit(" zorblat quixen vantor murle glipnok")))
+              .otherwise($"text"))
+          val scored = graft.operators.QualityClassifier.trainAndScoreHashed(
+            soiled, soiled.filter(pmod($"id", lit(10L)) >= 3),
+            soiled.filter(pmod($"id", lit(10L)) < 3), "id", "text")
+          val gated = soiled
+            .join(scored.filter($"keep").select($"id"), "id")
+            .localCheckpoint(true)
+          val nGated = gated.count()
+          val (merges, vocab) = graft.operators.Bpe.trainWithVocab(
+            gated, "id", "text", numMerges = 200)
+          val bpeCount = graft.operators.Bpe.tokenCountCol(merges)
+          val toksArr = split(trim($"text"), "\\s+")
+          val cand = gated.select($"id",
+              size(array_distinct(toksArr)).cast("long").as("nd"),
+              size(toksArr).cast("long").as("nt"),
+              bpeCount($"text").cast("long").as("w"))
+            .withColumn("score_e6", expr("(nd * 1000000) div nt"))
+            .select($"id", $"score_e6", $"w")
+          val budget = cand.agg(expr("sum(w) div 2")).head().getLong(0)
+          val sel = graft.operators.Budget.selectByBudget(
+            cand, "id", "score_e6", "w", budget)
+          val chosen = gated.join(sel.filter($"selected").select($"id"), "id")
+          // numDocsHint (round 12): nGated bounds the winner count — the
+          // hint spares a full count() of the two-join lineage
+          val cleaned = graft.operators.SubstringDedup
+            .dedupText(chosen, "id", "text", k = 8, numDocsHint = nGated)
+            .filter(length($"cleaned") > 0)
+          val packed = graft.operators.Bpe.packByBpeWithIds(
+            cleaned.select($"doc_id", $"cleaned"), "doc_id", "cleaned",
+            merges, vocab, ctxLen = 2048, nShards = 64)
+          val st = packed.agg(
+            sum(size($"ids")).as("ids"),
+            countDistinct($"shard", $"pack").as("packs")).collect()(0)
+          println(s"  hashed gate kept $nGated of $nDocs; budget $budget BPE " +
+            s"tokens; packed ${st.getLong(0)} ids into ${st.getLong(1)} packs")
+        }
+      }
+      spark.stop(); return
+    }
+
     // SCALE_ONLY_THIRD — the third decade (run with nDocs = 100000000,
     // SPARK_DRIVER_MEM=100g): the two headline dedup operators at 100M
     // docs, then the Bloom decontamination CAP regime with PLANTED
@@ -269,6 +395,15 @@ object ScaleSmoke {
           val fp = flagged - planted
           println(f"  flagged: $flagged of $nDocs (planted leaks: $planted, " +
             f"false positives: $fp = ${fp.toDouble / (nDocs - planted) * 100}%.2f%% of clean docs)")
+          // record the probe-path decision (round 12): above 4 shards the
+          // bitsets ride ONE broadcast instead of per-shard plan literals
+          val nSh = graft.operators.CorpusFilters.bloomShardCount(
+            nTest * 14L, 15, 1L << 27,
+            graft.operators.CorpusFilters.bloomConfMaxItems(spark),
+            graft.operators.CorpusFilters.bloomConfMaxBits(spark), 64)
+          println(s"  ~${nTest * 14L} gram occurrences -> $nSh shards; probe " +
+            s"path: ${if (nSh > 4) "ONE broadcast (ShardedBloomProbe)"
+              else "plan literals (CASE chain)"}")
         }
       }
       bloomCap(200L) // ~0.5% test split: ~7M grams, mild clamp overrun
