@@ -2891,7 +2891,7 @@ object Queries {
     cachedLayout(s"q155_bm25idx_${sfDir.hashCode.toHexString}") { d =>
       graft.operators.Bm25.buildIndex(
         Tables(spark, sfDir, "documents"), "doc_id", "text",
-        tbl, s"$d/idx", numBuckets = 8)
+        tbl, s"$d/idx", nDirs = 8)
     }
     graft.operators.Bm25.topKAgainstIndex(
         bm25QueryBatch(spark, sfDir), tbl, k = 5)

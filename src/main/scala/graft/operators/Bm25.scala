@@ -62,7 +62,12 @@ object Bm25 {
     val tfPart: Column = ($"tf" * lit(k1 + 1.0)) /
       ($"tf" + lit(k1) * (lit(1.0) - lit(b) + lit(b) * ($"dl" / avgdl)))
 
-    val scores = qStaged
+    // the query batch is SMALL by contract — broadcast it so the posting
+    // stream is probed map-side (round 12: leaving this to AQE planned a
+    // sort-merge join that shuffled the whole matching posting stream by
+    // term — zipf-skewed — before scoring; measured +60% on the 10M
+    // index-shape smoke)
+    val scores = broadcast(qStaged)
       .join(postings, Seq("term"))
       .join(broadcast(dfs), Seq("term"))
       .crossJoin(broadcast(totals))
@@ -124,22 +129,32 @@ object Bm25 {
   /** Materialize the BM25 posting index ONCE — the serving shape for
     * arbitrary query workloads ([[topK]] is the batch shape: it rebuilds
     * the query-pruned index per call, which is right for one retrieval
-    * batch and wasteful for many). Three tables, the
-    * [[graft.sources.Bucketing]] layout:
+    * batch and wasteful for many). Three tables:
     *
-    *  - `{table}_postings` (term, doc_id, tf, dl) bucketed+sorted by term
-    *  - `{table}_dfs`      (term, df)             bucketed+sorted by term
-    *  - `{table}_bounds`   1 row (n, sumdl)
+    *  - `{table}_postings` (tb, term, doc_id, tf, dl) — DIRECTORY-
+    *    partitioned by `tb = pmod(xxhash64(term), nDirs)` and term-sorted
+    *    within each file
+    *  - `{table}_dfs`      (tb, term, df) — same layout
+    *  - `{table}_bounds`   1 row (n, sumdl, n_dirs)
     *
-    * The posting aggregation here is the ONE full-corpus shuffle the
-    * index amortizes: every subsequent [[topKAgainstIndex]] call reads
-    * only the buckets/row-groups its query terms hash to (term-IN
-    * pushdown + bucket pruning) and shuffles nothing corpus-sized. The
-    * corpus is tokenized twice (posting explode + the bounds aggregate)
-    * — two map passes, zero extra exchanges; n counts EVERY doc
-    * including empty ones, exactly like [[topK]]'s totals. */
+    * WHY hash-dir partitions rather than `bucketBy(term)` (round 12,
+    * measured): the probe's pruning predicate is a multi-value term-IN —
+    * Spark prunes PARTITION DIRECTORIES for an IN on a partition column
+    * at planning time, while a bucketed layout only prunes buckets (not
+    * row groups across a scan whose IN list defeats parquet's min/max
+    * range rewrite). With dirs, a selective retrieval batch touches only
+    * the directories its terms hash into, and the term sort inside each
+    * file gives row-group skipping on top. Our term-joins broadcast the
+    * query side, so bucketing's exchange-free-join property buys nothing
+    * here.
+    *
+    * The posting aggregation is the ONE full-corpus shuffle the index
+    * amortizes; the corpus is tokenized twice (posting explode + the
+    * bounds aggregate) — two map passes, zero extra exchanges; n counts
+    * EVERY doc including empty ones, exactly like [[topK]]'s totals. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
-      table: String, path: String, numBuckets: Int = 64): Unit = {
+      table: String, path: String, nDirs: Int = 64): Unit = {
+    require(nDirs >= 1, s"need nDirs >= 1, got $nDirs")
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
@@ -149,16 +164,23 @@ object Bm25 {
         explode($"ts").as("term"))
       .groupBy($"term", $"doc_id")
       .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
-      .select($"term", $"doc_id", $"tf", $"dl")
+      .select(pmod(xxhash64($"term"), lit(nDirs.toLong)).as("tb"),
+        $"term", $"doc_id", $"tf", $"dl")
     val staged = Stage.cut(postings) // feeds the posting write AND df
-    graft.sources.Bucketing.writeBucketed(spark, staged,
-      s"${table}_postings", s"$path/postings", numBuckets, Seq("term"))
-    graft.sources.Bucketing.writeBucketed(spark,
-      staged.groupBy($"term").agg(count(lit(1)).as("df")),
-      s"${table}_dfs", s"$path/dfs", numBuckets, Seq("term"))
+    def writeDirs(df: DataFrame, name: String, sub: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      df.repartition(col("tb"))
+        .sortWithinPartitions($"tb", $"term")
+        .write.format("parquet").option("path", s"$path/$sub")
+        .partitionBy("tb").mode("overwrite").saveAsTable(name)
+    }
+    writeDirs(staged, s"${table}_postings", "postings")
+    writeDirs(staged.groupBy($"tb", $"term").agg(count(lit(1)).as("df")),
+      s"${table}_dfs", "dfs")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_bounds")
     toks.agg(count(lit(1)).as("n"),
-        coalesce(sum(size($"ts")), lit(0L)).cast("long").as("sumdl"))
+        coalesce(sum(size($"ts")), lit(0L)).cast("long").as("sumdl"),
+        lit(nDirs.toLong).as("n_dirs"))
       .write.format("parquet").option("path", s"$path/bounds")
       .mode("overwrite").saveAsTable(s"${table}_bounds")
   }
@@ -181,6 +203,18 @@ object Bm25 {
     * terms near ln(1+~1) ≈ the noise floor, but a top-k reshuffle at the
     * margin is possible). The df check costs one scan of the
     * term-pruned dfs table — never the postings. Default ∞ = exact. */
+  /** Spark's `xxhash64(string, seed=42)` evaluated locally — the same
+    * Catalyst expression the index write compiled, so the driver-side
+    * directory keys match the on-disk `tb` values exactly. */
+  private def xxh64Local(s: String): Long = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.unsafe.types.UTF8String
+    XxHash64(Seq(Literal(UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)), 42L)
+      .eval(InternalRow.empty).asInstanceOf[Long]
+  }
+
   def topKAgainstIndex(queries: DataFrame, table: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       maxDf: Long = Long.MaxValue): DataFrame = {
@@ -193,11 +227,17 @@ object Bm25 {
     // same contract that lets topK broadcast the query frame)
     val qTerms = qStaged.select($"term").distinct()
       .collect().map(_.getString(0))
-    // per-term df rides a term-IN scan of the bucketed dfs table —
+    val nDirs = spark.table(s"${table}_bounds")
+      .select($"n_dirs").collect()(0).getLong(0)
+    def tbOf(terms: Seq[String]): Seq[Long] =
+      terms.map(t => Math.floorMod(xxh64Local(t), nDirs)).distinct
+    // per-term df rides a dir-pruned term-IN scan of the dfs table —
     // bounded output, collected to drive the maxDf prune AND the scoring
     // join's broadcast (no second dfs scan)
     val termDfs = spark.table(s"${table}_dfs")
-      .filter($"term".isin(qTerms.toSeq: _*))
+      .filter($"tb".isin(tbOf(qTerms.toSeq): _*) &&
+        $"term".isin(qTerms.toSeq: _*))
+      .select($"term", $"df")
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val kept = termDfs.filter(_._2 <= maxDf)
     if (kept.length < termDfs.length)
@@ -205,10 +245,16 @@ object Bm25 {
         s"${termDfs.length - kept.length} of ${termDfs.length} query terms " +
         s"with df > $maxDf — scores exclude these common terms (lossy " +
         "stopword prune; raise maxDf for exact ranking)")
+    // dir pruning happens at PLANNING (tb is the partition column —
+    // only the directories the kept terms hash into are listed/read);
+    // the term-IN narrows to exact postings inside each file, helped by
+    // the in-file term sort's row-group stats
     val postings = spark.table(s"${table}_postings")
-      .filter($"term".isin(kept.map(_._1).toSeq: _*))
+      .filter($"tb".isin(tbOf(kept.map(_._1).toSeq): _*) &&
+        $"term".isin(kept.map(_._1).toSeq: _*))
+      .select($"term", $"doc_id", $"tf", $"dl")
     val dfs = spark.createDataFrame(kept.toSeq).toDF("term", "df")
-    val totals = spark.table(s"${table}_bounds")
+    val totals = spark.table(s"${table}_bounds").select($"n", $"sumdl")
     scoreAndRank(qStaged, postings, dfs, totals, k, k1, b)
   }
 }

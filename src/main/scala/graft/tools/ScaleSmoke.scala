@@ -266,7 +266,7 @@ object ScaleSmoke {
           .createTempDirectory("graft_bm25idx_smoke").toString
         time(s"bm25 index BUILD ($nDocs docs)") {
           graft.operators.Bm25.buildIndex(docs, "id", "text",
-            "g_bm25_smoke", s"$dir/idx", numBuckets = 64)
+            "g_bm25_smoke", s"$dir/idx", nDirs = 64)
         }
         val batchSums = time(s"bm25 BATCH shape (100 zipf-common queries, $nDocs docs)") {
           graft.operators.Bm25.topK(docs, "id", "text", qs, k = 10)
@@ -286,6 +286,29 @@ object ScaleSmoke {
             k = 10, maxDf = nDocs.toLong / 100L)
           println(s"  result rows with common terms pruned: ${top.count()}")
         }
+        // SELECTIVE workload — the serving shape's actual win: rare
+        // terms (w9000+, each ~0.003% of occurrences under the zipf
+        // generator) hash into few tb directories, so the probe lists
+        // and reads a sliver of the index while the batch shape must
+        // re-tokenize the whole corpus regardless of the query
+        val rareQs = spark.range(100L).select($"id".as("qid"),
+            explode(array((0 until 6).map(j =>
+              concat(lit("w"), (lit(9000L) + pmod($"id" * 6L + j, lit(1000L)))
+                .cast("string"))): _*)).as("term"))
+          .localCheckpoint(true)
+        val rareIdx = time(s"bm25 INDEX shape, 100 RARE-term queries (dir-pruned probe)") {
+          graft.operators.Bm25.topKAgainstIndex(rareQs, "g_bm25_smoke", k = 10)
+            .agg(count(lit(1)).as("rows"), sum($"score_e4").as("ssum"),
+              sum($"doc_id").as("dsum")).collect()(0)
+        }
+        val rareBatch = time(s"bm25 BATCH shape, same RARE-term queries") {
+          graft.operators.Bm25.topK(docs, "id", "text", rareQs, k = 10)
+            .agg(count(lit(1)).as("rows"), sum($"score_e4").as("ssum"),
+              sum($"doc_id").as("dsum")).collect()(0)
+        }
+        assert(rareIdx == rareBatch,
+          s"rare-term index ranking diverged: $rareIdx vs $rareBatch")
+        println(s"  rare-term checksums equal: $rareIdx")
       }
       if (wants("pipe")) {
         // the q148/v4 recipe verbatim (vocab-plant -> hashed gate -> BPE

@@ -18,7 +18,7 @@ class Bm25IndexSpec extends AnyFunSuite {
   private def buildIdx(docs: Seq[(Long, String)], table: String): Unit = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_$table").toString
     Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text",
-      table, s"$dir/idx", numBuckets = 4)
+      table, s"$dir/idx", nDirs = 4)
   }
 
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
