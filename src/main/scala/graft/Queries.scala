@@ -981,6 +981,27 @@ object Queries {
       .orderBy($"qid", $"rnk")
   }
 
+  /** q158: IVF kNN against the PERSISTED index — q42's search,
+    * serving-shaped: the deterministic quantizer + cell assignments are
+    * materialized once ([[graft.operators.Knn.writeIvfIndex]] —
+    * cell-directory-partitioned vectors, a tiny centroid table), and
+    * each retrieval batch probes only its nProbe cells' directories
+    * (planning-time partition pruning) through
+    * [[graft.operators.Knn.ivfTopKAgainstIndex]]. Identical training,
+    * assignment and scoring trees ⇒ bit-identical ranking to q42 on the
+    * same corpus (same oracle; `IvfIndexSpec` pins it row-for-row). */
+  def knnIvfIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val tbl = s"g_ivfidx_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q158_ivfidx_${sfDir.hashCode.toHexString}") { d =>
+      Knn.writeIvfIndex(emb, "vec_id", "embedding", tbl, s"$d/idx")
+    }
+    Knn.ivfTopKAgainstIndex(emb.filter($"vec_id" < 10), tbl,
+        "vec_id", "embedding", k = 5)
+      .orderBy($"qid", $"rnk")
+  }
+
   /** Embedding near-dup probe: each probe vector's EXACT nearest neighbor
     * over the whole corpus, globally ranked, top 20 — oracle-checked (ints
     * only). The probe side is bounded (100 rows, broadcast) so the plan is
@@ -2847,6 +2868,40 @@ object Queries {
     }
     graft.operators.Dedup.minhashIncrementalAgainstIndex(
         docs.filter($"doc_id" % 2 === 1), tbl, "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  /** q157: the MULTI-DAY ingest loop against the persisted MinHash
+    * index — q154 is one batch probing a frozen snapshot; this is the
+    * operating shape: `doc_id % 3 == 0` builds the day-0 index, batch 1
+    * (`% 3 == 1`) is classified AND appended
+    * ([[graft.operators.Dedup.ingestAgainstIndex]] — one signature
+    * pass, bucketed-layout-preserving appends), then batch 2
+    * (`% 3 == 2`) is classified against the GROWN index and must see
+    * batch 1's documents as history — its dup_history counts include
+    * cross-batch matches no stateless single-probe can produce. The
+    * whole sequence runs once per JVM (the index mutates); both
+    * classification frames are persisted to the layout dir and re-read,
+    * so repeat invocations are idempotent. Oracle: the straight-line
+    * mirror replays batch 1 vs history and batch 2 vs history∪batch 1. */
+  def minhashIndexIngestLoop(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val tbl = s"g_mhing_${sfDir.hashCode.toHexString}"
+    val dir = cachedLayout(s"q157_mhing_${sfDir.hashCode.toHexString}") { d =>
+      graft.operators.Dedup.writeMinhashIndex(
+        docs.filter($"doc_id" % 3 === 0), "doc_id", "text",
+        tbl, s"$d/idx", numBuckets = 8)
+      graft.operators.Dedup.ingestAgainstIndex(
+          docs.filter($"doc_id" % 3 === 1), tbl, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$d/b1")
+      graft.operators.Dedup.ingestAgainstIndex(
+          docs.filter($"doc_id" % 3 === 2), tbl, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$d/b2")
+    }
+    spark.read.parquet(s"$dir/b1").withColumn("batch", lit(1))
+      .unionByName(spark.read.parquet(s"$dir/b2").withColumn("batch", lit(2)))
+      .select($"doc_id", $"batch", $"status", $"n_hist_dups")
       .orderBy($"doc_id")
   }
 

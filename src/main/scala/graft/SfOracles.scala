@@ -68,7 +68,8 @@ object SfOracles {
       hashedQualityRows: Seq[(Long, Long, Long, Boolean)], // q144
       hashedEvalRow: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)], // q149
       pipelineV4Rows: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)], // q148
-      incFuzzyRows: Seq[(Long, String, Long)]) // q153: doc_id, status, n_hist_dups
+      incFuzzyRows: Seq[(Long, String, Long)], // q153: doc_id, status, n_hist_dups
+      incFuzzy2Rows: Seq[(Long, Int, String, Long)]) // q157: doc_id, batch, status, n_hist_dups
 
   @volatile private var prepared: Option[Prepared] = None
 
@@ -292,7 +293,18 @@ object SfOracles {
         pipelineV4Rows = PipelineMirror.recomputeV4(docs4.map(d => (d._1, d._2, d._4))),
         incFuzzyRows = DedupGolden.recomputeIncrementalFor(
           incoming = docs.filter(_._1 % 2 == 1),
-          history = docs.filter(_._1 % 2 == 0))))
+          history = docs.filter(_._1 % 2 == 0)),
+        incFuzzy2Rows = {
+          // q157: batch 1 sees the %3==0 history; batch 2 sees that
+          // history GROWN by batch 1 (the append-loop contract)
+          val hist = docs.filter(_._1 % 3 == 0)
+          val b1 = docs.filter(_._1 % 3 == 1)
+          val b2 = docs.filter(_._1 % 3 == 2)
+          DedupGolden.recomputeIncrementalFor(b1, hist)
+            .map { case (id, s, n) => (id, 1, s, n) } ++
+            DedupGolden.recomputeIncrementalFor(b2, hist ++ b1)
+              .map { case (id, s, n) => (id, 2, s, n) }
+        }))
     }
   }
 
@@ -405,6 +417,12 @@ object SfOracles {
       prepared.map(_.incFuzzyRows), "0, '', 0") {
       p: (Long, String, Long) => s"(${p._1}, ${lit(p._2)}, ${p._3})" }
 
+  private def incFuzzy2Cte: String =
+    cte("if2", "doc_id, batch, status, n_hist_dups",
+      prepared.map(_.incFuzzy2Rows), "0, 0, '', 0") {
+      p: (Long, Int, String, Long) =>
+        s"(${p._1}, ${p._2}, ${lit(p._3)}, ${p._4})" }
+
   private def lcCte: String =
     cte("lc", "lang, n_set_bits, est_distinct", prepared.map(_.lcRows),
       "'', 0, 0") {
@@ -470,6 +488,14 @@ object SfOracles {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
          |       CAST(nid AS BIGINT) AS nid, score
          |FROM iv ORDER BY qid, rnk""".stripMargin,
+    // q158: the SAME mirror rows as q42 — the persisted IVF index must
+    // rank bit-identically to the in-session form (same deterministic
+    // quantizer, same assignment, same scoring tree)
+    "q158_knn_ivf_index" ->
+      s"""WITH $ivfCte
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
+         |       CAST(nid AS BIGINT) AS nid, score
+         |FROM iv ORDER BY qid, rnk""".stripMargin,
     // q141: Bloom decontamination — even the FALSE POSITIVES are pinned
     // (the bitset is partitioning-invariant and byte-replayed locally)
     "q141_bloom_decontamination" ->
@@ -506,6 +532,16 @@ object SfOracles {
          |SELECT d.doc_id, f.status, CAST(f.n_hist_dups AS BIGINT) AS n_hist_dups
          |FROM documents d JOIN ifz f ON f.doc_id = d.doc_id
          |WHERE d.doc_id % 2 = 1
+         |ORDER BY d.doc_id""".stripMargin,
+    // q157: the two-batch ingest loop — batch 2's rows are mirrored
+    // against history GROWN by batch 1, so cross-batch dup_history
+    // counts (impossible for any single stateless probe) are pinned
+    "q157_minhash_index_ingest" ->
+      s"""WITH $incFuzzy2Cte
+         |SELECT d.doc_id, CAST(f.batch AS INTEGER) AS batch, f.status,
+         |       CAST(f.n_hist_dups AS BIGINT) AS n_hist_dups
+         |FROM documents d JOIN if2 f ON f.doc_id = d.doc_id
+         |WHERE d.doc_id % 3 <> 0
          |ORDER BY d.doc_id""".stripMargin,
     "q147_bpe_chunk_ids" ->
       s"""WITH $bpeIdCte

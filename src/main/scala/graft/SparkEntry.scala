@@ -178,7 +178,9 @@ object SparkEntry {
     "q153_minhash_incremental" -> (Queries.minhashIncrementalDedup _),
     "q154_minhash_index_incremental" -> (Queries.minhashIndexIncrementalDedup _),
     "q155_bm25_index_topk" -> (Queries.bm25IndexTopK _),
-    "q156_training_order_sink" -> (Queries.trainingOrderSink _)
+    "q156_training_order_sink" -> (Queries.trainingOrderSink _),
+    "q157_minhash_index_ingest" -> (Queries.minhashIndexIngestLoop _),
+    "q158_knn_ivf_index" -> (Queries.knnIvfIndex _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the

@@ -309,6 +309,59 @@ object Dedup {
       broadcastMaxBatchDocs)
   }
 
+  /** The full daily-ingest step: classify `incoming` against the
+    * persisted index ([[minhashIncrementalAgainstIndex]] — identical
+    * output, same spec pins) AND grow the index with the batch's
+    * signatures/band-buckets so TOMORROW's batch deduplicates against
+    * today's. This is what makes the persisted index an operating
+    * system rather than a snapshot: day N probes the accumulated
+    * history of days 0..N−1 while only ever paying signature CPU and
+    * write volume proportional to its own batch.
+    *
+    * Mechanics (ONE signature pass serves both halves):
+    *  - the batch is signatured once into the same cached frame the
+    *    classification joins consume;
+    *  - the classification output is materialized (Stage.cut) BEFORE
+    *    any index write — the batch can never observe its own rows as
+    *    "history", and a failure mid-append leaves a complete
+    *    classification with a partially-grown index (re-ingesting the
+    *    same batch is idempotent for CLASSIFICATION correctness of
+    *    later batches: duplicate signature rows only inflate
+    *    n_hist_dups counts, never flip a status to "new");
+    *  - both index tables grow via [[graft.sources.Bucketing
+    *    .appendBucketed]] — the bucket spec is read from the catalog
+    *    and re-declared, so the appended files hash/sort exactly like
+    *    the build-time files and the probe's zero-history-exchange
+    *    plan shape is preserved across any number of appends
+    *    (`MinhashIndexSpec` pins classification-after-append equality
+    *    against the stateless two-batch replay).
+    *
+    * ALL batch rows are appended — history means "everything ever
+    * ingested", so re-submitted duplicates keep matching no matter
+    * which copy a downstream keep-one policy retains. Callers wanting
+    * a canonical-copies-only index filter `status = 'new'` upstream
+    * and append via the building blocks directly. */
+  def ingestAgainstIndex(incoming: DataFrame, table: String,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      broadcastMaxBatchDocs: Long = 2000000L): DataFrame = {
+    val spark = incoming.sparkSession
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1, s"index ${table}_meta must hold exactly 1 row")
+    val (shingleSize, numHashes, bands) =
+      (meta(0).getInt(0), meta(0).getInt(1), meta(0).getInt(2))
+    val (assembled, incSigs) = incrementalAssembled(incoming,
+      spark.table(s"${table}_sigs"), spark.table(s"${table}_buckets"),
+      idCol, textCol, shingleSize, numHashes, bands, threshold,
+      broadcastMaxBatchDocs)
+    // eager: classification is on disk/blocks before the index mutates
+    val out = Stage.cut(assembled)
+    graft.sources.Bucketing.appendBucketed(spark, incSigs, s"${table}_sigs")
+    graft.sources.Bucketing.appendBucketed(spark,
+      bandBucketsOf(incSigs, bands, numHashes / bands), s"${table}_buckets")
+    incSigs.unpersist()
+    out
+  }
+
   // ----------------------------------------------------------- minhash
 
   /** Word n-gram shingles of a whitespace-tokenized, lowercased text. */

@@ -213,6 +213,37 @@ object Knn {
     centroids
   }
 
+  /** nProbe-nearest-cell assignment over a broadcast-able centroid
+    * array — the query side of the coarse quantizer, shared by
+    * [[ivfTopK]] and [[ivfTopKAgainstIndex]]. */
+  private def probesUdf(centroids: Array[Array[Double]], nProbe: Int) =
+    udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      centroids.indices.map { c =>
+        var dist = 0.0; var i = 0
+        val cv = centroids(c)
+        while (i < arr.length) { val t = arr(i) - cv(i); dist += t * t; i += 1 }
+        (dist, c)
+      }.sorted.take(nProbe).map(_._2).toArray
+    }
+
+  /** The shared search tail of both IVF entry points: identical
+    * expression tree (so the in-session and persisted-index shapes rank
+    * bit-identically on the same cells/centroids), query cells
+    * broadcast onto the (partition-pruned) cell stream, exact cosine
+    * rerank, per-query top-k window on the candidate-bounded frame. */
+  private def scoreCells(cells: DataFrame, qcells: DataFrame, k: Int): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"id".asc)
+    cells.join(broadcast(qcells), Seq("cell"))
+      .filter($"id" =!= $"qid")
+      .withColumn("score", dot(spark)($"qv", $"v") / ($"qn" * $"nrm"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"qid", $"rnk", $"id".as("nid"), $"score")
+  }
+
   def ivfTopK(
       data: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -225,27 +256,78 @@ object Knn {
 
     // --- assign cells; queries probe the nProbe nearest cells
     val cells = d.withColumn("cell", nearestUdf(centroids)($"v"))
-    val probesUdf = udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      centroids.indices.map { c =>
-        var dist = 0.0; var i = 0
-        val cv = centroids(c)
-        while (i < arr.length) { val t = arr(i) - cv(i); dist += t * t; i += 1 }
-        (dist, c)
-      }.sorted.take(nProbe).map(_._2).toArray
-    }
     val qcells = withVecAndNorm(queries, idCol, vecCol)
-      .withColumn("cell", explode(probesUdf($"v")))
+      .withColumn("cell", explode(probesUdf(centroids, nProbe)($"v")))
       .select($"cell", $"id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    scoreCells(cells, qcells, k)
+    // d stays cached for the session (tiny: id + vec + norm)
+  }
 
-    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"id".asc)
-    val out = cells.join(qcells, Seq("cell"))
-      .filter($"id" =!= $"qid")
-      .withColumn("score", dot(spark)($"qv", $"v") / ($"qn" * $"nrm"))
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= k)
-      .select($"qid", $"rnk", $"id".as("nid"), $"score")
-    out // d stays cached for the session (tiny: id + vec + norm)
+  /** Materialize the IVF index ONCE — the serving shape of [[ivfTopK]]
+    * (which re-trains the quantizer and re-assigns every vector per
+    * call: right for one batch, wasteful for many). Two tables:
+    *
+    *  - `{table}_cells`     (id, v, nrm; cell) — DIRECTORY-partitioned
+    *    by cell, so a probe's `cell IN (...)` prunes whole directories
+    *    at planning and reads only the nProbe cells each query hashes
+    *    near (the Bm25 tb-directory precedent; nCells is small, so one
+    *    dir per cell is the natural layout)
+    *  - `{table}_centroids` (cell, c array<double>) — the nCells×dim
+    *    model, one tiny file; the probe derives the quantizer FROM the
+    *    index, so a mismatched re-probe is impossible by construction.
+    *
+    * Training and assignment are identical to [[ivfTopK]] (same
+    * deterministic driver-side Lloyd on the same hash sample), so a
+    * probe of this index ranks bit-identically to the in-session form
+    * on the same corpus — `IvfIndexSpec` pins it row-for-row and q158
+    * shares q42's oracle. */
+  def writeIvfIndex(data: DataFrame, idCol: String, vecCol: String,
+      table: String, path: String,
+      nCells: Int = 16, iterations: Int = 5): Unit = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val d = withVecAndNorm(data, idCol, vecCol).cache()
+    try {
+      val centroids = trainCentroids(d, nCells, iterations)
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "c")
+        .coalesce(1)
+        .write.format("parquet").option("path", s"$path/centroids")
+        .mode("overwrite").saveAsTable(s"${table}_centroids")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_cells")
+      d.withColumn("cell", nearestUdf(centroids)($"v"))
+        .select($"id", $"v", $"nrm", $"cell")
+        .repartition($"cell")
+        .write.format("parquet").option("path", s"$path/cells")
+        .partitionBy("cell").mode("overwrite").saveAsTable(s"${table}_cells")
+    } finally d.unpersist()
+  }
+
+  /** [[ivfTopK]] against a PERSISTED index from [[writeIvfIndex]]:
+    * per-call cost is the query batch's signature work plus a scan of
+    * the probed cells ONLY — the `cell IN` filter on the partition
+    * column prunes directories at planning, so an nProbe/nCells
+    * fraction of the corpus is read, never the whole table. The probed
+    * cell list is a bounded driver model (≤ nQueries × nProbe ints —
+    * the same query-batch contract that lets the tail broadcast
+    * qcells). */
+  def ivfTopKAgainstIndex(queries: DataFrame, table: String,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centroids: Array[Array[Double]] = spark.table(s"${table}_centroids")
+      .orderBy($"cell").collect().map(_.getSeq[Double](1).toArray)
+    val qcells = Stage.cut(withVecAndNorm(queries, idCol, vecCol)
+      .withColumn("cell", explode(probesUdf(centroids, nProbe)($"v")))
+      .select($"cell", $"id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
+    val probed = qcells.select($"cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells = spark.table(s"${table}_cells")
+      .filter($"cell".isin(probed: _*))
+      .select($"cell", $"id", $"v", $"nrm")
+    scoreCells(cells, qcells, k)
   }
 
   /** Embedding near-duplicate PAIRS above a cosine threshold via LSH

@@ -43,4 +43,29 @@ object Bucketing {
       .saveAsTable(table)
     spark.table(table)
   }
+
+  /** Append `df` to an EXISTING bucketed table from [[writeBucketed]],
+    * preserving its layout: the bucket spec (count + keys + sort) is read
+    * from the catalog and re-declared on the write, so the new files are
+    * hash-partitioned and sorted exactly like the old ones and every
+    * downstream exchange-free join/aggregation property survives the
+    * append. This is the daily-ingest growth path for persisted indexes
+    * (MinHash signature/band tables, posting lists): a batch-sized write,
+    * never a rewrite of the accumulated table.
+    */
+  def appendBucketed(spark: SparkSession, df: DataFrame, table: String): DataFrame = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table $table has no bucket spec — appendBucketed only grows " +
+        "tables written by writeBucketed"))
+    df.write
+      .format("parquet")
+      .bucketBy(spec.numBuckets,
+        spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+      .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+      .mode("append")
+      .saveAsTable(table)
+    spark.table(table)
+  }
 }

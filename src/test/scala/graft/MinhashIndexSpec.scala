@@ -84,6 +84,36 @@ class MinhashIndexSpec extends AnyFunSuite {
     assert(viaShuffle == viaIndex)
   }
 
+  test("ingest loop: batch 2 classifies against history GROWN by batch 1; " +
+      "appends preserve the bucket spec") {
+    val a = words("a", 50)
+    val history = Seq(0L -> words("h", 50).mkString(" "))
+    val batch1 = Seq(
+      1L -> a.mkString(" "),              // new today...
+      4L -> words("p", 50).mkString(" "))
+    val batch2 = Seq(
+      2L -> variant("a", a, Seq(25)),     // ...and batch 2 must see it as history
+      5L -> words("q", 50).mkString(" "))
+    buildIndex(history, "g_mhidx_spec_ingest")
+    val r1 = collectRows(Dedup.ingestAgainstIndex(
+      batch1.toDF("doc_id", "text"), "g_mhidx_spec_ingest", "doc_id", "text"))
+    assert(r1 == DedupGolden.recomputeIncrementalFor(batch1, history))
+    val r2 = collectRows(Dedup.ingestAgainstIndex(
+      batch2.toDF("doc_id", "text"), "g_mhidx_spec_ingest", "doc_id", "text"))
+    assert(r2 == DedupGolden.recomputeIncrementalFor(batch2, history ++ batch1))
+    // the load-bearing row: a cross-batch dup no single stateless probe sees
+    assert(r2.head == (2L, "dup_history", 1L))
+    // the appended tables keep their declared layout — the probe's
+    // exchange-free history side survives growth
+    for ((tbl, keys) <- Seq("g_mhidx_spec_ingest_sigs" -> Seq("id"),
+        "g_mhidx_spec_ingest_buckets" -> Seq("band", "bh"))) {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      assert(meta.bucketSpec.exists(s =>
+        s.numBuckets == 4 && s.bucketColumnNames == keys))
+    }
+  }
+
   test("plan pin: no exchange carries full-history index rows — every " +
       "shuffle above an index scan sits above the broadcast join") {
     val history = (0L until 50L).map(i => i -> s"hist doc $i xxxxx")
