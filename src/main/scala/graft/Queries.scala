@@ -2953,6 +2953,31 @@ object Queries {
       .orderBy($"qid", $"rank")
   }
 
+  /** q159: BM25 index MAINTENANCE — the daily-ingest shape of q155's
+    * serving index: the even-id half of the corpus builds the index,
+    * the odd-id half arrives later as a batch and is APPENDED
+    * ([[graft.operators.Bm25.appendToIndex]] — batch-sized posting
+    * append into the same tb directory layout, vocabulary-sized
+    * additive df merge, 1-row bounds update). The grown index must
+    * rank exactly like a full build over the whole corpus, so q159
+    * shares q152/q155's oracle verbatim — the equality IS the check
+    * that append-maintenance loses nothing. */
+  def bm25IndexAppendTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = s"g_bm25app_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q159_bm25app_${sfDir.hashCode.toHexString}") { d =>
+      val docs = Tables(spark, sfDir, "documents")
+      graft.operators.Bm25.buildIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+        tbl, s"$d/idx", nDirs = 8)
+      graft.operators.Bm25.appendToIndex(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", tbl)
+    }
+    graft.operators.Bm25.topKAgainstIndex(
+        bm25QueryBatch(spark, sfDir), tbl, k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** q148: the composed training-data pipeline (ScaleSmoke e2e v4
     * promoted to an ORACLE query): hashed-classifier gate (q144) →
     * BPE trained on the gated docs (q142 knobs) → token-budget

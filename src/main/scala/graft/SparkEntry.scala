@@ -180,7 +180,8 @@ object SparkEntry {
     "q155_bm25_index_topk" -> (Queries.bm25IndexTopK _),
     "q156_training_order_sink" -> (Queries.trainingOrderSink _),
     "q157_minhash_index_ingest" -> (Queries.minhashIndexIngestLoop _),
-    "q158_knn_ivf_index" -> (Queries.knnIvfIndex _)
+    "q158_knn_ivf_index" -> (Queries.knnIvfIndex _),
+    "q159_bm25_index_append" -> (Queries.bm25IndexAppendTopK _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the
@@ -773,6 +774,10 @@ object SparkEntry {
     // rank identically to the batch shape at maxDf = ∞ (same postings,
     // df, bounds, scoring tree — only the storage layout differs).
     "q155_bm25_index_topk" -> bm25OracleSql,
+    // q159 shares it too: an index built on half the corpus then GROWN
+    // with the other half must rank exactly like a full build — the
+    // equality IS the check that append-maintenance loses nothing.
+    "q159_bm25_index_append" -> bm25OracleSql,
     // End-to-end pipeline oracle: every stage (dedup keep-first, quality
     // blend, lang filter, md5 split, rollup) mirrored in SQL — verifies
     // the COMPOSITION, not just the operators.

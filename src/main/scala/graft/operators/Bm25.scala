@@ -152,36 +152,109 @@ object Bm25 {
     * amortizes; the corpus is tokenized twice (posting explode + the
     * bounds aggregate) — two map passes, zero extra exchanges; n counts
     * EVERY doc including empty ones, exactly like [[topK]]'s totals. */
-  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
-      table: String, path: String, nDirs: Int = 64): Unit = {
-    require(nDirs >= 1, s"need nDirs >= 1, got $nDirs")
+  /** The (tb, term, doc_id, tf, dl) posting frame of a doc batch — the
+    * shared construction of [[buildIndex]] and [[appendToIndex]]. */
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
+      nDirs: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-      CorpusFilters.words(col(textCol)).as("ts"))
-    val postings = toks
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        CorpusFilters.words(col(textCol)).as("ts"))
       .select($"doc_id", size($"ts").cast("long").as("dl"),
         explode($"ts").as("term"))
       .groupBy($"term", $"doc_id")
       .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
       .select(pmod(xxhash64($"term"), lit(nDirs.toLong)).as("tb"),
         $"term", $"doc_id", $"tf", $"dl")
-    val staged = Stage.cut(postings) // feeds the posting write AND df
-    def writeDirs(df: DataFrame, name: String, sub: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      df.repartition(col("tb"))
-        .sortWithinPartitions($"tb", $"term")
-        .write.format("parquet").option("path", s"$path/$sub")
-        .partitionBy("tb").mode("overwrite").saveAsTable(name)
-    }
-    writeDirs(staged, s"${table}_postings", "postings")
+  }
+
+  /** The 1-row (n, sumdl) corpus bounds of a doc batch. */
+  private def boundsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(CorpusFilters.words(col(textCol)).as("ts"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(size($"ts")), lit(0L)).cast("long").as("sumdl"))
+  }
+
+  private def writeDirs(df: DataFrame, name: String, path: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.repartition(col("tb"))
+      .sortWithinPartitions(col("tb"), col("term"))
+      .write.format("parquet").option("path", path)
+      .partitionBy("tb").mode("overwrite").saveAsTable(name)
+  }
+
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, path: String, nDirs: Int = 64): Unit = {
+    require(nDirs >= 1, s"need nDirs >= 1, got $nDirs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val staged = Stage.cut(postingsOf(docs, idCol, textCol, nDirs))
+    writeDirs(staged, s"${table}_postings", s"$path/postings")
     writeDirs(staged.groupBy($"tb", $"term").agg(count(lit(1)).as("df")),
-      s"${table}_dfs", "dfs")
+      s"${table}_dfs", s"$path/dfs")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_bounds")
-    toks.agg(count(lit(1)).as("n"),
-        coalesce(sum(size($"ts")), lit(0L)).cast("long").as("sumdl"),
-        lit(nDirs.toLong).as("n_dirs"))
+    boundsOf(docs, idCol, textCol)
+      .withColumn("n_dirs", lit(nDirs.toLong))
       .write.format("parquet").option("path", s"$path/bounds")
+      .mode("overwrite").saveAsTable(s"${table}_bounds")
+  }
+
+  /** Grow a [[buildIndex]] index with a batch of NEW documents — the
+    * index-maintenance half of the serving shape (a daily ingest appends
+    * its batch instead of rebuilding the accumulated corpus). After the
+    * append the index is statistically IDENTICAL to a full rebuild over
+    * old∪new (`Bm25IndexSpec` pins the ranking): postings/dl are
+    * per-document facts (append-only), df merges additively per term,
+    * and N/Σdl are additive counters.
+    *
+    * Costs scale with the BATCH, not the index: one posting aggregation
+    * over the new docs (appended into the same tb directory layout,
+    * term-sorted within the new files — row-group stats still prune),
+    * one vocabulary-sized df merge (the dfs table is rewritten:
+    * term-cardinality rows, orders of magnitude below the postings),
+    * and a 1-row bounds rewrite.
+    *
+    * Doc ids must be NEW — re-appending an already-indexed document
+    * would split its (term, doc) tf across two posting rows and
+    * double-count its score contribution (the same everything-ingested
+    * contract as the MinHash ingest loop, where duplicate ids are
+    * instead benign). */
+  def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bounds = spark.table(s"${table}_bounds").collect()
+    require(bounds.length == 1, s"index ${table}_bounds must hold exactly 1 row")
+    val (oldN, oldSumdl, nDirs) =
+      (bounds(0).getLong(0), bounds(0).getLong(1), bounds(0).getLong(2))
+    val catalog = spark.sessionState.catalog
+    def locOf(name: String): String = catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name)).location.toString
+    val dfsPath = locOf(s"${table}_dfs")
+    val boundsPath = locOf(s"${table}_bounds")
+
+    val staged = Stage.cut(postingsOf(docs, idCol, textCol, nDirs.toInt))
+    // postings append: same tb directory layout, term-sorted new files
+    staged.repartition($"tb")
+      .sortWithinPartitions($"tb", $"term")
+      .write.format("parquet").mode("append").partitionBy("tb")
+      .saveAsTable(s"${table}_postings")
+    // df merge: vocabulary-sized, staged (lineage cut) so the rewrite
+    // never reads the files it replaces
+    val mergedDfs = Stage.cut(
+      spark.table(s"${table}_dfs")
+        .unionByName(staged.groupBy($"tb", $"term").agg(count(lit(1)).as("df")))
+        .groupBy($"tb", $"term").agg(sum($"df").as("df")))
+    writeDirs(mergedDfs, s"${table}_dfs", dfsPath)
+    // bounds: additive counters, 1 driver row
+    val b = boundsOf(docs, idCol, textCol).collect()(0)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_bounds")
+    Seq((oldN + b.getLong(0), oldSumdl + b.getLong(1), nDirs))
+      .toDF("n", "sumdl", "n_dirs")
+      .write.format("parquet").option("path", boundsPath)
       .mode("overwrite").saveAsTable(s"${table}_bounds")
   }
 

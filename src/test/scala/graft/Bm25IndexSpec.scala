@@ -49,6 +49,29 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("appendToIndex: build-half + append-half ranks identically to a " +
+      "full build AND to the batch shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_append").toString
+    Bm25.buildIndex(corpus.filter(_._1 % 2 == 0).toDF("doc_id", "text"),
+      "doc_id", "text", "g_bm25_spec_app", s"$dir/idx", nDirs = 4)
+    Bm25.appendToIndex(corpus.filter(_._1 % 2 == 1).toDF("doc_id", "text"),
+      "doc_id", "text", "g_bm25_spec_app")
+    buildIdx(corpus, "g_bm25_spec_full")
+    val queries = Seq((1L, "the"), (1L, "rare3"), (2L, "rare5"), (3L, "doc11"))
+      .toDF("qid", "term")
+    val appended = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_app", k = 60))
+    assert(appended == rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_full", k = 60)))
+    assert(appended == rows(Bm25.topK(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", queries, k = 60)))
+    assert(appended.nonEmpty)
+    // df merged additively: "the" is in every doc across both halves
+    assert(spark.table("g_bm25_spec_app_dfs").filter($"term" === "the")
+      .select($"df").collect()(0).getLong(0) === 60L)
+    // bounds merged additively
+    val b = spark.table("g_bm25_spec_app_bounds").collect()(0)
+    assert(b.getLong(0) === 60L)
+  }
+
   test("maxDf drops exactly the over-frequent terms from scoring (lossy, declared)") {
     buildIdx(corpus, "g_bm25_spec_maxdf")
     // q1 mixes the stopword with a rare term; q2 is stopword-only

@@ -37,9 +37,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q152_bm25_topk",     // 1-row (N, Σdl) corpus-bounds broadcast
                             // ridden on the query-term-pruned posting
                             // stream — q134's shape
-      "q155_bm25_index_topk") // the same 1-row bounds broadcast, read
+      "q155_bm25_index_topk", // the same 1-row bounds broadcast, read
                               // from the index's bounds table instead of
                               // aggregated — identical shape to q152
+      "q159_bm25_index_append") // q155's probe verbatim over the grown
+                                // index — same 1-row bounds broadcast
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =

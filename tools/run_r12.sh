@@ -8,5 +8,7 @@ OPTS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lan
 SCALE_ONLY_R12=1 SCALE_R12_CASE=${3:-} java -Xmx${2:-48g} $OPTS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.tools.ScaleSmoke $N 2>&1 | grep -E "scale|status|checksums|result|shards|gate|Exception|assertion"
-echo "EXIT: $?"
+  graft.tools.ScaleSmoke $N 2>&1 | grep -E "scale|status|checksums|result|shards|gate|stray|Exception|assertion"
+# PIPESTATUS[0], not $?: $? is grep's exit, which hid an assert failure
+# in the r11 incdedup log (EXIT: 0 under a thrown AssertionError).
+echo "EXIT: ${PIPESTATUS[0]}"
