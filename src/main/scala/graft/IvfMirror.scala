@@ -77,11 +77,18 @@ object IvfMirror {
 
   /** q42 contract: `Knn.ivfTopK(emb, emb.filter(vec_id < maxQid), k = 5)`
     * with the defaults (nCells 16, nProbe 4, iterations 5).
-    * Returns (qid, rnk, nid, score). */
+    * Returns (qid, rnk, nid, score).
+    *
+    * `trainFilter` restricts which ids the quantizer TRAINS on (q160's
+    * append contract: centroids come from the build half only, while
+    * assignment and scoring cover the whole corpus); the default trains
+    * on everything — the q42/q158 contract unchanged. */
   def recompute(vecs: IndexedSeq[(Long, Array[Double])], maxQid: Long = 10L,
       k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
-      iterations: Int = 5): Seq[(Long, Int, Long, Double)] = {
-    val centroids = trainCentroids(vecs, nCells, iterations)
+      iterations: Int = 5,
+      trainFilter: Long => Boolean = _ => true): Seq[(Long, Int, Long, Double)] = {
+    val centroids = trainCentroids(
+      vecs.filter { case (id, _) => trainFilter(id) }, nCells, iterations)
     if (centroids.isEmpty) return Seq.empty
     val norm = vecs.map { case (id, v) => id -> math.sqrt(dotAsc(v, v)) }.toMap
     val cellOf = vecs.map { case (id, v) => id -> nearestCell(v, centroids) }.toMap

@@ -1002,6 +1002,30 @@ object Queries {
       .orderBy($"qid", $"rnk")
   }
 
+  /** q160: IVF index APPEND — the maintenance shape of q158: the even-id
+    * half of the corpus builds the index (training the quantizer), the
+    * odd-id half arrives later and is APPENDED
+    * ([[graft.operators.Knn.appendToIvfIndex]] — batch assigned to the
+    * EXISTING centroids, appended into the same cell directories; serving
+    * never retrains per batch). The oracle replays exactly that contract
+    * (quantizer from evens, assignment/scoring over all), so the probe
+    * result pins both that nothing was lost and that the append did NOT
+    * sneak a retrain in. */
+  def knnIvfIndexAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val tbl = s"g_ivfapp_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q160_ivfapp_${sfDir.hashCode.toHexString}") { d =>
+      Knn.writeIvfIndex(emb.filter($"vec_id" % 2 === 0), "vec_id",
+        "embedding", tbl, s"$d/idx")
+      Knn.appendToIvfIndex(emb.filter($"vec_id" % 2 === 1), "vec_id",
+        "embedding", tbl)
+    }
+    Knn.ivfTopKAgainstIndex(emb.filter($"vec_id" < 10), tbl,
+        "vec_id", "embedding", k = 5)
+      .orderBy($"qid", $"rnk")
+  }
+
   /** Embedding near-dup probe: each probe vector's EXACT nearest neighbor
     * over the whole corpus, globally ranked, top 20 — oracle-checked (ints
     * only). The probe side is bounded (100 rows, broadcast) so the plan is

@@ -60,6 +60,7 @@ object SfOracles {
       simThr: Seq[(String, Long)],             // q49: title → winning alias_id
       dsirTop: Seq[(Int, Long, Long, Long, Long)], // q139 selected rows
       ivfTopK: Seq[(Long, Int, Long, Double)],     // q42
+      ivfAppendTopK: Seq[(Long, Int, Long, Double)], // q160: even-id-trained quantizer
       qualityRows: Seq[(Long, Long, Boolean)],     // q140
       bloomRows: Seq[(Long, Long, Long, Boolean)], // q141
       lcRows: Seq[(String, Long, Long)],           // q143
@@ -279,6 +280,9 @@ object SfOracles {
           SimJoinSfMirror.thresholdWinner(t).map(t -> _)),
         dsirTop = DsirMirror.recompute(docs3),
         ivfTopK = IvfMirror.recompute(vecs),
+        // q160: the append contract — the quantizer is trained on the
+        // BUILD half (even vec_ids) only; assignment/scoring cover all
+        ivfAppendTopK = IvfMirror.recompute(vecs, trainFilter = _ % 2 == 0),
         qualityRows = QualityMirror.recompute(docs4.map(d => (d._1, d._2, d._4))),
         hashedQualityRows =
           QualityMirror.recomputeHashed(docs4.map(d => (d._1, d._2, d._4))),
@@ -369,6 +373,11 @@ object SfOracles {
 
   private def ivfCte: String =
     cte("iv", "qid, rnk, nid, score", prepared.map(_.ivfTopK), "0, 0, 0, 0.0") {
+      p: (Long, Int, Long, Double) =>
+        s"(${p._1}, ${p._2}, ${p._3}, ${dlit(p._4)})" }
+
+  private def ivfAppCte: String =
+    cte("iva", "qid, rnk, nid, score", prepared.map(_.ivfAppendTopK), "0, 0, 0, 0.0") {
       p: (Long, Int, Long, Double) =>
         s"(${p._1}, ${p._2}, ${p._3}, ${dlit(p._4)})" }
 
@@ -496,6 +505,15 @@ object SfOracles {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
          |       CAST(nid AS BIGINT) AS nid, score
          |FROM iv ORDER BY qid, rnk""".stripMargin,
+    // q160: IVF index APPEND — the quantizer stays the build half's
+    // (even vec_ids; serving never retrains per batch), the appended
+    // odd-id vectors join the cell table; the mirror replays exactly
+    // that contract (train on evens, assign/score all)
+    "q160_knn_ivf_append" ->
+      s"""WITH $ivfAppCte
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
+         |       CAST(nid AS BIGINT) AS nid, score
+         |FROM iva ORDER BY qid, rnk""".stripMargin,
     // q141: Bloom decontamination — even the FALSE POSITIVES are pinned
     // (the bitset is partitioning-invariant and byte-replayed locally)
     "q141_bloom_decontamination" ->

@@ -181,7 +181,8 @@ object SparkEntry {
     "q156_training_order_sink" -> (Queries.trainingOrderSink _),
     "q157_minhash_index_ingest" -> (Queries.minhashIndexIngestLoop _),
     "q158_knn_ivf_index" -> (Queries.knnIvfIndex _),
-    "q159_bm25_index_append" -> (Queries.bm25IndexAppendTopK _)
+    "q159_bm25_index_append" -> (Queries.bm25IndexAppendTopK _),
+    "q160_knn_ivf_append" -> (Queries.knnIvfIndexAppend _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the

@@ -305,6 +305,32 @@ object Knn {
     } finally d.unpersist()
   }
 
+  /** Grow a [[writeIvfIndex]] index with a batch of NEW vectors — the
+    * index-maintenance half of the serving shape. The quantizer is NOT
+    * retrained (serving semantics: a daily ingest assigns its batch to
+    * the existing cells; retraining is a rebuild, done on its own
+    * cadence), so the append is one bounded centroid-table read plus a
+    * batch-sized assignment pass appended into the same cell-directory
+    * layout — per-batch cost scales with the batch, never the index,
+    * and the probe's partition-pruned plan survives any number of
+    * appends (the `Bm25.appendToIndex` / `Dedup.ingestAgainstIndex`
+    * precedent, completing the grow story for all three index
+    * families). Vector ids must be NEW — re-appending an indexed id
+    * would duplicate it in every probe that reads its cell. */
+  def appendToIvfIndex(data: DataFrame, idCol: String, vecCol: String,
+      table: String): Unit = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val centroids: Array[Array[Double]] = spark.table(s"${table}_centroids")
+      .orderBy($"cell").collect().map(_.getSeq[Double](1).toArray)
+    withVecAndNorm(data, idCol, vecCol)
+      .withColumn("cell", nearestUdf(centroids)($"v"))
+      .select($"id", $"v", $"nrm", $"cell")
+      .repartition($"cell")
+      .write.format("parquet").mode("append").partitionBy("cell")
+      .saveAsTable(s"${table}_cells")
+  }
+
   /** [[ivfTopK]] against a PERSISTED index from [[writeIvfIndex]]:
     * per-call cost is the query batch's signature work plus a scan of
     * the probed cells ONLY — the `cell IN` filter on the partition

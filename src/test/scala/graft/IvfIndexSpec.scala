@@ -48,6 +48,39 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(viaIndex.nonEmpty && viaIndex == inSession)
   }
 
+  test("appendToIvfIndex: build-half + append-half == the mirror's " +
+      "train-on-evens contract; centroids untouched; every id once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfapp_spec").toString
+    Knn.writeIvfIndex(corpus.filter($"vec_id" % 2 === 0), "vec_id",
+      "embedding", "g_ivfapp_spec", s"$dir/idx", nCells = 4)
+    val centroidsBefore = spark.table("g_ivfapp_spec_centroids")
+      .orderBy($"cell").collect().map(_.getSeq[Double](1)).toSeq
+    Knn.appendToIvfIndex(corpus.filter($"vec_id" % 2 === 1), "vec_id",
+      "embedding", "g_ivfapp_spec")
+    // append never retrains: the centroid table is byte-identical
+    val centroidsAfter = spark.table("g_ivfapp_spec_centroids")
+      .orderBy($"cell").collect().map(_.getSeq[Double](1)).toSeq
+    assert(centroidsAfter == centroidsBefore)
+    // the grown cell table holds every id exactly once
+    val ids = spark.table("g_ivfapp_spec_cells").select($"id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 60L))
+    // probe of the grown index == IvfMirror under the same contract
+    // (quantizer from evens, assignment/scoring over all) — the q160
+    // oracle's unit-level twin
+    val vecs = corpus.collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).toIndexedSeq
+    val expected = IvfMirror.recompute(vecs, maxQid = 5L, k = 3,
+      nCells = 4, trainFilter = _ % 2 == 0)
+      .sortBy(t => (t._1, t._2))
+    val got = collectRows(Knn.ivfTopKAgainstIndex(
+      corpus.filter($"vec_id" < 5), "g_ivfapp_spec",
+      "vec_id", "embedding", k = 3))
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("probe scan prunes on the cell partition column") {
     indexDir
     spark.conf.set("spark.sql.adaptive.enabled", "false")
