@@ -148,12 +148,36 @@ object Bm25 {
     * query side, so bucketing's exchange-free-join property buys nothing
     * here.
     *
-    * The posting aggregation is the ONE full-corpus shuffle the index
-    * amortizes; the corpus is tokenized twice (posting explode + the
-    * bounds aggregate) — two map passes, zero extra exchanges; n counts
-    * EVERY doc including empty ones, exactly like [[topK]]'s totals. */
+    * The tb repartition feeding the posting write is the ONE full-corpus
+    * shuffle the index amortizes — tf is computed INSIDE each row
+    * ([[termCountsUdf]]), so there is no posting-aggregation exchange,
+    * and dfs is derived from the WRITTEN postings (a columnar (tb, term)
+    * scan of the index itself) rather than a checkpointed copy of the
+    * posting stream — both decisions are what let the build fit local
+    * disk at the 100M decade. The corpus is tokenized twice (posting
+    * pass + the bounds aggregate) — two map passes, zero extra
+    * exchanges; n counts EVERY doc including empty ones, exactly like
+    * [[topK]]'s totals. */
+  /** Per-document (term, tf) pairs computed INSIDE the row — tf is an
+    * intra-document fact, so aggregating it needs no exchange at all.
+    * The batch shape ([[topK]]) keeps its explode + groupBy because its
+    * token stream is query-pruned first (tiny); the index build has no
+    * query to prune by, and a groupBy over the FULL token stream was the
+    * 100M-decade disk killer (a second full-corpus shuffle on top of the
+    * tb repartition). */
+  private val termCountsUdf = udf { ts: Seq[String] =>
+    if (ts == null) Seq.empty[(String, Long)]
+    else {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      ts.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+      m.toSeq
+    }
+  }
+
   /** The (tb, term, doc_id, tf, dl) posting frame of a doc batch — the
-    * shared construction of [[buildIndex]] and [[appendToIndex]]. */
+    * shared construction of [[buildIndex]] and [[appendToIndex]]. One
+    * shuffle-free map pass (tokenize → intra-row term counts → explode);
+    * the only exchange in the build is [[writeDirs]]'s tb repartition. */
   private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
       nDirs: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -161,11 +185,9 @@ object Bm25 {
     docs.select(col(idCol).cast("long").as("doc_id"),
         CorpusFilters.words(col(textCol)).as("ts"))
       .select($"doc_id", size($"ts").cast("long").as("dl"),
-        explode($"ts").as("term"))
-      .groupBy($"term", $"doc_id")
-      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
-      .select(pmod(xxhash64($"term"), lit(nDirs.toLong)).as("tb"),
-        $"term", $"doc_id", $"tf", $"dl")
+        explode(termCountsUdf($"ts")).as("tc"))
+      .select(pmod(xxhash64($"tc._1"), lit(nDirs.toLong)).as("tb"),
+        $"tc._1".as("term"), $"doc_id", $"tc._2".as("tf"), $"dl")
   }
 
   /** The 1-row (n, sumdl) corpus bounds of a doc batch. */
@@ -191,9 +213,16 @@ object Bm25 {
     require(nDirs >= 1, s"need nDirs >= 1, got $nDirs")
     val spark = docs.sparkSession
     import spark.implicits._
-    val staged = Stage.cut(postingsOf(docs, idCol, textCol, nDirs))
-    writeDirs(staged, s"${table}_postings", s"$path/postings")
-    writeDirs(staged.groupBy($"tb", $"term").agg(count(lit(1)).as("df")),
+    writeDirs(postingsOf(docs, idCol, textCol, nDirs),
+      s"${table}_postings", s"$path/postings")
+    // dfs derived FROM the written postings — a (tb, term)-pruned
+    // columnar scan of the index itself, already tb-partitioned on disk.
+    // The previous form checkpointed the whole posting stream to feed
+    // both writes: at the 100M decade that uncompressed copy (plus the
+    // extra shuffle it fed) exceeded local disk before the index itself
+    // was a problem.
+    writeDirs(spark.table(s"${table}_postings")
+        .groupBy($"tb", $"term").agg(count(lit(1)).as("df")),
       s"${table}_dfs", s"$path/dfs")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_bounds")
     boundsOf(docs, idCol, textCol)
@@ -236,9 +265,12 @@ object Bm25 {
     val dfsPath = locOf(s"${table}_dfs")
     val boundsPath = locOf(s"${table}_bounds")
 
-    val staged = Stage.cut(postingsOf(docs, idCol, textCol, nDirs.toInt))
-    // postings append: same tb directory layout, term-sorted new files
-    staged.repartition($"tb")
+    // postings append: same tb directory layout, term-sorted new files.
+    // The batch posting frame is re-derived for the df merge below
+    // instead of checkpointed — two map passes over a small-by-contract
+    // batch beat materializing a copy (the buildIndex disk lesson).
+    postingsOf(docs, idCol, textCol, nDirs.toInt)
+      .repartition($"tb")
       .sortWithinPartitions($"tb", $"term")
       .write.format("parquet").mode("append").partitionBy("tb")
       .saveAsTable(s"${table}_postings")
@@ -246,7 +278,8 @@ object Bm25 {
     // never reads the files it replaces
     val mergedDfs = Stage.cut(
       spark.table(s"${table}_dfs")
-        .unionByName(staged.groupBy($"tb", $"term").agg(count(lit(1)).as("df")))
+        .unionByName(postingsOf(docs, idCol, textCol, nDirs.toInt)
+          .groupBy($"tb", $"term").agg(count(lit(1)).as("df")))
         .groupBy($"tb", $"term").agg(sum($"df").as("df")))
     writeDirs(mergedDfs, s"${table}_dfs", dfsPath)
     // bounds: additive counters, 1 driver row

@@ -441,15 +441,20 @@ object ScaleSmoke {
           val fp = flagged - planted
           println(f"  flagged: $flagged of $nDocs (planted leaks: $planted, " +
             f"false positives: $fp = ${fp.toDouble / (nDocs - planted) * 100}%.2f%% of clean docs)")
-          // record the probe-path decision (round 12): above 4 shards the
-          // bitsets ride ONE broadcast instead of per-shard plan literals
+          // record the probe-path decision + the MEASURED plan size
+          // (round 12): above 4 shards the bitsets ride ONE broadcast
+          // instead of per-shard plan literals — the executed-plan string
+          // drops from O(shards × bitset bytes) (~131 MB of literals at
+          // 18 shards, the r11 ceiling) to kilobytes
           val nSh = graft.operators.CorpusFilters.bloomShardCount(
             nTest * 14L, 15, 1L << 27,
             graft.operators.CorpusFilters.bloomConfMaxItems(spark),
             graft.operators.CorpusFilters.bloomConfMaxBits(spark), 64)
+          val planChars = out.queryExecution.executedPlan.toString.length
           println(s"  ~${nTest * 14L} gram occurrences -> $nSh shards; probe " +
             s"path: ${if (nSh > 4) "ONE broadcast (ShardedBloomProbe)"
-              else "plan literals (CASE chain)"}")
+              else "plan literals (CASE chain)"}; executed-plan string: " +
+            s"$planChars chars")
         }
       }
       bloomCap(200L) // ~0.5% test split: ~7M grams, mild clamp overrun

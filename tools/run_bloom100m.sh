@@ -4,5 +4,5 @@ OPTS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lan
 SCALE_ONLY_THIRD=1 SCALE_THIRD_CASE=bloom java -Xmx100g $OPTS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.tools.ScaleSmoke 100000000 2>&1 | grep -vE "^[0-9/]+ (INFO|WARN) " 
-echo "EXIT: $?"
+  graft.tools.ScaleSmoke 100000000 2>&1 | grep -vE "^[0-9/]+ (INFO|WARN) "
+echo "EXIT: ${PIPESTATUS[0]}"
