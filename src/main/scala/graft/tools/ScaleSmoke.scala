@@ -339,10 +339,18 @@ object ScaleSmoke {
         // the composition row for the third decade
         docs.unpersist(true)
         time(s"composed v4 pipeline ($nDocs docs, third-decade composition)") {
+          // Both classes carry an anchor token. Without the clean-side
+          // anchor the gate is degenerate: soiled docs score on the 5
+          // soil words, but a clean doc's grams are mostly outside the
+          // bounded training sample, so its score collapses to
+          // sigmoid(bias) — and the bias SIGN flips with the sampled
+          // vocabulary at different scales (measured: 69.7% kept at
+          // 10M, 0.0% kept at 100M — the whole pipeline ran on an empty
+          // frame and died on the budget scalar).
           val soiled = docs.withColumn("text",
             when(pmod($"id", lit(10L)) < 3,
               concat($"text", lit(" zorblat quixen vantor murle glipnok")))
-              .otherwise($"text"))
+              .otherwise(concat($"text", lit(" purewave"))))
           val scored = graft.operators.QualityClassifier.trainAndScoreHashed(
             soiled, soiled.filter(pmod($"id", lit(10L)) >= 3),
             soiled.filter(pmod($"id", lit(10L)) < 3), "id", "text")
@@ -350,6 +358,9 @@ object ScaleSmoke {
             .join(scored.filter($"keep").select($"id"), "id")
             .localCheckpoint(true)
           val nGated = gated.count()
+          require(nGated > 0,
+            s"gate kept 0 of $nDocs docs — degenerate smoke corpus, " +
+              "every downstream stage would run (and silently pass) empty")
           val (merges, vocab) = graft.operators.Bpe.trainWithVocab(
             gated, "id", "text", numMerges = 200)
           val bpeCount = graft.operators.Bpe.tokenCountCol(merges)
