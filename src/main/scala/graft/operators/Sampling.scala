@@ -22,12 +22,29 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** 16-bit bucket key: first 4 hex chars of md5(id) — 65536 buckets,
-    * lowercase hex in every engine. */
+    * lowercase hex in every engine. The SPLIT grid ([[deterministicSplit]]
+    * weights are human-scale fractions, and q58's oracle pins these exact
+    * buckets). */
   private def bucket(idCol: Column): Column =
     substring(md5(idCol.cast("string").cast("binary")), 1, 4)
 
   private def hexThreshold(cum: Double): String =
     f"${math.min(65535, math.floor(cum * 65536).toLong)}%04x"
+
+  /** 32-bit SAMPLE key: first 8 hex chars of md5(id). [[hashSample]]'s
+    * fractions are `cap / corpusSize` — at corpus scale they are TINY
+    * (2000 of 10^10 rows ≈ 2e-7), and the 16-bit grid quantized them to
+    * whole 1/65536 steps: up to 2× skew between a classifier's paired
+    * class samples (measured at the 100M decade: 1068 pos vs 1831 neg
+    * drawn for equal 2000-caps ⇒ logistic bias −0.47 ⇒ a tau=0.5 gate
+    * kept 0 of 100M docs), and an EMPTY sample once fraction < 1/65536
+    * (~3·10^9 rows). The 32-bit grid holds the cap within ±0.4% out to
+    * ~10^13 rows. */
+  private def sampleKey(idCol: Column): Column =
+    substring(md5(idCol.cast("string").cast("binary")), 1, 8)
+
+  private def hexThreshold8(cum: Double): String =
+    f"${math.min(4294967295L, math.floor(cum * 4294967296.0).toLong)}%08x"
 
   /** Assign each row a split label by cumulative weight ranges over the
     * hash buckets. `splits` are (label, weight) with weights summing to ~1;
@@ -48,8 +65,8 @@ object Sampling {
     * runs, engines and data growth (a row once kept is always kept). */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0)
-    if (fraction >= 1.0) df // 'ffff' is a valid bucket; < threshold would drop it
-    else df.filter(bucket(col(idCol)) < lit(hexThreshold(fraction)))
+    if (fraction >= 1.0) df // 'ffffffff' is a valid key; < threshold would drop it
+    else df.filter(sampleKey(col(idCol)) < lit(hexThreshold8(fraction)))
   }
 
   /** Domain-mixing cap: keep at most `k` rows per group, chosen by md5(id)

@@ -333,24 +333,57 @@ object ScaleSmoke {
           s"rare-term index ranking diverged: $rareIdx vs $rareBatch")
         println(s"  rare-term checksums equal: $rareIdx")
       }
+      if (wants("gatecheck")) {
+        // cheap probe of the pipe case's FIRST stage alone: train the
+        // hashed gate on the planted corpus and count keeps — a ~3-min
+        // check that the synthetic gate separates at this scale, without
+        // paying the full pipeline to find out it ran empty
+        docs.unpersist(true)
+        time(s"pipeline GATE check ($nDocs docs)") {
+          val soiled = docs.withColumn("text",
+            when(pmod($"id", lit(10L)) < 3,
+              concat($"text", lit(" zorblat quixen vantor murle glipnok")))
+              .otherwise(concat($"text",
+                lit(" purewave brightmark steadyglow calmriver trueline"))))
+          val w = graft.operators.QualityClassifier.trainHashed(
+            soiled.filter(pmod($"id", lit(10L)) >= 3),
+            soiled.filter(pmod($"id", lit(10L)) < 3), "id", "text")
+          println(f"  bias ${w(0)}%.4f; |w|>0.01: ${w.count(math.abs(_) > 0.01)}; " +
+            f"w sum ${w.sum}%.4f min ${w.min}%.4f max ${w.max}%.4f")
+          val scored = graft.operators.QualityClassifier.scoreHashed(
+            soiled, "id", "text", w)
+          scored.filter($"id" < 2000L)
+            .groupBy(pmod($"id", lit(10L)) < 3)
+            .agg(min($"score_e6"), avg($"score_e6"), max($"score_e6"))
+            .collect().foreach(r => println(s"  slice soiled=${r.get(0)}: " +
+              s"min/avg/max score_e6 = ${r.get(1)}/${r.get(2)}/${r.get(3)}"))
+          val kept = scored.filter($"keep").count()
+          println(s"  gate kept $kept of $nDocs " +
+            f"(clean fraction is ${0.7 * nDocs.toDouble}%.0f)")
+          require(kept > 0, s"gate kept 0 of $nDocs — degenerate corpus")
+        }
+      }
       if (wants("pipe")) {
         // the q148/v4 recipe verbatim (vocab-plant -> hashed gate -> BPE
         // -> budget select -> substring dedup -> BPE pack) at nDocs —
         // the composition row for the third decade
         docs.unpersist(true)
         time(s"composed v4 pipeline ($nDocs docs, third-decade composition)") {
-          // Both classes carry an anchor token. Without the clean-side
-          // anchor the gate is degenerate: soiled docs score on the 5
-          // soil words, but a clean doc's grams are mostly outside the
-          // bounded training sample, so its score collapses to
-          // sigmoid(bias) — and the bias SIGN flips with the sampled
-          // vocabulary at different scales (measured: 69.7% kept at
-          // 10M, 0.0% kept at 100M — the whole pipeline ran on an empty
-          // frame and died on the budget scalar).
+          // Both classes carry a 5-token planted anchor of EQUAL mass.
+          // With soil-only planting the gate is degenerate: soiled docs
+          // score on their 9 fixed grams (5 unigrams + 4 bigrams), but a
+          // clean doc's grams are mostly outside the 2000-doc training
+          // sample, so its score collapses to sigmoid(bias) — and the
+          // bias SIGN flips with the sampled vocabulary at different
+          // scales (measured: 69.7% kept at 10M, 0.0% at 100M — the
+          // whole pipeline ran on an empty frame and died on the budget
+          // scalar; a single clean-side anchor token, 1/33 of a doc's
+          // gram mass, was still too weak to outvote the bias).
           val soiled = docs.withColumn("text",
             when(pmod($"id", lit(10L)) < 3,
               concat($"text", lit(" zorblat quixen vantor murle glipnok")))
-              .otherwise(concat($"text", lit(" purewave"))))
+              .otherwise(concat($"text",
+                lit(" purewave brightmark steadyglow calmriver trueline"))))
           val scored = graft.operators.QualityClassifier.trainAndScoreHashed(
             soiled, soiled.filter(pmod($"id", lit(10L)) >= 3),
             soiled.filter(pmod($"id", lit(10L)) < 3), "id", "text")
