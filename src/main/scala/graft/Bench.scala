@@ -94,6 +94,15 @@ object Bench {
     // from a host-load blip without overflowing the window.
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Trailing zeros are dead weight against the window ("0.30" → "0.3",
+    // "1.00" → "1"): ~50 chars across 160 queries — exactly the margin
+    // that decides whether the regress map fits next to the full map.
+    def fTrim(v: Double, dec: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
+    }
     timed.foreach { case (k, t1, s) =>
       val d = prevSteady.get(k.takeWhile(_ != '_'))
         .map(p => s" prev=${f(p)}s delta=${f(s - p)}s").getOrElse("")
@@ -121,8 +130,7 @@ object Bench {
     // — a compact vsPrev (1-decimal prev total, 2-decimal regress, top
     // 4, short sf) survives down to the last rung.
     def qsMap(dec: Int): String = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" +
-        String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v)) }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fTrim(v, dec) }
       .mkString("{", ",", "}")
     // prev_steady_total covers only the shared queries (new queries have no
     // prev number), so value - prev_steady_total is NOT the round delta when
@@ -133,8 +141,7 @@ object Bench {
         val q = n.takeWhile(_ != '_')
         (q, s - prevSteady.getOrElse(q, s))
       }.filter(_._2 > 0.3).sortBy(-_._2).take(4)
-      .map { case (k, d) => "\"" + k + "\":" +
-        String.format(java.util.Locale.ROOT, "%.2f", Double.box(d)) }
+      .map { case (k, d) => "\"" + k + "\":" + fTrim(d, 2) }
       .mkString("{", ",", "}")
     val vsPrev =
       if (prevSteady.isEmpty) ""
@@ -147,6 +154,12 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"noise":$noise$vsPrev,"sf":"$sfDir"}""",
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$vsPrev,"sf":"$sfDir"}""",
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qsMap(2)}$vsPrevShort,"sf":"$sfShort"}""",
+      // regress sheds LAST (the r11 lesson, round-12 re-fix: at 160
+      // queries even the trimmed 2-decimal map + vsPrevShort overflows
+      // by ~10 chars, so the old ladder silently dropped the regress
+      // map again — 1-decimal per-query precision is worth losing
+      // before the round-over-round self-regression watch is)
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qsMap(1)}$vsPrevShort,"sf":"$sfShort"}""",
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qsMap(2)},"sf":"$sfShort"}""",
       s"""{"metric":"total","value":${f(total)},"unit":"sec"$vsPrevShort,"sf":"$sfShort"}""")
     println(candidates.find(_.length <= 1950).getOrElse(candidates.last))
