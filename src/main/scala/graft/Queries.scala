@@ -3002,6 +3002,30 @@ object Queries {
       .orderBy($"qid", $"rank")
   }
 
+  /** q161: BM25 index COMPACTION — the third maintenance primitive
+    * (build → append → compact): q159's grown index is compacted
+    * ([[graft.operators.Bm25.compactIndex]] — each table rewritten as
+    * one fresh term-sorted generation, table swapped, old generation
+    * deleted) and probed. Compaction is pure layout maintenance, so
+    * q161 shares q152/q155/q159's oracle verbatim — ranking equality IS
+    * the check that the rewrite lost nothing. */
+  def bm25IndexCompactTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = s"g_bm25cpt_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q161_bm25cpt_${sfDir.hashCode.toHexString}") { d =>
+      val docs = Tables(spark, sfDir, "documents")
+      graft.operators.Bm25.buildIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+        tbl, s"$d/idx", nDirs = 8)
+      graft.operators.Bm25.appendToIndex(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", tbl)
+      graft.operators.Bm25.compactIndex(spark, tbl)
+    }
+    graft.operators.Bm25.topKAgainstIndex(
+        bm25QueryBatch(spark, sfDir), tbl, k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** q148: the composed training-data pipeline (ScaleSmoke e2e v4
     * promoted to an ORACLE query): hashed-classifier gate (q144) →
     * BPE trained on the gated docs (q142 knobs) → token-budget

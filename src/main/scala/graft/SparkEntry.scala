@@ -182,7 +182,8 @@ object SparkEntry {
     "q157_minhash_index_ingest" -> (Queries.minhashIndexIngestLoop _),
     "q158_knn_ivf_index" -> (Queries.knnIvfIndex _),
     "q159_bm25_index_append" -> (Queries.bm25IndexAppendTopK _),
-    "q160_knn_ivf_append" -> (Queries.knnIvfIndexAppend _)
+    "q160_knn_ivf_append" -> (Queries.knnIvfIndexAppend _),
+    "q161_bm25_index_compact" -> (Queries.bm25IndexCompactTopK _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the
@@ -779,6 +780,10 @@ object SparkEntry {
     // with the other half must rank exactly like a full build — the
     // equality IS the check that append-maintenance loses nothing.
     "q159_bm25_index_append" -> bm25OracleSql,
+    // q161 likewise: compaction is pure layout maintenance (fresh
+    // term-sorted generation, swap, delete-old), so the compacted
+    // grown index must still rank exactly like the batch shape.
+    "q161_bm25_index_compact" -> bm25OracleSql,
     // End-to-end pipeline oracle: every stage (dedup keep-first, quality
     // blend, lang filter, md5 split, rollup) mirrored in SQL — verifies
     // the COMPOSITION, not just the operators.

@@ -291,6 +291,49 @@ object Bm25 {
       .mode("overwrite").saveAsTable(s"${table}_bounds")
   }
 
+  /** Compact an index after [[appendToIndex]] batches — the THIRD
+    * maintenance primitive (build → append → compact, the Lucene
+    * segment-merge / Delta OPTIMIZE shape). Every append adds its own
+    * term-sorted file per touched tb directory, so after N batches a
+    * probe of a directory reads N files and in-file term sorting (the
+    * row-group prune) holds only per batch. Compaction rewrites each
+    * table as ONE fresh generation — term-sorted across everything in
+    * the directory — then swaps the table to it and deletes the old
+    * generation (write-new / swap / delete-old: never an in-place
+    * overwrite of files a plan is reading; transient 2× disk on the
+    * rewritten table is how segment merges pay for themselves, and the
+    * swap is metadata-only).
+    *
+    * Pure layout maintenance: rows are untouched, so ranking equality
+    * with the uncompacted index IS the correctness check (q161 shares
+    * q152/q155/q159's oracle verbatim; `Bm25IndexSpec` additionally
+    * pins one file per directory afterwards). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    import spark.implicits._
+    def swap(name: String, cols: Seq[Column]): Unit = {
+      val old = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name))
+        .location.toString
+      val next =
+        if (old.matches(".*__g\\d+$"))
+          old.replaceAll("__g(\\d+)$", "") + "__g" +
+            (old.replaceAll(".*__g(\\d+)$", "$1").toLong + 1L)
+        else old + "__g1"
+      // read by PATH, not by table: the swap below re-points the table
+      // name while this plan still reads the old generation's files
+      // (partition discovery types tb as int — cast back to the build
+      // schema so compaction never drifts the contract)
+      writeDirs(spark.read.parquet(old).select(cols: _*), name, next)
+      val oldFs = new org.apache.hadoop.fs.Path(old)
+      oldFs.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(oldFs, true)
+    }
+    swap(s"${table}_postings", Seq($"tb".cast("long").as("tb"),
+      $"term", $"doc_id", $"tf", $"dl"))
+    swap(s"${table}_dfs", Seq($"tb".cast("long").as("tb"), $"term", $"df"))
+  }
+
   /** [[topK]] against a PERSISTED index from [[buildIndex]] — identical
     * ranking at `maxDf = Long.MaxValue` (same postings, same df, same
     * bounds, same scoring tree; `Bm25IndexSpec` pins it row-for-row),

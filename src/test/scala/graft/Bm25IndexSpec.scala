@@ -72,6 +72,47 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(b.getLong(0) === 60L)
   }
 
+  test("compactIndex: one file per directory afterwards, ranking and " +
+      "tables bit-identical, generations swap cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_cpt").toString
+    Bm25.buildIndex(corpus.filter(_._1 % 2 == 0).toDF("doc_id", "text"),
+      "doc_id", "text", "g_bm25_spec_cpt", s"$dir/idx", nDirs = 4)
+    Bm25.appendToIndex(corpus.filter(_._1 % 2 == 1).toDF("doc_id", "text"),
+      "doc_id", "text", "g_bm25_spec_cpt")
+    val queries = Seq((1L, "the"), (1L, "rare3"), (2L, "rare5"), (3L, "doc11"))
+      .toDF("qid", "term")
+    val before = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_cpt", k = 60))
+    val postingsBefore = spark.table("g_bm25_spec_cpt_postings")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    def filesPerDir(name: String): Map[String, Int] = {
+      val loc = java.net.URI.create(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+        .location.toString).getPath
+      new java.io.File(loc).listFiles().filter(_.getName.startsWith("tb="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    // the append left ≥ 2 files in at least one directory ("the" is in
+    // every doc of both halves, so its dir certainly has both batches)
+    assert(filesPerDir("g_bm25_spec_cpt_postings").values.max >= 2)
+    Bm25.compactIndex(spark, "g_bm25_spec_cpt")
+    // layout: exactly one term-sorted file per touched directory
+    assert(filesPerDir("g_bm25_spec_cpt_postings").values.forall(_ == 1))
+    assert(filesPerDir("g_bm25_spec_cpt_dfs").values.forall(_ == 1))
+    // rows and ranking untouched; old generation deleted
+    assert(spark.table("g_bm25_spec_cpt_postings")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == postingsBefore)
+    assert(rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_cpt", k = 60))
+      == before)
+    assert(!new java.io.File(s"$dir/idx/postings").exists(),
+      "old postings generation must be deleted after the swap")
+    // a second compaction swaps generations again, idempotently
+    Bm25.compactIndex(spark, "g_bm25_spec_cpt")
+    assert(rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_cpt", k = 60))
+      == before)
+    assert(!new java.io.File(s"$dir/idx/postings__g1").exists())
+  }
+
   test("maxDf drops exactly the over-frequent terms from scoring (lossy, declared)") {
     buildIdx(corpus, "g_bm25_spec_maxdf")
     // q1 mixes the stopword with a rare term; q2 is stopword-only

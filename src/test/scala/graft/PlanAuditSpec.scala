@@ -40,8 +40,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q155_bm25_index_topk", // the same 1-row bounds broadcast, read
                               // from the index's bounds table instead of
                               // aggregated — identical shape to q152
-      "q159_bm25_index_append") // q155's probe verbatim over the grown
+      "q159_bm25_index_append", // q155's probe verbatim over the grown
                                 // index — same 1-row bounds broadcast
+      "q161_bm25_index_compact") // same probe over the compacted index
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =

@@ -46,6 +46,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept.subsetOf(more))
   }
 
+  test("hashSample: corpus-scale fractions survive the threshold grid " +
+      "(the round-12 100M regression)") {
+    import spark.implicits._
+    // fraction 1e-5 floors to ZERO on the old 16-bit grid (1/65536 ≈
+    // 1.5e-5) — the sample came back EMPTY past ~3e9 rows, and paired
+    // equal caps (a classifier's pos/neg samples) quantized to whole
+    // grid steps drew up to ~2x skewed classes (measured at 100M: 1068
+    // vs 1831 for two 2000-caps ⇒ logistic bias −0.47 ⇒ a tau=0.5 gate
+    // kept 0 docs). The 32-bit key must hold a tiny fraction near its
+    // expectation.
+    val n = 10000000L
+    val df = spark.range(0L, n).toDF("id")
+    val kept = Sampling.hashSample(df, "id", 1e-5)
+      .collect().map(_.getLong(0))
+    assert(kept.nonEmpty, "tiny fraction must not floor to an empty sample")
+    assert(math.abs(kept.length - 100.0) < 50.0,
+      s"expected ~100 of $n at 1e-5, got ${kept.length}")
+    // paired draws over DISJOINT id ranges at the same fraction stay
+    // balanced (binomial noise, not grid quantization)
+    val lo = Sampling.hashSample(df, "id", 2e-5).count().toDouble
+    val hi = Sampling.hashSample(
+      spark.range(n, 2L * n).toDF("id"), "id", 2e-5).count().toDouble
+    assert(lo > 0 && hi > 0 && math.max(lo, hi) / math.min(lo, hi) < 1.6,
+      s"paired same-fraction draws skewed: $lo vs $hi")
+    // and the mirror twin agrees member-for-member at this granularity
+    val mirrorKept = (0L until n).filter(MirrorHash.inHashSample(_, 1e-5))
+    assert(kept.sorted.toSeq == mirrorKept,
+      "operator and MirrorHash must agree at corpus-scale fractions")
+  }
+
   test("capPerGroup: exactly k survivors per group, content-stable under growth") {
     import spark.implicits._
     val docs = spark.range(0L, 3000L)
