@@ -332,6 +332,19 @@ object ScaleSmoke {
         assert(rareIdx == rareBatch,
           s"rare-term index ranking diverged: $rareIdx vs $rareBatch")
         println(s"  rare-term checksums equal: $rareIdx")
+        // maintenance: compaction rewrite cost at scale + identical
+        // ranking afterwards (the q161 contract)
+        time(s"bm25 index COMPACTION ($nDocs-doc index)") {
+          graft.operators.Bm25.compactIndex(spark, "g_bm25_smoke")
+        }
+        val rareCpt = time(s"bm25 INDEX shape, RARE-term queries post-compaction") {
+          graft.operators.Bm25.topKAgainstIndex(rareQs, "g_bm25_smoke", k = 10)
+            .agg(count(lit(1)).as("rows"), sum($"score_e4").as("ssum"),
+              sum($"doc_id").as("dsum")).collect()(0)
+        }
+        assert(rareCpt == rareIdx,
+          s"compaction changed the ranking: $rareCpt vs $rareIdx")
+        println(s"  post-compaction checksums equal: $rareCpt")
       }
       if (wants("gatecheck")) {
         // cheap probe of the pipe case's FIRST stage alone: train the
