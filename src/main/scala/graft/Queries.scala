@@ -3026,6 +3026,154 @@ object Queries {
       .orderBy($"qid", $"rank")
   }
 
+  /** q166: the BM25 index probe's exact-scan path (`prune = false`) —
+    * q155 runs the default WAND/maxscore-bounded probe
+    * ([[graft.operators.Bm25.topKAgainstIndex]]: per-term (max_tf,
+    * min_dl) score bounds + a rarest-terms floor pass drop candidates
+    * that cannot reach the top-k floor BEFORE the sort, losslessly);
+    * this entry pins the straight scan-score-sort fallback against the
+    * SAME oracle, so both serving paths stay oracle-green at every SF
+    * and the prune's losslessness is cross-checked by the driver, not
+    * just by `Bm25IndexSpec`. */
+  def bm25IndexExactScanTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = s"g_bm25idx_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q155_bm25idx_${sfDir.hashCode.toHexString}") { d =>
+      graft.operators.Bm25.buildIndex(
+        Tables(spark, sfDir, "documents"), "doc_id", "text",
+        tbl, s"$d/idx", nDirs = 8)
+    }
+    graft.operators.Bm25.topKAgainstIndex(
+        bm25QueryBatch(spark, sfDir), tbl, k = 5, prune = false)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** q162: MinHash index COMPACTION — the layout-maintenance primitive
+    * completing the MinHash lifecycle (build → probe → grow → compact,
+    * the q161 BM25 precedent): q157's ingest loop runs with a
+    * [[graft.operators.Dedup.compactMinhashIndex]] between the two
+    * batches, so batch 2 classifies against a COMPACTED index (every
+    * bucket rewritten as one globally-sorted file, live tables swapped
+    * onto a fresh generation). Compaction is pure layout maintenance —
+    * q162 shares q157's oracle verbatim: batch 2's cross-batch
+    * dup_history counts surviving the rewrite IS the check that
+    * compaction lost nothing and that the index still grows after it. */
+  def minhashIndexCompactLoop(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val tbl = s"g_mhcpt_${sfDir.hashCode.toHexString}"
+    val dir = cachedLayout(s"q162_mhcpt_${sfDir.hashCode.toHexString}") { d =>
+      graft.operators.Dedup.writeMinhashIndex(
+        docs.filter($"doc_id" % 3 === 0), "doc_id", "text",
+        tbl, s"$d/idx", numBuckets = 8)
+      graft.operators.Dedup.ingestAgainstIndex(
+          docs.filter($"doc_id" % 3 === 1), tbl, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$d/b1")
+      graft.operators.Dedup.compactMinhashIndex(spark, tbl)
+      graft.operators.Dedup.ingestAgainstIndex(
+          docs.filter($"doc_id" % 3 === 2), tbl, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$d/b2")
+    }
+    spark.read.parquet(s"$dir/b1").withColumn("batch", lit(1))
+      .unionByName(spark.read.parquet(s"$dir/b2").withColumn("batch", lit(2)))
+      .select($"doc_id", $"batch", $"status", $"n_hist_dups")
+      .orderBy($"doc_id")
+  }
+
+  /** q163: IVF index COMPACTION — q160's grown index compacted
+    * ([[graft.operators.Knn.compactIvfIndex]] — every cell directory
+    * rewritten as one file, live table swapped onto a fresh generation,
+    * old generation deleted) and probed. Pure layout maintenance, so
+    * q163 shares q160's oracle verbatim — ranking equality IS the check
+    * that the rewrite lost no vector and changed no assignment. */
+  def knnIvfIndexCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val tbl = s"g_ivfcpt_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q163_ivfcpt_${sfDir.hashCode.toHexString}") { d =>
+      Knn.writeIvfIndex(emb.filter($"vec_id" % 2 === 0), "vec_id",
+        "embedding", tbl, s"$d/idx")
+      Knn.appendToIvfIndex(emb.filter($"vec_id" % 2 === 1), "vec_id",
+        "embedding", tbl)
+      Knn.compactIvfIndex(spark, tbl)
+    }
+    Knn.ivfTopKAgainstIndex(emb.filter($"vec_id" < 10), tbl,
+        "vec_id", "embedding", k = 5)
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** q164: IVF index REBUILD — the retrain-cadence primitive answering
+    * q160's frozen-centroid appends: after building on the even half
+    * and appending the odd half, [[graft.operators.Knn.rebuildIvfIndex]]
+    * retrains the deterministic quantizer on the CURRENT corpus and
+    * swaps in fresh generations of both tables. Rebuild-after-append
+    * must equal ONE fresh build over the whole corpus bit-for-bit
+    * ([[graft.operators.Knn.trainCentroids]] sorts its hash sample by
+    * id, so stored row order never reaches the float sums) — q164
+    * therefore shares q42/q158's oracle, the full-corpus mirror. */
+  def knnIvfIndexRebuild(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val tbl = s"g_ivfrb_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q164_ivfrb_${sfDir.hashCode.toHexString}") { d =>
+      Knn.writeIvfIndex(emb.filter($"vec_id" % 2 === 0), "vec_id",
+        "embedding", tbl, s"$d/idx")
+      Knn.appendToIvfIndex(emb.filter($"vec_id" % 2 === 1), "vec_id",
+        "embedding", tbl)
+      Knn.rebuildIvfIndex(spark, tbl)
+    }
+    Knn.ivfTopKAgainstIndex(emb.filter($"vec_id" < 10), tbl,
+        "vec_id", "embedding", k = 5)
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** q165: the MinHash ingest loop as a REAL STREAM — q157's two-batch
+    * sequence replayed through the actual streaming engine
+    * ([[graft.streaming.StreamingOps.minhashIngestStream]] — file
+    * source, `maxFilesPerTrigger = 1`, foreachBatch classify-and-grow,
+    * AvailableNow): two "daily drop" files with staggered mtimes arrive
+    * as two micro-batches; micro-batch 2 must see micro-batch 1's
+    * documents as history exactly like the batch loop does. Shares
+    * q157's oracle verbatim — the streaming wrapper must add delivery,
+    * not change classification. */
+  def minhashIngestStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val tbl = s"g_mhstr_${sfDir.hashCode.toHexString}"
+    val dir = cachedLayout(s"q165_mhstr_${sfDir.hashCode.toHexString}") { d =>
+      graft.operators.Dedup.writeMinhashIndex(
+        docs.filter($"doc_id" % 3 === 0), "doc_id", "text",
+        tbl, s"$d/idx", numBuckets = 8)
+      val in = java.nio.file.Paths.get(d, "in")
+      java.nio.file.Files.createDirectories(in)
+      def drop(name: String, df: DataFrame, ageSec: Long): Unit = {
+        val tmp = s"$d/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.startsWith("part-")).get.toPath
+        val dst = in.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dst)
+        // the file source replays oldest-mtime-first: b1 then b2
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageSec * 1000L))
+      }
+      val b1 = docs.filter($"doc_id" % 3 === 1).select($"doc_id", $"text")
+      drop("b1", b1, 120L)
+      drop("b2", docs.filter($"doc_id" % 3 === 2).select($"doc_id", $"text"), 60L)
+      val q = graft.streaming.StreamingOps.minhashIngestStream(
+        spark.readStream.schema(b1.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$d/in"),
+        tbl, "doc_id", "text", s"$d/cls", s"$d/ckpt",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+    }
+    spark.read.parquet(s"$dir/cls")
+      .select($"doc_id", pmod($"doc_id", lit(3L)).cast("int").as("batch"),
+        $"status", $"n_hist_dups")
+      .orderBy($"doc_id")
+  }
+
   /** q148: the composed training-data pipeline (ScaleSmoke e2e v4
     * promoted to an ORACLE query): hashed-classifier gate (q144) →
     * BPE trained on the gated docs (q142 knobs) → token-budget

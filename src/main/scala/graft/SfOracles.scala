@@ -514,6 +514,20 @@ object SfOracles {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
          |       CAST(nid AS BIGINT) AS nid, score
          |FROM iva ORDER BY qid, rnk""".stripMargin,
+    // q163: the SAME mirror rows as q160 — compacting the grown cell
+    // directories is pure layout maintenance; ranking must not move
+    "q163_knn_ivf_compact" ->
+      s"""WITH $ivfAppCte
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
+         |       CAST(nid AS BIGINT) AS nid, score
+         |FROM iva ORDER BY qid, rnk""".stripMargin,
+    // q164: the SAME mirror rows as q42/q158 — rebuild-after-append
+    // retrains on the whole corpus, so it must equal one fresh build
+    "q164_knn_ivf_rebuild" ->
+      s"""WITH $ivfCte
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
+         |       CAST(nid AS BIGINT) AS nid, score
+         |FROM iv ORDER BY qid, rnk""".stripMargin,
     // q141: Bloom decontamination — even the FALSE POSITIVES are pinned
     // (the bitset is partitioning-invariant and byte-replayed locally)
     "q141_bloom_decontamination" ->
@@ -555,6 +569,26 @@ object SfOracles {
     // against history GROWN by batch 1, so cross-batch dup_history
     // counts (impossible for any single stateless probe) are pinned
     "q157_minhash_index_ingest" ->
+      s"""WITH $incFuzzy2Cte
+         |SELECT d.doc_id, CAST(f.batch AS INTEGER) AS batch, f.status,
+         |       CAST(f.n_hist_dups AS BIGINT) AS n_hist_dups
+         |FROM documents d JOIN if2 f ON f.doc_id = d.doc_id
+         |WHERE d.doc_id % 3 <> 0
+         |ORDER BY d.doc_id""".stripMargin,
+    // q165: the SAME mirror rows as q157 — the streaming wrapper
+    // (file-source micro-batches through foreachBatch) must add
+    // delivery, never change classification
+    "q165_minhash_ingest_stream" ->
+      s"""WITH $incFuzzy2Cte
+         |SELECT d.doc_id, CAST(f.batch AS INTEGER) AS batch, f.status,
+         |       CAST(f.n_hist_dups AS BIGINT) AS n_hist_dups
+         |FROM documents d JOIN if2 f ON f.doc_id = d.doc_id
+         |WHERE d.doc_id % 3 <> 0
+         |ORDER BY d.doc_id""".stripMargin,
+    // q162: the SAME mirror rows as q157 — compaction between the two
+    // ingest batches is pure layout maintenance, so batch 2's
+    // cross-batch classification must survive the rewrite untouched
+    "q162_minhash_index_compact" ->
       s"""WITH $incFuzzy2Cte
          |SELECT d.doc_id, CAST(f.batch AS INTEGER) AS batch, f.status,
          |       CAST(f.n_hist_dups AS BIGINT) AS n_hist_dups

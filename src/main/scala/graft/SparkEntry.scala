@@ -183,7 +183,12 @@ object SparkEntry {
     "q158_knn_ivf_index" -> (Queries.knnIvfIndex _),
     "q159_bm25_index_append" -> (Queries.bm25IndexAppendTopK _),
     "q160_knn_ivf_append" -> (Queries.knnIvfIndexAppend _),
-    "q161_bm25_index_compact" -> (Queries.bm25IndexCompactTopK _)
+    "q161_bm25_index_compact" -> (Queries.bm25IndexCompactTopK _),
+    "q162_minhash_index_compact" -> (Queries.minhashIndexCompactLoop _),
+    "q163_knn_ivf_compact" -> (Queries.knnIvfIndexCompact _),
+    "q164_knn_ivf_rebuild" -> (Queries.knnIvfIndexRebuild _),
+    "q165_minhash_ingest_stream" -> (Queries.minhashIngestStreaming _),
+    "q166_bm25_index_exactscan" -> (Queries.bm25IndexExactScanTopK _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the
@@ -784,6 +789,10 @@ object SparkEntry {
     // term-sorted generation, swap, delete-old), so the compacted
     // grown index must still rank exactly like the batch shape.
     "q161_bm25_index_compact" -> bm25OracleSql,
+    // q166 likewise: the exact-scan serving path must rank identically
+    // to the WAND-pruned default (q155) and the batch shape (q152) —
+    // one oracle pins all three
+    "q166_bm25_index_exactscan" -> bm25OracleSql,
     // End-to-end pipeline oracle: every stage (dedup keep-first, quality
     // blend, lang filter, md5 split, rollup) mirrored in SQL — verifies
     // the COMPOSITION, not just the operators.

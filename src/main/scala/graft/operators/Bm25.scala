@@ -47,6 +47,19 @@ object Bm25 {
 
   private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** The per-(query, term, doc) contribution column — ONE definition so
+    * every consumer (batch shape, index probe, WAND floor pass)
+    * provably evaluates the identical expression tree. Expects columns
+    * tf, dl, df, n, sumdl in scope. */
+  private def contributionE4(k1: Double, b: Double): Column = {
+    val avgdl: Column = col("sumdl").cast("double") / col("n")
+    val idf: Column =
+      log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfPart: Column = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / avgdl)))
+    round(idf * tfPart * lit(1e4)).cast("long")
+  }
+
   /** The shared score-and-rank tail of both entry points: identical
     * expression tree (so the batch shape and the index shape are
     * bit-identical on the same postings), one (qid, doc) aggregation
@@ -56,12 +69,6 @@ object Bm25 {
       k1: Double, b: Double): DataFrame = {
     val spark = qStaged.sparkSession
     import spark.implicits._
-    val avgdl: Column = $"sumdl".cast("double") / $"n"
-    val idf: Column =
-      log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
-    val tfPart: Column = ($"tf" * lit(k1 + 1.0)) /
-      ($"tf" + lit(k1) * (lit(1.0) - lit(b) + lit(b) * ($"dl" / avgdl)))
-
     // the query batch is SMALL by contract — broadcast it so the posting
     // stream is probed map-side (round 12: leaving this to AQE planned a
     // sort-merge join that shuffled the whole matching posting stream by
@@ -69,10 +76,9 @@ object Bm25 {
     // index-shape smoke)
     val scores = broadcast(qStaged)
       .join(postings, Seq("term"))
-      .join(broadcast(dfs), Seq("term"))
+      .join(broadcast(dfs.select($"term", $"df")), Seq("term"))
       .crossJoin(broadcast(totals))
-      .select($"qid", $"doc_id",
-        round(idf * tfPart * lit(1e4)).cast("long").as("c_e4"))
+      .select($"qid", $"doc_id", contributionE4(k1, b).as("c_e4"))
       .groupBy($"qid", $"doc_id")
       .agg(sum($"c_e4").as("score_e4"))
 
@@ -208,6 +214,12 @@ object Bm25 {
       .partitionBy("tb").mode("overwrite").saveAsTable(name)
   }
 
+  /** Doc ids must be UNIQUE within `docs` (the same contract
+    * [[appendToIndex]] states for batches): [[postingsOf]] computes tf
+    * INSIDE each row, so two rows sharing an id emit two posting rows
+    * per shared term — that doc's score contributions and df are
+    * double-counted with no error raised. Dedup upstream (q16's exact
+    * dedup) if the source can repeat ids. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       table: String, path: String, nDirs: Int = 64): Unit = {
     require(nDirs >= 1, s"need nDirs >= 1, got $nDirs")
@@ -220,9 +232,15 @@ object Bm25 {
     // The previous form checkpointed the whole posting stream to feed
     // both writes: at the 100M decade that uncompressed copy (plus the
     // extra shuffle it fed) exceeded local disk before the index itself
-    // was a problem.
+    // was a problem. max_tf/min_dl ride the same aggregation: the
+    // per-term WAND/maxscore score bound the probe's lossless top-k
+    // prune evaluates at query time (tfPart is increasing in tf and
+    // decreasing in dl, so (max_tf, min_dl) bounds every posting's
+    // contribution under ANY future avgdl — append-safe by max/min
+    // merge).
     writeDirs(spark.table(s"${table}_postings")
-        .groupBy($"tb", $"term").agg(count(lit(1)).as("df")),
+        .groupBy($"tb", $"term").agg(count(lit(1)).as("df"),
+          max($"tf").as("max_tf"), min($"dl").as("min_dl")),
       s"${table}_dfs", s"$path/dfs")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_bounds")
     boundsOf(docs, idCol, textCol)
@@ -250,7 +268,17 @@ object Bm25 {
     * would split its (term, doc) tf across two posting rows and
     * double-count its score contribution (the same everything-ingested
     * contract as the MinHash ingest loop, where duplicate ids are
-    * instead benign). */
+    * instead benign).
+    *
+    * Failure mid-append: the three writes commit in order postings →
+    * dfs → bounds, and a crash between them leaves postings appended
+    * but df/N stale — rankings quietly score the new docs against old
+    * statistics. Re-running the SAME append is NOT safe (the posting
+    * append would duplicate — the unique-id contract above); recover by
+    * rebuilding the index ([[buildIndex]]) or compacting from a
+    * known-good snapshot. A probe running DURING an append may observe
+    * the batch's postings before the df merge lands — same transient
+    * staleness, resolved at the bounds commit. */
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
       table: String): Unit = {
     val spark = docs.sparkSession
@@ -275,12 +303,16 @@ object Bm25 {
       .write.format("parquet").mode("append").partitionBy("tb")
       .saveAsTable(s"${table}_postings")
     // df merge: vocabulary-sized, staged (lineage cut) so the rewrite
-    // never reads the files it replaces
+    // never reads the files it replaces. df adds, max_tf/min_dl merge by
+    // max/min — the probe's per-term score bound stays valid over any
+    // append sequence.
     val mergedDfs = Stage.cut(
       spark.table(s"${table}_dfs")
         .unionByName(postingsOf(docs, idCol, textCol, nDirs.toInt)
-          .groupBy($"tb", $"term").agg(count(lit(1)).as("df")))
-        .groupBy($"tb", $"term").agg(sum($"df").as("df")))
+          .groupBy($"tb", $"term").agg(count(lit(1)).as("df"),
+            max($"tf").as("max_tf"), min($"dl").as("min_dl")))
+        .groupBy($"tb", $"term").agg(sum($"df").as("df"),
+          max($"max_tf").as("max_tf"), min($"min_dl").as("min_dl")))
     writeDirs(mergedDfs, s"${table}_dfs", dfsPath)
     // bounds: additive counters, 1 driver row
     val b = boundsOf(docs, idCol, textCol).collect()(0)
@@ -307,31 +339,41 @@ object Bm25 {
     * Pure layout maintenance: rows are untouched, so ranking equality
     * with the uncompacted index IS the correctness check (q161 shares
     * q152/q155/q159's oracle verbatim; `Bm25IndexSpec` additionally
-    * pins one file per directory afterwards). */
+    * pins one file per directory afterwards).
+    *
+    * Crash safety and concurrent readers (the [[graft.sources
+    * .Generations]] contract): each table's new generation is FULLY
+    * written under a `__compacting` temp registration before the live
+    * name moves, so a failure mid-rewrite leaves the live index intact
+    * and re-running the compaction recovers idempotently. The two tables
+    * swap one after the other; a crash between them leaves a
+    * half-compacted LAYOUT (both tables internally complete — re-run to
+    * finish). Deleting an old generation invalidates any lazy probe
+    * frame that was PLANNED against it before the compaction — re-derive
+    * probes from the table name afterwards; a probe planned after the
+    * swap sees only the new generation. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     import spark.implicits._
+    import graft.sources.Generations
     def swap(name: String, cols: Seq[Column]): Unit = {
-      val old = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(name))
-        .location.toString
-      val next =
-        if (old.matches(".*__g\\d+$"))
-          old.replaceAll("__g(\\d+)$", "") + "__g" +
-            (old.replaceAll(".*__g(\\d+)$", "$1").toLong + 1L)
-        else old + "__g1"
-      // read by PATH, not by table: the swap below re-points the table
-      // name while this plan still reads the old generation's files
-      // (partition discovery types tb as int — cast back to the build
-      // schema so compaction never drifts the contract)
-      writeDirs(spark.read.parquet(old).select(cols: _*), name, next)
-      val oldFs = new org.apache.hadoop.fs.Path(old)
-      oldFs.getFileSystem(spark.sessionState.newHadoopConf())
-        .delete(oldFs, true)
+      val old = Generations.location(spark, name)
+      val tmp = Generations.compactingName(name)
+      // read by PATH, not by table: the live name keeps serving the old
+      // generation until the rename below, and the rewrite must not
+      // depend on the registration it replaces (partition discovery
+      // types tb as int — cast back to the build schema so compaction
+      // never drifts the contract). writeDirs drops any leftover tmp
+      // registration from a crashed prior run before writing.
+      writeDirs(spark.read.parquet(old).select(cols: _*), tmp,
+        Generations.next(old))
+      Generations.renameSwap(spark, tmp, name)
+      Generations.delete(spark, old)
     }
     swap(s"${table}_postings", Seq($"tb".cast("long").as("tb"),
       $"term", $"doc_id", $"tf", $"dl"))
-    swap(s"${table}_dfs", Seq($"tb".cast("long").as("tb"), $"term", $"df"))
+    swap(s"${table}_dfs", Seq($"tb".cast("long").as("tb"), $"term", $"df",
+      $"max_tf", $"min_dl"))
   }
 
   /** [[topK]] against a PERSISTED index from [[buildIndex]] — identical
@@ -364,46 +406,134 @@ object Bm25 {
       .eval(InternalRow.empty).asInstanceOf[Long]
   }
 
+  /** @param prune lossless WAND/maxscore top-k bound (default ON; the
+    *   round-12 finding: the EXACT index probe on zipf-common workloads
+    *   paid the full corpus-scale (qid, doc) aggregation + sort the
+    *   batch shape pays, 1568 s vs 698 s @100M). Two extra bounded
+    *   passes make the common-term case cheap WITHOUT losing a row:
+    *    1. FLOOR — each query's `floorTermsPerQuery` rarest kept terms
+    *       give exact PARTIAL scores (a subset of a doc's matched terms
+    *       ⇒ a lower bound on its total), so the k-th best partial per
+    *       query is a valid floor θ on its k-th best total score;
+    *    2. BOUND — every (qid, doc) group's matched-term upper-bound
+    *       sum Σ ub(t) (ub evaluated at the stored (max_tf, min_dl) —
+    *       tfPart is monotone in both, and every IEEE op in the tree is
+    *       monotone, so ub ≥ every contribution the term can emit)
+    *       rides the score aggregation as a second sum; groups with
+    *       Σ ub < θ score strictly below k docs and are dropped BEFORE
+    *       the top-k sort. Docs at θ survive (≥, not >), so ties break
+    *       exactly as the exact path does. Queries with < k floor rows
+    *       get θ = -∞ (no pruning) — degenerate cases stay exact.
+    *   `prune = false` keeps the straight scan-score-sort path (q166
+    *   pins it against the same oracle as the pruned default). */
   def topKAgainstIndex(queries: DataFrame, table: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDf: Long = Long.MaxValue,
+      prune: Boolean = true, floorTermsPerQuery: Int = 2): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
+    require(floorTermsPerQuery >= 1,
+      s"need floorTermsPerQuery >= 1, got $floorTermsPerQuery")
     val spark = queries.sparkSession
     import spark.implicits._
     val qStaged = Stage.cut(
       queries.select(col("qid").cast("long").as("qid"), col("term")))
-    // bounded driver model: ONE retrieval batch's distinct terms (the
-    // same contract that lets topK broadcast the query frame)
-    val qTerms = qStaged.select($"term").distinct()
-      .collect().map(_.getString(0))
-    val nDirs = spark.table(s"${table}_bounds")
-      .select($"n_dirs").collect()(0).getLong(0)
+    // bounded driver model: ONE retrieval batch (the same contract that
+    // lets topK broadcast the query frame); its pairs drive the floor
+    // term selection, its distinct terms the dir pruning
+    val qPairs = qStaged.collect().map(r => (r.getLong(0), r.getString(1)))
+    val qTerms = qPairs.map(_._2).distinct
+    val boundsRow = spark.table(s"${table}_bounds").collect()
+    require(boundsRow.length == 1,
+      s"index ${table}_bounds must hold exactly 1 row")
+    val (n, sumdl, nDirs) = (boundsRow(0).getLong(0),
+      boundsRow(0).getLong(1), boundsRow(0).getLong(2))
     def tbOf(terms: Seq[String]): Seq[Long] =
       terms.map(t => Math.floorMod(xxh64Local(t), nDirs)).distinct
-    // per-term df rides a dir-pruned term-IN scan of the dfs table —
-    // bounded output, collected to drive the maxDf prune AND the scoring
-    // join's broadcast (no second dfs scan)
-    val termDfs = spark.table(s"${table}_dfs")
+    // per-term stats ride a dir-pruned term-IN scan of the dfs table —
+    // bounded output, collected to drive the maxDf prune, the WAND
+    // bounds AND the scoring join's broadcast (no second dfs scan)
+    val termStats = spark.table(s"${table}_dfs")
       .filter($"tb".isin(tbOf(qTerms.toSeq): _*) &&
         $"term".isin(qTerms.toSeq: _*))
-      .select($"term", $"df")
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val kept = termDfs.filter(_._2 <= maxDf)
-    if (kept.length < termDfs.length)
+      .select($"term", $"df", $"max_tf", $"min_dl")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val kept = termStats.filter(_._2 <= maxDf)
+    if (kept.length < termStats.length)
       logger.warn(s"bm25 topKAgainstIndex: dropping " +
-        s"${termDfs.length - kept.length} of ${termDfs.length} query terms " +
+        s"${termStats.length - kept.length} of ${termStats.length} query terms " +
         s"with df > $maxDf — scores exclude these common terms (lossy " +
         "stopword prune; raise maxDf for exact ranking)")
-    // dir pruning happens at PLANNING (tb is the partition column —
-    // only the directories the kept terms hash into are listed/read);
-    // the term-IN narrows to exact postings inside each file, helped by
-    // the in-file term sort's row-group stats
-    val postings = spark.table(s"${table}_postings")
-      .filter($"tb".isin(tbOf(kept.map(_._1).toSeq): _*) &&
-        $"term".isin(kept.map(_._1).toSeq: _*))
-      .select($"term", $"doc_id", $"tf", $"dl")
-    val dfs = spark.createDataFrame(kept.toSeq).toDF("term", "df")
+    // per-term upper bound: the SAME double expression tree the
+    // executors evaluate ([[contributionE4]]), driver-evaluated at
+    // (max_tf, min_dl) — every op (div, mul, add, log, round) is
+    // IEEE-monotone, so ub_e4 >= c_e4 for every posting of the term
+    val avgdl = sumdl.toDouble / n.toDouble
+    def ubE4(df: Long, maxTf: Long, minDl: Long): Long = {
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val tfp = (maxTf * (k1 + 1.0)) /
+        (maxTf + k1 * (1.0 - b + b * (minDl / avgdl)))
+      math.round(idf * tfp * 1e4)
+    }
+    def dirPrunedPostings(terms: Seq[String]): DataFrame =
+      // dir pruning happens at PLANNING (tb is the partition column —
+      // only the directories the terms hash into are listed/read); the
+      // term-IN narrows to exact postings inside each file, helped by
+      // the in-file term sort's row-group stats. The repartition then
+      // SPREADS each term's single-directory concentration before the
+      // scoring join: without it, one scan task absorbs a zipf-common
+      // term's whole join fanout and its partial aggregation runs the
+      // stage single-threaded (measured 3.5x on the agg at 10M)
+      spark.table(s"${table}_postings")
+        .filter($"tb".isin(tbOf(terms): _*) && $"term".isin(terms: _*))
+        .select($"term", $"doc_id", $"tf", $"dl")
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+    val keptTerms = kept.map(_._1).toSeq
+    val postings = dirPrunedPostings(keptTerms)
+    val dfs = spark.createDataFrame(kept.toSeq
+        .map { case (t, df, mtf, mdl) => (t, df, ubE4(df, mtf, mdl)) })
+      .toDF("term", "df", "ub_e4")
     val totals = spark.table(s"${table}_bounds").select($"n", $"sumdl")
-    scoreAndRank(qStaged, postings, dfs, totals, k, k1, b)
+    if (!prune)
+      return scoreAndRank(qStaged, postings, dfs, totals, k, k1, b)
+
+    // ---- FLOOR pass: exact partial scores over each query's rarest
+    // kept terms (bounded, dir-pruned lists); rank-k row per qid = θ
+    val keptSet = keptTerms.toSet
+    val dfOf = kept.map(t => (t._1, t._2)).toMap
+    val floorPairs = qPairs.filter(p => keptSet(p._2)).groupBy(_._1).toSeq
+      .flatMap { case (qid, ps) =>
+        ps.map(_._2).distinct.sortBy(t => (dfOf(t), t))
+          .take(floorTermsPerQuery).map(t => (qid, t))
+      }
+    val floorTerms = floorPairs.map(_._2).distinct
+    val wTop = Window.partitionBy($"qid")
+      .orderBy($"score_e4".desc, $"doc_id".asc)
+    val thetas = broadcast(
+      spark.createDataFrame(floorPairs).toDF("qid", "term")
+        .join(dirPrunedPostings(floorTerms), Seq("term"))
+        .join(broadcast(dfs.select($"term", $"df")), Seq("term"))
+        .crossJoin(broadcast(totals))
+        .select($"qid", $"doc_id", contributionE4(k1, b).as("c_e4"))
+        .groupBy($"qid", $"doc_id").agg(sum($"c_e4").as("score_e4"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter($"rank" === k)
+        .select($"qid", $"score_e4".as("theta")))
+
+    // ---- BOUNDED main pass: the bound sum rides the score aggregation;
+    // groups that cannot reach θ never enter the top-k sort
+    val scores = broadcast(qStaged)
+      .join(postings, Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .select($"qid", $"doc_id", contributionE4(k1, b).as("c_e4"), $"ub_e4")
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"c_e4").as("score_e4"), sum($"ub_e4").as("ub_sum_e4"))
+      .join(thetas, Seq("qid"), "left")
+      .filter($"ub_sum_e4" >= coalesce($"theta", lit(Long.MinValue)))
+    scores
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter($"rank" <= k)
+      .select($"qid", $"rank", $"doc_id", $"score_e4")
   }
 }

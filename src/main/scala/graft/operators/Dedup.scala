@@ -362,6 +362,30 @@ object Dedup {
     out
   }
 
+  /** Compact a [[writeMinhashIndex]] index after [[ingestAgainstIndex]]
+    * batches — the layout-maintenance primitive completing the MinHash
+    * family's build → probe → grow → compact lifecycle (the
+    * `Bm25.compactIndex` / q161 precedent). Every ingest appends one
+    * file-set per touched bucket to `{table}_sigs` and
+    * `{table}_buckets`, so after N daily batches a probe reads N+ files
+    * per bucket with per-batch-only sort locality; this rewrites both
+    * tables as one fresh generation each — ONE globally-sorted file per
+    * bucket — through [[graft.sources.Bucketing.compactBucketed]]
+    * (write-new / swap / delete-old; see [[graft.sources.Generations]]
+    * for the crash-safety and concurrent-reader story; `{table}_meta`
+    * is a 1-row parameter table and never needs compaction).
+    *
+    * Pure layout maintenance: rows are untouched, so classification
+    * equality before/after IS the correctness check — the q162 query
+    * compacts between ingest batches and shares q157's oracle verbatim;
+    * `MinhashIndexSpec` additionally pins one file per bucket
+    * afterwards. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    graft.sources.Bucketing.compactBucketed(spark, s"${table}_sigs")
+    graft.sources.Bucketing.compactBucketed(spark, s"${table}_buckets")
+  }
+
   // ----------------------------------------------------------- minhash
 
   /** Word n-gram shingles of a whitespace-tokenized, lowercased text. */

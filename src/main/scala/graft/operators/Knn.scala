@@ -227,16 +227,31 @@ object Knn {
       }.sorted.take(nProbe).map(_._2).toArray
     }
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** The shared search tail of both IVF entry points: identical
     * expression tree (so the in-session and persisted-index shapes rank
     * bit-identically on the same cells/centroids), query cells
-    * broadcast onto the (partition-pruned) cell stream, exact cosine
-    * rerank, per-query top-k window on the candidate-bounded frame. */
-  private def scoreCells(cells: DataFrame, qcells: DataFrame, k: Int): DataFrame = {
+    * broadcast onto the (partition-pruned) cell stream — WHEN the
+    * exploded query frame is within `broadcastMaxQcells` rows (the
+    * Dedup.incrementalAssembled guard: above the bound the same join
+    * runs as a plain shuffle, loudly logged, identical rows — a hint,
+    * never a semantic change) — exact cosine rerank, per-query top-k
+    * window on the candidate-bounded frame. */
+  private def scoreCells(cells: DataFrame, qcells: DataFrame, k: Int,
+      nQcells: Long, broadcastMaxQcells: Long): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
+    val bc: DataFrame => DataFrame =
+      if (nQcells <= broadcastMaxQcells) broadcast
+      else { df =>
+        log.warn(s"ivf scoreCells: query batch explodes to $nQcells cell " +
+          s"rows, above broadcastMaxQcells=$broadcastMaxQcells — falling " +
+          "back to a shuffle join (identical results, bigger exchange)")
+        df
+      }
     val w = Window.partitionBy($"qid").orderBy($"score".desc, $"id".asc)
-    cells.join(broadcast(qcells), Seq("cell"))
+    cells.join(bc(qcells), Seq("cell"))
       .filter($"id" =!= $"qid")
       .withColumn("score", dot(spark)($"qv", $"v") / ($"qn" * $"nrm"))
       .withColumn("rnk", row_number().over(w))
@@ -247,19 +262,22 @@ object Knn {
   def ivfTopK(
       data: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 5): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 5,
+      broadcastMaxQcells: Long = 8000000L): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
 
     val d = withVecAndNorm(data, idCol, vecCol).cache()
     val centroids = trainCentroids(d, nCells, iterations)
 
-    // --- assign cells; queries probe the nProbe nearest cells
+    // --- assign cells; queries probe the nProbe nearest cells. The
+    // exploded query frame is staged (it feeds the count gating the
+    // broadcast hint AND the scoring join — one probesUdf pass, not two)
     val cells = d.withColumn("cell", nearestUdf(centroids)($"v"))
-    val qcells = withVecAndNorm(queries, idCol, vecCol)
+    val qcells = Stage.cut(withVecAndNorm(queries, idCol, vecCol)
       .withColumn("cell", explode(probesUdf(centroids, nProbe)($"v")))
-      .select($"cell", $"id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
-    scoreCells(cells, qcells, k)
+      .select($"cell", $"id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
+    scoreCells(cells, qcells, k, qcells.count(), broadcastMaxQcells)
     // d stays cached for the session (tiny: id + vec + norm)
   }
 
@@ -340,7 +358,8 @@ object Knn {
     * the same query-batch contract that lets the tail broadcast
     * qcells). */
   def ivfTopKAgainstIndex(queries: DataFrame, table: String,
-      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+      broadcastMaxQcells: Long = 8000000L): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val centroids: Array[Array[Double]] = spark.table(s"${table}_centroids")
@@ -353,7 +372,110 @@ object Knn {
     val cells = spark.table(s"${table}_cells")
       .filter($"cell".isin(probed: _*))
       .select($"cell", $"id", $"v", $"nrm")
-    scoreCells(cells, qcells, k)
+    scoreCells(cells, qcells, k, qcells.count(), broadcastMaxQcells)
+  }
+
+  /** Compact a [[writeIvfIndex]] index after [[appendToIvfIndex]]
+    * batches — each append adds one file per touched cell directory, so
+    * after N daily batches a probe of a cell reads N+ files. Rewrites
+    * `{table}_cells` as ONE fresh generation with one file per cell
+    * directory (`repartition(cell)` puts each cell whole in one task),
+    * swaps the live name, deletes the old generation — the write-new /
+    * swap / delete-old contract and crash-safety story of
+    * [[graft.sources.Generations]]. The centroid table is nCells rows
+    * in one file and never needs compaction. Pure layout maintenance:
+    * rows and assignments are untouched, so probe equality before/after
+    * IS the correctness check (q163 shares q160's oracle verbatim;
+    * `IvfIndexSpec` additionally pins one file per cell afterwards). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    import spark.implicits._
+    import graft.sources.Generations
+    val name = s"${table}_cells"
+    val old = Generations.location(spark, name)
+    val tmp = Generations.compactingName(name)
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // read by PATH (the live name serves the old generation until the
+    // swap); partition discovery types cell as int — matching the build
+    // schema, but cast explicitly so the contract never drifts
+    spark.read.parquet(old)
+      .select($"id", $"v", $"nrm", $"cell".cast("int").as("cell"))
+      .repartition($"cell")
+      .write.format("parquet").option("path", Generations.next(old))
+      .partitionBy("cell").mode("overwrite").saveAsTable(tmp)
+    Generations.renameSwap(spark, tmp, name)
+    Generations.delete(spark, old)
+  }
+
+  /** Per-cell occupancy of a persisted IVF index — the drift metric an
+    * operator watches between [[appendToIvfIndex]] batches: appends
+    * assign to FROZEN centroids, so a shifted ingest distribution piles
+    * vectors into few cells and probe cost/recall quietly degrade.
+    * Returns (cell, n, occupancy_ratio = n / mean-cell-size); a ratio
+    * far above 1 on hot cells says probes of those cells read far more
+    * than corpus/nCells vectors — time to [[rebuildIvfIndex]]. One
+    * column-pruned scan of the cell table (cell is the partition
+    * column; n rides a count per directory). */
+  def ivfCellStats(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    import spark.implicits._
+    val counts = spark.table(s"${table}_cells")
+      .groupBy($"cell").agg(count(lit(1)).as("n"))
+    val mean = counts.agg(avg($"n").as("mean_n"))
+    counts.crossJoin(broadcast(mean))
+      .select($"cell", $"n", ($"n" / $"mean_n").as("occupancy_ratio"))
+  }
+
+  /** Rebuild a [[writeIvfIndex]] index IN PLACE: retrain the
+    * deterministic quantizer on the CURRENT corpus (everything built +
+    * appended so far), re-assign every vector, write both tables as
+    * fresh generations and swap — the retrain-cadence answer to
+    * [[appendToIvfIndex]]'s frozen centroids (run it when
+    * [[ivfCellStats]] shows drift, not per batch). Bit-identical to a
+    * fresh [[writeIvfIndex]] over the same corpus: [[trainCentroids]]
+    * sorts its hash sample by id before the driver-side Lloyd loop, so
+    * the stored row order never reaches the float sums (`IvfIndexSpec`
+    * pins rebuild == fresh build row-for-row; q164 shares q42/q158's
+    * oracle — rebuild-after-append must equal one build over the whole
+    * corpus).
+    *
+    * Swap order: the new CELLS generation is written (against the new
+    * centroids) before either table's name moves, then centroids swap,
+    * then cells — a probe planned between the two swaps may mix new
+    * centroids with old assignments (approximate-search recall blip,
+    * never wrong scores: the rerank is exact); re-derive probe frames
+    * after maintenance, as with every compaction. */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, nCells: Int = 16, iterations: Int = 5): Unit = {
+    import spark.implicits._
+    import graft.sources.Generations
+    val cellsName = s"${table}_cells"
+    val centName = s"${table}_centroids"
+    val oldCells = Generations.location(spark, cellsName)
+    val oldCent = Generations.location(spark, centName)
+    // read by PATH: v and nrm round-trip parquet doubles exactly, so
+    // retraining from the index equals retraining from the source rows
+    val d = spark.read.parquet(oldCells).select($"id", $"v", $"nrm").cache()
+    try {
+      val centroids = trainCentroids(d, nCells, iterations)
+      val tmpCent = Generations.compactingName(centName)
+      val tmpCells = Generations.compactingName(cellsName)
+      spark.sql(s"DROP TABLE IF EXISTS $tmpCent")
+      spark.sql(s"DROP TABLE IF EXISTS $tmpCells")
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "c").coalesce(1)
+        .write.format("parquet").option("path", Generations.next(oldCent))
+        .mode("overwrite").saveAsTable(tmpCent)
+      d.withColumn("cell", nearestUdf(centroids)($"v"))
+        .select($"id", $"v", $"nrm", $"cell")
+        .repartition($"cell")
+        .write.format("parquet").option("path", Generations.next(oldCells))
+        .partitionBy("cell").mode("overwrite").saveAsTable(tmpCells)
+      Generations.renameSwap(spark, tmpCent, centName)
+      Generations.renameSwap(spark, tmpCells, cellsName)
+      Generations.delete(spark, oldCent)
+      Generations.delete(spark, oldCells)
+    } finally d.unpersist()
   }
 
   /** Embedding near-duplicate PAIRS above a cosine threshold via LSH

@@ -62,7 +62,16 @@ object Sampling {
   }
 
   /** Keep a deterministic ~`fraction` of rows by id hash — stable across
-    * runs, engines and data growth (a row once kept is always kept). */
+    * runs, engines and data growth (a row once kept is always kept).
+    *
+    * CROSS-VERSION note (round 12): the sample key widened from 16 to
+    * 32 bits (the quantization fix above), which changes MEMBERSHIP for
+    * every consumer relative to pre-r12 builds — the once-kept-always-
+    * kept guarantee holds within a key version, not across the widening.
+    * All in-repo oracles/mirrors moved in tandem; any EXTERNALLY
+    * persisted sample or model artifact built on the old key is
+    * invalidated and should be re-drawn. [[deterministicSplit]] kept the
+    * 16-bit key (split fractions are never corpus-tiny; q58 pins it). */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0)
     if (fraction >= 1.0) df // 'ffffffff' is a valid key; < threshold would drop it

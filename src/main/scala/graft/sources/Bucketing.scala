@@ -68,4 +68,49 @@ object Bucketing {
       .saveAsTable(table)
     spark.table(table)
   }
+
+  /** Compact a [[writeBucketed]] table after [[appendBucketed]] batches —
+    * every append adds its own file-set per bucket (each write task emits
+    * one file per bucket it touches), so after N daily batches a bucket
+    * scan reads N+ files and the in-file sort order holds only per batch.
+    * This rewrites the table as ONE fresh generation with exactly one
+    * file per bucket (the pre-write `repartition(numBuckets, keys)` uses
+    * the same murmur3 `HashPartitioning` the bucketizer uses, so each
+    * bucket's rows land whole in one task) and globally sorted within it,
+    * then swaps the live name and deletes the old generation — the
+    * write-new / swap / delete-old contract and crash-safety story of
+    * [[Generations]]. Pure layout maintenance: rows are untouched, so
+    * probe equality before/after IS the correctness check (spec-pinned;
+    * the q162 MinHash-index query shares its oracle with the uncompacted
+    * replay). Outstanding DataFrames planned against the old generation
+    * are invalidated by the final delete — re-derive from the table name.
+    */
+  def compactBucketed(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table $table has no bucket spec — compactBucketed only serves " +
+        "tables written by writeBucketed"))
+    val old = meta.location.toString
+    val nextPath = Generations.next(old)
+    val tmp = Generations.compactingName(table)
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // read by PATH, not by table name: the rewrite must not depend on the
+    // registration it is about to replace, and the live name keeps
+    // serving the old generation until the swap below
+    val writer = spark.read.parquet(old)
+      .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
+      .write
+      .format("parquet")
+      .option("path", nextPath)
+      .bucketBy(spec.numBuckets,
+        spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+       writer.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+     else writer)
+      .mode("overwrite").saveAsTable(tmp)
+    Generations.renameSwap(spark, tmp, table)
+    Generations.delete(spark, old)
+  }
 }

@@ -175,6 +175,44 @@ object StreamingOps {
     trigger.fold(writer)(writer.trigger).start()
   }
 
+  /** Streaming form of the MinHash ingest loop
+    * ([[graft.operators.Dedup.ingestAgainstIndex]] — the q157 batch
+    * primitive wired through foreachBatch, the q131 precedent): each
+    * micro-batch of (id, text) documents is classified against the
+    * persisted index (dup_history / dup_batch / new), the classification
+    * is appended to `outDir` tagged with the micro-batch id, and the
+    * index GROWS with the batch's signatures — so the next micro-batch
+    * deduplicates against everything before it. A file-source stream of
+    * daily drops becomes a self-maintaining dedup service.
+    *
+    * Delivery semantics: the checkpoint makes each source file's batch
+    * run once in a healthy run (AvailableNow replay = exactly-once
+    * output). On crash-between-sinks a batch may re-run: re-ingesting
+    * the same documents is CLASSIFICATION-safe by the ingest contract
+    * (duplicate signature rows only inflate n_hist_dups, never flip a
+    * later status to "new"), and the classification parquet then holds
+    * duplicate rows for that batch — dedup downstream on (doc_id) if
+    * the sink must be exactly-once under crashes. Batch order within
+    * the stream is the file source's mtime order. */
+  def minhashIngestStream(
+      incoming: DataFrame, // streaming frame carrying idCol + textCol
+      table: String, idCol: String, textCol: String,
+      outDir: String, checkpoint: String,
+      threshold: Double = 0.8,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val applyBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      graft.operators.Dedup
+        .ingestAgainstIndex(batch, table, idCol, textCol, threshold)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(outDir)
+    }
+    val writer = incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(applyBatch)
+    trigger.fold(writer)(writer.trigger).start()
+  }
+
   private def currentGeneration(dir: String): Option[Long] = {
     val p = java.nio.file.Paths.get(dir, "_LATEST")
     if (java.nio.file.Files.exists(p))

@@ -113,6 +113,44 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dir/idx/postings__g1").exists())
   }
 
+  test("WAND prune (default) == prune=false exact scan, row-for-row, on a " +
+      "randomized tf/dl corpus — fresh, appended, and at every k") {
+    // varied doc lengths and repeated tokens stress the (max_tf, min_dl)
+    // monotone bound; common terms dominate so the floor actually prunes
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("the", "of", "and", "data", "spark") ++
+      (0 until 40).map(i => s"t$i")
+    val docs = (0L until 300L).map { i =>
+      val len = 3 + rnd.nextInt(25)
+      (i, (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_wand").toString
+    Bm25.buildIndex(docs.filter(_._1 % 2 == 0).toDF("doc_id", "text"),
+      "doc_id", "text", "g_bm25_spec_wand", s"$dir/idx", nDirs = 4)
+    val queries = ((1L to 20L).flatMap { q =>
+      val nt = 1 + rnd.nextInt(4)
+      (0 until nt).map(_ => (q, vocab(rnd.nextInt(vocab.length))))
+    } :+ (21L -> "the") :+ (21L -> "of") // all-stopword query
+      :+ (22L -> "zzz-oov")).distinct    // no postings at all
+      .toDF("qid", "term")
+    for (k <- Seq(1, 3, 10)) {
+      val pruned = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_wand", k = k))
+      val exact = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_wand",
+        k = k, prune = false))
+      assert(pruned == exact, s"WAND prune lost rows at k=$k")
+      assert(pruned.nonEmpty)
+    }
+    // bounds stay valid across an append (df sums, max_tf/min_dl merge)
+    Bm25.appendToIndex(docs.filter(_._1 % 2 == 1).toDF("doc_id", "text"),
+      "doc_id", "text", "g_bm25_spec_wand")
+    val pruned = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_wand", k = 4))
+    assert(pruned == rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_wand",
+      k = 4, prune = false)))
+    // and both equal the batch shape over the full corpus
+    assert(pruned == rows(Bm25.topK(docs.toDF("doc_id", "text"),
+      "doc_id", "text", queries, k = 4)))
+  }
+
   test("maxDf drops exactly the over-frequent terms from scoring (lossy, declared)") {
     buildIdx(corpus, "g_bm25_spec_maxdf")
     // q1 mixes the stopword with a rare term; q2 is stopword-only

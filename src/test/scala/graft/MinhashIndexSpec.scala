@@ -114,6 +114,58 @@ class MinhashIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("compactMinhashIndex: multi-file buckets collapse to one file per " +
+      "bucket; classification identical; bucket spec survives the swap") {
+    val a = words("a", 50)
+    buildIndex(Seq(0L -> words("h", 50).mkString(" ")), "g_mhidx_spec_cpt")
+    Dedup.ingestAgainstIndex(Seq(1L -> a.mkString(" ")).toDF("doc_id", "text"),
+      "g_mhidx_spec_cpt", "doc_id", "text").collect()
+    Dedup.ingestAgainstIndex(
+      Seq(4L -> words("p", 50).mkString(" ")).toDF("doc_id", "text"),
+      "g_mhidx_spec_cpt", "doc_id", "text").collect()
+    def partFiles(table: String): Seq[String] = {
+      val loc = graft.sources.Generations.location(spark, table)
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(p, true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next().getPath.toString
+        if (f.contains("part-")) out += f
+      }
+      out.toSeq
+    }
+    // one bucket-file set per write (build + 2 ingests) — compaction's
+    // reason to exist
+    val sigsBefore = partFiles("g_mhidx_spec_cpt_sigs").size
+    assert(sigsBefore >= 3, s"expected >= 3 sig files pre-compaction, got $sigsBefore")
+    val batch3 = Seq(
+      2L -> variant("a", a, Seq(25)), // near-dup of batch-1 doc 1
+      5L -> words("q", 50).mkString(" "))
+    val pre = collectRows(Dedup.minhashIncrementalAgainstIndex(
+      batch3.toDF("doc_id", "text"), "g_mhidx_spec_cpt", "doc_id", "text"))
+    Dedup.compactMinhashIndex(spark, "g_mhidx_spec_cpt")
+    for (tbl <- Seq("g_mhidx_spec_cpt_sigs", "g_mhidx_spec_cpt_buckets")) {
+      val files = partFiles(tbl)
+      assert(files.size <= 4, // numBuckets = 4; empty buckets write no file
+        s"$tbl should hold at most one file per bucket post-compaction, " +
+          s"got ${files.size}")
+      assert(graft.sources.Generations.location(spark, tbl).endsWith("__g1"))
+      // the swap preserves the bucket spec — the probe's exchange-free
+      // history side survives compaction like it survives appends
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      assert(meta.bucketSpec.exists(_.numBuckets == 4))
+    }
+    val post = collectRows(Dedup.minhashIncrementalAgainstIndex(
+      batch3.toDF("doc_id", "text"), "g_mhidx_spec_cpt", "doc_id", "text"))
+    assert(post == pre && post.head == (2L, "dup_history", 1L))
+    // and the compacted index still grows: ingest after compaction
+    val r3 = collectRows(Dedup.ingestAgainstIndex(
+      batch3.toDF("doc_id", "text"), "g_mhidx_spec_cpt", "doc_id", "text"))
+    assert(r3 == pre)
+  }
+
   test("plan pin: no exchange carries full-history index rows — every " +
       "shuffle above an index scan sits above the broadcast join") {
     val history = (0L until 50L).map(i => i -> s"hist doc $i xxxxx")
