@@ -892,16 +892,33 @@ object Queries {
     * join (764 s at 100k×100k, SCALE.md) is the spec-only cross-check
     * baseline. Rows whose every term is df-capped/OOV fall back to alias
     * 0, the reference's all-OOV fallback semantics. */
+  /** The BLS dictionary prepared ONCE per session for the distributed
+    * similarity joins (q46/q49) — the dictionary side is static, so its
+    * tokenize → df/idf → weight derivation is a serving-time constant
+    * that should never be paid per retrieval batch (the q154/q155
+    * persisted-index economics, applied to the dictionary family; ~1 s
+    * of each bench entry before this). */
+  private val preparedDictCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      SimilarityJoin.PreparedRight]()
+  private def preparedDict(spark: SparkSession): SimilarityJoin.PreparedRight =
+    preparedDictCache.computeIfAbsent(spark, { s =>
+      import s.implicits._
+      SimilarityJoin.prepareRight(
+        graft.dict.TitleDictionary.corpus.zipWithIndex
+          .map { case (alias, i) => (i.toLong, alias) }.toSeq
+          .toDF("alias_id", "alias"),
+        "alias_id", "alias")
+    })
+
   def similarityJoinGeneric(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, sfDir, "documents")
       .withColumn("title", substring($"text", 1, 40))
       .select($"doc_id", $"title")
-    val corpusDf = graft.dict.TitleDictionary.corpus.zipWithIndex
-      .map { case (alias, i) => (i.toLong, alias) }.toSeq
-      .toDF("alias_id", "alias")
     val matched = SimilarityJoin.topKAgainst(
-        docs, "doc_id", "title", corpusDf, "alias_id", "alias", k = 1, maxDf = 50)
+        docs, "doc_id", "title", preparedDict(spark), "alias_id",
+        k = 1, maxDf = 50)
     docs.select($"doc_id").join(matched, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"rnk", lit(1)).as("rnk"),
@@ -917,11 +934,9 @@ object Queries {
     val docs = Tables(spark, sfDir, "documents")
       .withColumn("title", substring($"text", 1, 40))
       .select($"doc_id", $"title")
-    val corpusDf = graft.dict.TitleDictionary.corpus.zipWithIndex
-      .map { case (alias, i) => (i.toLong, alias) }.toSeq
-      .toDF("alias_id", "alias")
     SimilarityJoin.thresholdJoin(
-        docs, "doc_id", "title", corpusDf, "alias_id", "alias", k = 1, minScore = 0.3)
+        docs, "doc_id", "title", preparedDict(spark), "alias_id",
+        k = 1, minScore = 0.3, maxDf = 0.05)
       .select($"doc_id", $"rnk", $"alias_id")
       .orderBy($"doc_id")
   }

@@ -426,10 +426,16 @@ object Bm25 {
     *       get θ = -∞ (no pruning) — degenerate cases stay exact.
     *   `prune = false` keeps the straight scan-score-sort path (q166
     *   pins it against the same oracle as the pruned default). */
+  /** @param pruneMinPostings the WAND floor pass is itself two bounded
+    *   Spark jobs; below this many matching postings (Σ df of the kept
+    *   terms — known driver-side for free) the straight scan wins, so
+    *   the probe falls back to it. Purely a cost switch between two
+    *   paths that rank identically (q155/q166 share one oracle). */
   def topKAgainstIndex(queries: DataFrame, table: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       maxDf: Long = Long.MaxValue,
-      prune: Boolean = true, floorTermsPerQuery: Int = 2): DataFrame = {
+      prune: Boolean = true, floorTermsPerQuery: Int = 2,
+      pruneMinPostings: Long = 2000000L): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(floorTermsPerQuery >= 1,
       s"need floorTermsPerQuery >= 1, got $floorTermsPerQuery")
@@ -494,7 +500,7 @@ object Bm25 {
         .map { case (t, df, mtf, mdl) => (t, df, ubE4(df, mtf, mdl)) })
       .toDF("term", "df", "ub_e4")
     val totals = spark.table(s"${table}_bounds").select($"n", $"sumdl")
-    if (!prune)
+    if (!prune || kept.map(_._2).sum < pruneMinPostings)
       return scoreAndRank(qStaged, postings, dfs, totals, k, k1, b)
 
     // ---- FLOOR pass: exact partial scores over each query's rarest

@@ -159,36 +159,75 @@ object SimilarityJoin {
     *
     * @return (leftId, rnk, rightId, score)
     */
-  def topKAgainst(
-      left: DataFrame, leftId: String, leftText: String,
-      right: DataFrame, rightId: String, rightText: String,
-      k: Int = 1, maxDf: Double = 1000.0): DataFrame = {
-    val spark = left.sparkSession
+  /** The derived RIGHT side of the distributed similarity joins — the
+    * tokenize → df/idf → weight pipeline over the (usually static)
+    * dictionary frame, materialized once and reusable across retrieval
+    * batches. The dictionary twin of the persisted-index serving story
+    * (q154/q155): per-call cost should scale with the BATCH, and
+    * re-deriving a static 30k-alias dictionary per call was the dominant
+    * per-call constant of q46/q49 (~1 s of the ~2.5 s bench entry).
+    * Obtain via [[prepareRight]]; pass to [[topKAgainst]] /
+    * [[thresholdJoin]] overloads. Holds cached frames — contents are
+    * frozen at preparation; re-prepare if the right side's data changes.
+    */
+  final case class PreparedRight private[operators] (
+      numDocs: Long,
+      idf: DataFrame,      // (term, df, idf), cached
+      rWeights: DataFrame) // (term, df, rid, dw), cached
+
+  /** Tokenize/weight an arbitrary right side ONCE (see [[PreparedRight]]).
+    * Identical derivation to the inline path — scores are bit-equal
+    * (`SimilarityJoinSpec` pins the prepared overloads row-for-row). */
+  def prepareRight(right: DataFrame, rightId: String,
+      rightText: String): PreparedRight = {
+    val spark = right.sparkSession
     import spark.implicits._
     val tokensUdf = udf((s: String) =>
       if (s == null) Array.empty[String] else Tokenize.tokenizeAndStem(s))
-
-    // Tokenized right side is cached FIRST; the numDocs scalar (idf
+    // tokenized right side cached FIRST; the numDocs scalar (idf
     // denominator — counts every right row, empty-token docs included)
-    // comes from materializing that cache, not from a separate scan of
-    // the raw right table.
+    // comes from materializing that cache, not a separate raw-table scan
     val rTok = right
       .select(col(rightId).as("rid"), tokensUdf(col(rightText)).as("toks"))
       .withColumn("len", size($"toks"))
       .cache()
     val numDocs = rTok.count()
-
-    // term counts per right doc → df → idf; weights w = (cnt/len)·idf.
-    // Cached: consumed twice (df/idf aggregation and the weight join).
     val rTerms = rTok
       .select($"rid", $"len", explode($"toks").as("term"))
       .groupBy($"rid", $"len", $"term").agg(count(lit(1)).as("cnt"))
-      .cache()
     val idf = rTerms.groupBy($"term")
       .agg(count(lit(1)).as("df"))
       .withColumn("idf", log(lit(numDocs.toDouble) / $"df"))
+      .cache()
     val rWeights = rTerms.join(idf, "term")
       .withColumn("dw", ($"cnt".cast("double") / $"len") * $"idf")
+      .select($"term", $"df", $"rid", $"dw")
+      .cache()
+    rWeights.count() // materialize both caches; the tokenize pass ran once
+    rTok.unpersist()
+    PreparedRight(numDocs, idf, rWeights)
+  }
+
+  def topKAgainst(
+      left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      k: Int = 1, maxDf: Double = 1000.0): DataFrame =
+    topKAgainst(left, leftId, leftText,
+      prepareRight(right, rightId, rightText), rightId, k, maxDf)
+
+  /** [[topKAgainst]] over a [[PreparedRight]] — identical plan tail,
+    * zero right-side derivation cost per call. */
+  def topKAgainst(
+      left: DataFrame, leftId: String, leftText: String,
+      prepared: PreparedRight, rightId: String,
+      k: Int, maxDf: Double): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val tokensUdf = udf((s: String) =>
+      if (s == null) Array.empty[String] else Tokenize.tokenizeAndStem(s))
+    val numDocs = prepared.numDocs
+    val idf = prepared.idf
+    val rWeights = prepared.rWeights
     val rNorms = rWeights.groupBy($"rid")
       .agg(sum(($"dw" * $"dw" * lit(1e9) + lit(0.5)).cast("long")).as("dn2_e9"))
       .select($"rid", sqrt($"dn2_e9".cast("double") / lit(1e9)).as("doc_norm"))
@@ -282,33 +321,23 @@ object SimilarityJoin {
   def thresholdJoin(
       left: DataFrame, leftId: String, leftText: String,
       right: DataFrame, rightId: String, rightText: String,
-      k: Int, minScore: Double, maxDf: Double = 0.05): DataFrame = {
+      k: Int, minScore: Double, maxDf: Double = 0.05): DataFrame =
+    thresholdJoin(left, leftId, leftText,
+      prepareRight(right, rightId, rightText), rightId, k, minScore, maxDf)
+
+  /** [[thresholdJoin]] over a [[PreparedRight]] — identical plan tail,
+    * zero right-side derivation cost per call. */
+  def thresholdJoin(
+      left: DataFrame, leftId: String, leftText: String,
+      prepared: PreparedRight, rightId: String,
+      k: Int, minScore: Double, maxDf: Double): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
     val tokensUdf = udf((s: String) =>
       if (s == null) Array.empty[String] else Tokenize.tokenizeAndStem(s))
-
-    // Cache the tokenized right side and take numDocs from ITS
-    // materialization (no separate raw-table scan). rTerms is consumed
-    // twice below (the idf aggregation and the weight join) — without
-    // this cache the tokenize+stem UDF, the dominant per-row cost, runs
-    // twice over the whole right side.
-    val rTok = right
-      .select(col(rightId).as("rid"), tokensUdf(col(rightText)).as("toks"))
-      .withColumn("len", size($"toks"))
-      .cache()
-    val numDocs = rTok.count()
-    val rTerms = rTok
-      .select($"rid", $"len", explode($"toks").as("term"))
-      .groupBy($"rid", $"len", $"term").agg(count(lit(1)).as("cnt"))
-    val idf = rTerms.groupBy($"term").agg(count(lit(1)).as("df"))
-      .withColumn("idf", log(lit(numDocs.toDouble) / $"df"))
-    // (term, rid, dw, df): consumed by norms, candidate postings AND the
-    // scoring join — cached so the tokenize+agg pipeline runs once.
-    val rWeights = rTerms.join(idf, "term")
-      .withColumn("dw", ($"cnt".cast("double") / $"len") * $"idf")
-      .select($"term", $"df", $"rid", $"dw")
-      .cache()
+    val numDocs = prepared.numDocs
+    val idf = prepared.idf
+    val rWeights = prepared.rWeights
     // candidate-generation postings exclude ultra-common terms (they still
     // participate in exact scoring through the rWeights join below)
     val dfCap = if (maxDf <= 1.0) math.max(1.0, maxDf * numDocs) else maxDf

@@ -439,6 +439,124 @@ object ScaleSmoke {
       spark.stop(); return
     }
 
+    // SCALE_ONLY_R13 — the round-13 maintenance shapes
+    // (SCALE_R13_CASE=mhcompact|ivfcompact):
+    //   mhcompact  — the layout-decay story the MinHash compaction
+    //                exists for: build the index on 90% of the corpus,
+    //                grow it with EIGHT 1% ingest batches (one file-set
+    //                per bucket per append), measure a fixed batch's
+    //                probe before vs after compactMinhashIndex, with
+    //                file counts — classification must be byte-equal.
+    //   ivfcompact — same story for the IVF index over synthetic
+    //                vectors: build 80%, append 10 × 2% batches, probe
+    //                1000 queries before vs after compactIvfIndex; then
+    //                ivfCellStats + rebuildIvfIndex timings.
+    if (sys.env.contains("SCALE_ONLY_R13")) {
+      val r13Case = sys.env.getOrElse("SCALE_R13_CASE", "")
+      def wants(c: String) = r13Case.isEmpty || r13Case == c
+      def partFiles(table: String): Int = {
+        val loc = graft.sources.Generations.location(spark, table)
+        val p = new org.apache.hadoop.fs.Path(loc)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val it = fs.listFiles(p, true)
+        var n = 0
+        while (it.hasNext) { if (it.next().getPath.getName.startsWith("part-")) n += 1 }
+        n
+      }
+      if (wants("mhcompact")) {
+        docs.unpersist(true)
+        val m = pmod($"id", lit(100L))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_mhcpt_smoke").toString
+        time(s"minhash index BUILD (90% of $nDocs docs)") {
+          Dedup.writeMinhashIndex(docs.filter(m >= 10L), "id", "text",
+            "g_mhcpt_smoke", s"$dir/idx", numBuckets = 64)
+        }
+        time(s"8 ingest batches (1% of $nDocs each)") {
+          (0L until 8L).foreach { b =>
+            Dedup.ingestAgainstIndex(docs.filter(m === b), "g_mhcpt_smoke",
+              "id", "text").count()
+          }
+        }
+        println(s"  files: sigs=${partFiles("g_mhcpt_smoke_sigs")} " +
+          s"buckets=${partFiles("g_mhcpt_smoke_buckets")} (64 buckets)")
+        val probe = docs.filter(m === 8L)
+        val pre = time(s"probe (1% batch) against the 9-generation index") {
+          graft.operators.Dedup.minhashIncrementalAgainstIndex(
+              probe, "g_mhcpt_smoke", "id", "text")
+            .agg(count(lit(1)), sum($"n_hist_dups"),
+              sum(xxhash64($"doc_id", $"status"))).collect()(0)
+        }
+        time(s"compactMinhashIndex ($nDocs-doc index)") {
+          Dedup.compactMinhashIndex(spark, "g_mhcpt_smoke")
+        }
+        println(s"  files: sigs=${partFiles("g_mhcpt_smoke_sigs")} " +
+          s"buckets=${partFiles("g_mhcpt_smoke_buckets")}")
+        val post = time("probe (same batch) against the compacted index") {
+          graft.operators.Dedup.minhashIncrementalAgainstIndex(
+              probe, "g_mhcpt_smoke", "id", "text")
+            .agg(count(lit(1)), sum($"n_hist_dups"),
+              sum(xxhash64($"doc_id", $"status"))).collect()(0)
+        }
+        assert(pre == post, s"compaction changed classification: $pre vs $post")
+        println(s"  checksums equal: $post")
+      }
+      if (wants("ivfcompact")) {
+        docs.unpersist(true)
+        // synthetic 16-dim vectors, hash-derived — 8 soft clusters
+        def comp(i: Int) = (pmod(xxhash64($"id", lit(i)), lit(1000L))
+          .cast("double") / 1000.0 +
+          when(pmod($"id", lit(8L)) === (i % 8).toLong, 3.0).otherwise(0.0))
+          .cast("float")
+        val vecs = spark.range(nVecs.toLong)
+          .select($"id", array((0 until 16).map(comp): _*).as("v"))
+        val m = pmod($"id", lit(100L))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ivfcpt_smoke").toString
+        time(s"ivf index BUILD (80% of $nVecs vectors)") {
+          Knn.writeIvfIndex(vecs.filter(m < 80L), "id", "v",
+            "g_ivfcpt_smoke", s"$dir/idx", nCells = 64)
+        }
+        time(s"10 appends (2% of $nVecs each)") {
+          (0L until 10L).foreach { b =>
+            Knn.appendToIvfIndex(vecs.filter(m === 80L + 2L * b || m === 81L + 2L * b),
+              "id", "v", "g_ivfcpt_smoke")
+          }
+        }
+        println(s"  files: cells=${partFiles("g_ivfcpt_smoke_cells")} (64 cells)")
+        val queries = vecs.filter($"id" < 1000L).localCheckpoint(true)
+        val pre = time("probe (1000 queries) against the 11-generation index") {
+          Knn.ivfTopKAgainstIndex(queries, "g_ivfcpt_smoke", "id", "v", k = 10)
+            .agg(count(lit(1)), sum($"nid"),
+              sum(round($"score" * 1e6))).collect()(0)
+        }
+        time(s"compactIvfIndex ($nVecs-vector index)") {
+          Knn.compactIvfIndex(spark, "g_ivfcpt_smoke")
+        }
+        println(s"  files: cells=${partFiles("g_ivfcpt_smoke_cells")}")
+        val post = time("probe (same queries) against the compacted index") {
+          Knn.ivfTopKAgainstIndex(queries, "g_ivfcpt_smoke", "id", "v", k = 10)
+            .agg(count(lit(1)), sum($"nid"),
+              sum(round($"score" * 1e6))).collect()(0)
+        }
+        assert(pre == post, s"compaction changed the ranking: $pre vs $post")
+        println(s"  checksums equal: $post")
+        val stats = Knn.ivfCellStats(spark, "g_ivfcpt_smoke")
+          .agg(max($"occupancy_ratio"), min($"occupancy_ratio")).collect()(0)
+        println(f"  cell occupancy max/min ratio: ${stats.getDouble(0)}%.2f/" +
+          f"${stats.getDouble(1)}%.2f")
+        time(s"rebuildIvfIndex ($nVecs vectors, retrain + swap)") {
+          Knn.rebuildIvfIndex(spark, "g_ivfcpt_smoke", nCells = 64)
+        }
+        val post2 = time("probe (same queries) against the rebuilt index") {
+          Knn.ivfTopKAgainstIndex(queries, "g_ivfcpt_smoke", "id", "v", k = 10)
+            .agg(count(lit(1))).collect()(0)
+        }
+        println(s"  probe rows after rebuild: ${post2.getLong(0)}")
+      }
+      spark.stop(); return
+    }
+
     // SCALE_ONLY_THIRD — the third decade (run with nDocs = 100000000,
     // SPARK_DRIVER_MEM=100g): the two headline dedup operators at 100M
     // docs, then the Bloom decontamination CAP regime with PLANTED

@@ -134,7 +134,8 @@ class Bm25IndexSpec extends AnyFunSuite {
       :+ (22L -> "zzz-oov")).distinct    // no postings at all
       .toDF("qid", "term")
     for (k <- Seq(1, 3, 10)) {
-      val pruned = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_wand", k = k))
+      val pruned = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_wand",
+        k = k, pruneMinPostings = 0L))
       val exact = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_wand",
         k = k, prune = false))
       assert(pruned == exact, s"WAND prune lost rows at k=$k")
@@ -143,7 +144,8 @@ class Bm25IndexSpec extends AnyFunSuite {
     // bounds stay valid across an append (df sums, max_tf/min_dl merge)
     Bm25.appendToIndex(docs.filter(_._1 % 2 == 1).toDF("doc_id", "text"),
       "doc_id", "text", "g_bm25_spec_wand")
-    val pruned = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_wand", k = 4))
+    val pruned = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_wand",
+      k = 4, pruneMinPostings = 0L))
     assert(pruned == rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_wand",
       k = 4, prune = false)))
     // and both equal the batch shape over the full corpus
