@@ -485,7 +485,8 @@ object ScaleSmoke {
           graft.operators.Dedup.minhashIncrementalAgainstIndex(
               probe, "g_mhcpt_smoke", "id", "text")
             .agg(count(lit(1)), sum($"n_hist_dups"),
-              sum(xxhash64($"doc_id", $"status"))).collect()(0)
+              sum(pmod(xxhash64($"doc_id", $"status"), lit(1000000007L))))
+            .collect()(0)
         }
         time(s"compactMinhashIndex ($nDocs-doc index)") {
           Dedup.compactMinhashIndex(spark, "g_mhcpt_smoke")
@@ -496,7 +497,8 @@ object ScaleSmoke {
           graft.operators.Dedup.minhashIncrementalAgainstIndex(
               probe, "g_mhcpt_smoke", "id", "text")
             .agg(count(lit(1)), sum($"n_hist_dups"),
-              sum(xxhash64($"doc_id", $"status"))).collect()(0)
+              sum(pmod(xxhash64($"doc_id", $"status"), lit(1000000007L))))
+            .collect()(0)
         }
         assert(pre == post, s"compaction changed classification: $pre vs $post")
         println(s"  checksums equal: $post")
