@@ -94,9 +94,21 @@ object Bm25 {
     *                (one retrieval batch; broadcast twice)
     * @return (qid, rank 1..k, doc_id, score_e4) for docs sharing ≥ 1
     *         term with the query */
+  /** @param prune the same lossless WAND/maxscore bound the serving
+    *   index runs (see [[topKAgainstIndex]]): per-term (max_tf, min_dl)
+    *   come from the staged query-pruned postings for free, the floor
+    *   pass re-reads that staged frame, and (qid, doc) groups that
+    *   cannot reach the per-query top-k floor never enter the sort.
+    *   Below `pruneMinPostings` matching postings the straight path
+    *   wins and runs instead. At 100M the aggregation+sort is most of
+    *   the batch shape's cost — the bound cuts it without losing a row
+    *   (the 100M smoke's checksum equality pins it at scale;
+    *   `Bm25Spec` pins pruned == unpruned at spec scale). */
   def topK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      prune: Boolean = true, floorTermsPerQuery: Int = 2,
+      pruneMinPostings: Long = 2000000L): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -126,10 +138,92 @@ object Bm25 {
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"), max($"dl").as("dl")))
 
-    // df over the pruned postings equals corpus df for every query term
-    val dfs = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    // per-term stats over the staged pruned postings (df equals corpus
+    // df for every query term) — a bounded collect (≤ batch terms) that
+    // also drives the WAND bounds
+    val stats = postings.groupBy($"term")
+      .agg(count(lit(1)).as("df"), max($"tf").as("max_tf"),
+        min($"dl").as("min_dl"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
 
-    scoreAndRank(qStaged, postings, dfs, totals, k, k1, b)
+    if (!prune || stats.map(_._2).sum < pruneMinPostings) {
+      val dfs = spark.createDataFrame(
+        stats.toSeq.map { case (t, df, _, _) => (t, df) }).toDF("term", "df")
+      return scoreAndRank(qStaged, postings, dfs, totals, k, k1, b)
+    }
+    // the totals collect is the same 1-row aggregate job the unpruned
+    // plan runs inside its broadcast — moved earlier, not added
+    val tot = totals.collect()(0)
+    wandScoreAndRank(qStaged, qStaged.collect()
+        .map(r => (r.getLong(0), r.getString(1))),
+      stats, tot.getLong(0), tot.getLong(1), postings,
+      terms => postings.filter($"term".isin(terms: _*)),
+      k, k1, b, floorTermsPerQuery)
+  }
+
+  /** The shared WAND/maxscore-bounded score-and-rank tail of [[topK]]
+    * and [[topKAgainstIndex]] — see topKAgainstIndex's scaladoc for the
+    * losslessness argument (floor θ from exact partial scores of the
+    * rarest terms; per-term ub evaluated at (max_tf, min_dl) through
+    * the same IEEE-monotone expression tree the executors run).
+    * `stats` must already be maxDf-filtered where that prune applies.
+    */
+  private def wandScoreAndRank(qStaged: DataFrame,
+      qPairs: Array[(Long, String)],
+      stats: Array[(String, Long, Long, Long)],
+      n: Long, sumdl: Long,
+      postings: DataFrame,
+      floorPostingsOf: Seq[String] => DataFrame,
+      k: Int, k1: Double, b: Double, floorTermsPerQuery: Int): DataFrame = {
+    val spark = qStaged.sparkSession
+    import spark.implicits._
+    val avgdl = sumdl.toDouble / n.toDouble
+    def ubE4(df: Long, maxTf: Long, minDl: Long): Long = {
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val tfp = (maxTf * (k1 + 1.0)) /
+        (maxTf + k1 * (1.0 - b + b * (minDl / avgdl)))
+      math.round(idf * tfp * 1e4)
+    }
+    val dfs = spark.createDataFrame(stats.toSeq
+        .map { case (t, df, mtf, mdl) => (t, df, ubE4(df, mtf, mdl)) })
+      .toDF("term", "df", "ub_e4")
+    val totals = Seq((n, sumdl)).toDF("n", "sumdl")
+    val keptSet = stats.map(_._1).toSet
+    val dfOf = stats.map(t => (t._1, t._2)).toMap
+    // FLOOR pass: exact partial scores over each query's rarest kept
+    // terms; rank-k row per qid = θ
+    val floorPairs = qPairs.filter(p => keptSet(p._2)).groupBy(_._1).toSeq
+      .flatMap { case (qid, ps) =>
+        ps.map(_._2).distinct.sortBy(t => (dfOf(t), t))
+          .take(floorTermsPerQuery).map(t => (qid, t))
+      }
+    val wTop = Window.partitionBy($"qid")
+      .orderBy($"score_e4".desc, $"doc_id".asc)
+    val thetas = broadcast(
+      spark.createDataFrame(floorPairs).toDF("qid", "term")
+        .join(floorPostingsOf(floorPairs.map(_._2).distinct), Seq("term"))
+        .join(broadcast(dfs.select($"term", $"df")), Seq("term"))
+        .crossJoin(broadcast(totals))
+        .select($"qid", $"doc_id", contributionE4(k1, b).as("c_e4"))
+        .groupBy($"qid", $"doc_id").agg(sum($"c_e4").as("score_e4"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter($"rank" === k)
+        .select($"qid", $"score_e4".as("theta")))
+    // BOUNDED main pass: the bound sum rides the score aggregation;
+    // groups that cannot reach θ never enter the top-k sort
+    broadcast(qStaged)
+      .join(postings, Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .select($"qid", $"doc_id", contributionE4(k1, b).as("c_e4"), $"ub_e4")
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"c_e4").as("score_e4"), sum($"ub_e4").as("ub_sum_e4"))
+      .join(thetas, Seq("qid"), "left")
+      .filter($"ub_sum_e4" >= coalesce($"theta", lit(Long.MinValue)))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter($"rank" <= k)
+      .select($"qid", $"rank", $"doc_id", $"score_e4")
   }
 
   /** Materialize the BM25 posting index ONCE — the serving shape for
@@ -470,17 +564,6 @@ object Bm25 {
         s"${termStats.length - kept.length} of ${termStats.length} query terms " +
         s"with df > $maxDf — scores exclude these common terms (lossy " +
         "stopword prune; raise maxDf for exact ranking)")
-    // per-term upper bound: the SAME double expression tree the
-    // executors evaluate ([[contributionE4]]), driver-evaluated at
-    // (max_tf, min_dl) — every op (div, mul, add, log, round) is
-    // IEEE-monotone, so ub_e4 >= c_e4 for every posting of the term
-    val avgdl = sumdl.toDouble / n.toDouble
-    def ubE4(df: Long, maxTf: Long, minDl: Long): Long = {
-      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-      val tfp = (maxTf * (k1 + 1.0)) /
-        (maxTf + k1 * (1.0 - b + b * (minDl / avgdl)))
-      math.round(idf * tfp * 1e4)
-    }
     def dirPrunedPostings(terms: Seq[String]): DataFrame =
       // dir pruning happens at PLANNING (tb is the partition column —
       // only the directories the terms hash into are listed/read); the
@@ -496,50 +579,17 @@ object Bm25 {
         .repartition(spark.sessionState.conf.numShufflePartitions)
     val keptTerms = kept.map(_._1).toSeq
     val postings = dirPrunedPostings(keptTerms)
-    val dfs = spark.createDataFrame(kept.toSeq
-        .map { case (t, df, mtf, mdl) => (t, df, ubE4(df, mtf, mdl)) })
-      .toDF("term", "df", "ub_e4")
-    val totals = spark.table(s"${table}_bounds").select($"n", $"sumdl")
-    if (!prune || kept.map(_._2).sum < pruneMinPostings)
+    if (!prune || kept.map(_._2).sum < pruneMinPostings) {
+      val dfs = spark.createDataFrame(kept.toSeq
+          .map { case (t, df, _, _) => (t, df) }).toDF("term", "df")
+      val totals = spark.table(s"${table}_bounds").select($"n", $"sumdl")
       return scoreAndRank(qStaged, postings, dfs, totals, k, k1, b)
-
-    // ---- FLOOR pass: exact partial scores over each query's rarest
-    // kept terms (bounded, dir-pruned lists); rank-k row per qid = θ
-    val keptSet = keptTerms.toSet
-    val dfOf = kept.map(t => (t._1, t._2)).toMap
-    val floorPairs = qPairs.filter(p => keptSet(p._2)).groupBy(_._1).toSeq
-      .flatMap { case (qid, ps) =>
-        ps.map(_._2).distinct.sortBy(t => (dfOf(t), t))
-          .take(floorTermsPerQuery).map(t => (qid, t))
-      }
-    val floorTerms = floorPairs.map(_._2).distinct
-    val wTop = Window.partitionBy($"qid")
-      .orderBy($"score_e4".desc, $"doc_id".asc)
-    val thetas = broadcast(
-      spark.createDataFrame(floorPairs).toDF("qid", "term")
-        .join(dirPrunedPostings(floorTerms), Seq("term"))
-        .join(broadcast(dfs.select($"term", $"df")), Seq("term"))
-        .crossJoin(broadcast(totals))
-        .select($"qid", $"doc_id", contributionE4(k1, b).as("c_e4"))
-        .groupBy($"qid", $"doc_id").agg(sum($"c_e4").as("score_e4"))
-        .withColumn("rank", row_number().over(wTop))
-        .filter($"rank" === k)
-        .select($"qid", $"score_e4".as("theta")))
-
-    // ---- BOUNDED main pass: the bound sum rides the score aggregation;
-    // groups that cannot reach θ never enter the top-k sort
-    val scores = broadcast(qStaged)
-      .join(postings, Seq("term"))
-      .join(broadcast(dfs), Seq("term"))
-      .crossJoin(broadcast(totals))
-      .select($"qid", $"doc_id", contributionE4(k1, b).as("c_e4"), $"ub_e4")
-      .groupBy($"qid", $"doc_id")
-      .agg(sum($"c_e4").as("score_e4"), sum($"ub_e4").as("ub_sum_e4"))
-      .join(thetas, Seq("qid"), "left")
-      .filter($"ub_sum_e4" >= coalesce($"theta", lit(Long.MinValue)))
-    scores
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter($"rank" <= k)
-      .select($"qid", $"rank", $"doc_id", $"score_e4")
+    }
+    // floor lists ride their own dir-pruned scan (fewer directories
+    // than the full kept set); per-term ub evaluated driver-side inside
+    // the shared tail — every op in the tree is IEEE-monotone, so
+    // ub_e4 >= c_e4 for every posting of the term
+    wandScoreAndRank(qStaged, qPairs, kept, n, sumdl, postings,
+      dirPrunedPostings, k, k1, b, floorTermsPerQuery)
   }
 }

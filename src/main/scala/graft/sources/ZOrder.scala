@@ -37,7 +37,16 @@ object ZOrder {
   /** Inverse of [[interleave]]: recover dim `i` of `n` from a Morton
     * code (bit b of the result comes from z-bit b*n + i). Useful for
     * debugging curve layouts and for planning range scans over a
-    * z-clustered lake without the original columns. */
+    * z-clustered lake without the original columns.
+    *
+    * Pass `z` as a MATERIALIZED column (a stored/checkpointed column —
+    * a mere projection is re-inlined by CollapseProject), not an inline
+    * [[interleave]] expression: Catalyst inlines the whole n·bits-term
+    * OR tree into every recovered bit, and recovering all dims of an
+    * inline code generates ~15k lines — past janino's method limit, so
+    * whole-stage codegen falls back to interpreted for the stage
+    * (correct but slow; was the one CodeGenerator ERROR in the r12
+    * suite log). */
   def deinterleave(z: Column, i: Int, n: Int, bits: Int): Column = {
     val pieces = for (b <- 0 until bits)
       yield shiftleft(shiftright(z, b * n + i).bitwiseAND(lit(1L)), b)

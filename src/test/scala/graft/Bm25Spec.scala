@@ -105,6 +105,29 @@ class Bm25Spec extends AnyFunSuite {
     assert(run(docs, queries, 10, nPart = 13) == base)
   }
 
+  test("batch-shape WAND prune == unpruned path row-for-row (forced via " +
+      "pruneMinPostings = 0) on the skewed multi-slice corpus") {
+    val docs = (0L until 300L).map { i =>
+      val ws = Seq.fill((i % 7 + 1).toInt)(s"w${i % 11}") ++
+        Seq.fill((i % 3 + 1).toInt)("common") :+ s"rare$i"
+      i -> ws.mkString(" ")
+    }
+    val queries = Seq(1L -> "common", 1L -> "w3", 2L -> "w7", 2L -> "rare42",
+      3L -> "common", 4L -> "zebra")
+    def go(pruned: Boolean, k: Int) =
+      Bm25.topK(docs.toDF("doc_id", "text"), "doc_id", "text",
+          queries.toDF("qid", "term"), k,
+          prune = pruned, pruneMinPostings = 0L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(r => (r._1, r._2)).toSeq
+    for (k <- Seq(1, 5, 20)) {
+      val p = go(pruned = true, k)
+      assert(p == go(pruned = false, k), s"batch WAND lost rows at k=$k")
+      assert(p.nonEmpty)
+    }
+  }
+
   test("tie-break: equal scores rank by doc_id ascending") {
     // two identical docs -> identical scores for the same query term
     val docs = Seq(1L -> "x y", 2L -> "x y", 3L -> "z")

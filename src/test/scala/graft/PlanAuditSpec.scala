@@ -42,7 +42,9 @@ class PlanAuditSpec extends AnyFunSuite {
                               // aggregated — identical shape to q152
       "q159_bm25_index_append", // q155's probe verbatim over the grown
                                 // index — same 1-row bounds broadcast
-      "q161_bm25_index_compact") // same probe over the compacted index
+      "q161_bm25_index_compact", // same probe over the compacted index
+      "q166_bm25_index_exactscan") // q155's probe with prune=false —
+                                   // same 1-row bounds broadcast
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =

@@ -33,14 +33,24 @@ class ZOrderSpec extends AnyFunSuite {
       pmod(xxhash64($"id"), lit(65536L)).as("x"),
       pmod(xxhash64($"id", lit(1)), lit(65536L)).as("y"),
       pmod(xxhash64($"id", lit(2)), lit(65536L)).as("w"))
-    val z2 = sources.ZOrder.interleave(Seq($"x", $"y"), 16)
-    val z3 = sources.ZOrder.interleave(Seq($"x", $"y", $"w"), 16)
-    val bad = df.select(
-      ($"x" === sources.ZOrder.deinterleave(z2, 0, 2, 16)).as("x2"),
-      ($"y" === sources.ZOrder.deinterleave(z2, 1, 2, 16)).as("y2"),
-      ($"x" === sources.ZOrder.deinterleave(z3, 0, 3, 16)).as("x3"),
-      ($"y" === sources.ZOrder.deinterleave(z3, 1, 3, 16)).as("y3"),
-      ($"w" === sources.ZOrder.deinterleave(z3, 2, 3, 16)).as("w3"))
+    // MATERIALIZE the z codes first (a projection is not enough —
+    // CollapseProject re-inlines it): composing deinterleave over an
+    // inline interleave expression duplicates the whole 48-term OR tree
+    // into each of the 80 recovered bits (~15k generated lines — past
+    // janino's method limit; this test was the one CodeGenerator ERROR
+    // in the r12 suite log; Spark fell back to interpreted and the test
+    // still passed). A stored z column is also how any real reader
+    // holds a Morton code — never a re-derivation.
+    val withZ = df.withColumn("z2",
+        sources.ZOrder.interleave(Seq($"x", $"y"), 16))
+      .withColumn("z3", sources.ZOrder.interleave(Seq($"x", $"y", $"w"), 16))
+      .localCheckpoint(true)
+    val bad = withZ.select(
+      ($"x" === sources.ZOrder.deinterleave($"z2", 0, 2, 16)).as("x2"),
+      ($"y" === sources.ZOrder.deinterleave($"z2", 1, 2, 16)).as("y2"),
+      ($"x" === sources.ZOrder.deinterleave($"z3", 0, 3, 16)).as("x3"),
+      ($"y" === sources.ZOrder.deinterleave($"z3", 1, 3, 16)).as("y3"),
+      ($"w" === sources.ZOrder.deinterleave($"z3", 2, 3, 16)).as("w3"))
       .filter(!$"x2" || !$"y2" || !$"x3" || !$"y3" || !$"w3")
     assert(bad.count() == 0)
   }
