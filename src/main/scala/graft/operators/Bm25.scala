@@ -108,7 +108,8 @@ object Bm25 {
       queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       prune: Boolean = true, floorTermsPerQuery: Int = 2,
-      pruneMinPostings: Long = 2000000L): DataFrame = {
+      pruneMinPostings: Long = 2000000L,
+      semiJoinMinPrunable: Long = 50000000L): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -159,7 +160,7 @@ object Bm25 {
         .map(r => (r.getLong(0), r.getString(1))),
       stats, tot.getLong(0), tot.getLong(1), postings,
       terms => postings.filter($"term".isin(terms: _*)),
-      k, k1, b, floorTermsPerQuery)
+      k, k1, b, floorTermsPerQuery, semiJoinMinPrunable)
   }
 
   /** The shared WAND/maxscore-bounded score-and-rank tail of [[topK]]
@@ -168,14 +169,34 @@ object Bm25 {
     * rarest terms; per-term ub evaluated at (max_tf, min_dl) through
     * the same IEEE-monotone expression tree the executors run).
     * `stats` must already be maxDf-filtered where that prune applies.
-    */
+    *
+    * Three pruning stages, each provably lossless:
+    *  1. FLOOR (eager, bounded): θ_q = k-th best exact partial score
+    *     over the query's `floorTermsPerQuery` rarest terms — collected
+    *     (≤ nQueries rows, the retrieval-batch contract).
+    *  2. ESSENTIAL-TERMS candidate semi-join (the maxscore split): per
+    *     query, the LONGEST ub-ascending suffix S with Σ_{t∈S} ub < θ_q
+    *     is non-essential — a doc matching ONLY S-terms scores
+    *     ≤ Σ ub < θ_q, strictly below k docs. Candidates therefore come
+    *     from the essential lists alone, and the main aggregation only
+    *     processes candidate-matched posting rows — this is what cuts
+    *     the AGGREGATION cost (the bound filter alone only starved the
+    *     sort). The semi-join's (qid, doc) exchange replaces the
+    *     aggregation exchange (same key — no extra big shuffle), so its
+    *     marginal cost is the essential lists' second read. Skipped
+    *     (logged) when the essential lists cover most matching postings
+    *     anyway — the semi-join would only add work.
+    *  3. BOUND filter after the aggregation: groups with Σ matched ub
+    *     < θ_q never enter the top-k sort (free — the sum rides the
+    *     aggregation; strictly tightens stage 2). */
   private def wandScoreAndRank(qStaged: DataFrame,
       qPairs: Array[(Long, String)],
       stats: Array[(String, Long, Long, Long)],
       n: Long, sumdl: Long,
       postings: DataFrame,
       floorPostingsOf: Seq[String] => DataFrame,
-      k: Int, k1: Double, b: Double, floorTermsPerQuery: Int): DataFrame = {
+      k: Int, k1: Double, b: Double, floorTermsPerQuery: Int,
+      semiJoinMinPrunable: Long): DataFrame = {
     val spark = qStaged.sparkSession
     import spark.implicits._
     val avgdl = sumdl.toDouble / n.toDouble
@@ -191,16 +212,20 @@ object Bm25 {
     val totals = Seq((n, sumdl)).toDF("n", "sumdl")
     val keptSet = stats.map(_._1).toSet
     val dfOf = stats.map(t => (t._1, t._2)).toMap
-    // FLOOR pass: exact partial scores over each query's rarest kept
-    // terms; rank-k row per qid = θ
-    val floorPairs = qPairs.filter(p => keptSet(p._2)).groupBy(_._1).toSeq
-      .flatMap { case (qid, ps) =>
-        ps.map(_._2).distinct.sortBy(t => (dfOf(t), t))
-          .take(floorTermsPerQuery).map(t => (qid, t))
-      }
+    val ubOf = stats.map(t => (t._1, ubE4(t._2, t._3, t._4))).toMap
+    val qKept = qPairs.filter(p => keptSet(p._2)).groupBy(_._1)
+      .map { case (qid, ps) => (qid, ps.map(_._2).distinct) }
+    // 1. FLOOR: exact partial scores over each query's rarest kept
+    // terms; the rank-k row per qid is θ — collected (bounded by the
+    // retrieval-batch contract) so stage 2's term split can happen
+    // driver-side
+    val floorPairs = qKept.toSeq.flatMap { case (qid, terms) =>
+      terms.sortBy(t => (dfOf(t), t)).take(floorTermsPerQuery)
+        .map(t => (qid, t))
+    }
     val wTop = Window.partitionBy($"qid")
       .orderBy($"score_e4".desc, $"doc_id".asc)
-    val thetas = broadcast(
+    val thetaMap: Map[Long, Long] =
       spark.createDataFrame(floorPairs).toDF("qid", "term")
         .join(floorPostingsOf(floorPairs.map(_._2).distinct), Seq("term"))
         .join(broadcast(dfs.select($"term", $"df")), Seq("term"))
@@ -209,14 +234,65 @@ object Bm25 {
         .groupBy($"qid", $"doc_id").agg(sum($"c_e4").as("score_e4"))
         .withColumn("rank", row_number().over(wTop))
         .filter($"rank" === k)
-        .select($"qid", $"score_e4".as("theta")))
-    // BOUNDED main pass: the bound sum rides the score aggregation;
-    // groups that cannot reach θ never enter the top-k sort
-    broadcast(qStaged)
+        .select($"qid", $"score_e4")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 2. ESSENTIAL split: drop the longest ub-ascending suffix whose
+    // bound sum stays under θ; a query with no floor (< k floor rows)
+    // keeps every term essential. E is never empty: θ is an ACHIEVED
+    // partial score, so Σ of ALL matched ubs ≥ θ and the full set never
+    // qualifies as a droppable suffix (guarded anyway).
+    val qEssential = qKept.toSeq.flatMap { case (qid, terms) =>
+      val essential = thetaMap.get(qid) match {
+        case None => terms
+        case Some(theta) =>
+          val byUbDesc = terms.sortBy(t => (-ubOf(t), t))
+          var acc = 0L
+          var cut = byUbDesc.length
+          while (cut > 1 && acc + ubOf(byUbDesc(cut - 1)) < theta) {
+            acc += ubOf(byUbDesc(cut - 1)); cut -= 1
+          }
+          byUbDesc.take(cut)
+      }
+      essential.map(t => (qid, t))
+    }
+    val essentialDf = qEssential.map(p => dfOf(p._2)).sum
+    val totalDf = qKept.toSeq.flatMap { case (_, ts) => ts.map(dfOf) }.sum
+    val thetas = broadcast(spark.createDataFrame(
+        thetaMap.toSeq).toDF("qid", "theta"))
+    val scoredRows = broadcast(qStaged)
       .join(postings, Seq("term"))
       .join(broadcast(dfs), Seq("term"))
       .crossJoin(broadcast(totals))
       .select($"qid", $"doc_id", contributionE4(k1, b).as("c_e4"), $"ub_e4")
+    // semi-join only when the prunable posting volume amortizes its
+    // fixed costs (re-reading the essential lists + the per-partition
+    // candidate hash map): at 10M docs the index probe LOST ~6 s to it
+    // while the aggregation it relieves was not yet spill-bound. Both
+    // gates are exact driver-side numbers, never estimates.
+    val prunable = totalDf - essentialDf
+    val bounded =
+      if (totalDf == 0L || prunable < semiJoinMinPrunable ||
+          essentialDf.toDouble / totalDf > 0.75) {
+        if (totalDf > 0L)
+          logger.info(s"bm25 wand: candidate semi-join skipped " +
+            s"(prunable postings $prunable below $semiJoinMinPrunable, " +
+            f"or essential lists cover ${essentialDf.toDouble / totalDf * 100}%.0f%% " +
+            "of matches) — the bound filter still applies")
+        scoredRows
+      } else {
+        val candidates = spark.createDataFrame(qEssential).toDF("qid", "term")
+          .join(floorPostingsOf(qEssential.map(_._2).distinct), Seq("term"))
+          .select($"qid", $"doc_id")
+        // shuffle_hash, not sort-merge: SMJ would SORT the full scored
+        // stream — the very cost the prune exists to avoid (measured:
+        // the unhinted plan gave the 10M index probe back its sort,
+        // 29.6 → 41.5 s); hashing the candidate side costs its
+        // partition-local map only, and the join's (qid, doc) exchange
+        // doubles as the aggregation exchange
+        scoredRows.join(candidates.hint("shuffle_hash"),
+          Seq("qid", "doc_id"), "left_semi")
+      }
+    bounded
       .groupBy($"qid", $"doc_id")
       .agg(sum($"c_e4").as("score_e4"), sum($"ub_e4").as("ub_sum_e4"))
       .join(thetas, Seq("qid"), "left")
@@ -529,7 +605,8 @@ object Bm25 {
       k1: Double = 1.2, b: Double = 0.75,
       maxDf: Long = Long.MaxValue,
       prune: Boolean = true, floorTermsPerQuery: Int = 2,
-      pruneMinPostings: Long = 2000000L): DataFrame = {
+      pruneMinPostings: Long = 2000000L,
+      semiJoinMinPrunable: Long = 50000000L): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(floorTermsPerQuery >= 1,
       s"need floorTermsPerQuery >= 1, got $floorTermsPerQuery")
@@ -564,7 +641,7 @@ object Bm25 {
         s"${termStats.length - kept.length} of ${termStats.length} query terms " +
         s"with df > $maxDf — scores exclude these common terms (lossy " +
         "stopword prune; raise maxDf for exact ranking)")
-    def dirPrunedPostings(terms: Seq[String]): DataFrame =
+    def dirPrunedPostings(terms: Seq[String], spread: Boolean = true): DataFrame =
       // dir pruning happens at PLANNING (tb is the partition column —
       // only the directories the terms hash into are listed/read); the
       // term-IN narrows to exact postings inside each file, helped by
@@ -573,10 +650,17 @@ object Bm25 {
       // scoring join: without it, one scan task absorbs a zipf-common
       // term's whole join fanout and its partial aggregation runs the
       // stage single-threaded (measured 3.5x on the agg at 10M)
-      spark.table(s"${table}_postings")
-        .filter($"tb".isin(tbOf(terms): _*) && $"term".isin(terms: _*))
-        .select($"term", $"doc_id", $"tf", $"dl")
-        .repartition(spark.sessionState.conf.numShufflePartitions)
+      {
+        val scan = spark.table(s"${table}_postings")
+          .filter($"tb".isin(tbOf(terms): _*) && $"term".isin(terms: _*))
+          .select($"term", $"doc_id", $"tf", $"dl")
+        // the spread matters only where the consumer fans out map-side
+        // (the scoring join); the floor/candidate consumers flow into
+        // their own hash exchange immediately — spreading them first
+        // would just add an exchange
+        if (spread) scan.repartition(spark.sessionState.conf.numShufflePartitions)
+        else scan
+      }
     val keptTerms = kept.map(_._1).toSeq
     val postings = dirPrunedPostings(keptTerms)
     if (!prune || kept.map(_._2).sum < pruneMinPostings) {
@@ -590,6 +674,7 @@ object Bm25 {
     // the shared tail — every op in the tree is IEEE-monotone, so
     // ub_e4 >= c_e4 for every posting of the term
     wandScoreAndRank(qStaged, qPairs, kept, n, sumdl, postings,
-      dirPrunedPostings, k, k1, b, floorTermsPerQuery)
+      dirPrunedPostings(_, spread = false), k, k1, b, floorTermsPerQuery,
+      semiJoinMinPrunable)
   }
 }

@@ -139,6 +139,11 @@ class Bm25IndexSpec extends AnyFunSuite {
       val exact = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_wand",
         k = k, prune = false))
       assert(pruned == exact, s"WAND prune lost rows at k=$k")
+      // the essential-terms candidate semi-join FORCED on (it only
+      // engages at corpus scale by default) — must also be lossless
+      val semi = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_wand",
+        k = k, pruneMinPostings = 0L, semiJoinMinPrunable = 0L))
+      assert(semi == exact, s"candidate semi-join lost rows at k=$k")
       assert(pruned.nonEmpty)
     }
     // bounds stay valid across an append (df sums, max_tf/min_dl merge)

@@ -114,16 +114,21 @@ class Bm25Spec extends AnyFunSuite {
     }
     val queries = Seq(1L -> "common", 1L -> "w3", 2L -> "w7", 2L -> "rare42",
       3L -> "common", 4L -> "zebra")
-    def go(pruned: Boolean, k: Int) =
+    def go(pruned: Boolean, k: Int, semiMin: Long = 50000000L) =
       Bm25.topK(docs.toDF("doc_id", "text"), "doc_id", "text",
           queries.toDF("qid", "term"), k,
-          prune = pruned, pruneMinPostings = 0L)
+          prune = pruned, pruneMinPostings = 0L,
+          semiJoinMinPrunable = semiMin)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .sortBy(r => (r._1, r._2)).toSeq
     for (k <- Seq(1, 5, 20)) {
       val p = go(pruned = true, k)
-      assert(p == go(pruned = false, k), s"batch WAND lost rows at k=$k")
+      val exact = go(pruned = false, k)
+      assert(p == exact, s"batch WAND lost rows at k=$k")
+      // candidate semi-join forced on: still lossless
+      assert(go(pruned = true, k, semiMin = 0L) == exact,
+        s"batch candidate semi-join lost rows at k=$k")
       assert(p.nonEmpty)
     }
   }
