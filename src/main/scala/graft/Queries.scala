@@ -3151,6 +3151,27 @@ object Queries {
     * documents as history exactly like the batch loop does. Shares
     * q157's oracle verbatim — the streaming wrapper must add delivery,
     * not change classification. */
+  /** Write `batches` into `<d>/in` as single parquet files with
+    * staggered mtimes — the file source replays them oldest-first, one
+    * micro-batch each (`maxFilesPerTrigger = 1`). Shared by every
+    * streaming index-maintenance query (q165/q167/q168). */
+  private def streamDrops(d: String, batches: Seq[DataFrame]): String = {
+    val in = java.nio.file.Paths.get(d, "in")
+    java.nio.file.Files.createDirectories(in)
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$d/tmp_b$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get.toPath
+      val dst = in.resolve(s"b$i.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (batches.size - i) * 60000L))
+    }
+    in.toString
+  }
+
   def minhashIngestStreaming(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, sfDir, "documents")
@@ -3159,26 +3180,12 @@ object Queries {
       graft.operators.Dedup.writeMinhashIndex(
         docs.filter($"doc_id" % 3 === 0), "doc_id", "text",
         tbl, s"$d/idx", numBuckets = 8)
-      val in = java.nio.file.Paths.get(d, "in")
-      java.nio.file.Files.createDirectories(in)
-      def drop(name: String, df: DataFrame, ageSec: Long): Unit = {
-        val tmp = s"$d/tmp_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.startsWith("part-")).get.toPath
-        val dst = in.resolve(s"$name.parquet")
-        java.nio.file.Files.move(part, dst)
-        // the file source replays oldest-mtime-first: b1 then b2
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() - ageSec * 1000L))
-      }
       val b1 = docs.filter($"doc_id" % 3 === 1).select($"doc_id", $"text")
-      drop("b1", b1, 120L)
-      drop("b2", docs.filter($"doc_id" % 3 === 2).select($"doc_id", $"text"), 60L)
+      val in = streamDrops(d, Seq(b1,
+        docs.filter($"doc_id" % 3 === 2).select($"doc_id", $"text")))
       val q = graft.streaming.StreamingOps.minhashIngestStream(
         spark.readStream.schema(b1.schema)
-          .option("maxFilesPerTrigger", "1").parquet(s"$d/in"),
+          .option("maxFilesPerTrigger", "1").parquet(in),
         tbl, "doc_id", "text", s"$d/cls", s"$d/ckpt",
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       q.awaitTermination()
@@ -3187,6 +3194,69 @@ object Queries {
       .select($"doc_id", pmod($"doc_id", lit(3L)).cast("int").as("batch"),
         $"status", $"n_hist_dups")
       .orderBy($"doc_id")
+  }
+
+  /** q167: BM25 index maintenance as a REAL STREAM — q159's append
+    * shape through the streaming engine
+    * ([[graft.streaming.StreamingOps.bm25AppendStream]]): the %3==0
+    * third builds the index, the other two thirds arrive as two
+    * staggered-mtime files → two micro-batch APPENDS. The final index
+    * must rank exactly like one build over the whole corpus, so q167
+    * shares q152/q155/q159's oracle verbatim — streaming delivery must
+    * lose nothing and double nothing (the checkpoint's exactly-once
+    * contract made visible to the driver's oracle). */
+  def bm25AppendStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = s"g_bm25str_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q167_bm25str_${sfDir.hashCode.toHexString}") { d =>
+      val docs = Tables(spark, sfDir, "documents")
+      graft.operators.Bm25.buildIndex(
+        docs.filter($"doc_id" % 3 === 0), "doc_id", "text",
+        tbl, s"$d/idx", nDirs = 8)
+      val b1 = docs.filter($"doc_id" % 3 === 1).select($"doc_id", $"text")
+      val in = streamDrops(d, Seq(b1,
+        docs.filter($"doc_id" % 3 === 2).select($"doc_id", $"text")))
+      val q = graft.streaming.StreamingOps.bm25AppendStream(
+        spark.readStream.schema(b1.schema)
+          .option("maxFilesPerTrigger", "1").parquet(in),
+        tbl, "doc_id", "text", s"$d/ckpt",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+    }
+    graft.operators.Bm25.topKAgainstIndex(
+        bm25QueryBatch(spark, sfDir), tbl, k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** q168: IVF index maintenance as a REAL STREAM — q160's append shape
+    * through the streaming engine
+    * ([[graft.streaming.StreamingOps.ivfAppendStream]]): the even half
+    * builds (and trains the quantizer), the odd half arrives as two
+    * staggered-mtime files → two micro-batch appends to the FROZEN
+    * centroids. Shares q160's oracle verbatim (quantizer from evens,
+    * assignment/scoring over all) — the stream must neither retrain nor
+    * lose a vector. */
+  def knnIvfAppendStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val tbl = s"g_ivfstr_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q168_ivfstr_${sfDir.hashCode.toHexString}") { d =>
+      Knn.writeIvfIndex(emb.filter($"vec_id" % 2 === 0), "vec_id",
+        "embedding", tbl, s"$d/idx")
+      val odd = emb.filter($"vec_id" % 2 === 1)
+        .select($"vec_id", $"embedding")
+      val in = streamDrops(d, Seq(
+        odd.filter($"vec_id" % 4 === 1), odd.filter($"vec_id" % 4 === 3)))
+      val q = graft.streaming.StreamingOps.ivfAppendStream(
+        spark.readStream.schema(odd.schema)
+          .option("maxFilesPerTrigger", "1").parquet(in),
+        tbl, "vec_id", "embedding", s"$d/ckpt",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+    }
+    Knn.ivfTopKAgainstIndex(emb.filter($"vec_id" < 10), tbl,
+        "vec_id", "embedding", k = 5)
+      .orderBy($"qid", $"rnk")
   }
 
   /** q148: the composed training-data pipeline (ScaleSmoke e2e v4

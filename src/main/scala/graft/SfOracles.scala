@@ -514,6 +514,14 @@ object SfOracles {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
          |       CAST(nid AS BIGINT) AS nid, score
          |FROM iva ORDER BY qid, rnk""".stripMargin,
+    // q168: the SAME mirror rows as q160 — streaming micro-batch
+    // appends to the frozen quantizer must neither retrain nor lose a
+    // vector
+    "q168_knn_ivf_append_stream" ->
+      s"""WITH $ivfAppCte
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
+         |       CAST(nid AS BIGINT) AS nid, score
+         |FROM iva ORDER BY qid, rnk""".stripMargin,
     // q163: the SAME mirror rows as q160 — compacting the grown cell
     // directories is pure layout maintenance; ranking must not move
     "q163_knn_ivf_compact" ->

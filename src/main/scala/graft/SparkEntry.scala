@@ -188,7 +188,9 @@ object SparkEntry {
     "q163_knn_ivf_compact" -> (Queries.knnIvfIndexCompact _),
     "q164_knn_ivf_rebuild" -> (Queries.knnIvfIndexRebuild _),
     "q165_minhash_ingest_stream" -> (Queries.minhashIngestStreaming _),
-    "q166_bm25_index_exactscan" -> (Queries.bm25IndexExactScanTopK _)
+    "q166_bm25_index_exactscan" -> (Queries.bm25IndexExactScanTopK _),
+    "q167_bm25_append_stream" -> (Queries.bm25AppendStreaming _),
+    "q168_knn_ivf_append_stream" -> (Queries.knnIvfAppendStreaming _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the
@@ -793,6 +795,9 @@ object SparkEntry {
     // to the WAND-pruned default (q155) and the batch shape (q152) —
     // one oracle pins all three
     "q166_bm25_index_exactscan" -> bm25OracleSql,
+    // q167 likewise: streaming micro-batch appends must leave an index
+    // that ranks exactly like one build over the whole corpus
+    "q167_bm25_append_stream" -> bm25OracleSql,
     // End-to-end pipeline oracle: every stage (dedup keep-first, quality
     // blend, lang filter, md5 split, rollup) mirrored in SQL — verifies
     // the COMPOSITION, not just the operators.

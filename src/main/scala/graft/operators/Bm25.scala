@@ -472,6 +472,10 @@ object Bm25 {
       .sortWithinPartitions($"tb", $"term")
       .write.format("parquet").mode("append").partitionBy("tb")
       .saveAsTable(s"${table}_postings")
+    // register any NEW partition directories this batch introduced in
+    // the shared external catalog (the probe-side refreshTables note
+    // below covers stale file listings in OTHER sessions)
+    spark.sql(s"ALTER TABLE ${table}_postings RECOVER PARTITIONS")
     // df merge: vocabulary-sized, staged (lineage cut) so the rewrite
     // never reads the files it replaces. df adds, max_tf/min_dl merge by
     // max/min — the probe's per-term score bound stays valid over any
@@ -611,6 +615,14 @@ object Bm25 {
     require(floorTermsPerQuery >= 1,
       s"need floorTermsPerQuery >= 1, got $floorTermsPerQuery")
     val spark = queries.sparkSession
+    // drop any cached file listing THIS session holds for the index
+    // tables: maintenance may have run in ANOTHER session (a foreachBatch
+    // micro-batch clone — q167's stream), whose appends refresh only its
+    // own caches; a stale listing here silently serves pre-append files
+    // (caught by q167's oracle). Cost: the next read re-lists, which
+    // planning pays anyway.
+    graft.sources.Generations.refreshTables(spark,
+      s"${table}_postings", s"${table}_dfs", s"${table}_bounds")
     import spark.implicits._
     val qStaged = Stage.cut(
       queries.select(col("qid").cast("long").as("qid"), col("term")))

@@ -299,6 +299,11 @@ object Dedup {
       idCol: String, textCol: String, threshold: Double = 0.8,
       broadcastMaxBatchDocs: Long = 2000000L): DataFrame = {
     val spark = incoming.sparkSession
+    // the index may have grown in another session (q165's foreachBatch
+    // clone) — drop this session's cached listings first (the
+    // Bm25.topKAgainstIndex note)
+    graft.sources.Generations.refreshTables(spark,
+      s"${table}_sigs", s"${table}_buckets", s"${table}_meta")
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1, s"index ${table}_meta must hold exactly 1 row")
     val (shingleSize, numHashes, bands) =
@@ -345,6 +350,8 @@ object Dedup {
       idCol: String, textCol: String, threshold: Double = 0.8,
       broadcastMaxBatchDocs: Long = 2000000L): DataFrame = {
     val spark = incoming.sparkSession
+    graft.sources.Generations.refreshTables(spark,
+      s"${table}_sigs", s"${table}_buckets", s"${table}_meta")
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1, s"index ${table}_meta must hold exactly 1 row")
     val (shingleSize, numHashes, bands) =

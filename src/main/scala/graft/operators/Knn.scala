@@ -347,6 +347,9 @@ object Knn {
       .repartition($"cell")
       .write.format("parquet").mode("append").partitionBy("cell")
       .saveAsTable(s"${table}_cells")
+    // register any NEW cell directories in the shared catalog; stale
+    // listings in OTHER sessions are handled probe-side (refreshTables)
+    spark.sql(s"ALTER TABLE ${table}_cells RECOVER PARTITIONS")
   }
 
   /** [[ivfTopK]] against a PERSISTED index from [[writeIvfIndex]]:
@@ -362,6 +365,11 @@ object Knn {
       broadcastMaxQcells: Long = 8000000L): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    // maintenance may have run in another session (q168's foreachBatch
+    // clone) — drop this session's cached listings first (the
+    // Bm25.topKAgainstIndex note)
+    graft.sources.Generations.refreshTables(spark,
+      s"${table}_cells", s"${table}_centroids")
     val centroids: Array[Array[Double]] = spark.table(s"${table}_centroids")
       .orderBy($"cell").collect().map(_.getSeq[Double](1).toArray)
     val qcells = Stage.cut(withVecAndNorm(queries, idCol, vecCol)

@@ -55,6 +55,18 @@ object Generations {
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
+  /** Drop THIS session's cached relation + file listing for each
+    * table, so the next read re-lists from disk. Index probes call this
+    * on entry: maintenance (append/ingest/compact) may have run in a
+    * DIFFERENT session — most commonly a foreachBatch micro-batch
+    * clone, whose writes refresh only its own caches — and a stale
+    * listing silently serves pre-append files (found by q167's oracle:
+    * a streamed BM25 index served only its build-time postings to the
+    * outer session). Cost: one re-listing on the next read, which
+    * planning pays anyway. */
+  def refreshTables(spark: SparkSession, tables: String*): Unit =
+    tables.foreach(t => spark.catalog.refreshTable(t))
+
   /** Recursively delete an old generation's files. */
   def delete(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

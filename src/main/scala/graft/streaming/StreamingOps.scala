@@ -213,6 +213,55 @@ object StreamingOps {
     trigger.fold(writer)(writer.trigger).start()
   }
 
+  /** Streaming BM25 index maintenance: each micro-batch of (id, text)
+    * documents is APPENDED to a persisted [[graft.operators.Bm25]]
+    * serving index (`appendToIndex` — batch-cost postings, additive
+    * df/bounds merge), so the index serves everything delivered so far.
+    * The [[minhashIngestStream]] delivery contract applies, with one
+    * tightening inherited from the batch primitive: doc ids must be NEW
+    * across the WHOLE stream (re-appending double-counts), and a crash
+    * BETWEEN a batch's three index writes leaves df/N stale — recovery
+    * is a rebuild, not a replay (documented on `appendToIndex`; the
+    * checkpoint prevents healthy-run double-delivery). */
+  def bm25AppendStream(
+      incoming: DataFrame, // streaming frame carrying idCol + textCol
+      table: String, idCol: String, textCol: String,
+      checkpoint: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val applyBatch: (DataFrame, Long) => Unit = { (batch, _) =>
+      graft.operators.Bm25.appendToIndex(batch, idCol, textCol, table)
+    }
+    val writer = incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(applyBatch)
+    trigger.fold(writer)(writer.trigger).start()
+  }
+
+  /** Streaming IVF index maintenance: each micro-batch of (id, vector)
+    * rows is APPENDED to a persisted [[graft.operators.Knn]] IVF index
+    * (`appendToIvfIndex` — assignment to the FROZEN centroids, appended
+    * into the same cell directories; retraining stays a rebuild on its
+    * own cadence, watched via `ivfCellStats`). Same delivery contract
+    * as [[bm25AppendStream]]: ids must be new across the stream; the
+    * checkpoint prevents healthy-run double-delivery, and a replayed
+    * crash batch would duplicate its vectors in every probe of their
+    * cells (recover by rebuild). */
+  def ivfAppendStream(
+      incoming: DataFrame, // streaming frame carrying idCol + vecCol
+      table: String, idCol: String, vecCol: String,
+      checkpoint: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val applyBatch: (DataFrame, Long) => Unit = { (batch, _) =>
+      graft.operators.Knn.appendToIvfIndex(batch, idCol, vecCol, table)
+    }
+    val writer = incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(applyBatch)
+    trigger.fold(writer)(writer.trigger).start()
+  }
+
   private def currentGeneration(dir: String): Option[Long] = {
     val p = java.nio.file.Paths.get(dir, "_LATEST")
     if (java.nio.file.Files.exists(p))

@@ -43,8 +43,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q159_bm25_index_append", // q155's probe verbatim over the grown
                                 // index — same 1-row bounds broadcast
       "q161_bm25_index_compact", // same probe over the compacted index
-      "q166_bm25_index_exactscan") // q155's probe with prune=false —
+      "q166_bm25_index_exactscan", // q155's probe with prune=false —
                                    // same 1-row bounds broadcast
+      "q167_bm25_append_stream")   // q155's probe over the
+                                   // stream-appended index — same shape
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =
