@@ -1,0 +1,57 @@
+package graft
+
+/** The DuckDB CTE chain replaying BM25 scoring end-to-end (tokenize →
+  * postings → df → e4-rounded contributions → BIGINT score sums →
+  * ranked), shared by the q152/q155/q159/q161/q166/q167 oracle (rank ≤ 5
+  * tail in [[SparkEntry.oracleSql]]) and the q169 hybrid-RRF oracle
+  * (rank ≤ 10 leg fused with the IVF mirror in [[SfOracles]]). Identical
+  * double expression tree from exact integer inputs (tf, df, dl, N,
+  * Σdl), each contribution e4-rounded so the per-(query, doc) sum is
+  * BIGINT; the k1+1 factor is written (1.2 + 1.0) so both engines
+  * constant-fold the same IEEE add rather than parsing a different
+  * literal. */
+object Bm25OracleSql {
+
+  /** CTEs `toks … ranked`; compose as `s"WITH $rankedCtes SELECT …"`. */
+  val rankedCtes: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+      |  FROM documents),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(coalesce(sum(len(ts)), 0) AS BIGINT) AS sumdl
+      |  FROM toks),
+      |qt AS (
+      |  SELECT DISTINCT qid, term FROM (
+      |    SELECT doc_id AS qid, unnest(ts[1:6]) AS term
+      |    FROM toks WHERE doc_id % 50 = 0)),
+      |posting AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+      |         CAST(max(dl) AS BIGINT) AS dl
+      |  FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks)
+      |  WHERE term IN (SELECT term FROM qt)
+      |  GROUP BY doc_id, term),
+      |dfs AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM posting GROUP BY term),
+      |contrib AS (
+      |  SELECT q.qid, p.doc_id,
+      |    CAST(round(
+      |      ln(1.0 + (t.n - d.df + 0.5) / (d.df + 0.5)) *
+      |      ((p.tf * (1.2 + 1.0)) /
+      |       (p.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+      |         (p.dl / (CAST(t.sumdl AS DOUBLE) / t.n)))))
+      |      * 1e4) AS BIGINT) AS c_e4
+      |  FROM qt q
+      |  JOIN posting p ON q.term = p.term
+      |  JOIN dfs d ON q.term = d.term
+      |  CROSS JOIN tot t),
+      |scores AS (
+      |  SELECT qid, doc_id, CAST(sum(c_e4) AS BIGINT) AS score_e4
+      |  FROM contrib GROUP BY qid, doc_id),
+      |ranked AS (
+      |  SELECT qid, doc_id, score_e4,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY score_e4 DESC, doc_id) AS rank
+      |  FROM scores)""".stripMargin
+}

@@ -82,11 +82,16 @@ object IvfMirror {
     * `trainFilter` restricts which ids the quantizer TRAINS on (q160's
     * append contract: centroids come from the build half only, while
     * assignment and scoring cover the whole corpus); the default trains
-    * on everything — the q42/q158 contract unchanged. */
+    * on everything — the q42/q158 contract unchanged.
+    *
+    * `qidFilter` (when non-null) REPLACES the `vec_id < maxQid` query
+    * selection — q169's hybrid-retrieval batch is every 50th vector,
+    * matching the BM25 side's every-50th-document query batch. */
   def recompute(vecs: IndexedSeq[(Long, Array[Double])], maxQid: Long = 10L,
       k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
       iterations: Int = 5,
-      trainFilter: Long => Boolean = _ => true): Seq[(Long, Int, Long, Double)] = {
+      trainFilter: Long => Boolean = _ => true,
+      qidFilter: Long => Boolean = null): Seq[(Long, Int, Long, Double)] = {
     val centroids = trainCentroids(
       vecs.filter { case (id, _) => trainFilter(id) }, nCells, iterations)
     if (centroids.isEmpty) return Seq.empty
@@ -94,7 +99,9 @@ object IvfMirror {
     val cellOf = vecs.map { case (id, v) => id -> nearestCell(v, centroids) }.toMap
     val byCell = vecs.groupBy { case (id, _) => cellOf(id) }
 
-    vecs.filter(_._1 < maxQid).sortBy(_._1).flatMap { case (qid, qv) =>
+    val isQ: Long => Boolean =
+      if (qidFilter != null) qidFilter else (_ < maxQid)
+    vecs.filter(v => isQ(v._1)).sortBy(_._1).flatMap { case (qid, qv) =>
       // probesUdf: nProbe nearest cells by (squared distance, cell id)
       val probes = centroids.indices.map { c =>
         var dist = 0.0; var i = 0

@@ -898,18 +898,33 @@ object Queries {
     * that should never be paid per retrieval batch (the q154/q155
     * persisted-index economics, applied to the dictionary family; ~1 s
     * of each bench entry before this). */
+  // WEAK keys: a ConcurrentHashMap keyed by SparkSession strongly
+  // pinned every stopped session (and its cached plans/blocks) for the
+  // JVM's lifetime. WeakHashMap lets a dropped session — and the cache
+  // entry's frames with it — be collected; the cached BLOCKS die with
+  // the SparkContext, and a re-derivation after an unlikely eviction
+  // costs one dictionary pass. The per-SESSION key (not per-context) is
+  // deliberate: a DataFrame captures the session its plan was analyzed
+  // in, so handing one across sessions would execute with the wrong
+  // session state; foreachBatch clones re-derive (bounded: one
+  // dictionary pass per clone that runs a similarity join).
   private val preparedDictCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      SimilarityJoin.PreparedRight]()
+    new java.util.WeakHashMap[SparkSession, SimilarityJoin.PreparedRight]()
   private def preparedDict(spark: SparkSession): SimilarityJoin.PreparedRight =
-    preparedDictCache.computeIfAbsent(spark, { s =>
-      import s.implicits._
-      SimilarityJoin.prepareRight(
-        graft.dict.TitleDictionary.corpus.zipWithIndex
-          .map { case (alias, i) => (i.toLong, alias) }.toSeq
-          .toDF("alias_id", "alias"),
-        "alias_id", "alias")
-    })
+    preparedDictCache.synchronized {
+      val cached = preparedDictCache.get(spark)
+      if (cached != null) cached
+      else {
+        import spark.implicits._
+        val prepared = SimilarityJoin.prepareRight(
+          graft.dict.TitleDictionary.corpus.zipWithIndex
+            .map { case (alias, i) => (i.toLong, alias) }.toSeq
+            .toDF("alias_id", "alias"),
+          "alias_id", "alias")
+        preparedDictCache.put(spark, prepared)
+        prepared
+      }
+    }
 
   def similarityJoinGeneric(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -3060,6 +3075,62 @@ object Queries {
     }
     graft.operators.Bm25.topKAgainstIndex(
         bm25QueryBatch(spark, sfDir), tbl, k = 5, prune = false)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** q169: HYBRID retrieval — the standard RAG retrieval stack: the
+    * BM25 serving index (q155's, reused) and the IVF embedding index
+    * (q158's, reused) each retrieve their top-10 for the same query
+    * population (every 50th id — the q152 batch), fused by reciprocal
+    * rank fusion (Cormack, Clarke & Büttcher 2009:
+    * score(d) = Σ_lists 1/(60 + rank_list(d))). The first query to
+    * exercise two persisted index families inside one plan.
+    *
+    * Engine-exactness: each RRF contribution is the INTEGER
+    * `1e9 div (60 + rank)` — positive integer division that Spark's
+    * `div` and DuckDB's `//` compute identically — so the fused score
+    * is a pure BIGINT sum (partitioning- and merge-order-proof, the
+    * q134/q152 fixed-point precedent, with division instead of
+    * rounding: no float ever exists). Ties break on doc_id; `n_lists`
+    * pins per-doc list membership.
+    *
+    * 100 TB plan: both legs are the serving-index probes (dir-pruned,
+    * WAND-bounded / cell-pruned); the fusion itself touches ≤ 2·k rows
+    * per query — a retrieval-batch-bounded aggregation + window, never
+    * corpus-scale. */
+  def hybridRrfRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // BM25 leg: q155's persisted index (same cachedLayout key — built
+    // once per JVM and shared across q155/q166/q169)
+    val bmTbl = s"g_bm25idx_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q155_bm25idx_${sfDir.hashCode.toHexString}") { d =>
+      graft.operators.Bm25.buildIndex(
+        Tables(spark, sfDir, "documents"), "doc_id", "text",
+        bmTbl, s"$d/idx", nDirs = 8)
+    }
+    // IVF leg: q158's persisted index (same sharing)
+    val ivfTbl = s"g_ivfidx_${sfDir.hashCode.toHexString}"
+    val emb = Tables(spark, sfDir, "embeddings")
+    cachedLayout(s"q158_ivfidx_${sfDir.hashCode.toHexString}") { d =>
+      Knn.writeIvfIndex(emb, "vec_id", "embedding", ivfTbl, s"$d/idx")
+    }
+    val bm = graft.operators.Bm25
+      .topKAgainstIndex(bm25QueryBatch(spark, sfDir), bmTbl, k = 10)
+      .select($"qid", $"doc_id".as("id"),
+        expr("CAST(1000000000 DIV (60 + rank) AS BIGINT)").as("rrf"))
+    val ivf = Knn.ivfTopKAgainstIndex(
+        emb.filter($"vec_id" % 50 === 0), ivfTbl, "vec_id", "embedding",
+        k = 10)
+      .select($"qid", $"nid".as("id"),
+        expr("CAST(1000000000 DIV (60 + CAST(rnk AS BIGINT)) AS BIGINT)")
+          .as("rrf"))
+    val w = Window.partitionBy($"qid").orderBy($"rrf_score".desc, $"id".asc)
+    bm.unionByName(ivf)
+      .groupBy($"qid", $"id")
+      .agg(sum($"rrf").as("rrf_score"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"id".as("doc_id"), $"rrf_score", $"n_lists")
       .orderBy($"qid", $"rank")
   }
 

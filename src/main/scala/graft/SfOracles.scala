@@ -61,6 +61,7 @@ object SfOracles {
       dsirTop: Seq[(Int, Long, Long, Long, Long)], // q139 selected rows
       ivfTopK: Seq[(Long, Int, Long, Double)],     // q42
       ivfAppendTopK: Seq[(Long, Int, Long, Double)], // q160: even-id-trained quantizer
+      hybridIvfTopK: Seq[(Long, Int, Long, Double)], // q169: every-50th qids, k=10
       qualityRows: Seq[(Long, Long, Boolean)],     // q140
       bloomRows: Seq[(Long, Long, Long, Boolean)], // q141
       lcRows: Seq[(String, Long, Long)],           // q143
@@ -283,6 +284,11 @@ object SfOracles {
         // q160: the append contract — the quantizer is trained on the
         // BUILD half (even vec_ids) only; assignment/scoring cover all
         ivfAppendTopK = IvfMirror.recompute(vecs, trainFilter = _ % 2 == 0),
+        // q169: the hybrid-retrieval IVF leg — the q158 index (full
+        // corpus, default quantizer) probed by every 50th vector at
+        // k=10, matching the BM25 leg's every-50th-document batch
+        hybridIvfTopK = IvfMirror.recompute(vecs, k = 10,
+          qidFilter = _ % 50 == 0),
         qualityRows = QualityMirror.recompute(docs4.map(d => (d._1, d._2, d._4))),
         hashedQualityRows =
           QualityMirror.recomputeHashed(docs4.map(d => (d._1, d._2, d._4))),
@@ -380,6 +386,10 @@ object SfOracles {
     cte("iva", "qid, rnk, nid, score", prepared.map(_.ivfAppendTopK), "0, 0, 0, 0.0") {
       p: (Long, Int, Long, Double) =>
         s"(${p._1}, ${p._2}, ${p._3}, ${dlit(p._4)})" }
+
+  private def hybridIvfCte: String =
+    cte("hiv", "qid, rnk, nid", prepared.map(_.hybridIvfTopK), "0, 0, 0") {
+      p: (Long, Int, Long, Double) => s"(${p._1}, ${p._2}, ${p._3})" }
 
   private def qualityCte: String =
     cte("qc", "doc_id, score_e6, keep", prepared.map(_.qualityRows),
@@ -536,6 +546,34 @@ object SfOracles {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
          |       CAST(nid AS BIGINT) AS nid, score
          |FROM iv ORDER BY qid, rnk""".stripMargin,
+    // q169: hybrid retrieval — the BM25 leg is replayed end-to-end in
+    // SQL (the shared rank-unbounded CTE chain, cut at rank <= 10) and
+    // the IVF leg comes from the mirror; the reciprocal-rank fusion is
+    // pure BIGINT (1e9 // (60 + rank) — integer division both engines
+    // compute identically on positive values), so fused scores, tie
+    // order (rrf desc, doc_id asc) and the per-list count are all
+    // hash-pinned. The first oracle to exercise two persisted index
+    // families inside one query plan.
+    "q169_hybrid_rrf" ->
+      s"""WITH ${Bm25OracleSql.rankedCtes},
+         |$hybridIvfCte,
+         |u AS (
+         |  SELECT qid, doc_id AS id, 1000000000 // (60 + rank) AS rrf
+         |  FROM ranked WHERE rank <= 10
+         |  UNION ALL
+         |  SELECT qid, nid AS id, 1000000000 // (60 + rnk) AS rrf FROM hiv),
+         |fused AS (
+         |  SELECT qid, id, CAST(sum(rrf) AS BIGINT) AS rrf_score,
+         |         CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM u GROUP BY qid, id),
+         |rr AS (
+         |  SELECT qid, id, rrf_score, n_lists,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY rrf_score DESC, id) AS rank
+         |  FROM fused)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, id AS doc_id,
+         |       rrf_score, n_lists
+         |FROM rr WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // q141: Bloom decontamination — even the FALSE POSITIVES are pinned
     // (the bitset is partitioning-invariant and byte-replayed locally)
     "q141_bloom_decontamination" ->

@@ -190,7 +190,8 @@ object SparkEntry {
     "q165_minhash_ingest_stream" -> (Queries.minhashIngestStreaming _),
     "q166_bm25_index_exactscan" -> (Queries.bm25IndexExactScanTopK _),
     "q167_bm25_append_stream" -> (Queries.bm25AppendStreaming _),
-    "q168_knn_ivf_append_stream" -> (Queries.knnIvfAppendStreaming _)
+    "q168_knn_ivf_append_stream" -> (Queries.knnIvfAppendStreaming _),
+    "q169_hybrid_rrf" -> (Queries.hybridRrfRetrieval _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the
@@ -209,46 +210,7 @@ object SparkEntry {
     * (tf, df, dl, N, Σdl), each contribution e4-rounded so the
     * per-(query, doc) sum is BIGINT. */
   private val bm25OracleSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
-      |  FROM documents),
-      |tot AS (
-      |  SELECT CAST(count(*) AS BIGINT) AS n,
-      |         CAST(coalesce(sum(len(ts)), 0) AS BIGINT) AS sumdl
-      |  FROM toks),
-      |qt AS (
-      |  SELECT DISTINCT qid, term FROM (
-      |    SELECT doc_id AS qid, unnest(ts[1:6]) AS term
-      |    FROM toks WHERE doc_id % 50 = 0)),
-      |posting AS (
-      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
-      |         CAST(max(dl) AS BIGINT) AS dl
-      |  FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks)
-      |  WHERE term IN (SELECT term FROM qt)
-      |  GROUP BY doc_id, term),
-      |dfs AS (
-      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM posting GROUP BY term),
-      |contrib AS (
-      |  SELECT q.qid, p.doc_id,
-      |    CAST(round(
-      |      ln(1.0 + (t.n - d.df + 0.5) / (d.df + 0.5)) *
-      |      ((p.tf * (1.2 + 1.0)) /
-      |       (p.tf + 1.2 * (1.0 - 0.75 + 0.75 *
-      |         (p.dl / (CAST(t.sumdl AS DOUBLE) / t.n)))))
-      |      * 1e4) AS BIGINT) AS c_e4
-      |  FROM qt q
-      |  JOIN posting p ON q.term = p.term
-      |  JOIN dfs d ON q.term = d.term
-      |  CROSS JOIN tot t),
-      |scores AS (
-      |  SELECT qid, doc_id, CAST(sum(c_e4) AS BIGINT) AS score_e4
-      |  FROM contrib GROUP BY qid, doc_id),
-      |ranked AS (
-      |  SELECT qid, doc_id, score_e4,
-      |    ROW_NUMBER() OVER (PARTITION BY qid
-      |      ORDER BY score_e4 DESC, doc_id) AS rank
-      |  FROM scores)
+    s"""WITH ${Bm25OracleSql.rankedCtes}
       |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score_e4
       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 

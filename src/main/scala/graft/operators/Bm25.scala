@@ -63,10 +63,17 @@ object Bm25 {
   /** The shared score-and-rank tail of both entry points: identical
     * expression tree (so the batch shape and the index shape are
     * bit-identical on the same postings), one (qid, doc) aggregation
-    * exchange, top-k window on the qid-bounded score frame. */
+    * exchange, top-k window on the qid-bounded score frame.
+    *
+    * `broadcastQueries = false` is the over-cap fallback shape: when the
+    * caller's "retrieval batch" exceeds the loud cap (see
+    * [[topKAgainstIndex]]'s `maxBatchPairs`), the query frame is NOT a
+    * bounded driver model and must not be broadcast — the joins run as
+    * plain shuffles (identical rows, corpus-scale cost, loudly
+    * logged). */
   private def scoreAndRank(qStaged: DataFrame, postings: DataFrame,
       dfs: DataFrame, totals: DataFrame, k: Int,
-      k1: Double, b: Double): DataFrame = {
+      k1: Double, b: Double, broadcastQueries: Boolean = true): DataFrame = {
     val spark = qStaged.sparkSession
     import spark.implicits._
     // the query batch is SMALL by contract — broadcast it so the posting
@@ -74,9 +81,11 @@ object Bm25 {
     // sort-merge join that shuffled the whole matching posting stream by
     // term — zipf-skewed — before scoring; measured +60% on the 10M
     // index-shape smoke)
-    val scores = broadcast(qStaged)
+    val bc: DataFrame => DataFrame =
+      if (broadcastQueries) broadcast else identity
+    val scores = bc(qStaged)
       .join(postings, Seq("term"))
-      .join(broadcast(dfs.select($"term", $"df")), Seq("term"))
+      .join(bc(dfs.select($"term", $"df")), Seq("term"))
       .crossJoin(broadcast(totals))
       .select($"qid", $"doc_id", contributionE4(k1, b).as("c_e4"))
       .groupBy($"qid", $"doc_id")
@@ -109,7 +118,8 @@ object Bm25 {
       k1: Double = 1.2, b: Double = 0.75,
       prune: Boolean = true, floorTermsPerQuery: Int = 2,
       pruneMinPostings: Long = 2000000L,
-      semiJoinMinPrunable: Long = 50000000L): DataFrame = {
+      semiJoinMinPrunable: Long = 50000000L,
+      maxBatchPairs: Long = 8000000L): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -126,6 +136,31 @@ object Bm25 {
     // does)
     val qStaged = Stage.cut(
       queries.select(col("qid").cast("long").as("qid"), col("term")))
+    // the loud batch cap (the Dedup.incrementalAssembled pattern): every
+    // driver-side fold below — the stats collect, the WAND floor, the
+    // query-pair collect — is bounded ONLY by the one-retrieval-batch
+    // contract. A caller handing a corpus-sized "batch" used to get a
+    // driver OOM; now it gets the fully-distributed exact path (no
+    // broadcasts, no WAND — identical rows, corpus-scale cost) and a
+    // warning saying so.
+    val nPairs = qStaged.count()
+    if (nPairs > maxBatchPairs) {
+      logger.warn(s"bm25 topK: query batch has $nPairs (qid, term) pairs, " +
+        s"above maxBatchPairs=$maxBatchPairs — falling back to the " +
+        "fully-distributed exact path (no query broadcast, no WAND prune; " +
+        "identical rows). Split the workload into bounded retrieval " +
+        "batches to get the serving-shape plan back.")
+      val qTermSet = qStaged.select($"term").distinct()
+      val postings = Stage.cut(toks
+        .select($"doc_id", size($"ts").cast("long").as("dl"),
+          explode($"ts").as("term"))
+        .join(qTermSet, Seq("term"), "left_semi")
+        .groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("tf"), max($"dl").as("dl")))
+      val dfs = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+      return scoreAndRank(qStaged, postings, dfs, totals, k, k1, b,
+        broadcastQueries = false)
+    }
     val qTermSet = qStaged.select($"term").distinct()
     // prune the token stream to query terms BEFORE the tf aggregation:
     // the posting shuffle is bounded by matching tokens, not the corpus.
@@ -148,11 +183,18 @@ object Bm25 {
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
 
-    if (!prune || stats.map(_._2).sum < pruneMinPostings) {
+    val matchingPostings = stats.map(_._2).sum
+    if (!prune || matchingPostings < pruneMinPostings) {
+      logger.info(s"bm25 topK: straight scan-score-sort path " +
+        s"($matchingPostings matching postings " +
+        (if (prune) s"below pruneMinPostings=$pruneMinPostings"
+         else "prune=false") + ")")
       val dfs = spark.createDataFrame(
         stats.toSeq.map { case (t, df, _, _) => (t, df) }).toDF("term", "df")
       return scoreAndRank(qStaged, postings, dfs, totals, k, k1, b)
     }
+    logger.info(s"bm25 topK: WAND-bounded path ($matchingPostings matching " +
+      s"postings >= pruneMinPostings=$pruneMinPostings)")
     // the totals collect is the same 1-row aggregate job the unpruned
     // plan runs inside its broadcast — moved earlier, not added
     val tot = totals.collect()(0)
@@ -200,6 +242,17 @@ object Bm25 {
     val spark = qStaged.sparkSession
     import spark.implicits._
     val avgdl = sumdl.toDouble / n.toDouble
+    // ub is evaluated at (max_tf, min_dl) through the same IEEE-monotone
+    // double tree the executors run for c_e4 — EXCEPT the final
+    // rounding: executors round via Spark's `round` (BigDecimal
+    // HALF_UP), this driver-side bound via `math.round` (floor(x+0.5)).
+    // For the positive values BM25 produces, math.round(x) >= HALF_UP
+    // rounding of x (they differ only on ties, where floor(x+0.5) rounds
+    // up and HALF_UP also rounds up — and on doubles-near-ties
+    // math.round never rounds LOWER), so the asymmetry is deliberately
+    // safe: ub_e4 >= c_e4 survives it. Do not "fix" the mismatch by
+    // making ub round half-even or truncate — that could round a tie
+    // DOWN and break the losslessness invariant.
     def ubE4(df: Long, maxTf: Long, minDl: Long): Long = {
       val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
       val tfp = (maxTf * (k1 + 1.0)) /
@@ -280,6 +333,10 @@ object Bm25 {
             "of matches) — the bound filter still applies")
         scoredRows
       } else {
+        logger.info(s"bm25 wand: candidate semi-join ENGAGED " +
+          s"(prunable postings $prunable >= $semiJoinMinPrunable, " +
+          f"essential lists cover ${essentialDf.toDouble / totalDf * 100}%.0f%% " +
+          "of matches)")
         val candidates = spark.createDataFrame(qEssential).toDF("qid", "term")
           .join(floorPostingsOf(qEssential.map(_._2).distinct), Seq("term"))
           .select($"qid", $"doc_id")
@@ -395,8 +452,13 @@ object Bm25 {
     require(nDirs >= 1, s"need nDirs >= 1, got $nDirs")
     val spark = docs.sparkSession
     import spark.implicits._
-    writeDirs(postingsOf(docs, idCol, textCol, nDirs),
-      s"${table}_postings", s"$path/postings")
+    import graft.sources.Generations
+    // every live name is a Generations VIEW over generation tables, so
+    // maintenance flips are one atomic catalog op each (no window in
+    // which a probe sees a missing or half-swapped table)
+    val pGen = Generations.genTableName(s"${table}_postings", 0L)
+    writeDirs(postingsOf(docs, idCol, textCol, nDirs), pGen, s"$path/postings")
+    Generations.commit(spark, s"${table}_postings", pGen)
     // dfs derived FROM the written postings — a (tb, term)-pruned
     // columnar scan of the index itself, already tb-partitioned on disk.
     // The previous form checkpointed the whole posting stream to feed
@@ -408,15 +470,19 @@ object Bm25 {
     // decreasing in dl, so (max_tf, min_dl) bounds every posting's
     // contribution under ANY future avgdl — append-safe by max/min
     // merge).
-    writeDirs(spark.table(s"${table}_postings")
+    val dGen = Generations.genTableName(s"${table}_dfs", 0L)
+    writeDirs(spark.table(pGen)
         .groupBy($"tb", $"term").agg(count(lit(1)).as("df"),
           max($"tf").as("max_tf"), min($"dl").as("min_dl")),
-      s"${table}_dfs", s"$path/dfs")
-    spark.sql(s"DROP TABLE IF EXISTS ${table}_bounds")
+      dGen, s"$path/dfs")
+    Generations.commit(spark, s"${table}_dfs", dGen)
+    val bGen = Generations.genTableName(s"${table}_bounds", 0L)
+    spark.sql(s"DROP TABLE IF EXISTS $bGen")
     boundsOf(docs, idCol, textCol)
       .withColumn("n_dirs", lit(nDirs.toLong))
       .write.format("parquet").option("path", s"$path/bounds")
-      .mode("overwrite").saveAsTable(s"${table}_bounds")
+      .mode("overwrite").saveAsTable(bGen)
+    Generations.commit(spark, s"${table}_bounds", bGen)
   }
 
   /** Grow a [[buildIndex]] index with a batch of NEW documents — the
@@ -447,54 +513,75 @@ object Bm25 {
     * append would duplicate — the unique-id contract above); recover by
     * rebuilding the index ([[buildIndex]]) or compacting from a
     * known-good snapshot. A probe running DURING an append may observe
-    * the batch's postings before the df merge lands — same transient
-    * staleness, resolved at the bounds commit. */
+    * the batch's postings before the df merge lands — the documented
+    * transient staleness, resolved at the bounds commit. The df merge
+    * and bounds update themselves land as fresh GENERATIONS flipped
+    * atomically (the [[graft.sources.Generations]] contract), so a
+    * concurrent probe always reads a COMPLETE dfs/bounds table — stale
+    * at worst, never partial (the previous in-place rewrite could serve
+    * an empty or half-written dfs set mid-overwrite, silently dropping
+    * terms from concurrent rankings). */
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
       table: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bounds = spark.table(s"${table}_bounds").collect()
+    import graft.sources.Generations
+    val pGen = Generations.ensureGen(spark, s"${table}_postings")
+    val dGen = Generations.ensureGen(spark, s"${table}_dfs")
+    val bGen = Generations.ensureGen(spark, s"${table}_bounds")
+    // format check: a dfs table persisted by a pre-WAND build lacks the
+    // (max_tf, min_dl) stats this merge must carry forward — fail loudly
+    // with the recovery path instead of an AnalysisException mid-plan
+    val dfsCols = spark.table(dGen).columns.toSet
+    require(Set("max_tf", "min_dl").subsetOf(dfsCols),
+      s"index ${table}_dfs predates the WAND-stats format (missing " +
+        "max_tf/min_dl columns) — rebuild the index with buildIndex " +
+        "before appending; probes still work via the exact-scan fallback")
+    val bounds = spark.table(bGen).collect()
     require(bounds.length == 1, s"index ${table}_bounds must hold exactly 1 row")
     val (oldN, oldSumdl, nDirs) =
       (bounds(0).getLong(0), bounds(0).getLong(1), bounds(0).getLong(2))
-    val catalog = spark.sessionState.catalog
-    def locOf(name: String): String = catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(name)).location.toString
-    val dfsPath = locOf(s"${table}_dfs")
-    val boundsPath = locOf(s"${table}_bounds")
 
-    // postings append: same tb directory layout, term-sorted new files.
-    // The batch posting frame is re-derived for the df merge below
-    // instead of checkpointed — two map passes over a small-by-contract
-    // batch beat materializing a copy (the buildIndex disk lesson).
+    // postings append: same tb directory layout, term-sorted new files,
+    // into the CURRENT generation in place (new files only — never a
+    // rewrite of files a reader holds, so no flip needed). The batch
+    // posting frame is re-derived for the df merge below instead of
+    // checkpointed — two map passes over a small-by-contract batch beat
+    // materializing a copy (the buildIndex disk lesson).
     postingsOf(docs, idCol, textCol, nDirs.toInt)
       .repartition($"tb")
       .sortWithinPartitions($"tb", $"term")
       .write.format("parquet").mode("append").partitionBy("tb")
-      .saveAsTable(s"${table}_postings")
+      .saveAsTable(pGen)
     // register any NEW partition directories this batch introduced in
     // the shared external catalog (the probe-side refreshTables note
     // below covers stale file listings in OTHER sessions)
-    spark.sql(s"ALTER TABLE ${table}_postings RECOVER PARTITIONS")
-    // df merge: vocabulary-sized, staged (lineage cut) so the rewrite
-    // never reads the files it replaces. df adds, max_tf/min_dl merge by
-    // max/min — the probe's per-term score bound stays valid over any
-    // append sequence.
-    val mergedDfs = Stage.cut(
-      spark.table(s"${table}_dfs")
+    spark.sql(s"ALTER TABLE $pGen RECOVER PARTITIONS")
+    // df merge: vocabulary-sized, written as a FRESH generation and
+    // flipped atomically — a probe in another session during the merge
+    // reads the complete previous generation, never a partial one. df
+    // adds, max_tf/min_dl merge by max/min — the probe's per-term score
+    // bound stays valid over any append sequence.
+    val nextD = Generations.nextGenTable(spark, s"${table}_dfs")
+    writeDirs(
+      spark.table(dGen)
         .unionByName(postingsOf(docs, idCol, textCol, nDirs.toInt)
           .groupBy($"tb", $"term").agg(count(lit(1)).as("df"),
             max($"tf").as("max_tf"), min($"dl").as("min_dl")))
         .groupBy($"tb", $"term").agg(sum($"df").as("df"),
-          max($"max_tf").as("max_tf"), min($"min_dl").as("min_dl")))
-    writeDirs(mergedDfs, s"${table}_dfs", dfsPath)
-    // bounds: additive counters, 1 driver row
+          max($"max_tf").as("max_tf"), min($"min_dl").as("min_dl")),
+      nextD, Generations.next(Generations.location(spark, dGen)))
+    Generations.commit(spark, s"${table}_dfs", nextD)
+    // bounds: additive counters, 1 driver row — same fresh-generation flip
     val b = boundsOf(docs, idCol, textCol).collect()(0)
-    spark.sql(s"DROP TABLE IF EXISTS ${table}_bounds")
+    val nextB = Generations.nextGenTable(spark, s"${table}_bounds")
+    spark.sql(s"DROP TABLE IF EXISTS $nextB")
     Seq((oldN + b.getLong(0), oldSumdl + b.getLong(1), nDirs))
       .toDF("n", "sumdl", "n_dirs")
-      .write.format("parquet").option("path", boundsPath)
-      .mode("overwrite").saveAsTable(s"${table}_bounds")
+      .write.format("parquet")
+      .option("path", Generations.next(Generations.location(spark, bGen)))
+      .mode("overwrite").saveAsTable(nextB)
+    Generations.commit(spark, s"${table}_bounds", nextB)
   }
 
   /** Compact an index after [[appendToIndex]] batches — the THIRD
@@ -517,33 +604,41 @@ object Bm25 {
     *
     * Crash safety and concurrent readers (the [[graft.sources
     * .Generations]] contract): each table's new generation is FULLY
-    * written under a `__compacting` temp registration before the live
-    * name moves, so a failure mid-rewrite leaves the live index intact
-    * and re-running the compaction recovers idempotently. The two tables
-    * swap one after the other; a crash between them leaves a
-    * half-compacted LAYOUT (both tables internally complete — re-run to
-    * finish). Deleting an old generation invalidates any lazy probe
-    * frame that was PLANNED against it before the compaction — re-derive
-    * probes from the table name afterwards; a probe planned after the
-    * swap sees only the new generation. */
+    * written and registered before the live view flips onto it — ONE
+    * atomic catalog op, so a probe resolving the live name at any
+    * instant sees a complete generation, never a missing or
+    * half-swapped table. A failure mid-rewrite leaves the live index
+    * intact; re-running the compaction overwrites the partial
+    * generation idempotently. The two tables flip one after the other;
+    * a crash between them leaves a half-compacted LAYOUT (both tables
+    * internally complete — re-run to finish). The superseded generation
+    * is RETAINED until the next maintenance commit, so even a probe
+    * frame PLANNED before the compaction still collects; only plans
+    * held across two maintenance cycles lose their files
+    * (`GenerationsSpec` pins both properties). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     import spark.implicits._
     import graft.sources.Generations
-    def swap(name: String, cols: Seq[Column]): Unit = {
-      val old = Generations.location(spark, name)
-      val tmp = Generations.compactingName(name)
-      // read by PATH, not by table: the live name keeps serving the old
-      // generation until the rename below, and the rewrite must not
-      // depend on the registration it replaces (partition discovery
+    def swap(live: String, cols: Seq[Column]): Unit = {
+      val gen = Generations.ensureGen(spark, live)
+      val old = Generations.location(spark, gen)
+      val nextGen = Generations.nextGenTable(spark, live)
+      // read by PATH, not by name: the live view keeps serving the old
+      // generation until the commit below, and the rewrite must not
+      // depend on the registration it supersedes (partition discovery
       // types tb as int — cast back to the build schema so compaction
-      // never drifts the contract). writeDirs drops any leftover tmp
-      // registration from a crashed prior run before writing.
-      writeDirs(spark.read.parquet(old).select(cols: _*), tmp,
+      // never drifts the contract). writeDirs drops any leftover
+      // next-generation registration from a crashed prior run.
+      writeDirs(spark.read.parquet(old).select(cols: _*), nextGen,
         Generations.next(old))
-      Generations.renameSwap(spark, tmp, name)
-      Generations.delete(spark, old)
+      Generations.commit(spark, live, nextGen)
     }
+    require(spark.table(s"${table}_dfs").columns
+        .toSet.intersect(Set("max_tf", "min_dl")).size == 2,
+      s"index ${table}_dfs predates the WAND-stats format (missing " +
+        "max_tf/min_dl columns) — rebuild the index with buildIndex " +
+        "before compacting; probes still work via the exact-scan fallback")
     swap(s"${table}_postings", Seq($"tb".cast("long").as("tb"),
       $"term", $"doc_id", $"tf", $"dl"))
     swap(s"${table}_dfs", Seq($"tb".cast("long").as("tb"), $"term", $"df",
@@ -610,7 +705,8 @@ object Bm25 {
       maxDf: Long = Long.MaxValue,
       prune: Boolean = true, floorTermsPerQuery: Int = 2,
       pruneMinPostings: Long = 2000000L,
-      semiJoinMinPrunable: Long = 50000000L): DataFrame = {
+      semiJoinMinPrunable: Long = 50000000L,
+      maxBatchPairs: Long = 8000000L): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(floorTermsPerQuery >= 1,
       s"need floorTermsPerQuery >= 1, got $floorTermsPerQuery")
@@ -626,6 +722,39 @@ object Bm25 {
     import spark.implicits._
     val qStaged = Stage.cut(
       queries.select(col("qid").cast("long").as("qid"), col("term")))
+    // a dfs table persisted by a pre-WAND build lacks (max_tf, min_dl):
+    // probes stay SERVABLE via the exact path (no bounds to evaluate —
+    // the prune is a cost optimization, never a semantic one), loudly
+    // logged; append/compact refuse with a rebuild message instead
+    val hasWandStats = spark.table(s"${table}_dfs").columns
+      .toSet.intersect(Set("max_tf", "min_dl")).size == 2
+    if (!hasWandStats)
+      logger.warn(s"bm25 topKAgainstIndex: index ${table}_dfs predates the " +
+        "WAND-stats format (missing max_tf/min_dl) — running the exact " +
+        "scan-score-sort path (identical ranking, no top-k prune); " +
+        "rebuild the index with buildIndex to re-enable WAND")
+    // the loud batch cap (the Dedup.incrementalAssembled pattern): the
+    // qPairs collect below is bounded only by the one-retrieval-batch
+    // contract — a caller handing a corpus-sized "batch" used to get a
+    // driver OOM. Over the cap, fall back to the fully-distributed batch
+    // shape against the index's tables: no driver collect, no dir
+    // pruning, no WAND — identical rows (maxDf included: the dfs inner
+    // join drops over-frequent terms), corpus-scale cost, loudly logged.
+    val nPairs = qStaged.count()
+    if (nPairs > maxBatchPairs) {
+      logger.warn(s"bm25 topKAgainstIndex: query batch has $nPairs " +
+        s"(qid, term) pairs, above maxBatchPairs=$maxBatchPairs — falling " +
+        "back to the distributed full-scan path (no dir pruning, no WAND; " +
+        "identical rows). Split the workload into bounded retrieval " +
+        "batches to get the serving-shape plan back.")
+      val dfsAll = spark.table(s"${table}_dfs")
+        .select($"term", $"df").filter($"df" <= maxDf)
+      val postingsAll = spark.table(s"${table}_postings")
+        .select($"term", $"doc_id", $"tf", $"dl")
+      val totals = spark.table(s"${table}_bounds").select($"n", $"sumdl")
+      return scoreAndRank(qStaged, postingsAll, dfsAll, totals, k, k1, b,
+        broadcastQueries = false)
+    }
     // bounded driver model: ONE retrieval batch (the same contract that
     // lets topK broadcast the query frame); its pairs drive the floor
     // term selection, its distinct terms the dir pruning
@@ -640,11 +769,16 @@ object Bm25 {
       terms.map(t => Math.floorMod(xxh64Local(t), nDirs)).distinct
     // per-term stats ride a dir-pruned term-IN scan of the dfs table —
     // bounded output, collected to drive the maxDf prune, the WAND
-    // bounds AND the scoring join's broadcast (no second dfs scan)
-    val termStats = spark.table(s"${table}_dfs")
+    // bounds AND the scoring join's broadcast (no second dfs scan).
+    // Pre-WAND indexes carry no (max_tf, min_dl) — sentinel values are
+    // fine: the exact path below never reads them.
+    val dfsScan = spark.table(s"${table}_dfs")
       .filter($"tb".isin(tbOf(qTerms.toSeq): _*) &&
         $"term".isin(qTerms.toSeq: _*))
-      .select($"term", $"df", $"max_tf", $"min_dl")
+    val termStats = (if (hasWandStats)
+        dfsScan.select($"term", $"df", $"max_tf", $"min_dl")
+      else dfsScan.select($"term", $"df", lit(0L).as("max_tf"),
+        lit(0L).as("min_dl")))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val kept = termStats.filter(_._2 <= maxDf)
@@ -675,7 +809,13 @@ object Bm25 {
       }
     val keptTerms = kept.map(_._1).toSeq
     val postings = dirPrunedPostings(keptTerms)
-    if (!prune || kept.map(_._2).sum < pruneMinPostings) {
+    val matchingPostings = kept.map(_._2).sum
+    if (!prune || !hasWandStats || matchingPostings < pruneMinPostings) {
+      logger.info(s"bm25 topKAgainstIndex: straight scan-score-sort path " +
+        s"($matchingPostings matching postings; " +
+        (if (!prune) "prune=false"
+         else if (!hasWandStats) "pre-WAND dfs format"
+         else s"below pruneMinPostings=$pruneMinPostings") + ")")
       val dfs = spark.createDataFrame(kept.toSeq
           .map { case (t, df, _, _) => (t, df) }).toDF("term", "df")
       val totals = spark.table(s"${table}_bounds").select($"n", $"sumdl")
@@ -685,6 +825,9 @@ object Bm25 {
     // than the full kept set); per-term ub evaluated driver-side inside
     // the shared tail — every op in the tree is IEEE-monotone, so
     // ub_e4 >= c_e4 for every posting of the term
+    logger.info(s"bm25 topKAgainstIndex: WAND-bounded path " +
+      s"($matchingPostings matching postings >= " +
+      s"pruneMinPostings=$pruneMinPostings)")
     wandScoreAndRank(qStaged, qPairs, kept, n, sumdl, postings,
       dirPrunedPostings(_, spread = false), k, k1, b, floorTermsPerQuery,
       semiJoinMinPrunable)

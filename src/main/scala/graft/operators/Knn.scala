@@ -304,22 +304,29 @@ object Knn {
       nCells: Int = 16, iterations: Int = 5): Unit = {
     val spark = data.sparkSession
     import spark.implicits._
+    import graft.sources.Generations
     val d = withVecAndNorm(data, idCol, vecCol).cache()
     try {
       val centroids = trainCentroids(d, nCells, iterations)
-      spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+      // live names are Generations VIEWS over generation tables —
+      // maintenance flips are one atomic catalog op each
+      val centGen = Generations.genTableName(s"${table}_centroids", 0L)
+      spark.sql(s"DROP TABLE IF EXISTS $centGen")
       centroids.zipWithIndex
         .map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "c")
         .coalesce(1)
         .write.format("parquet").option("path", s"$path/centroids")
-        .mode("overwrite").saveAsTable(s"${table}_centroids")
-      spark.sql(s"DROP TABLE IF EXISTS ${table}_cells")
+        .mode("overwrite").saveAsTable(centGen)
+      Generations.commit(spark, s"${table}_centroids", centGen)
+      val cellsGen = Generations.genTableName(s"${table}_cells", 0L)
+      spark.sql(s"DROP TABLE IF EXISTS $cellsGen")
       d.withColumn("cell", nearestUdf(centroids)($"v"))
         .select($"id", $"v", $"nrm", $"cell")
         .repartition($"cell")
         .write.format("parquet").option("path", s"$path/cells")
-        .partitionBy("cell").mode("overwrite").saveAsTable(s"${table}_cells")
+        .partitionBy("cell").mode("overwrite").saveAsTable(cellsGen)
+      Generations.commit(spark, s"${table}_cells", cellsGen)
     } finally d.unpersist()
   }
 
@@ -339,6 +346,9 @@ object Knn {
       table: String): Unit = {
     val spark = data.sparkSession
     import spark.implicits._
+    // appends target the CURRENT generation in place (new files only —
+    // never a rewrite of files a reader holds, so no flip needed)
+    val cellsGen = graft.sources.Generations.ensureGen(spark, s"${table}_cells")
     val centroids: Array[Array[Double]] = spark.table(s"${table}_centroids")
       .orderBy($"cell").collect().map(_.getSeq[Double](1).toArray)
     withVecAndNorm(data, idCol, vecCol)
@@ -346,10 +356,10 @@ object Knn {
       .select($"id", $"v", $"nrm", $"cell")
       .repartition($"cell")
       .write.format("parquet").mode("append").partitionBy("cell")
-      .saveAsTable(s"${table}_cells")
+      .saveAsTable(cellsGen)
     // register any NEW cell directories in the shared catalog; stale
     // listings in OTHER sessions are handled probe-side (refreshTables)
-    spark.sql(s"ALTER TABLE ${table}_cells RECOVER PARTITIONS")
+    spark.sql(s"ALTER TABLE $cellsGen RECOVER PARTITIONS")
   }
 
   /** [[ivfTopK]] against a PERSISTED index from [[writeIvfIndex]]:
@@ -375,12 +385,29 @@ object Knn {
     val qcells = Stage.cut(withVecAndNorm(queries, idCol, vecCol)
       .withColumn("cell", explode(probesUdf(centroids, nProbe)($"v")))
       .select($"cell", $"id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
-    val probed = qcells.select($"cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val cells = spark.table(s"${table}_cells")
-      .filter($"cell".isin(probed: _*))
-      .select($"cell", $"id", $"v", $"nrm")
-    scoreCells(cells, qcells, k, qcells.count(), broadcastMaxQcells)
+    val nQcells = qcells.count()
+    // the probed-cell collect is bounded by nCells AFTER the distinct,
+    // but the distinct itself shuffles the exploded query frame — over
+    // the broadcast cap that batch is corpus-sized and pruning is moot
+    // anyway (a huge batch probes essentially every cell), so skip the
+    // collect and scan all cells, loudly (the scoreCells shuffle-join
+    // fallback handles the join side; identical rows)
+    val cells =
+      if (nQcells <= broadcastMaxQcells) {
+        val probed = qcells.select($"cell").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        spark.table(s"${table}_cells")
+          .filter($"cell".isin(probed: _*))
+          .select($"cell", $"id", $"v", $"nrm")
+      } else {
+        log.warn(s"ivf ivfTopKAgainstIndex: query batch explodes to " +
+          s"$nQcells cell rows, above broadcastMaxQcells=" +
+          s"$broadcastMaxQcells — skipping cell pruning and scanning " +
+          "all cells (identical rows; split the workload into bounded " +
+          "retrieval batches to get the pruned plan back)")
+        spark.table(s"${table}_cells").select($"cell", $"id", $"v", $"nrm")
+      }
+    scoreCells(cells, qcells, k, nQcells, broadcastMaxQcells)
   }
 
   /** Compact a [[writeIvfIndex]] index after [[appendToIvfIndex]]
@@ -400,19 +427,21 @@ object Knn {
     import spark.implicits._
     import graft.sources.Generations
     val name = s"${table}_cells"
-    val old = Generations.location(spark, name)
-    val tmp = Generations.compactingName(name)
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    // read by PATH (the live name serves the old generation until the
-    // swap); partition discovery types cell as int — matching the build
-    // schema, but cast explicitly so the contract never drifts
+    val gen = Generations.ensureGen(spark, name)
+    val old = Generations.location(spark, gen)
+    val nextGen = Generations.nextGenTable(spark, name)
+    spark.sql(s"DROP TABLE IF EXISTS $nextGen")
+    // read by PATH (the live view serves the old generation until the
+    // commit); partition discovery types cell as int — matching the
+    // build schema, but cast explicitly so the contract never drifts
     spark.read.parquet(old)
       .select($"id", $"v", $"nrm", $"cell".cast("int").as("cell"))
       .repartition($"cell")
       .write.format("parquet").option("path", Generations.next(old))
-      .partitionBy("cell").mode("overwrite").saveAsTable(tmp)
-    Generations.renameSwap(spark, tmp, name)
-    Generations.delete(spark, old)
+      .partitionBy("cell").mode("overwrite").saveAsTable(nextGen)
+    // atomic flip; the superseded generation is retained for in-flight
+    // readers until the next maintenance commit
+    Generations.commit(spark, name, nextGen)
   }
 
   /** Per-cell occupancy of a persisted IVF index — the drift metric an
@@ -459,30 +488,33 @@ object Knn {
     import graft.sources.Generations
     val cellsName = s"${table}_cells"
     val centName = s"${table}_centroids"
-    val oldCells = Generations.location(spark, cellsName)
-    val oldCent = Generations.location(spark, centName)
+    val cellsGen = Generations.ensureGen(spark, cellsName)
+    val centGen = Generations.ensureGen(spark, centName)
+    val oldCells = Generations.location(spark, cellsGen)
+    val oldCent = Generations.location(spark, centGen)
     // read by PATH: v and nrm round-trip parquet doubles exactly, so
     // retraining from the index equals retraining from the source rows
     val d = spark.read.parquet(oldCells).select($"id", $"v", $"nrm").cache()
     try {
       val centroids = trainCentroids(d, nCells, iterations)
-      val tmpCent = Generations.compactingName(centName)
-      val tmpCells = Generations.compactingName(cellsName)
-      spark.sql(s"DROP TABLE IF EXISTS $tmpCent")
-      spark.sql(s"DROP TABLE IF EXISTS $tmpCells")
+      val nextCent = Generations.nextGenTable(spark, centName)
+      val nextCells = Generations.nextGenTable(spark, cellsName)
+      spark.sql(s"DROP TABLE IF EXISTS $nextCent")
+      spark.sql(s"DROP TABLE IF EXISTS $nextCells")
       centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "c").coalesce(1)
         .write.format("parquet").option("path", Generations.next(oldCent))
-        .mode("overwrite").saveAsTable(tmpCent)
+        .mode("overwrite").saveAsTable(nextCent)
       d.withColumn("cell", nearestUdf(centroids)($"v"))
         .select($"id", $"v", $"nrm", $"cell")
         .repartition($"cell")
         .write.format("parquet").option("path", Generations.next(oldCells))
-        .partitionBy("cell").mode("overwrite").saveAsTable(tmpCells)
-      Generations.renameSwap(spark, tmpCent, centName)
-      Generations.renameSwap(spark, tmpCells, cellsName)
-      Generations.delete(spark, oldCent)
-      Generations.delete(spark, oldCells)
+        .partitionBy("cell").mode("overwrite").saveAsTable(nextCells)
+      // both new generations fully written and registered BEFORE either
+      // flip; each flip is one atomic catalog op, and the superseded
+      // generations survive until the next maintenance commit
+      Generations.commit(spark, centName, nextCent)
+      Generations.commit(spark, cellsName, nextCells)
     } finally d.unpersist()
   }
 

@@ -19,13 +19,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * write time, which is what this helper does. Pinned by `BucketingSpec`
   * (plan has a SortMergeJoin and zero hash-partition exchanges) and
   * oracle-checked end-to-end as q84 (bucketed round-trip is lossless).
+  *
+  * Tables here live under the [[Generations]] contract: the public name
+  * is a live VIEW over the current generation TABLE, so compaction's
+  * swap is one atomic catalog op and the superseded generation survives
+  * until the next commit for in-flight readers. Bucket properties pass
+  * through the view untouched — the physical scan node takes its
+  * `outputPartitioning` from the underlying relation's bucket spec, so
+  * the exchange-free join shape is independent of the indirection
+  * (spec-pinned).
   */
 object Bucketing {
 
-  /** Write `df` as an external parquet table bucketed (and sorted) by
-    * `keys`, replacing any previous registration of `table`. The data
-    * lands under `path`; only metadata lives in the session catalog.
-    */
+  /** Write `df` as the initial generation of a bucketed (and sorted)
+    * external parquet table and point the live view `table` at it,
+    * replacing any previous registration. The data lands under `path`;
+    * only metadata lives in the session catalog. */
   def writeBucketed(
       spark: SparkSession,
       df: DataFrame,
@@ -33,15 +42,25 @@ object Bucketing {
       path: String,
       numBuckets: Int,
       keys: Seq[String]): DataFrame = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val gen = Generations.genTableName(table, 0L)
+    spark.sql(s"DROP TABLE IF EXISTS $gen")
     df.write
       .format("parquet")
       .option("path", path)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
-      .saveAsTable(table)
+      .saveAsTable(gen)
+    Generations.commit(spark, table, gen)
     spark.table(table)
+  }
+
+  /** The current generation's catalog metadata (bucket spec, location)
+    * — resolved through the live view. */
+  private def genMeta(spark: SparkSession, table: String) = {
+    val gen = Generations.ensureGen(spark, table)
+    (gen, spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(gen)))
   }
 
   /** Append `df` to an EXISTING bucketed table from [[writeBucketed]],
@@ -51,11 +70,12 @@ object Bucketing {
     * downstream exchange-free join/aggregation property survives the
     * append. This is the daily-ingest growth path for persisted indexes
     * (MinHash signature/band tables, posting lists): a batch-sized write,
-    * never a rewrite of the accumulated table.
+    * never a rewrite of the accumulated table. Appends target the
+    * CURRENT generation in place — new files only, never a rewrite of
+    * files a reader holds — so they need no generation flip.
     */
   def appendBucketed(spark: SparkSession, df: DataFrame, table: String): DataFrame = {
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val (gen, meta) = genMeta(spark, table)
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"table $table has no bucket spec — appendBucketed only grows " +
         "tables written by writeBucketed"))
@@ -65,7 +85,7 @@ object Bucketing {
         spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
       .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
       .mode("append")
-      .saveAsTable(table)
+      .saveAsTable(gen)
     spark.table(table)
   }
 
@@ -77,40 +97,40 @@ object Bucketing {
     * file per bucket (the pre-write `repartition(numBuckets, keys)` uses
     * the same murmur3 `HashPartitioning` the bucketizer uses, so each
     * bucket's rows land whole in one task) and globally sorted within it,
-    * then swaps the live name and deletes the old generation — the
-    * write-new / swap / delete-old contract and crash-safety story of
-    * [[Generations]]. Pure layout maintenance: rows are untouched, so
-    * probe equality before/after IS the correctness check (spec-pinned;
-    * the q162 MinHash-index query shares its oracle with the uncompacted
-    * replay). Outstanding DataFrames planned against the old generation
-    * are invalidated by the final delete — re-derive from the table name.
+    * then flips the live view onto it — one atomic catalog op — and
+    * retires generations older than the one just superseded (the
+    * [[Generations]] retention contract: probes planned before the flip
+    * keep their files until the NEXT maintenance commit). Pure layout
+    * maintenance: rows are untouched, so probe equality before/after IS
+    * the correctness check (spec-pinned; the q162 MinHash-index query
+    * shares its oracle with the uncompacted replay).
     */
   def compactBucketed(spark: SparkSession, table: String): Unit = {
     import org.apache.spark.sql.functions.col
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val (gen, meta) = genMeta(spark, table)
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"table $table has no bucket spec — compactBucketed only serves " +
         "tables written by writeBucketed"))
     val old = meta.location.toString
-    val nextPath = Generations.next(old)
-    val tmp = Generations.compactingName(table)
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    // read by PATH, not by table name: the rewrite must not depend on the
-    // registration it is about to replace, and the live name keeps
-    // serving the old generation until the swap below
+    val nextGen = Generations.nextGenTable(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS $nextGen")
+    // read by PATH, not by name: the rewrite must not depend on the
+    // registration it supersedes, and the live view keeps serving the
+    // old generation until the commit below
     val writer = spark.read.parquet(old)
       .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
       .write
       .format("parquet")
-      .option("path", nextPath)
+      .option("path", Generations.next(old))
       .bucketBy(spec.numBuckets,
         spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
     (if (spec.sortColumnNames.nonEmpty)
        writer.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
      else writer)
-      .mode("overwrite").saveAsTable(tmp)
-    Generations.renameSwap(spark, tmp, table)
-    Generations.delete(spark, old)
+      .mode("overwrite").saveAsTable(nextGen)
+    Generations.commit(spark, table, nextGen)
+    // the superseded generation (`gen`) is retained for in-flight
+    // readers; the commit already deleted anything older
+    val _ = gen
   }
 }

@@ -140,8 +140,16 @@ object StreamingOps {
         // have no arrival order after a shuffle, so the final
         // tiebreaker is a content hash of the whole row — a retried
         // (at-least-once) batch then always commits the same winner,
-        // keeping the snapshot deterministic under redelivery.
-        val rowFingerprint = xxhash64(cols.sorted.map(c => col(c).cast("string")): _*)
+        // keeping the snapshot deterministic under redelivery. Each
+        // column contributes an is-null flag AND its coalesced value:
+        // xxhash64 SKIPS null inputs, so hashing values alone gave
+        // (x=null, y='foo') and (x='foo', y=null) the same fingerprint
+        // and the tie broke arbitrarily — the flag pair distinguishes
+        // null from every real value (including '' and any marker
+        // string) exactly.
+        val rowFingerprint = xxhash64(cols.sorted.flatMap(c => Seq(
+          isnull(col(c)).cast("string"),
+          coalesce(col(c).cast("string"), lit("")))): _*)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("key"))
           .orderBy(col("ts").desc, col("__src").desc, rowFingerprint.desc)
@@ -168,6 +176,21 @@ object StreamingOps {
         java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "_LATEST"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // retention GC (the graft.sources.Generations contract): keep
+        // the committed generation plus the one it superseded — a
+        // reader that resolved _LATEST just before the flip keeps its
+        // files for one more batch — and delete everything older, so
+        // disk is bounded at ~2 snapshots instead of growing by one
+        // full snapshot per micro-batch forever.
+        val genDir = new java.io.File(dir)
+        Option(genDir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+          .filter(_.getName.drop(4).toLong < next - 1)
+          .foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+            p.getFileSystem(spark.sessionState.newHadoopConf())
+              .delete(p, true)
+          }
     }
     val writer = updates.writeStream
       .option("checkpointLocation", checkpoint)

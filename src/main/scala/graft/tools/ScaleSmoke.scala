@@ -559,6 +559,61 @@ object ScaleSmoke {
       spark.stop(); return
     }
 
+    // SCALE_ONLY_R14 — the WAND/semi-join gating sweep (run at nDocs =
+    // 1M / 10M / 100M): the r13 gating constants
+    // (pruneMinPostings = 2M matching postings, semiJoinMinPrunable =
+    // 50M prunable postings, 75% essential coverage) were hand-tuned
+    // from two decades on one host; this case BRACKETS the crossovers
+    // by timing the same probes with each path forced — (a) straight
+    // exact scan, (b) WAND floor+bound only, (c) WAND + candidate
+    // semi-join forced — plus (d) the shipped defaults, whose gating
+    // log line states which path it chose and why. Checksum equality
+    // across all four pins losslessness at every decade; the timings
+    // say whether the default chose the fastest path.
+    if (sys.env.contains("SCALE_ONLY_R14")) {
+      // surface the per-probe gating log line (which path ran and why)
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "graft.operators.Bm25", org.apache.logging.log4j.Level.INFO)
+      // the r12 bm25index workload verbatim, for decade-to-decade
+      // comparability: 100 zipf-common queries of 6 leading tokens
+      val common = docs.filter($"id" < 100L)
+        .select($"id".as("qid"),
+          explode(slice(split($"text", " "), 1, 6)).as("term"))
+        .distinct().localCheckpoint(true)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bm25gates_smoke").toString
+      time(s"bm25 index BUILD ($nDocs docs)") {
+        graft.operators.Bm25.buildIndex(docs, "id", "text",
+          "g_bm25g_smoke", s"$dir/idx", nDirs = 64)
+      }
+      docs.unpersist(true)
+      // the rare-term regime (df 2..20): the one where the floor passes
+      // are pure overhead and the gate must choose the straight scan
+      val rare = spark.table("g_bm25g_smoke_dfs")
+        .filter($"df".between(2L, 20L)).limit(300)
+        .select(pmod(xxhash64($"term"), lit(100L)).as("qid"), $"term")
+        .localCheckpoint(true)
+      for ((wname, qs) <- Seq("zipf-common" -> common, "rare" -> rare)) {
+        def probe(tag: String, prune: Boolean, minPost: Long, minPrun: Long) =
+          time(s"bm25 probe [$wname/$tag] ($nDocs docs)") {
+            graft.operators.Bm25.topKAgainstIndex(qs, "g_bm25g_smoke",
+                k = 10, prune = prune, pruneMinPostings = minPost,
+                semiJoinMinPrunable = minPrun)
+              .agg(count(lit(1)).as("rows"), sum($"score_e4").as("ssum"),
+                sum($"doc_id").as("dsum")).collect()(0)
+          }
+        val exact = probe("a:exact-forced", prune = false, 0L, 0L)
+        val wand = probe("b:wand-forced", prune = true, 0L, Long.MaxValue)
+        val semi = probe("c:wand+semijoin-forced", prune = true, 0L, 0L)
+        val dflt = probe("d:shipped-defaults", prune = true,
+          2000000L, 50000000L)
+        assert(Seq(wand, semi, dflt).forall(_ == exact),
+          s"gating paths disagree on [$wname]: $exact / $wand / $semi / $dflt")
+        println(s"  [$wname] checksums equal across all four paths: $exact")
+      }
+      spark.stop(); return
+    }
+
     // SCALE_ONLY_THIRD — the third decade (run with nDocs = 100000000,
     // SPARK_DRIVER_MEM=100g): the two headline dedup operators at 100M
     // docs, then the Bloom decontamination CAP regime with PLANTED

@@ -85,9 +85,10 @@ class Bm25IndexSpec extends AnyFunSuite {
     val postingsBefore = spark.table("g_bm25_spec_cpt_postings")
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     def filesPerDir(name: String): Map[String, Int] = {
-      val loc = java.net.URI.create(spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
-        .location.toString).getPath
+      // Generations.location resolves the live VIEW to its current
+      // generation table's path
+      val loc = java.net.URI.create(
+        graft.sources.Generations.location(spark, name)).getPath
       new java.io.File(loc).listFiles().filter(_.getName.startsWith("tb="))
         .map(d => d.getName ->
           d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
@@ -104,13 +105,20 @@ class Bm25IndexSpec extends AnyFunSuite {
       .collect().map(_.toSeq).sortBy(_.toString).toSeq == postingsBefore)
     assert(rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_cpt", k = 60))
       == before)
-    assert(!new java.io.File(s"$dir/idx/postings").exists(),
-      "old postings generation must be deleted after the swap")
-    // a second compaction swaps generations again, idempotently
+    // RETENTION: the superseded generation survives the flip (probes
+    // that resolved the live view just before the commit keep their
+    // files) and is deleted by the NEXT maintenance commit
+    assert(new java.io.File(s"$dir/idx/postings").exists(),
+      "superseded postings generation must be retained until the next commit")
+    // a second compaction flips generations again, idempotently — and
+    // retires the generation superseded two commits ago
     Bm25.compactIndex(spark, "g_bm25_spec_cpt")
     assert(rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_cpt", k = 60))
       == before)
-    assert(!new java.io.File(s"$dir/idx/postings__g1").exists())
+    assert(!new java.io.File(s"$dir/idx/postings").exists(),
+      "generation superseded two commits ago must be deleted")
+    assert(new java.io.File(s"$dir/idx/postings__g1").exists(),
+      "immediately-previous generation must be retained")
   }
 
   test("WAND prune (default) == prune=false exact scan, row-for-row, on a " +

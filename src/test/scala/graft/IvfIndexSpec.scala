@@ -179,8 +179,10 @@ class IvfIndexSpec extends AnyFunSuite {
           "vec_id", "embedding", k = 3, nProbe = 1)
         .queryExecution.executedPlan
       val cellScans = plan.collect {
+        // the live name is a Generations view; the physical scan carries
+        // the generation table's identifier (g_ivfidx_spec_cells__gN)
         case s: FileSourceScanExec if s.tableIdentifier.exists(
-          _.table == "g_ivfidx_spec_cells") => s
+          _.table.startsWith("g_ivfidx_spec_cells")) => s
       }
       assert(cellScans.nonEmpty, "plan must scan the cells table")
       assert(cellScans.forall(_.partitionFilters.nonEmpty),

@@ -107,8 +107,11 @@ class MinhashIndexSpec extends AnyFunSuite {
     // exchange-free history side survives growth
     for ((tbl, keys) <- Seq("g_mhidx_spec_ingest_sigs" -> Seq("id"),
         "g_mhidx_spec_ingest_buckets" -> Seq("band", "bh"))) {
+      // the live name is a Generations view — the bucket spec lives on
+      // the current generation table
       val meta = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          graft.sources.Generations.current(spark, tbl)))
       assert(meta.bucketSpec.exists(s =>
         s.numBuckets == 4 && s.bucketColumnNames == keys))
     }
@@ -154,7 +157,8 @@ class MinhashIndexSpec extends AnyFunSuite {
       // the swap preserves the bucket spec — the probe's exchange-free
       // history side survives compaction like it survives appends
       val meta = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          graft.sources.Generations.current(spark, tbl)))
       assert(meta.bucketSpec.exists(_.numBuckets == 4))
     }
     val post = collectRows(Dedup.minhashIncrementalAgainstIndex(
