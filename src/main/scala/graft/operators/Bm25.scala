@@ -118,6 +118,7 @@ object Bm25 {
       k1: Double = 1.2, b: Double = 0.75,
       prune: Boolean = true, floorTermsPerQuery: Int = 2,
       pruneMinPostings: Long = 2000000L,
+      pruneMinMaxDf: Long = 1000000L,
       semiJoinMinPrunable: Long = 50000000L,
       maxBatchPairs: Long = 8000000L): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
@@ -184,17 +185,22 @@ object Bm25 {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
 
     val matchingPostings = stats.map(_._2).sum
-    if (!prune || matchingPostings < pruneMinPostings) {
+    val maxTermDf = if (stats.isEmpty) 0L else stats.map(_._2).max
+    if (!prune || matchingPostings < pruneMinPostings ||
+        maxTermDf < pruneMinMaxDf) {
       logger.info(s"bm25 topK: straight scan-score-sort path " +
-        s"($matchingPostings matching postings " +
-        (if (prune) s"below pruneMinPostings=$pruneMinPostings"
-         else "prune=false") + ")")
+        s"($matchingPostings matching postings, max term df $maxTermDf; " +
+        (if (!prune) "prune=false"
+         else if (matchingPostings < pruneMinPostings)
+           s"below pruneMinPostings=$pruneMinPostings"
+         else s"max df below pruneMinMaxDf=$pruneMinMaxDf") + ")")
       val dfs = spark.createDataFrame(
         stats.toSeq.map { case (t, df, _, _) => (t, df) }).toDF("term", "df")
       return scoreAndRank(qStaged, postings, dfs, totals, k, k1, b)
     }
     logger.info(s"bm25 topK: WAND-bounded path ($matchingPostings matching " +
-      s"postings >= pruneMinPostings=$pruneMinPostings)")
+      s"postings >= pruneMinPostings=$pruneMinPostings, max term df " +
+      s"$maxTermDf >= pruneMinMaxDf=$pruneMinMaxDf)")
     // the totals collect is the same 1-row aggregate job the unpruned
     // plan runs inside its broadcast — moved earlier, not added
     val tot = totals.collect()(0)
@@ -699,12 +705,29 @@ object Bm25 {
     *   Spark jobs; below this many matching postings (Σ df of the kept
     *   terms — known driver-side for free) the straight scan wins, so
     *   the probe falls back to it. Purely a cost switch between two
-    *   paths that rank identically (q155/q166 share one oracle). */
+    *   paths that rank identically (q155/q166 share one oracle).
+    * @param pruneMinMaxDf the second gate condition, measured by the r14
+    *   sweep (tools/smokelogs/r14_bm25gates_*.log): WAND exists to
+    *   starve the aggregation/sort of a SINGLE corpus-scale posting
+    *   list's fanout, so its benefit tracks the LARGEST kept df, not the
+    *   Σ — a 300-term rare workload at 10M docs clears a Σ-only gate
+    *   (4.7M matching) yet the straight scan wins 3.1 s vs 4.6 s (the
+    *   floor passes prune almost nothing: essential coverage 72%).
+    *   Measured brackets: max df ~500k (1M zipf) → WAND a wash (6.7 vs
+    *   6.6 s); ~5M (10M zipf) → WAND wins 45.9 vs 52.3 s (27.0 s with
+    *   the semi-join); ~20k (10M rare) → straight wins. Both gates are
+    *   exact driver-side numbers, never estimates; all four paths are
+    *   checksum-equal at every decade.
+    * @param semiJoinMinPrunable measured brackets (same sweep): prunable
+    *   154.7M @10M zipf → engage wins 27–32 s vs 45.9 s wand-only;
+    *   prunable 14.6M @1M zipf → a wash (6.1 vs 6.7 s, inside noise) —
+    *   the 50M default sits between the no-gain and big-gain decades. */
   def topKAgainstIndex(queries: DataFrame, table: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       maxDf: Long = Long.MaxValue,
       prune: Boolean = true, floorTermsPerQuery: Int = 2,
       pruneMinPostings: Long = 2000000L,
+      pruneMinMaxDf: Long = 1000000L,
       semiJoinMinPrunable: Long = 50000000L,
       maxBatchPairs: Long = 8000000L): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
@@ -810,12 +833,16 @@ object Bm25 {
     val keptTerms = kept.map(_._1).toSeq
     val postings = dirPrunedPostings(keptTerms)
     val matchingPostings = kept.map(_._2).sum
-    if (!prune || !hasWandStats || matchingPostings < pruneMinPostings) {
+    val maxTermDf = if (kept.isEmpty) 0L else kept.map(_._2).max
+    if (!prune || !hasWandStats || matchingPostings < pruneMinPostings ||
+        maxTermDf < pruneMinMaxDf) {
       logger.info(s"bm25 topKAgainstIndex: straight scan-score-sort path " +
-        s"($matchingPostings matching postings; " +
+        s"($matchingPostings matching postings, max term df $maxTermDf; " +
         (if (!prune) "prune=false"
          else if (!hasWandStats) "pre-WAND dfs format"
-         else s"below pruneMinPostings=$pruneMinPostings") + ")")
+         else if (matchingPostings < pruneMinPostings)
+           s"below pruneMinPostings=$pruneMinPostings"
+         else s"max df below pruneMinMaxDf=$pruneMinMaxDf") + ")")
       val dfs = spark.createDataFrame(kept.toSeq
           .map { case (t, df, _, _) => (t, df) }).toDF("term", "df")
       val totals = spark.table(s"${table}_bounds").select($"n", $"sumdl")
@@ -827,7 +854,8 @@ object Bm25 {
     // ub_e4 >= c_e4 for every posting of the term
     logger.info(s"bm25 topKAgainstIndex: WAND-bounded path " +
       s"($matchingPostings matching postings >= " +
-      s"pruneMinPostings=$pruneMinPostings)")
+      s"pruneMinPostings=$pruneMinPostings, max term df $maxTermDf >= " +
+      s"pruneMinMaxDf=$pruneMinMaxDf)")
     wandScoreAndRank(qStaged, qPairs, kept, n, sumdl, postings,
       dirPrunedPostings(_, spread = false), k, k1, b, floorTermsPerQuery,
       semiJoinMinPrunable)

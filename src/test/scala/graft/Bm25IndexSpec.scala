@@ -143,14 +143,14 @@ class Bm25IndexSpec extends AnyFunSuite {
       .toDF("qid", "term")
     for (k <- Seq(1, 3, 10)) {
       val pruned = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_wand",
-        k = k, pruneMinPostings = 0L))
+        k = k, pruneMinPostings = 0L, pruneMinMaxDf = 0L))
       val exact = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_wand",
         k = k, prune = false))
       assert(pruned == exact, s"WAND prune lost rows at k=$k")
       // the essential-terms candidate semi-join FORCED on (it only
       // engages at corpus scale by default) — must also be lossless
       val semi = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_wand",
-        k = k, pruneMinPostings = 0L, semiJoinMinPrunable = 0L))
+        k = k, pruneMinPostings = 0L, pruneMinMaxDf = 0L, semiJoinMinPrunable = 0L))
       assert(semi == exact, s"candidate semi-join lost rows at k=$k")
       assert(pruned.nonEmpty)
     }
@@ -158,7 +158,7 @@ class Bm25IndexSpec extends AnyFunSuite {
     Bm25.appendToIndex(docs.filter(_._1 % 2 == 1).toDF("doc_id", "text"),
       "doc_id", "text", "g_bm25_spec_wand")
     val pruned = rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_wand",
-      k = 4, pruneMinPostings = 0L))
+      k = 4, pruneMinPostings = 0L, pruneMinMaxDf = 0L))
     assert(pruned == rows(Bm25.topKAgainstIndex(queries, "g_bm25_spec_wand",
       k = 4, prune = false)))
     // and both equal the batch shape over the full corpus

@@ -117,7 +117,7 @@ class Bm25Spec extends AnyFunSuite {
     def go(pruned: Boolean, k: Int, semiMin: Long = 50000000L) =
       Bm25.topK(docs.toDF("doc_id", "text"), "doc_id", "text",
           queries.toDF("qid", "term"), k,
-          prune = pruned, pruneMinPostings = 0L,
+          prune = pruned, pruneMinPostings = 0L, pruneMinMaxDf = 0L,
           semiJoinMinPrunable = semiMin)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

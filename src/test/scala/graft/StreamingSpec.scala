@@ -304,4 +304,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(winners.distinct.size == 1,
       s"equal-ts tie winner must be replay-stable, got $winners")
   }
+
+  test("upsert tiebreaker distinguishes null-position-swapped rows; " +
+      "superseded snapshot generations are GC'd to current+previous") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // (x=null, y='v') vs (x='v', y=null): xxhash64 SKIPS null inputs, so
+    // a value-only fingerprint collided on these and the tie broke
+    // arbitrarily. With the per-column (is-null flag, coalesced value)
+    // encoding the fingerprints differ, so the winner is order-stable.
+    val winners = (0 until 3).map { i =>
+      implicit val sq = spark.sqlContext
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_upsert_nul$i").toString
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_upsert_nul_ck$i").toString
+      val in = MemoryStream[(Long, java.sql.Timestamp, Option[String], Option[String])]
+      val q = StreamingOps.upsertSnapshot(
+        in.toDF().toDF("key", "ts", "x", "y"), dir, ckpt)
+      val rows = Seq(
+        (7L, t("2024-01-01 00:00:10"), Option.empty[String], Option("v")),
+        (7L, t("2024-01-01 00:00:10"), Option("v"), Option.empty[String]))
+      in.addData((if (i % 2 == 0) rows else rows.reverse): _*)
+      q.processAllAvailable()
+      q.stop()
+      val r = StreamingOps.readSnapshot(spark, dir).collect()
+      assert(r.length == 1)
+      (Option(r(0).getAs[String]("x")), Option(r(0).getAs[String]("y")))
+    }
+    assert(winners.distinct.size == 1,
+      s"null-swapped tie winner must be order-stable, got $winners")
+
+    // GC: after N batches only gen=N-1 (current) and gen=N-2 survive
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_gc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_gc_ck").toString
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.upsertSnapshot(
+      in.toDF().toDF("key", "ts", "payload"), dir, ckpt)
+    for (b <- 0 until 4) {
+      in.addData((b.toLong, t(f"2024-01-01 00:00:${10 + b}%02d"), s"p$b"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val gens = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+      .map(_.getName).sorted.toSeq
+    assert(gens == Seq("gen=2", "gen=3"),
+      s"GC must keep exactly current+previous generations, got $gens")
+    assert(StreamingOps.readSnapshot(spark, dir).count() == 4)
+  }
 }
