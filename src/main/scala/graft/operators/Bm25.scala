@@ -715,9 +715,11 @@ object Bm25 {
     *   floor passes prune almost nothing: essential coverage 72%).
     *   Measured brackets: max df ~500k (1M zipf) → WAND a wash (6.7 vs
     *   6.6 s); ~5M (10M zipf) → WAND wins 45.9 vs 52.3 s (27.0 s with
-    *   the semi-join); ~20k (10M rare) → straight wins. Both gates are
-    *   exact driver-side numbers, never estimates; all four paths are
-    *   checksum-equal at every decade.
+    *   the semi-join); ~20k (10M rare) → straight wins; ~159k (100M
+    *   rare, 47.7M matching — a workload the Σ-only gate mis-sent to
+    *   WAND) → straight median ~48 s vs WAND ~62 s vs semi ~79 s. Both
+    *   gates are exact driver-side numbers, never estimates; all four
+    *   paths are checksum-equal at every decade.
     * @param semiJoinMinPrunable measured brackets (same sweep): prunable
     *   154.7M @10M zipf → engage wins 27–32 s vs 45.9 s wand-only;
     *   prunable 14.6M @1M zipf → a wash (6.1 vs 6.7 s, inside noise) —

@@ -597,7 +597,14 @@ object ScaleSmoke {
         .orderBy($"df".asc, $"term").limit(300)
         .select(pmod(xxhash64($"term"), lit(100L)).as("qid"), $"term")
         .localCheckpoint(true)
-      for ((wname, qs) <- Seq("zipf-common" -> common, "rare" -> rare)) {
+      // SCALE_R14_CASE=common|rare subsets the workloads (the 100M
+      // decade's common-side probes cost minutes each; the rare side —
+      // the decision the r14 max-df gate changed — is cheap after the
+      // build and can run alone)
+      val r14Case = sys.env.getOrElse("SCALE_R14_CASE", "")
+      val workloads = Seq("zipf-common" -> common, "rare" -> rare)
+        .filter { case (n, _) => r14Case.isEmpty || n.contains(r14Case) }
+      for ((wname, qs) <- workloads) {
         // each path runs TWICE and reports both (first = cold page
         // cache, second = steady): within-JVM ordering otherwise hands
         // the last path everyone else's warmed file cache and the

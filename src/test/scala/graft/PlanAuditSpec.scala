@@ -45,8 +45,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q161_bm25_index_compact", // same probe over the compacted index
       "q166_bm25_index_exactscan", // q155's probe with prune=false —
                                    // same 1-row bounds broadcast
-      "q167_bm25_append_stream")   // q155's probe over the
+      "q167_bm25_append_stream",   // q155's probe over the
                                    // stream-appended index — same shape
+      "q169_hybrid_rrf")           // the BM25 leg IS q155's probe (same
+                                   // 1-row bounds broadcast); the fusion
+                                   // itself joins on (qid, id)
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =
