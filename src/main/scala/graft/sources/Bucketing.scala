@@ -128,9 +128,8 @@ object Bucketing {
        writer.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
      else writer)
       .mode("overwrite").saveAsTable(nextGen)
+    // atomic flip; the superseded generation is retained for in-flight
+    // readers until the next maintenance commit
     Generations.commit(spark, table, nextGen)
-    // the superseded generation (`gen`) is retained for in-flight
-    // readers; the commit already deleted anything older
-    val _ = gen
   }
 }

@@ -177,4 +177,26 @@ class GenerationsSpec extends AnyFunSuite {
     Knn.rebuildIvfIndex(spark, tbl, nCells = 4)
     assert(probe().nonEmpty)
   }
+
+  // ------------------------------------------------------------- vacuum
+
+  test("vacuum reclaims every generation except the live one; probes " +
+      "re-derived afterwards still work") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gen_vac").toString
+    val tbl = "g_gen_spec_vac"
+    Bm25.buildIndex(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      tbl, s"$dir/idx", nDirs = 4)
+    val expected = bmRows(tbl)
+    Bm25.compactIndex(spark, tbl)
+    // retention holds the superseded build generation...
+    assert(new java.io.File(s"$dir/idx/postings").exists())
+    Generations.vacuum(spark, s"${tbl}_postings")
+    Generations.vacuum(spark, s"${tbl}_dfs")
+    // ...until vacuum reclaims it early (the Delta VACUUM shape)
+    assert(!new java.io.File(s"$dir/idx/postings").exists(),
+      "vacuum must delete superseded generations")
+    assert(new java.io.File(s"$dir/idx/postings__g1").exists(),
+      "vacuum must keep the live generation")
+    assert(bmRows(tbl) == expected)
+  }
 }
