@@ -12,8 +12,24 @@ package graft
   * literal. */
 object Bm25OracleSql {
 
-  /** CTEs `toks … ranked`; compose as `s"WITH $rankedCtes SELECT …"`. */
-  val rankedCtes: String =
+  /** CTEs `toks … ranked`; compose as `s"WITH $rankedCtes SELECT …"`.
+    * (A def, not a val: it reads `template`, declared below.) */
+  def rankedCtes: String = rankedCtesExcluding("")
+
+  /** [[rankedCtes]] with deleted documents excluded from the ranking —
+    * the q170 tombstone-delete oracle. `excludeDocs` is a DuckDB
+    * predicate over `p.doc_id` (e.g. `p.doc_id % 7 = 3`) naming the
+    * DELETED docs. Placement encodes `Bm25.deleteFromIndex`'s published
+    * semantics exactly: the filter sits in the contribution join —
+    * AFTER `posting`/`dfs`/`tot`, so df, N and Σdl keep describing the
+    * historical corpus (the Lucene trade: surviving docs' SCORES are
+    * unchanged by a delete) — and BEFORE `ranked`, so ranks are
+    * recomputed over survivors only. */
+  def rankedCtesExcluding(excludeDocs: String): String =
+    template.replace("__EXCLUDE__",
+      if (excludeDocs.isEmpty) "" else s"\n  WHERE NOT ($excludeDocs)")
+
+  private val template: String =
     """toks AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
@@ -45,7 +61,7 @@ object Bm25OracleSql {
       |  FROM qt q
       |  JOIN posting p ON q.term = p.term
       |  JOIN dfs d ON q.term = d.term
-      |  CROSS JOIN tot t),
+      |  CROSS JOIN tot t__EXCLUDE__),
       |scores AS (
       |  SELECT qid, doc_id, CAST(sum(c_e4) AS BIGINT) AS score_e4
       |  FROM contrib GROUP BY qid, doc_id),

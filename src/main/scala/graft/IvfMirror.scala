@@ -86,12 +86,20 @@ object IvfMirror {
     *
     * `qidFilter` (when non-null) REPLACES the `vec_id < maxQid` query
     * selection — q169's hybrid-retrieval batch is every 50th vector,
-    * matching the BM25 side's every-50th-document query batch. */
+    * matching the BM25 side's every-50th-document query batch.
+    *
+    * `candidateFilter` restricts which ids may appear as NEIGHBORS
+    * while training/assignment/queries stay corpus-wide — the contract
+    * of both `Knn.deleteFromIvfIndex` tombstones (q172: the quantizer
+    * was trained before the deletes; deleted vectors leave the
+    * candidate set only) and `Knn.ivfTopKAgainstIndex(candidateFilter)`
+    * metadata-filtered search (q173). */
   def recompute(vecs: IndexedSeq[(Long, Array[Double])], maxQid: Long = 10L,
       k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
       iterations: Int = 5,
       trainFilter: Long => Boolean = _ => true,
-      qidFilter: Long => Boolean = null): Seq[(Long, Int, Long, Double)] = {
+      qidFilter: Long => Boolean = null,
+      candidateFilter: Long => Boolean = _ => true): Seq[(Long, Int, Long, Double)] = {
     val centroids = trainCentroids(
       vecs.filter { case (id, _) => trainFilter(id) }, nCells, iterations)
     if (centroids.isEmpty) return Seq.empty
@@ -111,6 +119,7 @@ object IvfMirror {
       }.sorted.take(nProbe).map(_._2)
       val cand = probes.flatMap(c => byCell.getOrElse(c, Seq.empty))
         .filter(_._1 != qid)
+        .filter(c => candidateFilter(c._1))
       // Spark's rank window orders (score desc, id asc) with NaN as the
       // LARGEST value and -0.0 = 0.0 — a zero-norm vector's NaN cosine
       // must rank first here too (MirrorHash.scoreDescIdAsc), not last

@@ -1056,6 +1056,51 @@ object Queries {
       .orderBy($"qid", $"rnk")
   }
 
+  /** q172: IVF index DELETE — the takedown primitive for the vector
+    * index: q158's build over the full corpus, then every
+    * `vec_id % 5 == 2` vector is tombstoned
+    * ([[graft.operators.Knn.deleteFromIvfIndex]]) and the standard
+    * probe runs. The oracle replays the published split exactly —
+    * quantizer trained on the FULL corpus at build time (deletes never
+    * retrain), deleted ids excluded from the CANDIDATE set only — so
+    * the result pins both that tombstoned vectors are out of every
+    * ranking immediately and that the delete did not touch the
+    * quantizer. */
+  def knnIvfIndexDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val tbl = s"g_ivfdel_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q172_ivfdel_${sfDir.hashCode.toHexString}") { d =>
+      Knn.writeIvfIndex(emb, "vec_id", "embedding", tbl, s"$d/idx")
+      Knn.deleteFromIvfIndex(spark, tbl,
+        emb.filter($"vec_id" % 5 === 2).select($"vec_id"))
+    }
+    Knn.ivfTopKAgainstIndex(emb.filter($"vec_id" < 10), tbl,
+        "vec_id", "embedding", k = 5)
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** q173: metadata-FILTERED vector search — the vector-DB capability
+    * ("nearest neighbors WHERE <predicate>") over q158's UNMODIFIED
+    * persisted index: the probe passes `candidateFilter = id % 2 == 0`,
+    * applied to the pruned cell scan BEFORE scoring, so each query's
+    * top-k ranks qualifying vectors only (post-filtering a plain top-k
+    * would under-fill k). Exercises that the filter composes with
+    * planning-time cell pruning — the predicate rides the pruned scan,
+    * it never forces a full-corpus read. */
+  def knnIvfFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val tbl = s"g_ivfidx_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q158_ivfidx_${sfDir.hashCode.toHexString}") { d =>
+      Knn.writeIvfIndex(emb, "vec_id", "embedding", tbl, s"$d/idx")
+    }
+    Knn.ivfTopKAgainstIndex(emb.filter($"vec_id" < 10), tbl,
+        "vec_id", "embedding", k = 5,
+        candidateFilter = Some(col("id") % 2 === 0))
+      .orderBy($"qid", $"rnk")
+  }
+
   /** Embedding near-dup probe: each probe vector's EXACT nearest neighbor
     * over the whole corpus, globally ranked, top 20 — oracle-checked (ints
     * only). The probe side is bounded (100 rows, broadcast) so the plan is
@@ -3078,6 +3123,38 @@ object Queries {
       .orderBy($"qid", $"rank")
   }
 
+  /** q170: BM25 index DELETE — the takedown primitive completing the
+    * serving lifecycle (build → probe → append → compact → delete):
+    * documents with `doc_id % 7 == 3` are tombstoned
+    * ([[graft.operators.Bm25.deleteFromIndex]]) in two batches with a
+    * [[graft.operators.Bm25.compactIndex]] between them, so the probe
+    * exercises BOTH delete mechanics in one query — the first batch is
+    * already FOLDED (rows physically dropped by the compaction rewrite,
+    * tombstone list reset) while the second is served via the live
+    * anti-join. Semantics pinned by the oracle: deleted docs are out of
+    * every ranking immediately; df/N/Σdl stay historical (the Lucene
+    * trade — surviving docs' scores are unchanged, only ranks shift),
+    * which is exactly why one oracle covers the fold and the anti-join
+    * uniformly. */
+  def bm25IndexDeleteTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = s"g_bm25del_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q170_bm25del_${sfDir.hashCode.toHexString}") { d =>
+      val docs = Tables(spark, sfDir, "documents")
+      graft.operators.Bm25.buildIndex(docs, "doc_id", "text",
+        tbl, s"$d/idx", nDirs = 8)
+      val doomed = docs.filter($"doc_id" % 7 === 3).select($"doc_id")
+      graft.operators.Bm25.deleteFromIndex(spark, tbl,
+        doomed.filter($"doc_id" % 2 === 0))
+      graft.operators.Bm25.compactIndex(spark, tbl) // folds batch 1
+      graft.operators.Bm25.deleteFromIndex(spark, tbl,
+        doomed.filter($"doc_id" % 2 === 1)) // served by the anti-join
+    }
+    graft.operators.Bm25.topKAgainstIndex(
+        bm25QueryBatch(spark, sfDir), tbl, k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** q169: HYBRID retrieval — the standard RAG retrieval stack: the
     * BM25 serving index (q155's, reused) and the IVF embedding index
     * (q158's, reused) each retrieve their top-10 for the same query
@@ -3163,6 +3240,31 @@ object Queries {
     spark.read.parquet(s"$dir/b1").withColumn("batch", lit(1))
       .unionByName(spark.read.parquet(s"$dir/b2").withColumn("batch", lit(2)))
       .select($"doc_id", $"batch", $"status", $"n_hist_dups")
+      .orderBy($"doc_id")
+  }
+
+  /** q171: MinHash index DELETE — the takedown primitive for the fuzzy
+    * -dedup history: the even-id history is indexed (q154's build),
+    * then every `doc_id % 4 == 0` document is tombstoned
+    * ([[graft.operators.Dedup.deleteFromMinhashIndex]]), and the odd-id
+    * batch probes the result. Classification must equal a probe
+    * against a history that NEVER held the deleted docs (the oracle
+    * mirror replays history = ids ≡ 2 mod 4): duplicates matched only
+    * by tombstoned docs flip to `new`, and `n_hist_dups` counts drop —
+    * the takedown is effective immediately, no index rewrite. */
+  def minhashIndexDeleteDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val tbl = s"g_mhdel_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q171_mhdel_${sfDir.hashCode.toHexString}") { d =>
+      graft.operators.Dedup.writeMinhashIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+        tbl, s"$d/idx", numBuckets = 8)
+      graft.operators.Dedup.deleteFromMinhashIndex(spark, tbl,
+        docs.filter($"doc_id" % 4 === 0).select($"doc_id"))
+    }
+    graft.operators.Dedup.minhashIncrementalAgainstIndex(
+        docs.filter($"doc_id" % 2 === 1), tbl, "doc_id", "text")
       .orderBy($"doc_id")
   }
 

@@ -62,6 +62,8 @@ object SfOracles {
       ivfTopK: Seq[(Long, Int, Long, Double)],     // q42
       ivfAppendTopK: Seq[(Long, Int, Long, Double)], // q160: even-id-trained quantizer
       hybridIvfTopK: Seq[(Long, Int, Long, Double)], // q169: every-50th qids, k=10
+      ivfDeleteTopK: Seq[(Long, Int, Long, Double)],   // q172: %5==2 ids tombstoned
+      ivfFilteredTopK: Seq[(Long, Int, Long, Double)], // q173: even-id candidates only
       qualityRows: Seq[(Long, Long, Boolean)],     // q140
       bloomRows: Seq[(Long, Long, Long, Boolean)], // q141
       lcRows: Seq[(String, Long, Long)],           // q143
@@ -71,7 +73,8 @@ object SfOracles {
       hashedEvalRow: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)], // q149
       pipelineV4Rows: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)], // q148
       incFuzzyRows: Seq[(Long, String, Long)], // q153: doc_id, status, n_hist_dups
-      incFuzzy2Rows: Seq[(Long, Int, String, Long)]) // q157: doc_id, batch, status, n_hist_dups
+      incFuzzy2Rows: Seq[(Long, Int, String, Long)], // q157: doc_id, batch, status, n_hist_dups
+      incFuzzyDelRows: Seq[(Long, String, Long)]) // q171: history minus %4==0 tombstones
 
   @volatile private var prepared: Option[Prepared] = None
 
@@ -289,6 +292,14 @@ object SfOracles {
         // k=10, matching the BM25 leg's every-50th-document batch
         hybridIvfTopK = IvfMirror.recompute(vecs, k = 10,
           qidFilter = _ % 50 == 0),
+        // q172: tombstone deletes — the quantizer was trained on the full
+        // corpus at build time; deleted ids leave the CANDIDATE set only
+        ivfDeleteTopK = IvfMirror.recompute(vecs,
+          candidateFilter = _ % 5 != 2),
+        // q173: metadata-filtered search over an unmodified index —
+        // even-id candidates only, same build-time quantizer
+        ivfFilteredTopK = IvfMirror.recompute(vecs,
+          candidateFilter = _ % 2 == 0),
         qualityRows = QualityMirror.recompute(docs4.map(d => (d._1, d._2, d._4))),
         hashedQualityRows =
           QualityMirror.recomputeHashed(docs4.map(d => (d._1, d._2, d._4))),
@@ -314,7 +325,13 @@ object SfOracles {
             .map { case (id, s, n) => (id, 1, s, n) } ++
             DedupGolden.recomputeIncrementalFor(b2, hist ++ b1)
               .map { case (id, s, n) => (id, 2, s, n) }
-        }))
+        },
+        // q171: tombstone deletes — classification must equal a probe
+        // against a history that never held the deleted docs (evens
+        // minus the %4==0 tombstones = ids ≡ 2 mod 4)
+        incFuzzyDelRows = DedupGolden.recomputeIncrementalFor(
+          incoming = docs.filter(_._1 % 2 == 1),
+          history = docs.filter(d => d._1 % 2 == 0 && d._1 % 4 != 0))))
     }
   }
 
@@ -391,6 +408,16 @@ object SfOracles {
     cte("hiv", "qid, rnk, nid", prepared.map(_.hybridIvfTopK), "0, 0, 0") {
       p: (Long, Int, Long, Double) => s"(${p._1}, ${p._2}, ${p._3})" }
 
+  private def ivfDelCte: String =
+    cte("ivd", "qid, rnk, nid, score", prepared.map(_.ivfDeleteTopK), "0, 0, 0, 0.0") {
+      p: (Long, Int, Long, Double) =>
+        s"(${p._1}, ${p._2}, ${p._3}, ${dlit(p._4)})" }
+
+  private def ivfFilCte: String =
+    cte("ivq", "qid, rnk, nid, score", prepared.map(_.ivfFilteredTopK), "0, 0, 0, 0.0") {
+      p: (Long, Int, Long, Double) =>
+        s"(${p._1}, ${p._2}, ${p._3}, ${dlit(p._4)})" }
+
   private def qualityCte: String =
     cte("qc", "doc_id, score_e6, keep", prepared.map(_.qualityRows),
       "0, 0, false") {
@@ -441,6 +468,11 @@ object SfOracles {
       prepared.map(_.incFuzzy2Rows), "0, 0, '', 0") {
       p: (Long, Int, String, Long) =>
         s"(${p._1}, ${p._2}, ${lit(p._3)}, ${p._4})" }
+
+  private def incFuzzyDelCte: String =
+    cte("ifd", "doc_id, status, n_hist_dups",
+      prepared.map(_.incFuzzyDelRows), "0, '', 0") {
+      p: (Long, String, Long) => s"(${p._1}, ${lit(p._2)}, ${p._3})" }
 
   private def lcCte: String =
     cte("lc", "lang, n_set_bits, est_distinct", prepared.map(_.lcRows),
@@ -539,6 +571,23 @@ object SfOracles {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
          |       CAST(nid AS BIGINT) AS nid, score
          |FROM iva ORDER BY qid, rnk""".stripMargin,
+    // q172: IVF index DELETE — tombstoned vectors leave every result
+    // immediately while the build-time quantizer (trained on the full
+    // corpus) keeps serving; the mirror replays exactly that split
+    // (train on all, candidates minus deletes)
+    "q172_knn_ivf_delete" ->
+      s"""WITH $ivfDelCte
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
+         |       CAST(nid AS BIGINT) AS nid, score
+         |FROM ivd ORDER BY qid, rnk""".stripMargin,
+    // q173: metadata-FILTERED vector search — the predicate restricts
+    // candidates before scoring (each query's top-k ranks qualifying
+    // vectors only); the index itself is q158's, unmodified
+    "q173_knn_ivf_filtered" ->
+      s"""WITH $ivfFilCte
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
+         |       CAST(nid AS BIGINT) AS nid, score
+         |FROM ivq ORDER BY qid, rnk""".stripMargin,
     // q164: the SAME mirror rows as q42/q158 — rebuild-after-append
     // retrains on the whole corpus, so it must equal one fresh build
     "q164_knn_ivf_rebuild" ->
@@ -609,6 +658,16 @@ object SfOracles {
       s"""WITH $incFuzzyCte
          |SELECT d.doc_id, f.status, CAST(f.n_hist_dups AS BIGINT) AS n_hist_dups
          |FROM documents d JOIN ifz f ON f.doc_id = d.doc_id
+         |WHERE d.doc_id % 2 = 1
+         |ORDER BY d.doc_id""".stripMargin,
+    // q171: MinHash index DELETE — the probe against the tombstoned
+    // index must classify exactly like a probe against a history that
+    // never held the deleted docs (the mirror replays that smaller
+    // history)
+    "q171_minhash_index_delete" ->
+      s"""WITH $incFuzzyDelCte
+         |SELECT d.doc_id, f.status, CAST(f.n_hist_dups AS BIGINT) AS n_hist_dups
+         |FROM documents d JOIN ifd f ON f.doc_id = d.doc_id
          |WHERE d.doc_id % 2 = 1
          |ORDER BY d.doc_id""".stripMargin,
     // q157: the two-batch ingest loop — batch 2's rows are mirrored

@@ -191,7 +191,11 @@ object SparkEntry {
     "q166_bm25_index_exactscan" -> (Queries.bm25IndexExactScanTopK _),
     "q167_bm25_append_stream" -> (Queries.bm25AppendStreaming _),
     "q168_knn_ivf_append_stream" -> (Queries.knnIvfAppendStreaming _),
-    "q169_hybrid_rrf" -> (Queries.hybridRrfRetrieval _)
+    "q169_hybrid_rrf" -> (Queries.hybridRrfRetrieval _),
+    "q170_bm25_index_delete" -> (Queries.bm25IndexDeleteTopK _),
+    "q171_minhash_index_delete" -> (Queries.minhashIndexDeleteDedup _),
+    "q172_knn_ivf_delete" -> (Queries.knnIvfIndexDelete _),
+    "q173_knn_ivf_filtered" -> (Queries.knnIvfFiltered _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the
@@ -760,6 +764,17 @@ object SparkEntry {
     // q167 likewise: streaming micro-batch appends must leave an index
     // that ranks exactly like one build over the whole corpus
     "q167_bm25_append_stream" -> bm25OracleSql,
+    // q170: tombstone DELETEs — the same CTE chain with the deleted
+    // docs (doc_id % 7 = 3) excluded exactly where deleteFromIndex's
+    // published semantics put them: AFTER posting/df/bounds derivation
+    // (statistics stay historical — the Lucene trade, so surviving
+    // docs' scores are unchanged) and BEFORE ranking (ranks recompute
+    // over survivors). One oracle covers both delete mechanics the
+    // query runs (compaction-folded batch + live anti-join batch).
+    "q170_bm25_index_delete" ->
+      s"""WITH ${Bm25OracleSql.rankedCtesExcluding("p.doc_id % 7 = 3")}
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score_e4
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // End-to-end pipeline oracle: every stage (dedup keep-first, quality
     // blend, lang filter, md5 split, rollup) mirrored in SQL — verifies
     // the COMPOSITION, not just the operators.

@@ -489,7 +489,33 @@ object Bm25 {
       .write.format("parquet").option("path", s"$path/bounds")
       .mode("overwrite").saveAsTable(bGen)
     Generations.commit(spark, s"${table}_bounds", bGen)
+    // empty tombstone list, so deleteFromIndex/probes have it by
+    // construction (probes still tolerate absence for pre-delete indexes)
+    graft.sources.Tombstones.init(spark, table, s"$path/deletes")
   }
+
+  /** DELETE documents from a [[buildIndex]] index — the takedown
+    * primitive (a removal request must stop serving a document NOW, not
+    * at the next rebuild). Lucene-style tombstones
+    * ([[graft.sources.Tombstones]]): the ids merge into a tiny
+    * `{table}_deletes` list (fresh generation, atomic flip — a
+    * concurrent probe reads the complete previous list, stale by one
+    * batch at worst) and every probe anti-joins its posting frames
+    * against it, so the documents vanish from all rankings immediately
+    * at batch cost — no posting rewrite. The next [[compactIndex]]
+    * folds the tombstones physically and resets the list.
+    *
+    * Ranking semantics (what the q170 oracle pins): deleted documents
+    * are EXCLUDED from every ranking; corpus statistics (df, N, Σdl)
+    * keep describing the historical corpus until a rebuild — exactly
+    * Lucene's trade (its deletes don't update df either). This is also
+    * what keeps every surviving document's SCORE unchanged by a delete
+    * (only ranks shift upward) and rankings invariant across the
+    * folding compaction. A deleted id stays invisible even if
+    * re-appended before that compaction; re-add by appending after it. */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, ids: DataFrame): Unit =
+    graft.sources.Tombstones.add(spark, table, ids, s"${table}_postings")
 
   /** Grow a [[buildIndex]] index with a batch of NEW documents — the
     * index-maintenance half of the serving shape (a daily ingest appends
@@ -625,8 +651,9 @@ object Bm25 {
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     import spark.implicits._
-    import graft.sources.Generations
-    def swap(live: String, cols: Seq[Column]): Unit = {
+    import graft.sources.{Generations, Tombstones}
+    def swap(live: String, cols: Seq[Column],
+        fold: DataFrame => DataFrame = identity): Unit = {
       val gen = Generations.ensureGen(spark, live)
       val old = Generations.location(spark, gen)
       val nextGen = Generations.nextGenTable(spark, live)
@@ -636,7 +663,7 @@ object Bm25 {
       // types tb as int — cast back to the build schema so compaction
       // never drifts the contract). writeDirs drops any leftover
       // next-generation registration from a crashed prior run.
-      writeDirs(spark.read.parquet(old).select(cols: _*), nextGen,
+      writeDirs(fold(spark.read.parquet(old).select(cols: _*)), nextGen,
         Generations.next(old))
       Generations.commit(spark, live, nextGen)
     }
@@ -645,10 +672,21 @@ object Bm25 {
       s"index ${table}_dfs predates the WAND-stats format (missing " +
         "max_tf/min_dl columns) — rebuild the index with buildIndex " +
         "before compacting; probes still work via the exact-scan fallback")
+    // fold tombstones into the postings rewrite (their rows drop
+    // physically); the dfs/bounds statistics are deliberately NOT
+    // adjusted — deleteFromIndex's semantics freeze them at the
+    // historical corpus, which is what keeps rankings invariant across
+    // this fold (q170 compacts mid-query and stays on its oracle)
+    val tomb = Tombstones.frame(spark, table)
     swap(s"${table}_postings", Seq($"tb".cast("long").as("tb"),
-      $"term", $"doc_id", $"tf", $"dl"))
+        $"term", $"doc_id", $"tf", $"dl"),
+      df => Tombstones.filterWith(df, "doc_id", tomb, table))
     swap(s"${table}_dfs", Seq($"tb".cast("long").as("tb"), $"term", $"df",
       $"max_tf", $"min_dl"))
+    // reset AFTER the fold's flip: a crash in between leaves tombstones
+    // for rows that no longer exist — the anti-join is then a no-op and
+    // the next compaction clears the residue
+    if (tomb.nonEmpty) Tombstones.clear(spark, table)
   }
 
   /** [[topK]] against a PERSISTED index from [[buildIndex]] — identical
@@ -765,6 +803,16 @@ object Bm25 {
     // shape against the index's tables: no driver collect, no dir
     // pruning, no WAND — identical rows (maxDf included: the dfs inner
     // join drops over-frequent terms), corpus-scale cost, loudly logged.
+    // tombstones (deleteFromIndex): fetched ONCE per probe; every
+    // posting frame below anti-joins it, so deleted docs are out of all
+    // rankings immediately. Scoring statistics stay historical (the
+    // Lucene trade — see deleteFromIndex), so the WAND machinery is
+    // untouched: ub bounds a SUPERSET of the surviving postings (still
+    // an upper bound) and θ comes from achieved scores of SURVIVORS
+    // (still a valid floor) — losslessness holds with deletes in play.
+    val tomb = graft.sources.Tombstones.frame(spark, table)
+    def minusDeleted(df: DataFrame): DataFrame =
+      graft.sources.Tombstones.filterWith(df, "doc_id", tomb, table)
     val nPairs = qStaged.count()
     if (nPairs > maxBatchPairs) {
       logger.warn(s"bm25 topKAgainstIndex: query batch has $nPairs " +
@@ -774,8 +822,8 @@ object Bm25 {
         "batches to get the serving-shape plan back.")
       val dfsAll = spark.table(s"${table}_dfs")
         .select($"term", $"df").filter($"df" <= maxDf)
-      val postingsAll = spark.table(s"${table}_postings")
-        .select($"term", $"doc_id", $"tf", $"dl")
+      val postingsAll = minusDeleted(spark.table(s"${table}_postings")
+        .select($"term", $"doc_id", $"tf", $"dl"))
       val totals = spark.table(s"${table}_bounds").select($"n", $"sumdl")
       return scoreAndRank(qStaged, postingsAll, dfsAll, totals, k, k1, b,
         broadcastQueries = false)
@@ -822,9 +870,9 @@ object Bm25 {
       // term's whole join fanout and its partial aggregation runs the
       // stage single-threaded (measured 3.5x on the agg at 10M)
       {
-        val scan = spark.table(s"${table}_postings")
+        val scan = minusDeleted(spark.table(s"${table}_postings")
           .filter($"tb".isin(tbOf(terms): _*) && $"term".isin(terms: _*))
-          .select($"term", $"doc_id", $"tf", $"dl")
+          .select($"term", $"doc_id", $"tf", $"dl"))
         // the spread matters only where the consumer fans out map-side
         // (the scoring join); the floor/candidate consumers flow into
         // their own hash exchange immediately — spreading them first

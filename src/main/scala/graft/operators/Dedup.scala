@@ -282,7 +282,26 @@ object Dedup {
       .toDF("shingle_size", "num_hashes", "bands")
       .write.format("parquet").option("path", s"$path/meta")
       .mode("overwrite").saveAsTable(s"${table}_meta")
+    // empty tombstone list, so deleteFromMinhashIndex/probes have it by
+    // construction (probes still tolerate absence for pre-delete indexes)
+    graft.sources.Tombstones.init(spark, table, s"$path/deletes")
   }
+
+  /** DELETE documents from a [[writeMinhashIndex]] history index — the
+    * takedown primitive (a removed document must stop matching incoming
+    * duplicates NOW, not at the next rebuild). Lucene-style tombstones
+    * ([[graft.sources.Tombstones]]): the ids merge into a tiny
+    * `{table}_deletes` list (fresh generation, atomic flip) and every
+    * probe anti-joins the signature and band-bucket scans against it,
+    * so the documents leave the effective history immediately at batch
+    * cost — classification equals a probe against an index that never
+    * held them (the q171 oracle replays exactly that). The next
+    * [[compactMinhashIndex]] folds the tombstones physically and resets
+    * the list; a deleted id stays invisible even if re-ingested before
+    * that compaction (re-add by ingesting after it). */
+  def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, ids: DataFrame): Unit =
+    graft.sources.Tombstones.add(spark, table, ids, s"${table}_sigs")
 
   /** [[minhashIncremental]] probing a PERSISTED history index written by
     * [[writeMinhashIndex]] — bit-identical classification (same
@@ -308,8 +327,15 @@ object Dedup {
     require(meta.length == 1, s"index ${table}_meta must hold exactly 1 row")
     val (shingleSize, numHashes, bands) =
       (meta(0).getInt(0), meta(0).getInt(1), meta(0).getInt(2))
+    // tombstones (deleteFromMinhashIndex): deleted docs leave the
+    // effective history immediately — both history scans anti-join the
+    // list, fetched once per probe
+    val tomb = graft.sources.Tombstones.frame(spark, table)
+    def live(df: org.apache.spark.sql.DataFrame) =
+      graft.sources.Tombstones.filterWith(df, "id", tomb, table)
     incrementalCore(incoming,
-      spark.table(s"${table}_sigs"), spark.table(s"${table}_buckets"),
+      live(spark.table(s"${table}_sigs")),
+      live(spark.table(s"${table}_buckets")),
       idCol, textCol, shingleSize, numHashes, bands, threshold,
       broadcastMaxBatchDocs)
   }
@@ -356,8 +382,15 @@ object Dedup {
     require(meta.length == 1, s"index ${table}_meta must hold exactly 1 row")
     val (shingleSize, numHashes, bands) =
       (meta(0).getInt(0), meta(0).getInt(1), meta(0).getInt(2))
+    // the same tombstone anti-join the pure probe applies (deleted docs
+    // are out of the effective history); the APPEND below is untouched —
+    // history rows stay physically present until compaction folds them
+    val tomb = graft.sources.Tombstones.frame(spark, table)
+    def live(df: org.apache.spark.sql.DataFrame) =
+      graft.sources.Tombstones.filterWith(df, "id", tomb, table)
     val (assembled, incSigs) = incrementalAssembled(incoming,
-      spark.table(s"${table}_sigs"), spark.table(s"${table}_buckets"),
+      live(spark.table(s"${table}_sigs")),
+      live(spark.table(s"${table}_buckets")),
       idCol, textCol, shingleSize, numHashes, bands, threshold,
       broadcastMaxBatchDocs)
     // eager: classification is on disk/blocks before the index mutates
@@ -389,8 +422,17 @@ object Dedup {
     * afterwards. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
-    graft.sources.Bucketing.compactBucketed(spark, s"${table}_sigs")
-    graft.sources.Bucketing.compactBucketed(spark, s"${table}_buckets")
+    // fold tombstones into the rewrite both tables were getting anyway
+    // (the Lucene segment-merge shape): the dead rows drop physically,
+    // then the list resets — a crash in between leaves tombstones for
+    // rows that no longer exist, a harmless no-op anti-join cleared by
+    // the next compaction
+    val tomb = graft.sources.Tombstones.frame(spark, table)
+    def fold(df: org.apache.spark.sql.DataFrame) =
+      graft.sources.Tombstones.filterWith(df, "id", tomb, table)
+    graft.sources.Bucketing.compactBucketed(spark, s"${table}_sigs", fold)
+    graft.sources.Bucketing.compactBucketed(spark, s"${table}_buckets", fold)
+    if (tomb.nonEmpty) graft.sources.Tombstones.clear(spark, table)
   }
 
   // ----------------------------------------------------------- minhash

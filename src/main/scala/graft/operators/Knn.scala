@@ -327,8 +327,30 @@ object Knn {
         .write.format("parquet").option("path", s"$path/cells")
         .partitionBy("cell").mode("overwrite").saveAsTable(cellsGen)
       Generations.commit(spark, s"${table}_cells", cellsGen)
+      // empty tombstone list, so deleteFromIvfIndex/probes have it by
+      // construction (probes still tolerate absence for pre-delete
+      // indexes)
+      graft.sources.Tombstones.init(spark, table, s"$path/deletes")
     } finally d.unpersist()
   }
+
+  /** DELETE vectors from a [[writeIvfIndex]] index — the takedown
+    * primitive (a removed document's embedding must stop surfacing as a
+    * neighbor NOW, not at the next rebuild). Lucene-style tombstones
+    * ([[graft.sources.Tombstones]]): the ids merge into a tiny
+    * `{table}_deletes` list (fresh generation, atomic flip) and every
+    * probe anti-joins the cell scan against it, so the vectors vanish
+    * from all results immediately at batch cost — no cell rewrite, and
+    * the partition-pruned probe plan is untouched (the anti-join rides
+    * the pruned scan). [[compactIvfIndex]] and [[rebuildIvfIndex]] fold
+    * the tombstones physically and reset the list; a deleted id stays
+    * invisible even if re-appended before that fold (re-add by
+    * appending after it). Centroids are untouched — quantizer drift
+    * from heavy deletion shows up in [[ivfCellStats]] like any other
+    * distribution shift, answered by a rebuild. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, ids: DataFrame): Unit =
+    graft.sources.Tombstones.add(spark, table, ids, s"${table}_cells")
 
   /** Grow a [[writeIvfIndex]] index with a batch of NEW vectors — the
     * index-maintenance half of the serving shape. The quantizer is NOT
@@ -370,9 +392,19 @@ object Knn {
     * cell list is a bounded driver model (≤ nQueries × nProbe ints —
     * the same query-batch contract that lets the tail broadcast
     * qcells). */
+  /** @param candidateFilter FILTERED vector search (the vector-DB
+    *   capability: "nearest neighbors WHERE <metadata predicate>"): a
+    *   predicate over the cell rows (columns `id`, `v`, `nrm`) applied
+    *   to the pruned cell scan BEFORE scoring, so each query's top-k is
+    *   ranked over qualifying vectors only — post-filtering a plain
+    *   top-k would under-fill k. Pre-filtering is the right shape here
+    *   because the rerank is exact: recall loss stays the quantizer's
+    *   (a selective filter thins candidates per probed cell; raise
+    *   nProbe to compensate, the standard filtered-IVF trade). */
   def ivfTopKAgainstIndex(queries: DataFrame, table: String,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
-      broadcastMaxQcells: Long = 8000000L): DataFrame = {
+      broadcastMaxQcells: Long = 8000000L,
+      candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     // maintenance may have run in another session (q168's foreachBatch
@@ -380,6 +412,9 @@ object Knn {
     // Bm25.topKAgainstIndex note)
     graft.sources.Generations.refreshTables(spark,
       s"${table}_cells", s"${table}_centroids")
+    // tombstones (deleteFromIvfIndex): deleted vectors are out of every
+    // result immediately — the cell scan anti-joins the list
+    val tomb = graft.sources.Tombstones.frame(spark, table)
     val centroids: Array[Array[Double]] = spark.table(s"${table}_centroids")
       .orderBy($"cell").collect().map(_.getSeq[Double](1).toArray)
     val qcells = Stage.cut(withVecAndNorm(queries, idCol, vecCol)
@@ -407,7 +442,9 @@ object Knn {
           "retrieval batches to get the pruned plan back)")
         spark.table(s"${table}_cells").select($"cell", $"id", $"v", $"nrm")
       }
-    scoreCells(cells, qcells, k, nQcells, broadcastMaxQcells)
+    val alive = graft.sources.Tombstones.filterWith(cells, "id", tomb, table)
+    val candidates = candidateFilter.fold(alive)(alive.filter)
+    scoreCells(candidates, qcells, k, nQcells, broadcastMaxQcells)
   }
 
   /** Compact a [[writeIvfIndex]] index after [[appendToIvfIndex]]
@@ -431,17 +468,24 @@ object Knn {
     val old = Generations.location(spark, gen)
     val nextGen = Generations.nextGenTable(spark, name)
     spark.sql(s"DROP TABLE IF EXISTS $nextGen")
+    // fold tombstones into the rewrite (dead rows drop physically),
+    // then reset the list — a crash in between leaves no-op tombstones
+    // cleared by the next compaction
+    val tomb = graft.sources.Tombstones.frame(spark, table)
     // read by PATH (the live view serves the old generation until the
     // commit); partition discovery types cell as int — matching the
     // build schema, but cast explicitly so the contract never drifts
-    spark.read.parquet(old)
-      .select($"id", $"v", $"nrm", $"cell".cast("int").as("cell"))
+    graft.sources.Tombstones.filterWith(
+        spark.read.parquet(old)
+          .select($"id", $"v", $"nrm", $"cell".cast("int").as("cell")),
+        "id", tomb, table)
       .repartition($"cell")
       .write.format("parquet").option("path", Generations.next(old))
       .partitionBy("cell").mode("overwrite").saveAsTable(nextGen)
     // atomic flip; the superseded generation is retained for in-flight
     // readers until the next maintenance commit
     Generations.commit(spark, name, nextGen)
+    if (tomb.nonEmpty) graft.sources.Tombstones.clear(spark, table)
   }
 
   /** Per-cell occupancy of a persisted IVF index — the drift metric an
@@ -493,8 +537,16 @@ object Knn {
     val oldCells = Generations.location(spark, cellsGen)
     val oldCent = Generations.location(spark, centGen)
     // read by PATH: v and nrm round-trip parquet doubles exactly, so
-    // retraining from the index equals retraining from the source rows
-    val d = spark.read.parquet(oldCells).select($"id", $"v", $"nrm").cache()
+    // retraining from the index equals retraining from the source rows.
+    // Tombstones fold here too — the rebuild trains on and re-assigns
+    // the SURVIVING corpus, bit-identical to a fresh writeIvfIndex over
+    // it (IndexDeleteSpec pins that equality), and the list resets after
+    // both flips
+    val tomb = graft.sources.Tombstones.frame(spark, table)
+    val d = graft.sources.Tombstones.filterWith(
+        spark.read.parquet(oldCells).select($"id", $"v", $"nrm"),
+        "id", tomb, table)
+      .cache()
     try {
       val centroids = trainCentroids(d, nCells, iterations)
       val nextCent = Generations.nextGenTable(spark, centName)
@@ -515,6 +567,7 @@ object Knn {
       // generations survive until the next maintenance commit
       Generations.commit(spark, centName, nextCent)
       Generations.commit(spark, cellsName, nextCells)
+      if (tomb.nonEmpty) graft.sources.Tombstones.clear(spark, table)
     } finally d.unpersist()
   }
 

@@ -101,11 +101,17 @@ object Bucketing {
     * retires generations older than the one just superseded (the
     * [[Generations]] retention contract: probes planned before the flip
     * keep their files until the NEXT maintenance commit). Pure layout
-    * maintenance: rows are untouched, so probe equality before/after IS
-    * the correctness check (spec-pinned; the q162 MinHash-index query
-    * shares its oracle with the uncompacted replay).
+    * maintenance by default: rows are untouched, so probe equality
+    * before/after IS the correctness check (spec-pinned; the q162
+    * MinHash-index query shares its oracle with the uncompacted replay).
+    *
+    * `fold` lets a caller piggyback a row filter on the rewrite —
+    * [[graft.operators.Dedup.compactMinhashIndex]] folds its delete
+    * tombstones here, dropping the dead rows physically inside the
+    * rewrite compaction was doing anyway.
     */
-  def compactBucketed(spark: SparkSession, table: String): Unit = {
+  def compactBucketed(spark: SparkSession, table: String,
+      fold: DataFrame => DataFrame = identity): Unit = {
     import org.apache.spark.sql.functions.col
     val (gen, meta) = genMeta(spark, table)
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -117,7 +123,7 @@ object Bucketing {
     // read by PATH, not by name: the rewrite must not depend on the
     // registration it supersedes, and the live view keeps serving the
     // old generation until the commit below
-    val writer = spark.read.parquet(old)
+    val writer = fold(spark.read.parquet(old))
       .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
       .write
       .format("parquet")

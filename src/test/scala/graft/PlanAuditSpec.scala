@@ -47,9 +47,13 @@ class PlanAuditSpec extends AnyFunSuite {
                                    // same 1-row bounds broadcast
       "q167_bm25_append_stream",   // q155's probe over the
                                    // stream-appended index — same shape
-      "q169_hybrid_rrf")           // the BM25 leg IS q155's probe (same
+      "q169_hybrid_rrf",           // the BM25 leg IS q155's probe (same
                                    // 1-row bounds broadcast); the fusion
                                    // itself joins on (qid, id)
+      "q170_bm25_index_delete")    // q155's probe over the tombstoned
+                                   // index — same 1-row bounds broadcast;
+                                   // the delete anti-join is a bounded
+                                   // broadcast hash join, not the BNLJ
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =
