@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions._
   *  - the list is expected to be maintenance-batch-sized. Probes
   *    broadcast it below `broadcastMaxDeletes`; above, the anti-join
   *    runs as a plain shuffle join — identical rows, loudly logged
-  *    (the serving-cap pattern).
+  *    (the serving-cap pattern);
+  *  - WRITES are single-writer, like every other maintenance primitive
+  *    here (append/compact/rebuild): two concurrent [[add]] calls can
+  *    lose one batch's ids (read-merge-write race). Serialize
+  *    maintenance per index; concurrent PROBES are always safe (each
+  *    merge is a fresh generation behind an atomic flip).
   */
 object Tombstones {
 

@@ -632,6 +632,63 @@ object ScaleSmoke {
       spark.stop(); return
     }
 
+    // SCALE_ONLY_R14B — the tombstone-delete lifecycle at nDocs: the
+    // scale claim behind q170 is that a takedown batch costs BATCH
+    // time, probes pay only a broadcast anti-join, and the fold rides
+    // the compaction rewrite. Measures: (1) deleteFromIndex of a 1%
+    // takedown batch against a full index; (2) the same zipf-common
+    // probe before the delete, after it (tombstones live — the
+    // anti-join's marginal cost), and after compactIndex folds them;
+    // (3) the fold itself. Checks: no tombstoned doc in any post-delete
+    // result; post-delete == post-fold checksums (ranking invariance —
+    // the frozen-statistics semantics at scale); surviving checksum
+    // differs from pre-delete (the delete DID change results).
+    if (sys.env.contains("SCALE_ONLY_R14B")) {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "graft.sources.Tombstones$", org.apache.logging.log4j.Level.INFO)
+      val common = docs.filter($"id" < 100L)
+        .select($"id".as("qid"),
+          explode(slice(split($"text", " "), 1, 6)).as("term"))
+        .distinct().localCheckpoint(true)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bm25del_smoke").toString
+      time(s"bm25 index BUILD ($nDocs docs)") {
+        graft.operators.Bm25.buildIndex(docs, "id", "text",
+          "g_bm25d_smoke", s"$dir/idx", nDirs = 64)
+      }
+      docs.unpersist(true)
+      val doomed = spark.range(nDocs.toLong)
+        .filter(pmod($"id", lit(100L)) === 7L)
+      def probe(tag: String) = {
+        def one(i: Int) = time(s"bm25 probe [$tag#$i] ($nDocs docs)") {
+          graft.operators.Bm25.topKAgainstIndex(common, "g_bm25d_smoke", k = 10)
+            .agg(count(lit(1)).as("rows"), sum($"score_e4").as("ssum"),
+              sum($"doc_id").as("dsum"),
+              sum(when(pmod($"doc_id", lit(100L)) === 7L, 1L)
+                .otherwise(0L)).as("doomed"))
+            .collect()(0)
+        }
+        one(1); one(2)
+      }
+      val pre = probe("a:pre-delete")
+      println(s"  pre-delete: $pre (doomed docs in results: ${pre.getLong(3)})")
+      time(s"deleteFromIndex (1% of $nDocs docs)") {
+        graft.operators.Bm25.deleteFromIndex(spark, "g_bm25d_smoke", doomed.toDF("id"))
+      }
+      val post = probe("b:post-delete-anti-join")
+      assert(post.getLong(3) == 0L,
+        s"tombstoned docs leaked into post-delete results: $post")
+      assert(post != pre, "the delete changed nothing — doomed docs never ranked?")
+      time(s"compactIndex (fold, $nDocs-doc index)") {
+        graft.operators.Bm25.compactIndex(spark, "g_bm25d_smoke")
+      }
+      val fold = probe("c:post-fold")
+      assert(fold == post,
+        s"the fold moved a ranking (frozen-stats violation): $post vs $fold")
+      println(s"  post-delete == post-fold checksums: $fold")
+      spark.stop(); return
+    }
+
     // SCALE_ONLY_THIRD — the third decade (run with nDocs = 100000000,
     // SPARK_DRIVER_MEM=100g): the two headline dedup operators at 100M
     // docs, then the Bloom decontamination CAP regime with PLANTED
