@@ -29,6 +29,79 @@ object Bm25OracleSql {
     template.replace("__EXCLUDE__",
       if (excludeDocs.isEmpty) "" else s"\n  WHERE NOT ($excludeDocs)")
 
+  /** The q174 DOCUMENT-UPDATE oracle: the recipe `delete(U) →
+    * compactIndex (fold) → appendToIndex(U with new text)` leaves an
+    * index whose published semantics are exactly replayable:
+    *
+    *  - scoring postings = (v1 minus U) ∪ U_v2 — the fold physically
+    *    dropped U's old rows, the append added the new versions;
+    *  - df per term = df over the FULL v1 corpus (U's old versions
+    *    included — delete froze statistics, compaction didn't touch
+    *    them) PLUS df over the U_v2 batch (the append's additive merge);
+    *  - N = N_v1 + |U|, Σdl = Σdl_v1 + Σdl(U_v2) — additive counters.
+    *
+    * `updPred` names the updated docs (a predicate over `doc_id`);
+    * `suffix` is the text appended to each updated document's v2 body
+    * (lowercase tokens). */
+  def updateCtes(updPred: String, suffix: String): String =
+    s"""toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+      |  FROM documents),
+      |toks2 AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text || '$suffix'), '\\s+'), t -> t <> '') AS ts
+      |  FROM documents WHERE $updPred),
+      |tot AS (
+      |  SELECT CAST((SELECT count(*) FROM toks) + (SELECT count(*) FROM toks2) AS BIGINT) AS n,
+      |         CAST((SELECT coalesce(sum(len(ts)), 0) FROM toks)
+      |            + (SELECT coalesce(sum(len(ts)), 0) FROM toks2) AS BIGINT) AS sumdl),
+      |qt AS (
+      |  SELECT DISTINCT qid, term FROM (
+      |    SELECT doc_id AS qid, unnest(ts[1:6]) AS term
+      |    FROM toks WHERE doc_id % 50 = 0)),
+      |post1 AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+      |         CAST(max(dl) AS BIGINT) AS dl
+      |  FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks)
+      |  WHERE term IN (SELECT term FROM qt)
+      |  GROUP BY doc_id, term),
+      |post2 AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+      |         CAST(max(dl) AS BIGINT) AS dl
+      |  FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks2)
+      |  WHERE term IN (SELECT term FROM qt)
+      |  GROUP BY doc_id, term),
+      |dfs AS (
+      |  SELECT term, CAST(sum(df) AS BIGINT) AS df FROM (
+      |    SELECT term, count(*) AS df FROM post1 GROUP BY term
+      |    UNION ALL
+      |    SELECT term, count(*) AS df FROM post2 GROUP BY term)
+      |  GROUP BY term),
+      |posting AS (
+      |  SELECT * FROM post1 WHERE NOT ($updPred)
+      |  UNION ALL SELECT * FROM post2),
+      |contrib AS (
+      |  SELECT q.qid, p.doc_id,
+      |    CAST(round(
+      |      ln(1.0 + (t.n - d.df + 0.5) / (d.df + 0.5)) *
+      |      ((p.tf * (1.2 + 1.0)) /
+      |       (p.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+      |         (p.dl / (CAST(t.sumdl AS DOUBLE) / t.n)))))
+      |      * 1e4) AS BIGINT) AS c_e4
+      |  FROM qt q
+      |  JOIN posting p ON q.term = p.term
+      |  JOIN dfs d ON q.term = d.term
+      |  CROSS JOIN tot t),
+      |scores AS (
+      |  SELECT qid, doc_id, CAST(sum(c_e4) AS BIGINT) AS score_e4
+      |  FROM contrib GROUP BY qid, doc_id),
+      |ranked AS (
+      |  SELECT qid, doc_id, score_e4,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY score_e4 DESC, doc_id) AS rank
+      |  FROM scores)""".stripMargin
+
   private val template: String =
     """toks AS (
       |  SELECT doc_id,

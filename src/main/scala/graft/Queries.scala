@@ -3155,6 +3155,38 @@ object Queries {
       .orderBy($"qid", $"rank")
   }
 
+  /** q174: BM25 index document UPDATE — the re-index recipe composed
+    * from the maintenance primitives, end-to-end: every `doc_id % 9
+    * == 4` document gets a NEW text version via `delete(U)` →
+    * `compactIndex` (the fold physically drops U's old postings AND
+    * resets the tombstones — the required step before re-adding the
+    * same ids) → `appendToIndex(U, v2 text)`. The oracle replays the
+    * resulting published semantics exactly: scoring postings =
+    * (v1 ∖ U) ∪ U_v2; df = df(full v1, old versions included — delete
+    * froze statistics) + df(U_v2 batch, the append's additive merge);
+    * N/Σdl additive. The one lifecycle composition a real serving
+    * corpus runs daily (re-crawled pages, edited documents), pinned as
+    * ONE oracle query. */
+  def bm25IndexUpdateTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = s"g_bm25upd_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q174_bm25upd_${sfDir.hashCode.toHexString}") { d =>
+      val docs = Tables(spark, sfDir, "documents")
+      graft.operators.Bm25.buildIndex(docs, "doc_id", "text",
+        tbl, s"$d/idx", nDirs = 8)
+      val upd = docs.filter($"doc_id" % 9 === 4)
+      graft.operators.Bm25.deleteFromIndex(spark, tbl, upd.select($"doc_id"))
+      graft.operators.Bm25.compactIndex(spark, tbl) // fold + tombstone reset
+      graft.operators.Bm25.appendToIndex(
+        upd.select($"doc_id",
+          concat($"text", lit(" zzupdated zzversion")).as("text")),
+        "doc_id", "text", tbl)
+    }
+    graft.operators.Bm25.topKAgainstIndex(
+        bm25QueryBatch(spark, sfDir), tbl, k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** q169: HYBRID retrieval — the standard RAG retrieval stack: the
     * BM25 serving index (q155's, reused) and the IVF embedding index
     * (q158's, reused) each retrieve their top-10 for the same query

@@ -195,7 +195,8 @@ object SparkEntry {
     "q170_bm25_index_delete" -> (Queries.bm25IndexDeleteTopK _),
     "q171_minhash_index_delete" -> (Queries.minhashIndexDeleteDedup _),
     "q172_knn_ivf_delete" -> (Queries.knnIvfIndexDelete _),
-    "q173_knn_ivf_filtered" -> (Queries.knnIvfFiltered _)
+    "q173_knn_ivf_filtered" -> (Queries.knnIvfFiltered _),
+    "q174_bm25_index_update" -> (Queries.bm25IndexUpdateTopK _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the
@@ -773,6 +774,14 @@ object SparkEntry {
     // query runs (compaction-folded batch + live anti-join batch).
     "q170_bm25_index_delete" ->
       s"""WITH ${Bm25OracleSql.rankedCtesExcluding("p.doc_id % 7 = 3")}
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score_e4
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // q174: the document-UPDATE recipe (delete → compact-fold →
+    // re-append with v2 text) — the oracle replays the composed
+    // semantics: postings (v1 ∖ U) ∪ U_v2, df = df(full v1) +
+    // df(U_v2 batch), additive N/Σdl (see Bm25OracleSql.updateCtes).
+    "q174_bm25_index_update" ->
+      s"""WITH ${Bm25OracleSql.updateCtes("doc_id % 9 = 4", " zzupdated zzversion")}
         |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score_e4
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // End-to-end pipeline oracle: every stage (dedup keep-first, quality

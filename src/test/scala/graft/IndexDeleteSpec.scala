@@ -128,6 +128,32 @@ class IndexDeleteSpec extends AnyFunSuite {
     assert(!probed.exists(_._3 == 7L))
   }
 
+  test("bm25: the update recipe (delete → compact-fold → re-append v2) " +
+      "retrieves the new version and never the old one") {
+    val tbl = "g_bm25_updspec"
+    Bm25.buildIndex(bmDocs, "doc_id", "text", tbl, s"${tmp("graft_bm25upd")}/idx",
+      nDirs = 4)
+    val upd = bmDocs.filter($"doc_id" === 7L)
+    Bm25.deleteFromIndex(spark, tbl, upd.select($"doc_id"))
+    Bm25.compactIndex(spark, tbl) // fold + tombstone reset: ids are NEW again
+    // v2 REPLACES the body (drops the old tok7 marker, adds freshterm)
+    Bm25.appendToIndex(
+      upd.select($"doc_id",
+        org.apache.spark.sql.functions.lit("alpha beta freshterm").as("text")),
+      "doc_id", "text", tbl)
+    // a v2-only term retrieves exactly the updated doc
+    val v2 = bmRows(Bm25.topKAgainstIndex(
+      Seq((0L, "freshterm")).toDF("qid", "term"), tbl, k = 10))
+    assert(v2.map(_._3) == Seq(7L))
+    // doc 7's v1-era tok7 no longer matches it (old postings folded away)
+    val v1tok = bmRows(Bm25.topKAgainstIndex(
+      Seq((0L, "tok7")).toDF("qid", "term"), tbl, k = 10))
+    assert(!v1tok.exists(_._3 == 7L) || v1tok.isEmpty)
+    // statistics merged additively: N = 40 docs + 1 re-appended version
+    val bounds = spark.table(s"${tbl}_bounds").collect()(0)
+    assert(bounds.getLong(0) == 41L)
+  }
+
   // ------------------------------------------------------------- MinHash
 
   private def mhWords(group: String, n: Int): IndexedSeq[String] =

@@ -50,10 +50,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "q169_hybrid_rrf",           // the BM25 leg IS q155's probe (same
                                    // 1-row bounds broadcast); the fusion
                                    // itself joins on (qid, id)
-      "q170_bm25_index_delete")    // q155's probe over the tombstoned
+      "q170_bm25_index_delete",    // q155's probe over the tombstoned
                                    // index — same 1-row bounds broadcast;
                                    // the delete anti-join is a bounded
                                    // broadcast hash join, not the BNLJ
+      "q174_bm25_index_update")    // q155's probe over the updated
+                                   // index — same 1-row bounds broadcast
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =
