@@ -128,6 +128,73 @@ class IndexDeleteSpec extends AnyFunSuite {
     assert(!probed.exists(_._3 == 7L))
   }
 
+  test("bm25: the over-cap distributed fallback respects tombstones " +
+      "(identical rows to the serving-shape probe)") {
+    val tbl = "g_bm25_delcap"
+    Bm25.buildIndex(bmDocs, "doc_id", "text", tbl, s"${tmp("graft_bm25cap")}/idx",
+      nDirs = 4)
+    Bm25.deleteFromIndex(spark, tbl,
+      bmDocs.filter($"doc_id" % 5 === 1).select($"doc_id"))
+    val serving = bmRows(Bm25.topKAgainstIndex(bmQueries, tbl, k = 100))
+    // maxBatchPairs = 0 forces the fully-distributed fallback — the
+    // anti-join must ride that path too
+    val fallback = bmRows(Bm25.topKAgainstIndex(bmQueries, tbl, k = 100,
+      maxBatchPairs = 0L))
+    assert(fallback.nonEmpty && fallback == serving)
+    assert(fallback.forall(_._3 % 5 != 1))
+  }
+
+  test("bm25: probes hammering the live index during a delete see the " +
+      "pre- or post-delete ranking, never an error or a partial list; " +
+      "during the fold they see exactly the post-delete ranking") {
+    import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+    import java.util.concurrent.ConcurrentLinkedQueue
+    // twin index: same corpus + delete, run sequentially, to learn the
+    // exact post-delete expectation before the concurrent phase
+    val twin = "g_bm25_delconc_twin"
+    Bm25.buildIndex(bmDocs, "doc_id", "text", twin,
+      s"${tmp("graft_bm25conc_t")}/idx", nDirs = 4)
+    Bm25.deleteFromIndex(spark, twin,
+      bmDocs.filter($"doc_id" % 5 === 1).select($"doc_id"))
+    val expectedPost = bmRows(Bm25.topKAgainstIndex(bmQueries, twin, k = 100))
+
+    val tbl = "g_bm25_delconc"
+    Bm25.buildIndex(bmDocs, "doc_id", "text", tbl,
+      s"${tmp("graft_bm25conc")}/idx", nDirs = 4)
+    val expectedPre = bmRows(Bm25.topKAgainstIndex(bmQueries, tbl, k = 100))
+    assert(expectedPre != expectedPost)
+
+    val stop = new AtomicBoolean(false)
+    val probed = new AtomicInteger(0)
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    val valid = Set(expectedPre, expectedPost)
+    val hammer = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val got = bmRows(Bm25.topKAgainstIndex(bmQueries, tbl, k = 100))
+          assert(valid(got),
+            s"probe observed a state that is neither pre- nor post-delete")
+          probed.incrementAndGet()
+        } catch { case t: Throwable => failures.add(t); stop.set(true) }
+      }
+    })
+    hammer.start()
+    try {
+      Bm25.deleteFromIndex(spark, tbl,
+        bmDocs.filter($"doc_id" % 5 === 1).select($"doc_id"))
+      // after the delete flip, every probe must be post-delete — the
+      // fold (compaction) must be invisible to all of them
+      Bm25.compactIndex(spark, tbl)
+      val deadline = System.nanoTime() + 3000000000L
+      while (probed.get() < 3 && System.nanoTime() < deadline && !stop.get())
+        Thread.sleep(20)
+    } finally { stop.set(true); hammer.join(30000) }
+    assert(failures.isEmpty,
+      s"concurrent probe failed during delete/fold: ${failures.peek()}")
+    assert(probed.get() >= 1, "hammer thread never completed a probe")
+    assert(bmRows(Bm25.topKAgainstIndex(bmQueries, tbl, k = 100)) == expectedPost)
+  }
+
   test("bm25: the update recipe (delete → compact-fold → re-append v2) " +
       "retrieves the new version and never the old one") {
     val tbl = "g_bm25_updspec"
