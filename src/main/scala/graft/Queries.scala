@@ -1080,6 +1080,37 @@ object Queries {
       .orderBy($"qid", $"rnk")
   }
 
+  /** q175: IVF RECALL@10 — the standard ANN quality metric, as an
+    * oracle query: each query's cell-pruned index probe (q158's
+    * persisted index, top-10) is intersected with the exact brute-force
+    * top-10 over the whole corpus, and the per-query hit count comes
+    * out as an exact BIGINT (both legs rank with the same `graft_dot`
+    * IEEE tree and (score desc, id asc) order the mirrors replay, so
+    * membership is deterministic — no float tolerance anywhere). This
+    * is the measurement an operator runs after every rebuild/drift
+    * check: it prices the quantizer's recall loss in one bounded query
+    * (ground truth costs one corpus scan per query — run it on a query
+    * SAMPLE, exactly as here). */
+  def knnIvfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val tbl = s"g_ivfidx_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q158_ivfidx_${sfDir.hashCode.toHexString}") { d =>
+      Knn.writeIvfIndex(emb, "vec_id", "embedding", tbl, s"$d/idx")
+    }
+    val queries = emb.filter($"vec_id" < 10)
+    val ivf = Knn.ivfTopKAgainstIndex(queries, tbl,
+      "vec_id", "embedding", k = 10).select($"qid", $"nid")
+    val exact = Knn.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 10).select($"qid", $"nid")
+    val hits = ivf.join(exact, Seq("qid", "nid"), "left_semi")
+      .groupBy($"qid").agg(count(lit(1)).as("hits_at_10"))
+    queries.select($"vec_id".cast("long").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select($"qid", coalesce($"hits_at_10", lit(0L)).as("hits_at_10"))
+      .orderBy($"qid")
+  }
+
   /** q173: metadata-FILTERED vector search — the vector-DB capability
     * ("nearest neighbors WHERE <predicate>") over q158's UNMODIFIED
     * persisted index: the probe passes `candidateFilter = id % 2 == 0`,

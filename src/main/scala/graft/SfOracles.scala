@@ -64,6 +64,7 @@ object SfOracles {
       hybridIvfTopK: Seq[(Long, Int, Long, Double)], // q169: every-50th qids, k=10
       ivfDeleteTopK: Seq[(Long, Int, Long, Double)],   // q172: %5==2 ids tombstoned
       ivfFilteredTopK: Seq[(Long, Int, Long, Double)], // q173: even-id candidates only
+      ivfRecall: Seq[(Long, Long)],                    // q175: hits@10 vs exact
       qualityRows: Seq[(Long, Long, Boolean)],     // q140
       bloomRows: Seq[(Long, Long, Long, Boolean)], // q141
       lcRows: Seq[(String, Long, Long)],           // q143
@@ -173,6 +174,31 @@ object SfOracles {
         .sorted(MirrorHash.scoreDescIdAsc)
         .take(k).zipWithIndex
         .map { case ((id, s), r) => (qid, r + 1, id, s) }
+    }
+  }
+
+  /** q175 mirror: recall@k of the IVF index probe against the exact
+    * brute-force top-k — the standard ANN quality metric, computed
+    * entirely from the two published contracts: the IVF leg is
+    * [[IvfMirror.recompute]] (deterministic quantizer, cell-pruned
+    * candidates) and the exact leg is the all-pairs cosine top-k with
+    * `graft_dot`'s left-to-right IEEE summation and Spark's
+    * (score desc, id asc) window order — both bit-identical to the
+    * Spark operators, so `hits` is an exact integer, not a float
+    * tolerance. */
+  private[graft] def ivfRecallRows(
+      vecs: IndexedSeq[(Long, Array[Double])], maxQid: Long,
+      k: Int): Seq[(Long, Long)] = {
+    val norm = vecs.map { case (id, v) => id -> math.sqrt(dotAsc(v, v)) }.toMap
+    val ivf: Map[Long, Set[Long]] = IvfMirror.recompute(vecs, maxQid = maxQid,
+        k = k).groupBy(_._1).map { case (q, rs) => (q, rs.map(_._3).toSet) }
+    vecs.map(_._1).filter(_ < maxQid).sorted.map { qid =>
+      val qv = vecs.find(_._1 == qid).get._2
+      val exact = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, dotAsc(qv, v) / (norm(qid) * norm(id))) }
+        .sorted(MirrorHash.scoreDescIdAsc)
+        .take(k).map(_._1).toSet
+      (qid, ivf.getOrElse(qid, Set.empty).intersect(exact).size.toLong)
     }
   }
 
@@ -300,6 +326,8 @@ object SfOracles {
         // even-id candidates only, same build-time quantizer
         ivfFilteredTopK = IvfMirror.recompute(vecs,
           candidateFilter = _ % 2 == 0),
+        // q175: recall@10 of the q158 index probe vs the exact top-10
+        ivfRecall = ivfRecallRows(vecs, maxQid = 10L, k = 10),
         qualityRows = QualityMirror.recompute(docs4.map(d => (d._1, d._2, d._4))),
         hashedQualityRows =
           QualityMirror.recomputeHashed(docs4.map(d => (d._1, d._2, d._4))),
@@ -417,6 +445,10 @@ object SfOracles {
     cte("ivq", "qid, rnk, nid, score", prepared.map(_.ivfFilteredTopK), "0, 0, 0, 0.0") {
       p: (Long, Int, Long, Double) =>
         s"(${p._1}, ${p._2}, ${p._3}, ${dlit(p._4)})" }
+
+  private def ivfRecallCte: String =
+    cte("ivr", "qid, hits_at_10", prepared.map(_.ivfRecall), "0, 0") {
+      p: (Long, Long) => s"(${p._1}, ${p._2})" }
 
   private def qualityCte: String =
     cte("qc", "doc_id, score_e6, keep", prepared.map(_.qualityRows),
@@ -571,6 +603,15 @@ object SfOracles {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
          |       CAST(nid AS BIGINT) AS nid, score
          |FROM iva ORDER BY qid, rnk""".stripMargin,
+    // q175: IVF recall@10 — the standard ANN quality metric as an
+    // oracle query: both legs (cell-pruned probe, exact brute top-10)
+    // are bit-identical mirrors of the Spark operators, so the per-query
+    // hit count is an exact integer
+    "q175_knn_ivf_recall" ->
+      s"""WITH $ivfRecallCte
+         |SELECT CAST(qid AS BIGINT) AS qid,
+         |       CAST(hits_at_10 AS BIGINT) AS hits_at_10
+         |FROM ivr ORDER BY qid""".stripMargin,
     // q172: IVF index DELETE — tombstoned vectors leave every result
     // immediately while the build-time quantizer (trained on the full
     // corpus) keeps serving; the mirror replays exactly that split

@@ -196,7 +196,8 @@ object SparkEntry {
     "q171_minhash_index_delete" -> (Queries.minhashIndexDeleteDedup _),
     "q172_knn_ivf_delete" -> (Queries.knnIvfIndexDelete _),
     "q173_knn_ivf_filtered" -> (Queries.knnIvfFiltered _),
-    "q174_bm25_index_update" -> (Queries.bm25IndexUpdateTopK _)
+    "q174_bm25_index_update" -> (Queries.bm25IndexUpdateTopK _),
+    "q175_knn_ivf_recall" -> (Queries.knnIvfRecall _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the

@@ -54,8 +54,11 @@ class PlanAuditSpec extends AnyFunSuite {
                                    // index — same 1-row bounds broadcast;
                                    // the delete anti-join is a bounded
                                    // broadcast hash join, not the BNLJ
-      "q174_bm25_index_update")    // q155's probe over the updated
+      "q174_bm25_index_update",    // q155's probe over the updated
                                    // index — same 1-row bounds broadcast
+      "q175_knn_ivf_recall")       // the exact-ground-truth leg IS
+                                   // q19's bounded-probe BNLJ (10
+                                   // broadcast queries × corpus scan)
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =
