@@ -643,9 +643,97 @@ object ScaleSmoke {
     // result; post-delete == post-fold checksums (ranking invariance —
     // the frozen-statistics semantics at scale); surviving checksum
     // differs from pre-delete (the delete DID change results).
+    // SCALE_R14B_CASE=bm25|mh|ivf subsets the families (empty = all)
     if (sys.env.contains("SCALE_ONLY_R14B")) {
+      val r14bCase = sys.env.getOrElse("SCALE_R14B_CASE", "")
+      def wants(c: String) = r14bCase.isEmpty || r14bCase == c
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         "graft.sources.Tombstones$", org.apache.logging.log4j.Level.INFO)
+      if (wants("mh")) {
+        // MinHash delete at nDocs: the planted dup blocks are ids with
+        // id%100 < 5 sharing a seed per hundred (identical text), so
+        // probing the %100==3 slice against a history of everything
+        // else gives every probe doc exactly 4 history twins
+        // (%100 ∈ {0,1,2,4}) — tombstoning the {0,1} twins must drop
+        // n_hist_dups 4 → 2 across the whole batch
+        val m = pmod($"id", lit(100L))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_mhdel_smoke").toString
+        time(s"minhash index BUILD (99% of $nDocs docs)") {
+          Dedup.writeMinhashIndex(docs.filter(m =!= 3L), "id", "text",
+            "g_mhdel_smoke", s"$dir/idx", numBuckets = 64)
+        }
+        val probe = docs.filter(m === 3L)
+        def cls(tag: String) = {
+          def one(i: Int) = time(s"minhash probe [$tag#$i] (1% batch)") {
+            graft.operators.Dedup.minhashIncrementalAgainstIndex(
+                probe, "g_mhdel_smoke", "id", "text")
+              .agg(count(lit(1)), sum($"n_hist_dups"),
+                sum(pmod(xxhash64($"doc_id", $"status"), lit(1000000007L))))
+              .collect()(0)
+          }
+          one(1); one(2)
+        }
+        val pre = cls("a:pre-delete")
+        println(s"  pre-delete: $pre")
+        assert(pre.getLong(1) > 0L,
+          s"workload bug: the probe batch found no history dups: $pre")
+        time(s"deleteFromMinhashIndex (2% of the history: the {0,1} twins)") {
+          graft.operators.Dedup.deleteFromMinhashIndex(spark, "g_mhdel_smoke",
+            docs.filter(m === 0L || m === 1L).select($"id"))
+        }
+        val post = cls("b:post-delete-anti-join")
+        assert(post != pre, "the delete changed no classification?")
+        time(s"compactMinhashIndex (fold)") {
+          Dedup.compactMinhashIndex(spark, "g_mhdel_smoke")
+        }
+        val fold = cls("c:post-fold")
+        assert(fold == post,
+          s"the fold changed classification: $post vs $fold")
+        println(s"  post-delete == post-fold checksums: $fold")
+      }
+      if (wants("ivf")) {
+        docs.unpersist(true)
+        def comp(i: Int) = (pmod(xxhash64($"id", lit(i)), lit(1000L))
+          .cast("double") / 1000.0 +
+          when(pmod($"id", lit(8L)) === (i % 8).toLong, 3.0).otherwise(0.0))
+          .cast("float")
+        val vecs = spark.range(nVecs.toLong)
+          .select($"id", array((0 until 16).map(comp): _*).as("v"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ivfdel_smoke").toString
+        time(s"ivf index BUILD ($nVecs vectors)") {
+          Knn.writeIvfIndex(vecs, "id", "v", "g_ivfdel_smoke", s"$dir/idx",
+            nCells = 64)
+        }
+        val queries = vecs.filter($"id" < 1000L).localCheckpoint(true)
+        def probe(tag: String) = {
+          def one(i: Int) = time(s"ivf probe [$tag#$i] (1000 queries)") {
+            Knn.ivfTopKAgainstIndex(queries, "g_ivfdel_smoke", "id", "v", k = 10)
+              .agg(count(lit(1)), sum($"nid"),
+                sum(when(pmod($"nid", lit(5L)) === 2L, 1L).otherwise(0L))
+                  .as("doomed"))
+              .collect()(0)
+          }
+          one(1); one(2)
+        }
+        val pre = probe("a:pre-delete")
+        println(s"  pre-delete: $pre (doomed vecs in results: ${pre.getLong(2)})")
+        time(s"deleteFromIvfIndex (20% of $nVecs vectors)") {
+          Knn.deleteFromIvfIndex(spark, "g_ivfdel_smoke",
+            vecs.filter(pmod($"id", lit(5L)) === 2L).select($"id"))
+        }
+        val post = probe("b:post-delete-anti-join")
+        assert(post.getLong(2) == 0L,
+          s"tombstoned vectors leaked into results: $post")
+        time(s"compactIvfIndex (fold)") {
+          Knn.compactIvfIndex(spark, "g_ivfdel_smoke")
+        }
+        val fold = probe("c:post-fold")
+        assert(fold == post, s"the fold moved a ranking: $post vs $fold")
+        println(s"  post-delete == post-fold checksums: $fold")
+      }
+      if (!wants("bm25")) { spark.stop(); return }
       val common = docs.filter($"id" < 100L)
         .select($"id".as("qid"),
           explode(slice(split($"text", " "), 1, 6)).as("term"))
