@@ -163,6 +163,20 @@ object Bench {
       // before the round-over-round self-regression watch is)
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qsMap(1)}$vsPrevShort,"sf":"$sfShort"}""",
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qsMap(2)},"sf":"$sfShort"}""",
+      // 175-query rung (round 14): even the 1-decimal full map overflows
+      // the window, but dropping the whole map loses the per-query
+      // visibility every verdict's plan audit reads. Keep every query
+      // at ≥ 0.25 s steady (the ones a reader can act on) and compress
+      // the sub-0.25 s tail to its count + sum — the total still
+      // reconciles, and the regress watch still rides vsPrevShort.
+      {
+        val big = results.filter(_._2 >= 0.25)
+        val small = results.filter(_._2 < 0.25)
+        val bigMap = big.map { case (k, v) =>
+            "\"" + k.takeWhile(_ != '_') + "\":" + fTrim(v, 1) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$bigMap,"small_n":${small.size},"small_sum":${f1(small.values.sum)}$vsPrevShort,"sf":"$sfShort"}"""
+      },
       s"""{"metric":"total","value":${f(total)},"unit":"sec"$vsPrevShort,"sf":"$sfShort"}""")
     println(candidates.find(_.length <= 1950).getOrElse(candidates.last))
     spark.stop()
