@@ -3464,6 +3464,38 @@ object Queries {
       .orderBy($"qid", $"rank")
   }
 
+  /** q176: index TAKEDOWN as a REAL STREAM — the delete half of the
+    * streaming maintenance story: the full corpus is indexed, then the
+    * `doc_id % 7 == 3` removal set arrives as two staggered-mtime id
+    * files → two micro-batch tombstone merges
+    * ([[graft.streaming.StreamingOps.indexDeleteStream]], AvailableNow).
+    * The post-stream probe must exclude every deleted doc exactly as
+    * q170's batch deletes do, so q176 shares q170's oracle verbatim —
+    * streaming delivery must add transport, not change semantics (and a
+    * replayed micro-batch would be a no-op: tombstone merges are
+    * idempotent, unlike the append streams). */
+  def bm25DeleteStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = s"g_bm25dstr_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q176_bm25dstr_${sfDir.hashCode.toHexString}") { d =>
+      val docs = Tables(spark, sfDir, "documents")
+      graft.operators.Bm25.buildIndex(docs, "doc_id", "text",
+        tbl, s"$d/idx", nDirs = 8)
+      val doomed = docs.filter($"doc_id" % 7 === 3).select($"doc_id")
+      val b1 = doomed.filter($"doc_id" % 2 === 0)
+      val in = streamDrops(d, Seq(b1, doomed.filter($"doc_id" % 2 === 1)))
+      val q = graft.streaming.StreamingOps.indexDeleteStream(
+        spark.readStream.schema(b1.schema)
+          .option("maxFilesPerTrigger", "1").parquet(in),
+        tbl, s"${tbl}_postings", s"$d/ckpt",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+    }
+    graft.operators.Bm25.topKAgainstIndex(
+        bm25QueryBatch(spark, sfDir), tbl, k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** q168: IVF index maintenance as a REAL STREAM — q160's append shape
     * through the streaming engine
     * ([[graft.streaming.StreamingOps.ivfAppendStream]]): the even half

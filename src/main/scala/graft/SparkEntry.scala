@@ -197,7 +197,8 @@ object SparkEntry {
     "q172_knn_ivf_delete" -> (Queries.knnIvfIndexDelete _),
     "q173_knn_ivf_filtered" -> (Queries.knnIvfFiltered _),
     "q174_bm25_index_update" -> (Queries.bm25IndexUpdateTopK _),
-    "q175_knn_ivf_recall" -> (Queries.knnIvfRecall _)
+    "q175_knn_ivf_recall" -> (Queries.knnIvfRecall _),
+    "q176_bm25_delete_stream" -> (Queries.bm25DeleteStreaming _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the
@@ -774,6 +775,14 @@ object SparkEntry {
     // over survivors). One oracle covers both delete mechanics the
     // query runs (compaction-folded batch + live anti-join batch).
     "q170_bm25_index_delete" ->
+      s"""WITH ${Bm25OracleSql.rankedCtesExcluding("p.doc_id % 7 = 3")}
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score_e4
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // q176 shares q170's oracle VERBATIM: the same %7==3 takedown set
+    // arriving as two streamed micro-batches must leave rankings
+    // identical to the batch deletes — streaming adds transport, never
+    // semantics (and tombstone merges are idempotent under redelivery).
+    "q176_bm25_delete_stream" ->
       s"""WITH ${Bm25OracleSql.rankedCtesExcluding("p.doc_id % 7 = 3")}
         |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score_e4
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,

@@ -285,6 +285,38 @@ object StreamingOps {
     trigger.fold(writer)(writer.trigger).start()
   }
 
+  /** TAKEDOWN feed as a stream — the delete half of the streaming
+    * maintenance story (removal requests arrive continuously in a real
+    * serving deployment, exactly like ingest): each micro-batch of ids
+    * merges into the index's tombstone list
+    * ([[graft.sources.Tombstones.add]] via the family's anchor table —
+    * `{t}_postings` for BM25, `{t}_sigs` for MinHash, `{t}_cells` for
+    * IVF), so the documents leave every probe as soon as their batch
+    * commits; the next compaction folds them physically. One wrapper
+    * serves all three families because the delete op itself is
+    * family-agnostic.
+    *
+    * Redelivery is SAFE here, unlike the append streams: the tombstone
+    * merge is a distinct union, so a crash-replayed micro-batch is a
+    * no-op — deletes are naturally idempotent, the nicest possible
+    * foreachBatch contract. Micro-batches are serialized by the
+    * engine, satisfying the tombstone list's single-writer rule. */
+  def indexDeleteStream(
+      ids: DataFrame, // streaming frame whose FIRST column is the id
+      index: String, anchorTable: String,
+      checkpoint: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val applyBatch: (DataFrame, Long) => Unit = { (batch, _) =>
+      graft.sources.Tombstones.add(batch.sparkSession, index, batch,
+        anchorTable)
+    }
+    val writer = ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(applyBatch)
+    trigger.fold(writer)(writer.trigger).start()
+  }
+
   private def currentGeneration(dir: String): Option[Long] = {
     val p = java.nio.file.Paths.get(dir, "_LATEST")
     if (java.nio.file.Files.exists(p))

@@ -56,9 +56,12 @@ class PlanAuditSpec extends AnyFunSuite {
                                    // broadcast hash join, not the BNLJ
       "q174_bm25_index_update",    // q155's probe over the updated
                                    // index — same 1-row bounds broadcast
-      "q175_knn_ivf_recall")       // the exact-ground-truth leg IS
+      "q175_knn_ivf_recall",       // the exact-ground-truth leg IS
                                    // q19's bounded-probe BNLJ (10
                                    // broadcast queries × corpus scan)
+      "q176_bm25_delete_stream")   // q170's probe over the
+                                   // stream-tombstoned index — same
+                                   // 1-row bounds broadcast
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =
