@@ -454,17 +454,27 @@ object Bm25 {
     * double-counted with no error raised. Dedup upstream (q16's exact
     * dedup) if the source can repeat ids. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
-      table: String, path: String, nDirs: Int = 64): Unit = {
+      table: String, path: String, nDirs: Int = 64): Unit =
+    graft.sources.Generations.withMaintenanceLock(table) {
     require(nDirs >= 1, s"need nDirs >= 1, got $nDirs")
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.sources.Generations
     // every live name is a Generations VIEW over generation tables, so
     // maintenance flips are one atomic catalog op each (no window in
-    // which a probe sees a missing or half-swapped table)
-    val pGen = Generations.genTableName(s"${table}_postings", 0L)
-    writeDirs(postingsOf(docs, idCol, textCol, nDirs), pGen, s"$path/postings")
-    Generations.commit(spark, s"${table}_postings", pGen)
+    // which a probe sees a missing or half-swapped table). Each member
+    // generation is RESERVED (unique name + path even under racing
+    // writers) and committed with the CAS form — a rebuild racing
+    // another maintenance op loses loudly instead of clobbering it.
+    // Reserving also makes rebuild-over-an-existing-index safe for
+    // concurrent probes: the fresh build lands as a NEW generation
+    // behind the usual atomic flip (the old shape overwrote g0's files
+    // in place while the live view served them).
+    val pBase = Generations.currentOpt(spark, s"${table}_postings")
+    val pGen = Generations.reserve(spark, s"${table}_postings")
+    writeDirs(postingsOf(docs, idCol, textCol, nDirs), pGen,
+      Generations.genPath(s"$path/postings", pGen))
+    Generations.commit(spark, s"${table}_postings", pGen, pBase)
     // dfs derived FROM the written postings — a (tb, term)-pruned
     // columnar scan of the index itself, already tb-partitioned on disk.
     // The previous form checkpointed the whole posting stream to feed
@@ -476,19 +486,22 @@ object Bm25 {
     // decreasing in dl, so (max_tf, min_dl) bounds every posting's
     // contribution under ANY future avgdl — append-safe by max/min
     // merge).
-    val dGen = Generations.genTableName(s"${table}_dfs", 0L)
+    val dBase = Generations.currentOpt(spark, s"${table}_dfs")
+    val dGen = Generations.reserve(spark, s"${table}_dfs")
     writeDirs(spark.table(pGen)
         .groupBy($"tb", $"term").agg(count(lit(1)).as("df"),
           max($"tf").as("max_tf"), min($"dl").as("min_dl")),
-      dGen, s"$path/dfs")
-    Generations.commit(spark, s"${table}_dfs", dGen)
-    val bGen = Generations.genTableName(s"${table}_bounds", 0L)
+      dGen, Generations.genPath(s"$path/dfs", dGen))
+    Generations.commit(spark, s"${table}_dfs", dGen, dBase)
+    val bBase = Generations.currentOpt(spark, s"${table}_bounds")
+    val bGen = Generations.reserve(spark, s"${table}_bounds")
     spark.sql(s"DROP TABLE IF EXISTS $bGen")
     boundsOf(docs, idCol, textCol)
       .withColumn("n_dirs", lit(nDirs.toLong))
-      .write.format("parquet").option("path", s"$path/bounds")
+      .write.format("parquet")
+      .option("path", Generations.genPath(s"$path/bounds", bGen))
       .mode("overwrite").saveAsTable(bGen)
-    Generations.commit(spark, s"${table}_bounds", bGen)
+    Generations.commit(spark, s"${table}_bounds", bGen, bBase)
     // empty tombstone list, so deleteFromIndex/probes have it by
     // construction (probes still tolerate absence for pre-delete indexes)
     graft.sources.Tombstones.init(spark, table, s"$path/deletes")
@@ -554,7 +567,8 @@ object Bm25 {
     * an empty or half-written dfs set mid-overwrite, silently dropping
     * terms from concurrent rankings). */
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
-      table: String): Unit = {
+      table: String): Unit =
+    graft.sources.Generations.withMaintenanceLock(table) {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.sources.Generations
@@ -594,7 +608,7 @@ object Bm25 {
     // reads the complete previous generation, never a partial one. df
     // adds, max_tf/min_dl merge by max/min — the probe's per-term score
     // bound stays valid over any append sequence.
-    val nextD = Generations.nextGenTable(spark, s"${table}_dfs")
+    val nextD = Generations.reserve(spark, s"${table}_dfs")
     writeDirs(
       spark.table(dGen)
         .unionByName(postingsOf(docs, idCol, textCol, nDirs.toInt)
@@ -602,18 +616,23 @@ object Bm25 {
             max($"tf").as("max_tf"), min($"dl").as("min_dl")))
         .groupBy($"tb", $"term").agg(sum($"df").as("df"),
           max($"max_tf").as("max_tf"), min($"min_dl").as("min_dl")),
-      nextD, Generations.next(Generations.location(spark, dGen)))
-    Generations.commit(spark, s"${table}_dfs", nextD)
+      nextD,
+      Generations.genPath(
+        Generations.basePath(spark, s"${table}_dfs"), nextD))
+    // CAS on the generation the merge READ (dGen): a concurrent append's
+    // committed df contributions must never be silently discarded
+    Generations.commit(spark, s"${table}_dfs", nextD, Some(dGen))
     // bounds: additive counters, 1 driver row — same fresh-generation flip
     val b = boundsOf(docs, idCol, textCol).collect()(0)
-    val nextB = Generations.nextGenTable(spark, s"${table}_bounds")
+    val nextB = Generations.reserve(spark, s"${table}_bounds")
     spark.sql(s"DROP TABLE IF EXISTS $nextB")
     Seq((oldN + b.getLong(0), oldSumdl + b.getLong(1), nDirs))
       .toDF("n", "sumdl", "n_dirs")
       .write.format("parquet")
-      .option("path", Generations.next(Generations.location(spark, bGen)))
+      .option("path", Generations.genPath(
+        Generations.basePath(spark, s"${table}_bounds"), nextB))
       .mode("overwrite").saveAsTable(nextB)
-    Generations.commit(spark, s"${table}_bounds", nextB)
+    Generations.commit(spark, s"${table}_bounds", nextB, Some(bGen))
   }
 
   /** Compact an index after [[appendToIndex]] batches — the THIRD
@@ -649,14 +668,15 @@ object Bm25 {
     * held across two maintenance cycles lose their files
     * (`GenerationsSpec` pins both properties). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-      table: String): Unit = {
+      table: String): Unit =
+    graft.sources.Generations.withMaintenanceLock(table) {
     import spark.implicits._
     import graft.sources.{Generations, Tombstones}
     def swap(live: String, cols: Seq[Column],
         fold: DataFrame => DataFrame = identity): Unit = {
       val gen = Generations.ensureGen(spark, live)
       val old = Generations.location(spark, gen)
-      val nextGen = Generations.nextGenTable(spark, live)
+      val nextGen = Generations.reserve(spark, live)
       // read by PATH, not by name: the live view keeps serving the old
       // generation until the commit below, and the rewrite must not
       // depend on the registration it supersedes (partition discovery
@@ -664,8 +684,10 @@ object Bm25 {
       // never drifts the contract). writeDirs drops any leftover
       // next-generation registration from a crashed prior run.
       writeDirs(fold(spark.read.parquet(old).select(cols: _*)), nextGen,
-        Generations.next(old))
-      Generations.commit(spark, live, nextGen)
+        Generations.genPath(old.replaceAll("__g\\d+$", ""), nextGen))
+      // CAS on the generation the rewrite read: losing a race here would
+      // silently resurrect rows a concurrent maintenance op removed
+      Generations.commit(spark, live, nextGen, Some(gen))
     }
     require(spark.table(s"${table}_dfs").columns
         .toSet.intersect(Set("max_tf", "min_dl")).size == 2,

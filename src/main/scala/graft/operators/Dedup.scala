@@ -263,7 +263,8 @@ object Dedup {
     */
   def writeMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
       table: String, path: String, numBuckets: Int = 64,
-      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit =
+      graft.sources.Generations.withMaintenanceLock(table) {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -277,11 +278,22 @@ object Dedup {
     graft.sources.Bucketing.writeBucketed(
       spark, bandBucketsOf(sigs, bands, numHashes / bands),
       s"${table}_buckets", s"$path/buckets", numBuckets, Seq("band", "bh"))
-    spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
-    Seq((shingleSize, numHashes, bands))
-      .toDF("shingle_size", "num_hashes", "bands")
-      .write.format("parquet").option("path", s"$path/meta")
-      .mode("overwrite").saveAsTable(s"${table}_meta")
+    // the 1-row parameter table rides the same generation machinery as
+    // every other member: a REBUILD over a live index swaps it with one
+    // atomic flip instead of a drop+recreate window a concurrent probe
+    // could land in
+    locally {
+      import graft.sources.Generations
+      val mBase = Generations.currentOpt(spark, s"${table}_meta")
+      val mGen = Generations.reserve(spark, s"${table}_meta")
+      spark.sql(s"DROP TABLE IF EXISTS $mGen")
+      Seq((shingleSize, numHashes, bands))
+        .toDF("shingle_size", "num_hashes", "bands")
+        .write.format("parquet")
+        .option("path", Generations.genPath(s"$path/meta", mGen))
+        .mode("overwrite").saveAsTable(mGen)
+      Generations.commit(spark, s"${table}_meta", mGen, mBase)
+    }
     // empty tombstone list, so deleteFromMinhashIndex/probes have it by
     // construction (probes still tolerate absence for pre-delete indexes)
     graft.sources.Tombstones.init(spark, table, s"$path/deletes")
@@ -374,7 +386,8 @@ object Dedup {
     * and append via the building blocks directly. */
   def ingestAgainstIndex(incoming: DataFrame, table: String,
       idCol: String, textCol: String, threshold: Double = 0.8,
-      broadcastMaxBatchDocs: Long = 2000000L): DataFrame = {
+      broadcastMaxBatchDocs: Long = 2000000L): DataFrame =
+      graft.sources.Generations.withMaintenanceLock(table) {
     val spark = incoming.sparkSession
     graft.sources.Generations.refreshTables(spark,
       s"${table}_sigs", s"${table}_buckets", s"${table}_meta")
@@ -421,7 +434,8 @@ object Dedup {
     * `MinhashIndexSpec` additionally pins one file per bucket
     * afterwards. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-      table: String): Unit = {
+      table: String): Unit =
+      graft.sources.Generations.withMaintenanceLock(table) {
     // fold tombstones into the rewrite both tables were getting anyway
     // (the Lucene segment-merge shape): the dead rows drop physically,
     // then the list resets — a crash in between leaves tombstones for

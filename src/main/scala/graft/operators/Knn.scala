@@ -301,7 +301,8 @@ object Knn {
     * shares q42's oracle. */
   def writeIvfIndex(data: DataFrame, idCol: String, vecCol: String,
       table: String, path: String,
-      nCells: Int = 16, iterations: Int = 5): Unit = {
+      nCells: Int = 16, iterations: Int = 5): Unit =
+      graft.sources.Generations.withMaintenanceLock(table) {
     val spark = data.sparkSession
     import spark.implicits._
     import graft.sources.Generations
@@ -309,24 +310,31 @@ object Knn {
     try {
       val centroids = trainCentroids(d, nCells, iterations)
       // live names are Generations VIEWS over generation tables —
-      // maintenance flips are one atomic catalog op each
-      val centGen = Generations.genTableName(s"${table}_centroids", 0L)
+      // maintenance flips are one atomic catalog op each; each member
+      // generation is RESERVED (unique name/path under racing writers)
+      // and CAS-committed, so a rebuild-by-writeIvfIndex racing another
+      // maintenance op loses loudly instead of clobbering it
+      val centBase = Generations.currentOpt(spark, s"${table}_centroids")
+      val centGen = Generations.reserve(spark, s"${table}_centroids")
       spark.sql(s"DROP TABLE IF EXISTS $centGen")
       centroids.zipWithIndex
         .map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "c")
         .coalesce(1)
-        .write.format("parquet").option("path", s"$path/centroids")
+        .write.format("parquet")
+        .option("path", Generations.genPath(s"$path/centroids", centGen))
         .mode("overwrite").saveAsTable(centGen)
-      Generations.commit(spark, s"${table}_centroids", centGen)
-      val cellsGen = Generations.genTableName(s"${table}_cells", 0L)
+      Generations.commit(spark, s"${table}_centroids", centGen, centBase)
+      val cellsBase = Generations.currentOpt(spark, s"${table}_cells")
+      val cellsGen = Generations.reserve(spark, s"${table}_cells")
       spark.sql(s"DROP TABLE IF EXISTS $cellsGen")
       d.withColumn("cell", nearestUdf(centroids)($"v"))
         .select($"id", $"v", $"nrm", $"cell")
         .repartition($"cell")
-        .write.format("parquet").option("path", s"$path/cells")
+        .write.format("parquet")
+        .option("path", Generations.genPath(s"$path/cells", cellsGen))
         .partitionBy("cell").mode("overwrite").saveAsTable(cellsGen)
-      Generations.commit(spark, s"${table}_cells", cellsGen)
+      Generations.commit(spark, s"${table}_cells", cellsGen, cellsBase)
       // empty tombstone list, so deleteFromIvfIndex/probes have it by
       // construction (probes still tolerate absence for pre-delete
       // indexes)
@@ -365,7 +373,8 @@ object Knn {
     * families). Vector ids must be NEW — re-appending an indexed id
     * would duplicate it in every probe that reads its cell. */
   def appendToIvfIndex(data: DataFrame, idCol: String, vecCol: String,
-      table: String): Unit = {
+      table: String): Unit =
+      graft.sources.Generations.withMaintenanceLock(table) {
     val spark = data.sparkSession
     import spark.implicits._
     // appends target the CURRENT generation in place (new files only —
@@ -460,13 +469,14 @@ object Knn {
     * IS the correctness check (q163 shares q160's oracle verbatim;
     * `IvfIndexSpec` additionally pins one file per cell afterwards). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      table: String): Unit = {
+      table: String): Unit =
+      graft.sources.Generations.withMaintenanceLock(table) {
     import spark.implicits._
     import graft.sources.Generations
     val name = s"${table}_cells"
     val gen = Generations.ensureGen(spark, name)
     val old = Generations.location(spark, gen)
-    val nextGen = Generations.nextGenTable(spark, name)
+    val nextGen = Generations.reserve(spark, name)
     spark.sql(s"DROP TABLE IF EXISTS $nextGen")
     // fold tombstones into the rewrite (dead rows drop physically),
     // then reset the list — a crash in between leaves no-op tombstones
@@ -480,11 +490,14 @@ object Knn {
           .select($"id", $"v", $"nrm", $"cell".cast("int").as("cell")),
         "id", tomb, table)
       .repartition($"cell")
-      .write.format("parquet").option("path", Generations.next(old))
+      .write.format("parquet")
+      .option("path",
+        Generations.genPath(old.replaceAll("__g\\d+$", ""), nextGen))
       .partitionBy("cell").mode("overwrite").saveAsTable(nextGen)
-    // atomic flip; the superseded generation is retained for in-flight
-    // readers until the next maintenance commit
-    Generations.commit(spark, name, nextGen)
+    // atomic flip, CAS'd on the generation the rewrite read; the
+    // superseded generation is retained for in-flight readers until the
+    // next maintenance commit
+    Generations.commit(spark, name, nextGen, Some(gen))
     if (tomb.nonEmpty) graft.sources.Tombstones.clear(spark, table)
   }
 
@@ -527,7 +540,8 @@ object Knn {
     * never wrong scores: the rerank is exact); re-derive probe frames
     * after maintenance, as with every compaction. */
   def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      table: String, nCells: Int = 16, iterations: Int = 5): Unit = {
+      table: String, nCells: Int = 16, iterations: Int = 5): Unit =
+      graft.sources.Generations.withMaintenanceLock(table) {
     import spark.implicits._
     import graft.sources.Generations
     val cellsName = s"${table}_cells"
@@ -549,24 +563,29 @@ object Knn {
       .cache()
     try {
       val centroids = trainCentroids(d, nCells, iterations)
-      val nextCent = Generations.nextGenTable(spark, centName)
-      val nextCells = Generations.nextGenTable(spark, cellsName)
+      val nextCent = Generations.reserve(spark, centName)
+      val nextCells = Generations.reserve(spark, cellsName)
       spark.sql(s"DROP TABLE IF EXISTS $nextCent")
       spark.sql(s"DROP TABLE IF EXISTS $nextCells")
       centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "c").coalesce(1)
-        .write.format("parquet").option("path", Generations.next(oldCent))
+        .write.format("parquet")
+        .option("path",
+          Generations.genPath(oldCent.replaceAll("__g\\d+$", ""), nextCent))
         .mode("overwrite").saveAsTable(nextCent)
       d.withColumn("cell", nearestUdf(centroids)($"v"))
         .select($"id", $"v", $"nrm", $"cell")
         .repartition($"cell")
-        .write.format("parquet").option("path", Generations.next(oldCells))
+        .write.format("parquet")
+        .option("path",
+          Generations.genPath(oldCells.replaceAll("__g\\d+$", ""), nextCells))
         .partitionBy("cell").mode("overwrite").saveAsTable(nextCells)
       // both new generations fully written and registered BEFORE either
-      // flip; each flip is one atomic catalog op, and the superseded
-      // generations survive until the next maintenance commit
-      Generations.commit(spark, centName, nextCent)
-      Generations.commit(spark, cellsName, nextCells)
+      // flip; each flip is one atomic catalog op (CAS'd on the
+      // generation the retrain read), and the superseded generations
+      // survive until the next maintenance commit
+      Generations.commit(spark, centName, nextCent, Some(centGen))
+      Generations.commit(spark, cellsName, nextCells, Some(cellsGen))
       if (tomb.nonEmpty) graft.sources.Tombstones.clear(spark, table)
     } finally d.unpersist()
   }

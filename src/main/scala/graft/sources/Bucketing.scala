@@ -41,17 +41,18 @@ object Bucketing {
       table: String,
       path: String,
       numBuckets: Int,
-      keys: Seq[String]): DataFrame = {
-    val gen = Generations.genTableName(table, 0L)
+      keys: Seq[String]): DataFrame = Generations.withMaintenanceLock(table) {
+    val base = Generations.currentOpt(spark, table)
+    val gen = Generations.reserve(spark, table)
     spark.sql(s"DROP TABLE IF EXISTS $gen")
     df.write
       .format("parquet")
-      .option("path", path)
+      .option("path", Generations.genPath(path, gen))
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .saveAsTable(gen)
-    Generations.commit(spark, table, gen)
+    Generations.commit(spark, table, gen, base)
     spark.table(table)
   }
 
@@ -74,7 +75,8 @@ object Bucketing {
     * CURRENT generation in place — new files only, never a rewrite of
     * files a reader holds — so they need no generation flip.
     */
-  def appendBucketed(spark: SparkSession, df: DataFrame, table: String): DataFrame = {
+  def appendBucketed(spark: SparkSession, df: DataFrame, table: String): DataFrame =
+      Generations.withMaintenanceLock(table) {
     val (gen, meta) = genMeta(spark, table)
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"table $table has no bucket spec — appendBucketed only grows " +
@@ -111,14 +113,15 @@ object Bucketing {
     * rewrite compaction was doing anyway.
     */
   def compactBucketed(spark: SparkSession, table: String,
-      fold: DataFrame => DataFrame = identity): Unit = {
+      fold: DataFrame => DataFrame = identity): Unit =
+      Generations.withMaintenanceLock(table) {
     import org.apache.spark.sql.functions.col
     val (gen, meta) = genMeta(spark, table)
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"table $table has no bucket spec — compactBucketed only serves " +
         "tables written by writeBucketed"))
     val old = meta.location.toString
-    val nextGen = Generations.nextGenTable(spark, table)
+    val nextGen = Generations.reserve(spark, table)
     spark.sql(s"DROP TABLE IF EXISTS $nextGen")
     // read by PATH, not by name: the rewrite must not depend on the
     // registration it supersedes, and the live view keeps serving the
@@ -127,15 +130,17 @@ object Bucketing {
       .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
       .write
       .format("parquet")
-      .option("path", Generations.next(old))
+      .option("path",
+        Generations.genPath(old.replaceAll("__g\\d+$", ""), nextGen))
       .bucketBy(spec.numBuckets,
         spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
     (if (spec.sortColumnNames.nonEmpty)
        writer.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
      else writer)
       .mode("overwrite").saveAsTable(nextGen)
-    // atomic flip; the superseded generation is retained for in-flight
-    // readers until the next maintenance commit
-    Generations.commit(spark, table, nextGen)
+    // atomic flip, CAS'd on the generation the rewrite read; the
+    // superseded generation is retained for in-flight readers until the
+    // next maintenance commit
+    Generations.commit(spark, table, nextGen, Some(gen))
   }
 }

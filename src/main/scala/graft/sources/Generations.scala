@@ -42,7 +42,37 @@ import org.apache.spark.sql.catalyst.catalog.CatalogTableType
   *  - deleting superseded generations is LAST; a crash before the
   *    deletes only leaves extra files (re-run or [[vacuum]]).
   */
+/** Thrown by the CAS form of [[Generations.commit]] when the live view
+  * moved under a writer between its base observation and its flip —
+  * another maintenance op won the race. The loser's generation is
+  * dropped before the throw (no orphan registration/files); the caller
+  * re-runs its maintenance against the new current state. */
+class ConcurrentMaintenanceException(msg: String)
+  extends RuntimeException(msg)
+
 object Generations {
+
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Per-live-name monitor: makes observe/reserve/flip sequences atomic
+    * WITHIN this JVM (Spark local mode and foreachBatch session clones
+    * all share it — the real topology here). Cross-JVM writers sharing
+    * a metastore are instead detected at commit time by the CAS check
+    * (the Delta-on-S3 posture: in-process mutual exclusion, loud
+    * optimistic-concurrency failure beyond it). */
+  private val nameMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def monitor(name: String): Object =
+    nameMonitors.computeIfAbsent(name, _ => new Object)
+
+  /** Serialize whole maintenance operations (build / append / ingest /
+    * compact / rebuild / delete) per index family within this JVM.
+    * `synchronized` on a per-family monitor, so nesting is reentrant —
+    * compaction's tombstone reset runs under the same family lock.
+    * Concurrent PROBES never take this lock (reads are always safe
+    * against the atomic flips); only writers serialize. */
+  def withMaintenanceLock[T](family: String)(body: => T): T =
+    monitor("family::" + family).synchronized(body)
 
   /** Registered location of a catalog table; a live VIEW resolves
     * through to its current generation table's location. */
@@ -90,11 +120,70 @@ object Generations {
           "live view; rebuild the index"))
   }
 
+  /** [[current]] when the live name exists, None otherwise — the base
+    * observation maintenance ops pass to the CAS [[commit]]. */
+  def currentOpt(spark: SparkSession, live: String): Option[String] =
+    if (exists(spark, live)) Some(current(spark, live)) else None
+
   /** Name for the generation a rewrite should target next (the table is
-    * not created here — the caller writes it, then [[commit]]s). */
+    * not created here — the caller writes it, then [[commit]]s). NOT
+    * race-safe on its own: two writers computing it concurrently get the
+    * same name and clobber each other's files. Maintenance paths use
+    * [[reserve]] instead; this stays for single-writer callers and
+    * tests. */
   def nextGenTable(spark: SparkSession, live: String): String =
     if (!exists(spark, live)) genTableName(live, 0L)
     else genTableName(live, genNumber(current(spark, live)) + 1L)
+
+  /** Atomically RESERVE the next generation name for `live`: the first
+    * free `live__gN` at or above current+1 is claimed with a placeholder
+    * catalog entry, so a concurrent reserver — even in another JVM
+    * sharing the metastore, where `CREATE TABLE` is the atomic claim —
+    * gets a DIFFERENT number, hence a different name and path: racing
+    * writers can no longer overwrite each other's in-flight generation
+    * files (the old [[nextGenTable]] pattern handed both the same
+    * name). The caller writes its data over the placeholder (its
+    * `DROP TABLE` + `saveAsTable` own the name from here) and then
+    * [[commit]]s with the base generation its rewrite READ — the CAS
+    * decides the race's winner. Crash after reserve leaves an orphan
+    * placeholder: skipped by future reservations, reclaimed by
+    * [[vacuum]]. */
+  def reserve(spark: SparkSession, live: String): String =
+    monitor(live).synchronized {
+      var n =
+        if (!exists(spark, live)) 0L
+        else genNumber(current(spark, live)) + 1L
+      while (true) {
+        val name = genTableName(live, n)
+        if (!exists(spark, name)) {
+          try {
+            spark.sql(s"CREATE TABLE $name (graft_reserved INT) USING parquet")
+            return name
+          } catch {
+            // another JVM claimed it between our check and create —
+            // the metastore's CREATE atomicity is the tie-break
+            case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
+          }
+        }
+        n += 1L
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+  /** The un-suffixed base location of a live name's data (generation
+    * suffix stripped from the current generation's path). */
+  def basePath(spark: SparkSession, live: String): String =
+    location(spark, current(spark, live)).replaceAll("__g\\d+$", "")
+
+  /** Data path for a generation table: `base` for g0 (the build
+    * convention), `base__gN` beyond — the path mirrors the reserved
+    * name's number, so generations skipped by [[reserve]] skip their
+    * paths too and racing writers never share a directory. */
+  def genPath(base: String, genTable: String): String = {
+    val n = genNumber(genTable)
+    require(n >= 0, s"$genTable is not a generation table name")
+    if (n == 0L) base else base + "__g" + n
+  }
 
   /** Point the live VIEW at a fully-written generation table — ONE
     * catalog operation (`CREATE OR REPLACE VIEW` alters the existing
@@ -136,24 +225,69 @@ object Generations {
   }
 
   /** Commit a fully-written generation: flip the live view onto it
-    * (atomic — see [[pointAt]]) and retire every generation OLDER than
-    * the one just superseded. The superseded generation is retained —
+    * (atomic — see [[pointAt]]) and retire every generation with a
+    * number OLDER than the one just superseded — never a NEWER one,
+    * which may be a concurrent writer's in-flight reservation (it will
+    * lose its own CAS cleanly rather than have its files deleted from
+    * under a running write job). The superseded generation is retained —
     * registration and files — so probes that resolved the view before
     * the flip still collect; it is deleted by the NEXT commit (or an
     * explicit [[vacuum]]). */
-  def commit(spark: SparkSession, live: String, newGen: String): Unit = {
-    val prev: Option[String] =
-      if (exists(spark, live)) Some(current(spark, live)) else None
-    pointAt(spark, live, newGen)
-    val keep = Set(newGen) ++ prev
-    listGens(spark, live).filterNot(keep).foreach(retireOne(spark, _))
-  }
+  def commit(spark: SparkSession, live: String, newGen: String): Unit =
+    monitor(live).synchronized {
+      val prev: Option[String] =
+        if (exists(spark, live)) Some(current(spark, live)) else None
+      pointAt(spark, live, newGen)
+      val supersededNum = prev.map(genNumber).getOrElse(-1L)
+      listGens(spark, live)
+        .filter(g => g != newGen && genNumber(g) < supersededNum)
+        .foreach(retireOne(spark, _))
+    }
+
+  /** CAS [[commit]]: flips only if the live name still serves
+    * `basedOn` — the generation the caller's rewrite actually READ
+    * (None when the caller created the index fresh). On mismatch another
+    * writer committed in between: the caller's merge/compaction is built
+    * on superseded data, so flipping would silently DISCARD the winner's
+    * batch — instead the loser's generation is dropped (registration and
+    * files) and [[ConcurrentMaintenanceException]] is thrown; re-run the
+    * maintenance against the new current state. Check-and-flip is atomic
+    * within this JVM (per-name monitor — all sessions of a local-mode
+    * app and every foreachBatch clone share it); across JVMs sharing a
+    * metastore the check narrows the lost-update window from the whole
+    * rewrite to microseconds and [[reserve]] keeps racing writers'
+    * FILES disjoint regardless. */
+  def commit(spark: SparkSession, live: String, newGen: String,
+      basedOn: Option[String]): Unit =
+    monitor(live).synchronized {
+      val prev: Option[String] =
+        if (exists(spark, live)) Some(current(spark, live)) else None
+      if (prev != basedOn) {
+        retireOne(spark, newGen)
+        throw new ConcurrentMaintenanceException(
+          s"cannot commit $newGen: $live moved from " +
+            s"${basedOn.getOrElse("<absent>")} to " +
+            s"${prev.getOrElse("<absent>")} during this maintenance op — " +
+            "a concurrent writer committed first. This op's generation " +
+            "was dropped; re-run it against the current state (writers " +
+            "on one index must otherwise be serialized per family, see " +
+            "withMaintenanceLock)")
+      }
+      pointAt(spark, live, newGen)
+      val supersededNum = prev.map(genNumber).getOrElse(-1L)
+      listGens(spark, live)
+        .filter(g => g != newGen && genNumber(g) < supersededNum)
+        .foreach(retireOne(spark, _))
+    }
 
   /** Delete every generation except the live one — the explicit
     * reclaim for operators that want the superseded-generation disk
     * back before the next maintenance commit (readers planned before
     * the last flip lose their files; same contract as Delta VACUUM at
-    * retention 0). */
+    * retention 0). Also reclaims orphan reservations left by crashed or
+    * CAS-aborted writers — so do NOT vacuum while maintenance on this
+    * index is in flight (it would delete the writer's reserved
+    * generation mid-write). */
   def vacuum(spark: SparkSession, live: String): Unit = {
     val cur = current(spark, live)
     listGens(spark, live).filterNot(_ == cur).foreach(retireOne(spark, _))

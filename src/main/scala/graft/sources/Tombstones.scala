@@ -30,11 +30,14 @@ import org.apache.spark.sql.functions._
   *    broadcast it below `broadcastMaxDeletes`; above, the anti-join
   *    runs as a plain shuffle join — identical rows, loudly logged
   *    (the serving-cap pattern);
-  *  - WRITES are single-writer, like every other maintenance primitive
-  *    here (append/compact/rebuild): two concurrent [[add]] calls can
-  *    lose one batch's ids (read-merge-write race). Serialize
-  *    maintenance per index; concurrent PROBES are always safe (each
-  *    merge is a fresh generation behind an atomic flip).
+  *  - WRITES serialize per index family within this JVM (every
+  *    [[add]]/[[clear]]/[[init]] runs under
+  *    [[Generations.withMaintenanceLock]], so two concurrent adds merge
+  *    both batches instead of losing one to the read-merge-write race),
+  *    and each merge commits via the CAS form of [[Generations.commit]]
+  *    — a cross-JVM writer the lock cannot see is detected and aborted
+  *    loudly, never silently dropped. Concurrent PROBES are always safe
+  *    (each merge is a fresh generation behind an atomic flip).
   */
 object Tombstones {
 
@@ -74,17 +77,20 @@ object Tombstones {
     * index builders so probes can rely on the table existing for any
     * index this version writes (probes still tolerate absence, for
     * indexes persisted by pre-delete builds). */
-  def init(spark: SparkSession, index: String, path: String): Unit = {
-    import spark.implicits._
-    val live = tableName(index)
-    val gen = Generations.genTableName(live, 0L)
-    spark.sql(s"DROP TABLE IF EXISTS $gen")
-    Seq.empty[Long].toDF("id")
-      .write.format("parquet").option("path", path)
-      .mode("overwrite").saveAsTable(gen)
-    Generations.commit(spark, live, gen)
-    writeCountProp(spark, live, 0L)
-  }
+  def init(spark: SparkSession, index: String, path: String): Unit =
+    Generations.withMaintenanceLock(index) {
+      import spark.implicits._
+      val live = tableName(index)
+      val base = Generations.currentOpt(spark, live)
+      val gen = Generations.reserve(spark, live)
+      spark.sql(s"DROP TABLE IF EXISTS $gen")
+      Seq.empty[Long].toDF("id")
+        .write.format("parquet")
+        .option("path", Generations.genPath(path, gen))
+        .mode("overwrite").saveAsTable(gen)
+      Generations.commit(spark, live, gen, base)
+      writeCountProp(spark, live, 0L)
+    }
 
   /** Merge `ids` (first column, cast to LONG) into the index's tombstone
     * list: distinct union written as a fresh generation, one atomic
@@ -92,22 +98,26 @@ object Tombstones {
     * list (stale by one batch at worst, never partial). Idempotent —
     * re-deleting an id is a no-op. */
   def add(spark: SparkSession, index: String, ids: DataFrame,
-      anchorTable: String): Unit = {
+      anchorTable: String): Unit = Generations.withMaintenanceLock(index) {
     val live = tableName(index)
     val batch = ids.select(ids.columns.head).toDF("id")
       .select(col("id").cast("long").as("id"))
-    val (merged, path) =
+    // read-merge-write under the family maintenance lock (in-process
+    // adds serialize — no lost batch) with a CAS commit on the merged
+    // base (a cross-JVM racer is detected, not silently dropped)
+    val (merged, base, basePathOf) =
       if (exists(spark, live)) {
         val gen = Generations.ensureGen(spark, live)
-        (spark.table(gen).unionByName(batch).distinct(),
-          Generations.next(Generations.location(spark, gen)))
-      } else (batch.distinct(), pathBeside(spark, anchorTable))
-    val nextGen = Generations.nextGenTable(spark, live)
+        (spark.table(gen).unionByName(batch).distinct(), Some(gen),
+          Generations.basePath(spark, live))
+      } else (batch.distinct(), None, pathBeside(spark, anchorTable))
+    val nextGen = Generations.reserve(spark, live)
     spark.sql(s"DROP TABLE IF EXISTS $nextGen")
     merged.coalesce(1)
-      .write.format("parquet").option("path", path)
+      .write.format("parquet")
+      .option("path", Generations.genPath(basePathOf, nextGen))
       .mode("overwrite").saveAsTable(nextGen)
-    Generations.commit(spark, live, nextGen)
+    Generations.commit(spark, live, nextGen, base)
     // count the WRITTEN generation (deletes are rare; probes are not)
     writeCountProp(spark, live, spark.table(nextGen).count())
   }
@@ -117,20 +127,23 @@ object Tombstones {
     * crash between the fold and this reset leaves tombstones for rows
     * that no longer exist: the anti-join is then a no-op, so probes
     * stay correct and the next compaction clears the residue. */
-  def clear(spark: SparkSession, index: String): Unit = {
-    val live = tableName(index)
-    if (!exists(spark, live)) return
-    val gen = Generations.ensureGen(spark, live)
-    import spark.implicits._
-    val nextGen = Generations.nextGenTable(spark, live)
-    spark.sql(s"DROP TABLE IF EXISTS $nextGen")
-    Seq.empty[Long].toDF("id")
-      .write.format("parquet")
-      .option("path", Generations.next(Generations.location(spark, gen)))
-      .mode("overwrite").saveAsTable(nextGen)
-    Generations.commit(spark, live, nextGen)
-    writeCountProp(spark, live, 0L)
-  }
+  def clear(spark: SparkSession, index: String): Unit =
+    Generations.withMaintenanceLock(index) {
+      val live = tableName(index)
+      if (exists(spark, live)) {
+        val gen = Generations.ensureGen(spark, live)
+        import spark.implicits._
+        val nextGen = Generations.reserve(spark, live)
+        spark.sql(s"DROP TABLE IF EXISTS $nextGen")
+        Seq.empty[Long].toDF("id")
+          .write.format("parquet")
+          .option("path",
+            Generations.genPath(Generations.basePath(spark, live), nextGen))
+          .mode("overwrite").saveAsTable(nextGen)
+        Generations.commit(spark, live, nextGen, Some(gen))
+        writeCountProp(spark, live, 0L)
+      }
+    }
 
   /** The current tombstone ids as a 1-column (`id` LONG) frame plus
     * their count, or None when the index predates deletes or the list

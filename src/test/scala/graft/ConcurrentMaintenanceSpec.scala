@@ -1,0 +1,195 @@
+package graft
+
+import java.util.concurrent.CountDownLatch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bm25, Dedup}
+import graft.sources.{ConcurrentMaintenanceException, Generations, Tombstones}
+
+/** The multi-writer contract of index maintenance (round 14, third
+  * session — the "operational concurrency" gap the r13 verdict named):
+  *
+  *  1. maintenance ops on one index family SERIALIZE within the JVM
+  *     ([[Generations.withMaintenanceLock]]) — two concurrent appends /
+  *     deletes / ingests both land, none is lost to a read-merge-write
+  *     race (previously documented as "can lose one batch");
+  *  2. a writer that bypasses the lock (another JVM sharing the
+  *     metastore — simulated here by driving reserve/commit directly)
+  *     is detected by the CAS commit: the loser aborts LOUDLY with
+  *     [[ConcurrentMaintenanceException]], its generation is dropped,
+  *     and the winner's commit is untouched — never a silent clobber;
+  *  3. [[Generations.reserve]] hands racing writers DISTINCT generation
+  *     names and paths (the old nextGenTable pattern gave both the same
+  *     name, so the second write overwrote the first's files);
+  *  4. retirement never touches a generation NEWER than the superseded
+  *     one — a concurrent writer's in-flight reservation survives other
+  *     writers' commits and loses its own CAS cleanly instead of having
+  *     files deleted under a running write job.
+  */
+class ConcurrentMaintenanceSpec extends AnyFunSuite {
+  import SparkSuiteBase.spark
+  import spark.implicits._
+
+  private def inThreads(bodies: (() => Unit)*): Seq[Option[Throwable]] = {
+    val start = new CountDownLatch(1)
+    val errs = new Array[Option[Throwable]](bodies.length)
+    val ts = bodies.zipWithIndex.map { case (b, i) =>
+      val t = new Thread(() => {
+        start.await()
+        errs(i) = try { b(); None } catch { case e: Throwable => Some(e) }
+      })
+      t.start(); t
+    }
+    start.countDown()
+    ts.foreach(_.join(300000))
+    errs.toSeq
+  }
+
+  private def bmRows(table: String, terms: Seq[(Long, String)]): Seq[(Long, Long, Long, Long)] =
+    Bm25.topKAgainstIndex(terms.toDF("qid", "term"), table, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("concurrent BM25 appends on one index both land; result equals " +
+      "a fresh build over the union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc_bm25").toString
+    val docs = (0L until 90L).map { i =>
+      (i, s"shared words plus rare${i % 9} marker doc$i")
+    }
+    val (base, b1, b2) =
+      (docs.filter(_._1 % 3 == 0), docs.filter(_._1 % 3 == 1),
+        docs.filter(_._1 % 3 == 2))
+    val tbl = "g_conc_bm25"
+    Bm25.buildIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+      tbl, s"$dir/idx", nDirs = 4)
+    val errs = inThreads(
+      () => Bm25.appendToIndex(b1.toDF("doc_id", "text"), "doc_id", "text", tbl),
+      () => Bm25.appendToIndex(b2.toDF("doc_id", "text"), "doc_id", "text", tbl))
+    assert(errs.forall(_.isEmpty), s"concurrent appends must both succeed: $errs")
+    // reference: one fresh build over the whole corpus
+    val ref = "g_conc_bm25_ref"
+    Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text",
+      ref, s"$dir/ref", nDirs = 4)
+    val qs = Seq((1L, "rare4"), (2L, "marker"), (3L, "rare7"))
+    assert(bmRows(tbl, qs) == bmRows(ref, qs),
+      "both concurrent batches must be fully merged (df, N, Σdl and postings)")
+  }
+
+  test("concurrent tombstone adds merge both id batches (no lost delete)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc_del").toString
+    val docs = (0L until 40L).map(i => (i, s"common text rare${i % 5} doc$i"))
+    val tbl = "g_conc_del_bm25"
+    Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text",
+      tbl, s"$dir/idx", nDirs = 4)
+    val errs = inThreads(
+      () => Bm25.deleteFromIndex(spark,
+        tbl, docs.filter(_._1 % 4 == 0).map(_._1).toDF("id")),
+      () => Bm25.deleteFromIndex(spark,
+        tbl, docs.filter(_._1 % 4 == 1).map(_._1).toDF("id")))
+    assert(errs.forall(_.isEmpty), s"concurrent deletes must both succeed: $errs")
+    val expected = docs.map(_._1).filter(i => i % 4 == 0 || i % 4 == 1).toSet
+    val got = spark.table(Tombstones.tableName(tbl))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      "the tombstone list must hold the UNION of both concurrent batches")
+  }
+
+  test("CAS commit: a bypassing concurrent writer loses loudly, the " +
+      "winner's generation survives, the loser's is dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc_cas").toString
+    val live = "g_conc_cas"
+    def writeGen(gen: String, tag: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $gen")
+      Seq((1L, tag)).toDF("id", "tag")
+        .write.format("parquet")
+        .option("path", Generations.genPath(s"$dir/t", gen))
+        .mode("overwrite").saveAsTable(gen)
+    }
+    val g0 = Generations.reserve(spark, live)
+    writeGen(g0, "base")
+    Generations.commit(spark, live, g0, None)
+    // writer A observes the base and reserves — but stalls before commit
+    val baseA = Generations.currentOpt(spark, live)
+    val gA = Generations.reserve(spark, live)
+    writeGen(gA, "loser")
+    // writer B (same base) reserves, and reserve must hand it a
+    // DIFFERENT generation name/path than A's in-flight one
+    val baseB = Generations.currentOpt(spark, live)
+    val gB = Generations.reserve(spark, live)
+    assert(gA != gB, "racing reservations must never share a name")
+    writeGen(gB, "winner")
+    Generations.commit(spark, live, gB, baseB)
+    // A wakes up and commits into a world that moved: loud abort
+    val e = intercept[ConcurrentMaintenanceException] {
+      Generations.commit(spark, live, gA, baseA)
+    }
+    assert(e.getMessage.contains(gA))
+    assert(Generations.current(spark, live) == gB,
+      "the winner's flip must be untouched by the loser's abort")
+    assert(!spark.catalog.tableExists(gA),
+      "the loser's generation registration must be dropped on abort")
+    assert(spark.table(live).select($"tag").head().getString(0) == "winner")
+  }
+
+  test("retirement skips in-flight reservations newer than the " +
+      "superseded generation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc_ret").toString
+    val live = "g_conc_ret"
+    def writeGen(gen: String, tag: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $gen")
+      Seq((1L, tag)).toDF("id", "tag")
+        .write.format("parquet")
+        .option("path", Generations.genPath(s"$dir/t", gen))
+        .mode("overwrite").saveAsTable(gen)
+    }
+    val g0 = Generations.reserve(spark, live)
+    writeGen(g0, "g0")
+    Generations.commit(spark, live, g0, None)
+    val base1 = Generations.currentOpt(spark, live)
+    val g1 = Generations.reserve(spark, live)
+    writeGen(g1, "g1")
+    Generations.commit(spark, live, g1, base1) // g0 retained (superseded)
+    // an in-flight reservation from a concurrent writer...
+    val inflight = Generations.reserve(spark, live)
+    // ...and another writer that commits while it is pending
+    val base2 = Generations.currentOpt(spark, live)
+    val g3 = Generations.reserve(spark, live)
+    assert(g3 != inflight)
+    writeGen(g3, "g3")
+    Generations.commit(spark, live, g3, base2)
+    assert(spark.catalog.tableExists(inflight),
+      "a newer in-flight reservation must survive another writer's commit")
+    assert(!spark.catalog.tableExists(g0),
+      "generations older than the superseded one are retired as before")
+    assert(spark.catalog.tableExists(g1),
+      "the superseded generation is retained for in-flight readers")
+  }
+
+  test("concurrent MinHash ingests on one index both grow the history") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc_mh").toString
+    def doc(i: Long) = s"minhash corpus sentence number $i with shared filler words"
+    val hist = (0L until 20L).map(i => (i, doc(i)))
+    val tbl = "g_conc_mh"
+    Dedup.writeMinhashIndex(hist.toDF("doc_id", "text"), "doc_id", "text",
+      tbl, s"$dir/idx", numBuckets = 4)
+    val b1 = (100L until 110L).map(i => (i, doc(i)))
+    val b2 = (200L until 210L).map(i => (i, doc(i)))
+    val errs = inThreads(
+      () => { Dedup.ingestAgainstIndex(b1.toDF("doc_id", "text"), tbl,
+        "doc_id", "text").collect(); () },
+      () => { Dedup.ingestAgainstIndex(b2.toDF("doc_id", "text"), tbl,
+        "doc_id", "text").collect(); () })
+    assert(errs.forall(_.isEmpty), s"concurrent ingests must both succeed: $errs")
+    // exact copies of BOTH batches must now classify dup_history — the
+    // race the lock closes is one batch's signatures vanishing from the
+    // index (lost append)
+    val replay = (b1 ++ b2).map { case (i, t) => (i + 1000L, t) }
+    val statuses = Dedup.minhashIncrementalAgainstIndex(
+        replay.toDF("doc_id", "text"), tbl, "doc_id", "text")
+      .select($"doc_id", $"status").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(statuses.values.forall(_ == "dup_history"),
+      s"every replayed doc must match the grown history, got $statuses")
+  }
+}
