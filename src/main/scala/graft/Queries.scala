@@ -3218,6 +3218,39 @@ object Queries {
       .orderBy($"qid", $"rank")
   }
 
+  /** q177: BM25 index TIME TRAVEL — the rollback read completing the
+    * serving lifecycle's operational story: build(evens) →
+    * append(odds) → DELETE(doc_id % 7 == 3), then probe with
+    * `asOfCommits = 1` — the index exactly as it was BEFORE the
+    * takedown ("a bad delete landed; serve yesterday's index while we
+    * fix it"). The probe resolves every member table (postings, dfs,
+    * bounds, deletes) from the family snapshot log's manifest
+    * ([[graft.sources.Snapshots]] — one row per maintenance commit,
+    * because different ops bump different members: per-table step-back
+    * would reconstruct a state that never existed), then runs the
+    * UNCHANGED dir-pruned WAND probe over the historical generations.
+    * The pre-delete state is the full corpus, so the oracle is
+    * q152/q155's CTE chain verbatim — equality pins that time travel
+    * reconstructs the exact published ranking, tombstone list
+    * included (the resolved deletes generation is empty). */
+  def bm25TimeTravelTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = s"g_bm25tt_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q177_bm25tt_${sfDir.hashCode.toHexString}") { d =>
+      val docs = Tables(spark, sfDir, "documents")
+      graft.operators.Bm25.buildIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+        tbl, s"$d/idx", nDirs = 8)
+      graft.operators.Bm25.appendToIndex(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", tbl)
+      graft.operators.Bm25.deleteFromIndex(spark, tbl,
+        docs.filter($"doc_id" % 7 === 3).select($"doc_id"))
+    }
+    graft.operators.Bm25.topKAgainstIndex(
+        bm25QueryBatch(spark, sfDir), tbl, k = 5, asOfCommits = 1)
+      .orderBy($"qid", $"rank")
+  }
+
   /** q169: HYBRID retrieval — the standard RAG retrieval stack: the
     * BM25 serving index (q155's, reused) and the IVF embedding index
     * (q158's, reused) each retrieve their top-10 for the same query

@@ -198,7 +198,8 @@ object SparkEntry {
     "q173_knn_ivf_filtered" -> (Queries.knnIvfFiltered _),
     "q174_bm25_index_update" -> (Queries.bm25IndexUpdateTopK _),
     "q175_knn_ivf_recall" -> (Queries.knnIvfRecall _),
-    "q176_bm25_delete_stream" -> (Queries.bm25DeleteStreaming _)
+    "q176_bm25_delete_stream" -> (Queries.bm25DeleteStreaming _),
+    "q177_bm25_time_travel" -> (Queries.bm25TimeTravelTopK _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the
@@ -767,6 +768,13 @@ object SparkEntry {
     // q167 likewise: streaming micro-batch appends must leave an index
     // that ranks exactly like one build over the whole corpus
     "q167_bm25_append_stream" -> bm25OracleSql,
+    // q177 likewise: the TIME-TRAVEL probe (asOfCommits = 1 after
+    // build → append → delete) must reconstruct the pre-delete index
+    // exactly — which is the full corpus, i.e. the q152/q155 ranking.
+    // Equality pins the whole snapshot-log resolution path: manifest
+    // targeting, member generation reads, and the (empty) historical
+    // tombstone list.
+    "q177_bm25_time_travel" -> bm25OracleSql,
     // q170: tombstone DELETEs — the same CTE chain with the deleted
     // docs (doc_id % 7 = 3) excluded exactly where deleteFromIndex's
     // published semantics put them: AFTER posting/df/bounds derivation

@@ -505,7 +505,18 @@ object Bm25 {
     // empty tombstone list, so deleteFromIndex/probes have it by
     // construction (probes still tolerate absence for pre-delete indexes)
     graft.sources.Tombstones.init(spark, table, s"$path/deletes")
+    recordSnapshot(spark, table, "build", revertible = true)
   }
+
+  /** One manifest row in the family snapshot log per maintenance
+    * commit — what [[graft.sources.Snapshots.resolveAsOf]] replays for
+    * time-travel probes ([[topKAgainstIndex]]'s `asOfCommits`). */
+  private def recordSnapshot(spark: org.apache.spark.sql.SparkSession,
+      table: String, op: String, revertible: Boolean): Unit =
+    graft.sources.Snapshots.record(spark, table, op, revertible,
+      Seq(s"${table}_postings", s"${table}_dfs", s"${table}_bounds",
+        s"${table}_deletes"),
+      s"${table}_postings")
 
   /** DELETE documents from a [[buildIndex]] index — the takedown
     * primitive (a removal request must stop serving a document NOW, not
@@ -528,7 +539,13 @@ object Bm25 {
     * re-appended before that compaction; re-add by appending after it. */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, ids: DataFrame): Unit =
-    graft.sources.Tombstones.add(spark, table, ids, s"${table}_postings")
+    graft.sources.Generations.withMaintenanceLock(table) {
+      graft.sources.Tombstones.add(spark, table, ids, s"${table}_postings")
+      // revertible: the merge landed as a fresh deletes generation; the
+      // prior list survives under retention — "undo the takedown" is
+      // exactly the asOfCommits=1 probe
+      recordSnapshot(spark, table, "delete", revertible = true)
+    }
 
   /** Grow a [[buildIndex]] index with a batch of NEW documents — the
     * index-maintenance half of the serving shape (a daily ingest appends
@@ -633,6 +650,10 @@ object Bm25 {
         Generations.basePath(spark, s"${table}_bounds"), nextB))
       .mode("overwrite").saveAsTable(nextB)
     Generations.commit(spark, s"${table}_bounds", nextB, Some(bGen))
+    // NOT revertible: the posting files appended above live inside the
+    // current generation's directory — a historical reader cannot
+    // un-see them, so time travel refuses to cross this commit
+    recordSnapshot(spark, table, "append", revertible = false)
   }
 
   /** Compact an index after [[appendToIndex]] batches — the THIRD
@@ -709,6 +730,7 @@ object Bm25 {
     // for rows that no longer exist — the anti-join is then a no-op and
     // the next compaction clears the residue
     if (tomb.nonEmpty) Tombstones.clear(spark, table)
+    recordSnapshot(spark, table, "compact", revertible = true)
   }
 
   /** [[topK]] against a PERSISTED index from [[buildIndex]] — identical
@@ -791,7 +813,8 @@ object Bm25 {
       pruneMinPostings: Long = 2000000L,
       pruneMinMaxDf: Long = 1000000L,
       semiJoinMinPrunable: Long = 50000000L,
-      maxBatchPairs: Long = 8000000L): DataFrame = {
+      maxBatchPairs: Long = 8000000L,
+      asOfCommits: Int = 0): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(floorTermsPerQuery >= 1,
       s"need floorTermsPerQuery >= 1, got $floorTermsPerQuery")
@@ -804,6 +827,24 @@ object Bm25 {
     // planning pays anyway.
     graft.sources.Generations.refreshTables(spark,
       s"${table}_postings", s"${table}_dfs", s"${table}_bounds")
+    // TIME TRAVEL (`asOfCommits` > 0): resolve every member to the
+    // generation it served that many maintenance commits ago, from the
+    // family snapshot log ([[graft.sources.Snapshots]]) — the
+    // operational rollback read ("a bad takedown/compaction landed;
+    // serve yesterday's index while we fix it"). The rest of the probe
+    // is IDENTICAL: same dir pruning, same WAND bounds, same scoring
+    // tree, just over the historical members. Resolution refuses to
+    // cross an in-place file append (loud error) and names retired
+    // generations instead of serving a partial state.
+    val resolved: Map[String, String] =
+      if (asOfCommits == 0) Map.empty
+      else graft.sources.Snapshots.resolveAsOf(spark, table, asOfCommits)
+    def member(live: String): String = resolved.getOrElse(live, live)
+    val pTbl = member(s"${table}_postings")
+    val dTbl = member(s"${table}_dfs")
+    val bTbl = member(s"${table}_bounds")
+    if (asOfCommits > 0)
+      graft.sources.Generations.refreshTables(spark, pTbl, dTbl, bTbl)
     import spark.implicits._
     val qStaged = Stage.cut(
       queries.select(col("qid").cast("long").as("qid"), col("term")))
@@ -811,7 +852,7 @@ object Bm25 {
     // probes stay SERVABLE via the exact path (no bounds to evaluate —
     // the prune is a cost optimization, never a semantic one), loudly
     // logged; append/compact refuse with a rebuild message instead
-    val hasWandStats = spark.table(s"${table}_dfs").columns
+    val hasWandStats = spark.table(dTbl).columns
       .toSet.intersect(Set("max_tf", "min_dl")).size == 2
     if (!hasWandStats)
       logger.warn(s"bm25 topKAgainstIndex: index ${table}_dfs predates the " +
@@ -832,7 +873,10 @@ object Bm25 {
     // untouched: ub bounds a SUPERSET of the surviving postings (still
     // an upper bound) and θ comes from achieved scores of SURVIVORS
     // (still a valid floor) — losslessness holds with deletes in play.
-    val tomb = graft.sources.Tombstones.frame(spark, table)
+    val tomb =
+      if (asOfCommits == 0) graft.sources.Tombstones.frame(spark, table)
+      else resolved.get(s"${table}_deletes")
+        .flatMap(g => graft.sources.Tombstones.frameAt(spark, g))
     def minusDeleted(df: DataFrame): DataFrame =
       graft.sources.Tombstones.filterWith(df, "doc_id", tomb, table)
     val nPairs = qStaged.count()
@@ -842,11 +886,11 @@ object Bm25 {
         "back to the distributed full-scan path (no dir pruning, no WAND; " +
         "identical rows). Split the workload into bounded retrieval " +
         "batches to get the serving-shape plan back.")
-      val dfsAll = spark.table(s"${table}_dfs")
+      val dfsAll = spark.table(dTbl)
         .select($"term", $"df").filter($"df" <= maxDf)
-      val postingsAll = minusDeleted(spark.table(s"${table}_postings")
+      val postingsAll = minusDeleted(spark.table(pTbl)
         .select($"term", $"doc_id", $"tf", $"dl"))
-      val totals = spark.table(s"${table}_bounds").select($"n", $"sumdl")
+      val totals = spark.table(bTbl).select($"n", $"sumdl")
       return scoreAndRank(qStaged, postingsAll, dfsAll, totals, k, k1, b,
         broadcastQueries = false)
     }
@@ -855,7 +899,7 @@ object Bm25 {
     // term selection, its distinct terms the dir pruning
     val qPairs = qStaged.collect().map(r => (r.getLong(0), r.getString(1)))
     val qTerms = qPairs.map(_._2).distinct
-    val boundsRow = spark.table(s"${table}_bounds").collect()
+    val boundsRow = spark.table(bTbl).collect()
     require(boundsRow.length == 1,
       s"index ${table}_bounds must hold exactly 1 row")
     val (n, sumdl, nDirs) = (boundsRow(0).getLong(0),
@@ -867,7 +911,7 @@ object Bm25 {
     // bounds AND the scoring join's broadcast (no second dfs scan).
     // Pre-WAND indexes carry no (max_tf, min_dl) — sentinel values are
     // fine: the exact path below never reads them.
-    val dfsScan = spark.table(s"${table}_dfs")
+    val dfsScan = spark.table(dTbl)
       .filter($"tb".isin(tbOf(qTerms.toSeq): _*) &&
         $"term".isin(qTerms.toSeq: _*))
     val termStats = (if (hasWandStats)
@@ -892,7 +936,7 @@ object Bm25 {
       // term's whole join fanout and its partial aggregation runs the
       // stage single-threaded (measured 3.5x on the agg at 10M)
       {
-        val scan = minusDeleted(spark.table(s"${table}_postings")
+        val scan = minusDeleted(spark.table(pTbl)
           .filter($"tb".isin(tbOf(terms): _*) && $"term".isin(terms: _*))
           .select($"term", $"doc_id", $"tf", $"dl"))
         // the spread matters only where the consumer fans out map-side
@@ -917,7 +961,7 @@ object Bm25 {
          else s"max df below pruneMinMaxDf=$pruneMinMaxDf") + ")")
       val dfs = spark.createDataFrame(kept.toSeq
           .map { case (t, df, _, _) => (t, df) }).toDF("term", "df")
-      val totals = spark.table(s"${table}_bounds").select($"n", $"sumdl")
+      val totals = spark.table(bTbl).select($"n", $"sumdl")
       return scoreAndRank(qStaged, postings, dfs, totals, k, k1, b)
     }
     // floor lists ride their own dir-pruned scan (fewer directories

@@ -297,7 +297,17 @@ object Dedup {
     // empty tombstone list, so deleteFromMinhashIndex/probes have it by
     // construction (probes still tolerate absence for pre-delete indexes)
     graft.sources.Tombstones.init(spark, table, s"$path/deletes")
+    recordSnapshot(spark, table, "build", revertible = true)
   }
+
+  /** One manifest row in the family snapshot log per maintenance commit
+    * (see [[graft.sources.Snapshots]]). */
+  private def recordSnapshot(spark: org.apache.spark.sql.SparkSession,
+      table: String, op: String, revertible: Boolean): Unit =
+    graft.sources.Snapshots.record(spark, table, op, revertible,
+      Seq(s"${table}_sigs", s"${table}_buckets", s"${table}_meta",
+        s"${table}_deletes"),
+      s"${table}_sigs")
 
   /** DELETE documents from a [[writeMinhashIndex]] history index — the
     * takedown primitive (a removed document must stop matching incoming
@@ -313,7 +323,10 @@ object Dedup {
     * that compaction (re-add by ingesting after it). */
   def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, ids: DataFrame): Unit =
-    graft.sources.Tombstones.add(spark, table, ids, s"${table}_sigs")
+    graft.sources.Generations.withMaintenanceLock(table) {
+      graft.sources.Tombstones.add(spark, table, ids, s"${table}_sigs")
+      recordSnapshot(spark, table, "delete", revertible = true)
+    }
 
   /** [[minhashIncremental]] probing a PERSISTED history index written by
     * [[writeMinhashIndex]] — bit-identical classification (same
@@ -412,6 +425,8 @@ object Dedup {
     graft.sources.Bucketing.appendBucketed(spark,
       bandBucketsOf(incSigs, bands, numHashes / bands), s"${table}_buckets")
     incSigs.unpersist()
+    // NOT revertible: bucketed files appended into live generations
+    recordSnapshot(spark, table, "ingest", revertible = false)
     out
   }
 
@@ -447,6 +462,7 @@ object Dedup {
     graft.sources.Bucketing.compactBucketed(spark, s"${table}_sigs", fold)
     graft.sources.Bucketing.compactBucketed(spark, s"${table}_buckets", fold)
     if (tomb.nonEmpty) graft.sources.Tombstones.clear(spark, table)
+    recordSnapshot(spark, table, "compact", revertible = true)
   }
 
   // ----------------------------------------------------------- minhash

@@ -339,8 +339,17 @@ object Knn {
       // construction (probes still tolerate absence for pre-delete
       // indexes)
       graft.sources.Tombstones.init(spark, table, s"$path/deletes")
+      recordSnapshot(spark, table, "build", revertible = true)
     } finally d.unpersist()
   }
+
+  /** One manifest row in the family snapshot log per maintenance commit
+    * (see [[graft.sources.Snapshots]]). */
+  private def recordSnapshot(spark: org.apache.spark.sql.SparkSession,
+      table: String, op: String, revertible: Boolean): Unit =
+    graft.sources.Snapshots.record(spark, table, op, revertible,
+      Seq(s"${table}_cells", s"${table}_centroids", s"${table}_deletes"),
+      s"${table}_cells")
 
   /** DELETE vectors from a [[writeIvfIndex]] index — the takedown
     * primitive (a removed document's embedding must stop surfacing as a
@@ -358,7 +367,10 @@ object Knn {
     * distribution shift, answered by a rebuild. */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, ids: DataFrame): Unit =
-    graft.sources.Tombstones.add(spark, table, ids, s"${table}_cells")
+    graft.sources.Generations.withMaintenanceLock(table) {
+      graft.sources.Tombstones.add(spark, table, ids, s"${table}_cells")
+      recordSnapshot(spark, table, "delete", revertible = true)
+    }
 
   /** Grow a [[writeIvfIndex]] index with a batch of NEW vectors — the
     * index-maintenance half of the serving shape. The quantizer is NOT
@@ -391,6 +403,8 @@ object Knn {
     // register any NEW cell directories in the shared catalog; stale
     // listings in OTHER sessions are handled probe-side (refreshTables)
     spark.sql(s"ALTER TABLE $cellsGen RECOVER PARTITIONS")
+    // NOT revertible: files appended into the live cells generation
+    recordSnapshot(spark, table, "append", revertible = false)
   }
 
   /** [[ivfTopK]] against a PERSISTED index from [[writeIvfIndex]]:
@@ -499,6 +513,7 @@ object Knn {
     // next maintenance commit
     Generations.commit(spark, name, nextGen, Some(gen))
     if (tomb.nonEmpty) graft.sources.Tombstones.clear(spark, table)
+    recordSnapshot(spark, table, "compact", revertible = true)
   }
 
   /** Per-cell occupancy of a persisted IVF index — the drift metric an
@@ -587,6 +602,7 @@ object Knn {
       Generations.commit(spark, centName, nextCent, Some(centGen))
       Generations.commit(spark, cellsName, nextCells, Some(cellsGen))
       if (tomb.nonEmpty) graft.sources.Tombstones.clear(spark, table)
+      recordSnapshot(spark, table, "rebuild", revertible = true)
     } finally d.unpersist()
   }
 

@@ -171,6 +171,19 @@ object Tombstones {
     }
   }
 
+  /** [[frame]] for a SPECIFIC generation table — time-travel probes
+    * resolve the deletes member from the family snapshot log and read
+    * that generation directly. The maintained count property lives on
+    * the live view, so this counts the table (one footer read of a
+    * 1-file list; time travel is the rare path). */
+  def frameAt(spark: SparkSession, genTable: String): Option[(DataFrame, Long)] = {
+    if (!exists(spark, genTable)) return None
+    spark.catalog.refreshTable(genTable)
+    val df = spark.table(genTable)
+    val n = df.count()
+    if (n == 0L) None else Some((df, n))
+  }
+
   /** Anti-join `df` against the index's tombstones on `idColumn` —
     * identity when no tombstones exist. The list broadcasts below
     * `broadcastMaxDeletes` rows (the normal case: a takedown batch);

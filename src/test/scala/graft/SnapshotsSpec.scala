@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bm25, Dedup, Knn}
+import graft.sources.{Generations, Snapshots}
+
+/** The family snapshot log + time-travel contract
+  * ([[graft.sources.Snapshots]], round 14 third session):
+  *
+  *  - every maintenance op appends ONE manifest row recording the
+  *    generation each member table serves when the op finishes, with
+  *    its revertibility (fresh-generation rewrites yes; in-place file
+  *    appends no);
+  *  - `topKAgainstIndex(asOfCommits = n)` serves the index exactly as
+  *    it was n maintenance commits ago — the rollback read for a bad
+  *    takedown ("serve yesterday's index while we fix it");
+  *  - stepping ACROSS a non-revertible commit refuses loudly (the
+  *    prior state is not reconstructable from retained generations);
+  *  - a retired generation (vacuum / later maintenance) is NAMED in an
+  *    error instead of producing a partial read.
+  */
+class SnapshotsSpec extends AnyFunSuite {
+  import SparkSuiteBase.spark
+  import spark.implicits._
+
+  private val corpus: Seq[(Long, String)] = (0L until 80L).map { i =>
+    (i, s"shared filler terms rare${i % 8} and token doc$i")
+  }
+  private val qs = Seq((1L, "rare3"), (2L, "rare5"), (3L, "filler"))
+
+  private def probe(tbl: String, asOf: Int = 0): Seq[(Long, Long, Long, Long)] =
+    Bm25.topKAgainstIndex(qs.toDF("qid", "term"), tbl, k = 100,
+        asOfCommits = asOf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("BM25 lifecycle writes one manifest per op with the right " +
+      "revertibility; asOf probes replay each recorded state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_bm25").toString
+    val tbl = "g_snap_bm25"
+    val evens = corpus.filter(_._1 % 2 == 0)
+    Bm25.buildIndex(evens.toDF("doc_id", "text"), "doc_id", "text",
+      tbl, s"$dir/idx", nDirs = 4)
+    val atBuild = probe(tbl)
+    Bm25.appendToIndex(corpus.filter(_._1 % 2 == 1).toDF("doc_id", "text"),
+      "doc_id", "text", tbl)
+    val atAppend = probe(tbl)
+    Bm25.deleteFromIndex(spark, tbl,
+      corpus.filter(_._1 % 7 == 3).map(t => Tuple1(t._1)).toDF("id"))
+    val atDelete = probe(tbl)
+
+    val hist = Snapshots.history(spark, tbl)
+      .select("commit_id", "op", "revertible").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(hist == Seq((2L, "delete", true), (1L, "append", false),
+      (0L, "build", true)))
+
+    // asOf = 0 is the live read
+    assert(probe(tbl, asOf = 0) == atDelete)
+    // asOf = 1 replays the pre-delete (post-append) state exactly
+    assert(probe(tbl, asOf = 1) == atAppend)
+    assert(atAppend != atDelete, "the delete must have changed the ranking")
+    // stepping ACROSS the in-place append refuses loudly
+    val e = intercept[IllegalStateException] { probe(tbl, asOf = 2) }
+    assert(e.getMessage.contains("appended files") &&
+      e.getMessage.contains("commit 1"))
+    assert(atBuild != atAppend) // (sanity: the refused state really differs)
+    // history deeper than recorded refuses
+    intercept[IllegalArgumentException] { probe(tbl, asOf = 3) }
+  }
+
+  test("a compaction folds the delete but asOf=1 still serves the " +
+      "pre-compaction (tombstoned) state; vacuum makes it a NAMED error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_cpt").toString
+    val tbl = "g_snap_cpt"
+    Bm25.buildIndex(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      tbl, s"$dir/idx", nDirs = 4)
+    Bm25.deleteFromIndex(spark, tbl,
+      corpus.filter(_._1 % 5 == 2).map(t => Tuple1(t._1)).toDF("id"))
+    val atDelete = probe(tbl)
+    Bm25.compactIndex(spark, tbl)
+    // rankings are invariant across the fold (q170's contract), and the
+    // asOf=1 replay of the pre-compaction state must agree
+    assert(probe(tbl) == atDelete)
+    assert(probe(tbl, asOf = 1) == atDelete)
+    // reclaim the superseded postings generation, then the asOf read
+    // must fail NAMING the retired generation, never partially read
+    Generations.vacuum(spark, s"${tbl}_postings")
+    val e = intercept[IllegalStateException] { probe(tbl, asOf = 1) }
+    assert(e.getMessage.contains("retired"))
+  }
+
+  test("IVF and MinHash maintenance record manifests too (family " +
+      "symmetry of the log)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_sym").toString
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d).toFloat).toSeq))
+    Knn.writeIvfIndex(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      "g_snap_ivf", s"$dir/ivf", nCells = 4)
+    Knn.appendToIvfIndex(
+      (100L until 110L).map(i =>
+        (i, Array.tabulate(8)(d => math.cos(i + d).toFloat).toSeq))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "g_snap_ivf")
+    val ivfHist = Snapshots.history(spark, "g_snap_ivf")
+      .select("op", "revertible").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(ivfHist == Seq(("append", false), ("build", true)))
+
+    val docs = (0L until 30L).map(i => (i, s"minhash history doc $i payload"))
+    Dedup.writeMinhashIndex(docs.toDF("doc_id", "text"), "doc_id", "text",
+      "g_snap_mh", s"$dir/mh", numBuckets = 4)
+    Dedup.compactMinhashIndex(spark, "g_snap_mh")
+    val mhHist = Snapshots.history(spark, "g_snap_mh")
+      .select("op", "revertible").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(mhHist == Seq(("compact", true), ("build", true)))
+    // the manifests resolve: every recorded member generation exists
+    val m = Snapshots.resolveAsOf(spark, "g_snap_mh", 1)
+    assert(m.keySet == Set("g_snap_mh_sigs", "g_snap_mh_buckets",
+      "g_snap_mh_meta", "g_snap_mh_deletes"))
+  }
+}
