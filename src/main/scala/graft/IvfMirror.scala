@@ -131,4 +131,59 @@ object IvfMirror {
         .map { case ((id, s), r) => (qid, r + 1, id, s) }
     }
   }
+
+  /** The SQ8-quantized probe's published contract
+    * ([[operators.Knn.quantizeIvfIndex]] +
+    * [[operators.Knn.ivfTopKAgainstIndexSq8]]), re-derived through
+    * independent imperative code: the SAME deterministic quantizer and
+    * cell pruning as [[recompute]], but candidates are scored as
+    * cosine(query, RECONSTRUCTION) where each dimension is affine
+    * byte-quantized against exact per-dim corpus (min, max) —
+    * `code = clamp(round((x − min)/step), 0, 255)`,
+    * `recon = min + code·step`, `step = (max − min)/255` (0 when the
+    * dimension is constant) — with `math.round`'s
+    * half-up-for-non-negative matching the operator's build UDF
+    * bit-for-bit and left-to-right IEEE sums matching
+    * [[graft.expressions.Sq8Dot]]/[[graft.expressions.Sq8NormSq]]. */
+  def recomputeSq8(vecs: IndexedSeq[(Long, Array[Double])],
+      maxQid: Long = 10L, k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
+      iterations: Int = 5): Seq[(Long, Int, Long, Double)] = {
+    val centroids = trainCentroids(vecs, nCells, iterations)
+    if (centroids.isEmpty) return Seq.empty
+    val dim = vecs.map(_._2.length).max
+    val mins = Array.tabulate(dim)(d =>
+      vecs.iterator.filter(_._2.length > d).map(_._2(d)).min)
+    val maxs = Array.tabulate(dim)(d =>
+      vecs.iterator.filter(_._2.length > d).map(_._2(d)).max)
+    val steps = Array.tabulate(dim)(d =>
+      if (maxs(d) > mins(d)) (maxs(d) - mins(d)) / 255.0 else 0.0)
+    def recon(v: Array[Double]): Array[Double] =
+      Array.tabulate(v.length) { i =>
+        val code =
+          if (steps(i) == 0.0) 0
+          else math.min(255L, math.max(0L,
+            math.round((v(i) - mins(i)) / steps(i)))).toInt
+        mins(i) + code * steps(i)
+      }
+    val reconOf = vecs.map { case (id, v) => id -> recon(v) }.toMap
+    val qnorm = vecs.map { case (id, v) => id -> math.sqrt(dotAsc(v, v)) }.toMap
+    val cellOf = vecs.map { case (id, v) => id -> nearestCell(v, centroids) }.toMap
+    val byCell = vecs.map(_._1).groupBy(cellOf)
+    vecs.filter(_._1 < maxQid).sortBy(_._1).flatMap { case (qid, qv) =>
+      val probes = centroids.indices.map { c =>
+        var dist = 0.0; var i = 0
+        val cv = centroids(c)
+        while (i < qv.length) { val t = qv(i) - cv(i); dist += t * t; i += 1 }
+        (dist, c)
+      }.sorted.take(nProbe).map(_._2)
+      val cand = probes.flatMap(c => byCell.getOrElse(c, Seq.empty))
+        .filter(_ != qid)
+      cand.map { id =>
+        val r = reconOf(id)
+        (id, dotAsc(qv, r) / (qnorm(qid) * math.sqrt(dotAsc(r, r))))
+      }.sorted(MirrorHash.scoreDescIdAsc)
+        .take(k).zipWithIndex
+        .map { case ((id, s), rr) => (qid, rr + 1, id, s) }
+    }
+  }
 }

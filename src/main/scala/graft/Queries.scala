@@ -1111,6 +1111,33 @@ object Queries {
       .orderBy($"qid")
   }
 
+  /** q178: SQ8-QUANTIZED vector serving — the memory/IO-economics shape
+    * of the IVF index: q158's index is scalar-quantized to one byte per
+    * dimension ([[graft.operators.Knn.quantizeIvfIndex]] — per-dim
+    * affine (min, max) params, codes in the same cell-directory layout,
+    * 8× less probe IO than the float64 cells) and probed through
+    * [[graft.operators.Knn.ivfTopKAgainstIndexSq8]]: identical cell
+    * pruning, rerank scored against the byte-decoded RECONSTRUCTION
+    * inside whole-stage codegen ([[graft.expressions.Sq8Dot]]). The
+    * oracle mirror replays the quantization and the reconstruction
+    * arithmetic bit-for-bit, so the approximation is pinned exactly —
+    * recall loss vs the float index is visible by diffing against
+    * q158's rows (same query population, same k). */
+  def knnIvfSq8(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val tbl = s"g_ivfidx_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q158_ivfidx_${sfDir.hashCode.toHexString}") { d =>
+      Knn.writeIvfIndex(emb, "vec_id", "embedding", tbl, s"$d/idx")
+    }
+    cachedLayout(s"q178_ivfsq8_${sfDir.hashCode.toHexString}") { _ =>
+      Knn.quantizeIvfIndex(spark, tbl)
+    }
+    Knn.ivfTopKAgainstIndexSq8(emb.filter($"vec_id" < 10), tbl,
+        "vec_id", "embedding", k = 5)
+      .orderBy($"qid", $"rnk")
+  }
+
   /** q173: metadata-FILTERED vector search — the vector-DB capability
     * ("nearest neighbors WHERE <predicate>") over q158's UNMODIFIED
     * persisted index: the probe passes `candidateFilter = id % 2 == 0`,

@@ -65,6 +65,7 @@ object SfOracles {
       ivfDeleteTopK: Seq[(Long, Int, Long, Double)],   // q172: %5==2 ids tombstoned
       ivfFilteredTopK: Seq[(Long, Int, Long, Double)], // q173: even-id candidates only
       ivfRecall: Seq[(Long, Long)],                    // q175: hits@10 vs exact
+      ivfSq8TopK: Seq[(Long, Int, Long, Double)],      // q178: SQ8-reconstructed rerank
       qualityRows: Seq[(Long, Long, Boolean)],     // q140
       bloomRows: Seq[(Long, Long, Long, Boolean)], // q141
       lcRows: Seq[(String, Long, Long)],           // q143
@@ -328,6 +329,9 @@ object SfOracles {
           candidateFilter = _ % 2 == 0),
         // q175: recall@10 of the q158 index probe vs the exact top-10
         ivfRecall = ivfRecallRows(vecs, maxQid = 10L, k = 10),
+        // q178: the SQ8-quantized probe — same quantizer/cell pruning as
+        // q158, candidates scored against byte-quantized reconstructions
+        ivfSq8TopK = IvfMirror.recomputeSq8(vecs),
         qualityRows = QualityMirror.recompute(docs4.map(d => (d._1, d._2, d._4))),
         hashedQualityRows =
           QualityMirror.recomputeHashed(docs4.map(d => (d._1, d._2, d._4))),
@@ -443,6 +447,11 @@ object SfOracles {
 
   private def ivfFilCte: String =
     cte("ivq", "qid, rnk, nid, score", prepared.map(_.ivfFilteredTopK), "0, 0, 0, 0.0") {
+      p: (Long, Int, Long, Double) =>
+        s"(${p._1}, ${p._2}, ${p._3}, ${dlit(p._4)})" }
+
+  private def ivfSq8Cte: String =
+    cte("ivs", "qid, rnk, nid, score", prepared.map(_.ivfSq8TopK), "0, 0, 0, 0.0") {
       p: (Long, Int, Long, Double) =>
         s"(${p._1}, ${p._2}, ${p._3}, ${dlit(p._4)})" }
 
@@ -629,6 +638,17 @@ object SfOracles {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
          |       CAST(nid AS BIGINT) AS nid, score
          |FROM ivq ORDER BY qid, rnk""".stripMargin,
+    // q178: the SQ8-quantized serving probe — same deterministic
+    // quantizer and cell pruning as q158, but candidates scored as
+    // cosine(query, byte-quantized reconstruction); the mirror replays
+    // the quantization (exact per-dim min/max, half-up byte codes) and
+    // the Sq8Dot/Sq8NormSq left-to-right IEEE sums, so scores are
+    // bit-exact, no float tolerance
+    "q178_knn_ivf_sq8" ->
+      s"""WITH $ivfSq8Cte
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
+         |       CAST(nid AS BIGINT) AS nid, score
+         |FROM ivs ORDER BY qid, rnk""".stripMargin,
     // q164: the SAME mirror rows as q42/q158 — rebuild-after-append
     // retrains on the whole corpus, so it must equal one fresh build
     "q164_knn_ivf_rebuild" ->

@@ -199,7 +199,8 @@ object SparkEntry {
     "q174_bm25_index_update" -> (Queries.bm25IndexUpdateTopK _),
     "q175_knn_ivf_recall" -> (Queries.knnIvfRecall _),
     "q176_bm25_delete_stream" -> (Queries.bm25DeleteStreaming _),
-    "q177_bm25_time_travel" -> (Queries.bm25TimeTravelTopK _)
+    "q177_bm25_time_travel" -> (Queries.bm25TimeTravelTopK _),
+    "q178_knn_ivf_sq8" -> (Queries.knnIvfSq8 _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the

@@ -348,7 +348,8 @@ object Knn {
   private def recordSnapshot(spark: org.apache.spark.sql.SparkSession,
       table: String, op: String, revertible: Boolean): Unit =
     graft.sources.Snapshots.record(spark, table, op, revertible,
-      Seq(s"${table}_cells", s"${table}_centroids", s"${table}_deletes"),
+      Seq(s"${table}_cells", s"${table}_centroids", s"${table}_deletes",
+        s"${table}_cells_q8", s"${table}_qparams"),
       s"${table}_cells")
 
   /** DELETE vectors from a [[writeIvfIndex]] index — the takedown
@@ -468,6 +469,148 @@ object Knn {
     val alive = graft.sources.Tombstones.filterWith(cells, "id", tomb, table)
     val candidates = candidateFilter.fold(alive)(alive.filter)
     scoreCells(candidates, qcells, k, nQcells, broadcastMaxQcells)
+  }
+
+  /** SQ8-quantize a [[writeIvfIndex]] index (faiss-style per-dimension
+    * affine scalar quantization): derive per-dim (min, max) over the
+    * CURRENT cell table — exact, order-insensitive aggregations, so the
+    * parameters are deterministic — and write
+    *
+    *  - `{table}_cells_q8` (id, codes BINARY, cell) — the same
+    *    cell-directory layout as `{table}_cells` with ONE BYTE per
+    *    dimension (`round((x - min_d) / step_d)` clamped to [0, 255],
+    *    `step_d = (max_d - min_d)/255`), 8× less probe IO/memory than
+    *    the float64 cells;
+    *  - `{table}_qparams` — 1 row (mins array<double>, steps
+    *    array<double>), the shared reconstruction parameters.
+    *
+    * Both land as fresh generations behind atomic flips (probes during
+    * the quantize read the previous complete state). The codes table is
+    * DERIVED state frozen at quantize time: append/compact/rebuild do
+    * not rewrite it — re-run this after maintenance, on the compaction
+    * cadence (the snapshot log records each `quantize` commit, so
+    * staleness is auditable). Tombstoned ids are NOT folded here; the
+    * SQ8 probe anti-joins the same tombstone list every probe does.
+    *
+    * At 100 TB this is the serving-economics lever for the vector
+    * family: the probe's pruned cell scan reads 1/8 the bytes and the
+    * rerank loop runs on byte-decoded reconstructions inside
+    * whole-stage codegen ([[graft.expressions.Sq8Dot]]) — recall loss
+    * is priced by q178's recall column exactly like q175 prices the
+    * quantizer's. */
+  def quantizeIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+      graft.sources.Generations.withMaintenanceLock(table) {
+    import spark.implicits._
+    import graft.sources.Generations
+    val cellsGen = Generations.ensureGen(spark, s"${table}_cells")
+    val src = spark.table(cellsGen)
+    val mm = src.select(posexplode($"v").as(Seq("d", "x")))
+      .groupBy($"d").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(mm.nonEmpty, s"index ${table}_cells is empty — nothing to quantize")
+    val mins: Array[Double] = mm.map(_._2)
+    val steps: Array[Double] =
+      mm.map { case (_, mn, mx) => if (mx > mn) (mx - mn) / 255.0 else 0.0 }
+    // byte codes via one build-time map pass (math.round == HALF_UP for
+    // the non-negative (x-min)/step, replayed bit-for-bit by the mirror)
+    val codeUdf = udf { (v: Seq[Double]) =>
+      val out = new Array[Byte](v.length)
+      var i = 0
+      while (i < out.length) {
+        val s = if (i < steps.length) steps(i) else 0.0
+        val c =
+          if (s == 0.0) 0
+          else math.min(255L, math.max(0L,
+            math.round((v(i) - mins(i)) / s))).toInt
+        out(i) = c.toByte
+        i += 1
+      }
+      out
+    }
+    val parent = new org.apache.hadoop.fs.Path(
+      Generations.basePath(spark, s"${table}_cells")).getParent.toString
+    val q8Name = s"${table}_cells_q8"
+    val q8Base = Generations.currentOpt(spark, q8Name)
+    val q8Gen = Generations.reserve(spark, q8Name)
+    spark.sql(s"DROP TABLE IF EXISTS $q8Gen")
+    src.withColumn("codes", codeUdf($"v"))
+      .select($"id", $"codes", $"cell")
+      .repartition($"cell")
+      .write.format("parquet")
+      .option("path", Generations.genPath(s"$parent/cells_q8", q8Gen))
+      .partitionBy("cell").mode("overwrite").saveAsTable(q8Gen)
+    Generations.commit(spark, q8Name, q8Gen, q8Base)
+    val qpName = s"${table}_qparams"
+    val qpBase = Generations.currentOpt(spark, qpName)
+    val qpGen = Generations.reserve(spark, qpName)
+    spark.sql(s"DROP TABLE IF EXISTS $qpGen")
+    Seq((mins.toSeq, steps.toSeq)).toDF("mins", "steps").coalesce(1)
+      .write.format("parquet")
+      .option("path", Generations.genPath(s"$parent/qparams", qpGen))
+      .mode("overwrite").saveAsTable(qpGen)
+    Generations.commit(spark, qpName, qpGen, qpBase)
+    recordSnapshot(spark, table, "quantize", revertible = true)
+  }
+
+  /** [[ivfTopKAgainstIndex]] over the SQ8 codes table from
+    * [[quantizeIvfIndex]]: identical cell pruning (same centroids, same
+    * probesUdf), identical tombstone anti-join, but the rerank scores
+    * cosine(query, RECONSTRUCTION) — `mins[i] + code[i]·steps[i]` —
+    * through the fused [[graft.expressions.Sq8Dot]] /
+    * [[graft.expressions.Sq8NormSq]] codegen loops, reading 1 byte per
+    * dimension instead of 8. Approximation is the quantization's (≤ half
+    * a step per dimension); q178 prices the recall against the exact
+    * top-k. `candidateFilter` sees columns (id, codes, cell). */
+  def ivfTopKAgainstIndexSq8(queries: DataFrame, table: String,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+      broadcastMaxQcells: Long = 8000000L,
+      candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    import graft.expressions.VectorExpressions.{sq8Dot, sq8NormSq}
+    graft.sources.Generations.refreshTables(spark,
+      s"${table}_cells_q8", s"${table}_centroids", s"${table}_qparams")
+    val tomb = graft.sources.Tombstones.frame(spark, table)
+    val centroids: Array[Array[Double]] = spark.table(s"${table}_centroids")
+      .orderBy($"cell").collect().map(_.getSeq[Double](1).toArray)
+    val qp = spark.table(s"${table}_qparams").collect()
+    require(qp.length == 1, s"index ${table}_qparams must hold exactly 1 row" +
+      " — run quantizeIvfIndex first")
+    val minsLit = typedLit(qp(0).getSeq[Double](0))
+    val stepsLit = typedLit(qp(0).getSeq[Double](1))
+    val qcells = Stage.cut(withVecAndNorm(queries, idCol, vecCol)
+      .withColumn("cell", explode(probesUdf(centroids, nProbe)($"v")))
+      .select($"cell", $"id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
+    val nQcells = qcells.count()
+    val cells =
+      if (nQcells <= broadcastMaxQcells) {
+        val probed = qcells.select($"cell").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        spark.table(s"${table}_cells_q8")
+          .filter($"cell".isin(probed: _*))
+          .select($"cell", $"id", $"codes")
+      } else {
+        log.warn(s"ivf ivfTopKAgainstIndexSq8: query batch explodes to " +
+          s"$nQcells cell rows, above broadcastMaxQcells=" +
+          s"$broadcastMaxQcells — skipping cell pruning and scanning " +
+          "all cells (identical rows)")
+        spark.table(s"${table}_cells_q8").select($"cell", $"id", $"codes")
+      }
+    val alive = graft.sources.Tombstones.filterWith(cells, "id", tomb, table)
+    val candidates = candidateFilter.fold(alive)(alive.filter)
+    val bc: DataFrame => DataFrame =
+      if (nQcells <= broadcastMaxQcells) broadcast else identity
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"id".asc)
+    candidates.join(bc(qcells), Seq("cell"))
+      .filter($"id" =!= $"qid")
+      .withColumn("score",
+        sq8Dot(spark)($"qv", $"codes", minsLit, stepsLit) /
+          ($"qn" * sqrt(sq8NormSq(spark)($"codes", minsLit, stepsLit))))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"qid", $"rnk", $"id".as("nid"), $"score")
   }
 
   /** Compact a [[writeIvfIndex]] index after [[appendToIvfIndex]]

@@ -59,9 +59,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "q175_knn_ivf_recall",       // the exact-ground-truth leg IS
                                    // q19's bounded-probe BNLJ (10
                                    // broadcast queries × corpus scan)
-      "q176_bm25_delete_stream")   // q170's probe over the
+      "q176_bm25_delete_stream",   // q170's probe over the
                                    // stream-tombstoned index — same
                                    // 1-row bounds broadcast
+      "q177_bm25_time_travel")     // q155's probe over the HISTORICAL
+                                   // generations (asOfCommits=1) — same
+                                   // 1-row bounds broadcast, read from
+                                   // the manifest-resolved bounds gen
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =

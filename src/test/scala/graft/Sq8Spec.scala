@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Knn
+
+/** SQ8 scalar quantization of the IVF index
+  * ([[Knn.quantizeIvfIndex]] / [[Knn.ivfTopKAgainstIndexSq8]] /
+  * [[graft.expressions.Sq8Dot]] / [[graft.expressions.Sq8NormSq]]):
+  *
+  *  - the distributed probe matches [[IvfMirror.recomputeSq8]]
+  *    row-for-row AND score-bit-for-bit on a corpus that includes a
+  *    constant dimension (step = 0) and extreme values (clamp edges);
+  *  - the codes table stores ONE BYTE per dimension (the 8× memory
+  *    claim is structural, not aspirational);
+  *  - tombstoned ids are out of SQ8 results immediately (the same
+  *    anti-join every probe runs);
+  *  - quantization is a maintenance commit: recorded in the snapshot
+  *    log as revertible (fresh generations, atomic flips).
+  */
+class Sq8Spec extends AnyFunSuite {
+  import SparkSuiteBase.spark
+  import spark.implicits._
+
+  // 64 vectors, 6 dims; dim 4 constant (step = 0), dim 5 huge spread
+  private val vecs: IndexedSeq[(Long, Array[Double])] =
+    (0L until 64L).map { i =>
+      (i, Array(
+        math.sin(i * 37.0), math.cos(i * 13.0) * 2.0,
+        (i % 11).toDouble / 7.0, math.sin(i * i + 1.0),
+        3.25, (if (i % 9 == 0) 1e6 else i.toDouble)))
+    }.toIndexedSeq
+
+  private def buildQuantized(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_sq8_$tag").toString
+    val tbl = s"g_sq8_$tag"
+    Knn.writeIvfIndex(
+      vecs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", tbl, s"$dir/idx", nCells = 8)
+    Knn.quantizeIvfIndex(spark, tbl)
+    tbl
+  }
+
+  test("SQ8 probe == mirror, ranks and scores bit-for-bit (constant dim " +
+      "and clamp edges included)") {
+    val tbl = buildQuantized("mirror")
+    val got = Knn.ivfTopKAgainstIndexSq8(
+        vecs.filter(_._1 < 10).map { case (id, v) => (id, v.toSeq) }
+          .toDF("vec_id", "embedding"),
+        tbl, "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = IvfMirror.recomputeSq8(vecs, maxQid = 10L, k = 5,
+      nCells = 8, nProbe = 3)
+    assert(got == want)
+  }
+
+  test("codes are one byte per dimension; qparams carry exact per-dim " +
+      "mins/steps") {
+    val tbl = buildQuantized("bytes")
+    val row = spark.table(s"${tbl}_cells_q8")
+      .select($"codes").head().getAs[Array[Byte]](0)
+    assert(row.length == 6, "one byte per dimension")
+    val qp = spark.table(s"${tbl}_qparams").collect()
+    assert(qp.length == 1)
+    val steps = qp(0).getSeq[Double](1)
+    assert(steps(4) == 0.0, "a constant dimension quantizes with step 0")
+    assert(steps(5) > 3000.0, "the huge-spread dimension has a huge step")
+  }
+
+  test("tombstoned ids leave SQ8 results immediately; quantize is a " +
+      "recorded revertible commit") {
+    val tbl = buildQuantized("del")
+    Knn.deleteFromIvfIndex(spark, tbl,
+      vecs.map(_._1).filter(_ % 5 == 2).toDF("id"))
+    val got = Knn.ivfTopKAgainstIndexSq8(
+        vecs.filter(_._1 < 10).map { case (id, v) => (id, v.toSeq) }
+          .toDF("vec_id", "embedding"),
+        tbl, "vec_id", "embedding", k = 60, nProbe = 8)
+      .select($"nid").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got.forall(_ % 5 != 2),
+      s"no tombstoned id may appear in SQ8 results: $got")
+    val ops = graft.sources.Snapshots.history(spark, tbl)
+      .select("op", "revertible").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(ops == Seq(("delete", true), ("quantize", true), ("build", true)))
+  }
+}
