@@ -777,6 +777,70 @@ object ScaleSmoke {
       spark.stop(); return
     }
 
+    // SCALE_ONLY_SQ8 — the SQ8 serving-economics claim at nVecs: the
+    // quantized cell table must be ~8× smaller on disk than the float64
+    // cells, the SQ8 probe must be at-or-below the float probe's time
+    // on the same pruned cells, and the approximation must be priced:
+    // overlap@10 between the SQ8 and float top-10 over 1000 queries.
+    // (Bytes compare parquet-compressed sizes — the honest serving
+    // number; the raw in-memory ratio is exactly 8.)
+    if (sys.env.contains("SCALE_ONLY_SQ8")) {
+      docs.unpersist(true)
+      def comp(i: Int) = (pmod(xxhash64($"id", lit(i)), lit(1000L))
+        .cast("double") / 1000.0 +
+        when(pmod($"id", lit(8L)) === (i % 8).toLong, 3.0).otherwise(0.0))
+        .cast("float")
+      val vecs = spark.range(nVecs.toLong)
+        .select($"id", array((0 until 16).map(comp): _*).as("v"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sq8_smoke").toString
+      time(s"ivf index BUILD ($nVecs vectors)") {
+        Knn.writeIvfIndex(vecs, "id", "v", "g_sq8_smoke", s"$dir/idx",
+          nCells = 64)
+      }
+      time(s"quantizeIvfIndex ($nVecs vectors)") {
+        Knn.quantizeIvfIndex(spark, "g_sq8_smoke")
+      }
+      def dirBytes(table: String): Long = {
+        val loc = graft.sources.Generations.location(spark, table)
+        val p = new org.apache.hadoop.fs.Path(loc)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val it = fs.listFiles(p, true)
+        var b = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.startsWith("part-")) b += f.getLen
+        }
+        b
+      }
+      val fB = dirBytes("g_sq8_smoke_cells")
+      val qB = dirBytes("g_sq8_smoke_cells_q8")
+      println(f"  bytes: cells=$fB%d cells_q8=$qB%d ratio=${fB.toDouble / qB}%.1fx")
+      val queries = vecs.filter($"id" < 1000L).localCheckpoint(true)
+      def run(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+        def one(i: Int) = time(s"$tag probe #$i (1000 queries, k=10)") {
+          f.agg(count(lit(1)), sum($"nid")).collect()(0)
+        }
+        one(1); println(s"  $tag steady: ${one(2)}")
+      }
+      run("float") {
+        Knn.ivfTopKAgainstIndex(queries, "g_sq8_smoke", "id", "v", k = 10)
+      }
+      run("sq8") {
+        Knn.ivfTopKAgainstIndexSq8(queries, "g_sq8_smoke", "id", "v", k = 10)
+      }
+      val overlap = time("overlap@10 (sq8 ∩ float per query)") {
+        val f = Knn.ivfTopKAgainstIndex(queries, "g_sq8_smoke", "id", "v",
+          k = 10).select($"qid", $"nid")
+        val q = Knn.ivfTopKAgainstIndexSq8(queries, "g_sq8_smoke", "id", "v",
+          k = 10).select($"qid", $"nid")
+        q.join(f, Seq("qid", "nid"), "left_semi")
+          .agg(count(lit(1))).collect()(0).getLong(0)
+      }
+      println(f"  overlap@10: $overlap%d / 10000 (${overlap / 100.0}%.1f%%)")
+      spark.stop(); return
+    }
+
     // SCALE_ONLY_THIRD — the third decade (run with nDocs = 100000000,
     // SPARK_DRIVER_MEM=100g): the two headline dedup operators at 100M
     // docs, then the Bloom decontamination CAP regime with PLANTED
