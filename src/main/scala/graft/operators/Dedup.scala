@@ -341,26 +341,42 @@ object Dedup {
     * the index's meta table; only the threshold is per-call. */
   def minhashIncrementalAgainstIndex(incoming: DataFrame, table: String,
       idCol: String, textCol: String, threshold: Double = 0.8,
-      broadcastMaxBatchDocs: Long = 2000000L): DataFrame = {
+      broadcastMaxBatchDocs: Long = 2000000L,
+      asOfCommits: Int = 0): DataFrame = {
     val spark = incoming.sparkSession
     // the index may have grown in another session (q165's foreachBatch
     // clone) — drop this session's cached listings first (the
     // Bm25.topKAgainstIndex note)
     graft.sources.Generations.refreshTables(spark,
       s"${table}_sigs", s"${table}_buckets", s"${table}_meta")
-    val meta = spark.table(s"${table}_meta").collect()
+    // TIME TRAVEL (the Bm25.topKAgainstIndex asOfCommits contract):
+    // classify against the history as it was `asOfCommits` maintenance
+    // commits ago — members resolve from the family snapshot log
+    val resolved: Map[String, String] =
+      if (asOfCommits == 0) Map.empty
+      else graft.sources.Snapshots.resolveAsOf(spark, table, asOfCommits)
+    def member(live: String): String = resolved.getOrElse(live, live)
+    val (sTbl, bTbl, mTbl) = (member(s"${table}_sigs"),
+      member(s"${table}_buckets"), member(s"${table}_meta"))
+    if (asOfCommits > 0)
+      graft.sources.Generations.refreshTables(spark, sTbl, bTbl, mTbl)
+    val meta = spark.table(mTbl).collect()
     require(meta.length == 1, s"index ${table}_meta must hold exactly 1 row")
     val (shingleSize, numHashes, bands) =
       (meta(0).getInt(0), meta(0).getInt(1), meta(0).getInt(2))
     // tombstones (deleteFromMinhashIndex): deleted docs leave the
     // effective history immediately — both history scans anti-join the
-    // list, fetched once per probe
-    val tomb = graft.sources.Tombstones.frame(spark, table)
+    // list, fetched once per probe (historical generation under time
+    // travel)
+    val tomb =
+      if (asOfCommits == 0) graft.sources.Tombstones.frame(spark, table)
+      else resolved.get(s"${table}_deletes")
+        .flatMap(g => graft.sources.Tombstones.frameAt(spark, g))
     def live(df: org.apache.spark.sql.DataFrame) =
       graft.sources.Tombstones.filterWith(df, "id", tomb, table)
     incrementalCore(incoming,
-      live(spark.table(s"${table}_sigs")),
-      live(spark.table(s"${table}_buckets")),
+      live(spark.table(sTbl)),
+      live(spark.table(bTbl)),
       idCol, textCol, shingleSize, numHashes, bands, threshold,
       broadcastMaxBatchDocs)
   }

@@ -428,7 +428,8 @@ object Knn {
   def ivfTopKAgainstIndex(queries: DataFrame, table: String,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
       broadcastMaxQcells: Long = 8000000L,
-      candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      candidateFilter: Option[org.apache.spark.sql.Column] = None,
+      asOfCommits: Int = 0): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     // maintenance may have run in another session (q168's foreachBatch
@@ -436,10 +437,26 @@ object Knn {
     // Bm25.topKAgainstIndex note)
     graft.sources.Generations.refreshTables(spark,
       s"${table}_cells", s"${table}_centroids")
+    // TIME TRAVEL (the Bm25.topKAgainstIndex asOfCommits contract):
+    // members resolve to the manifest `asOfCommits` maintenance commits
+    // back; the probe below is otherwise identical (same cell pruning,
+    // same scoring) over the historical generations
+    val resolved: Map[String, String] =
+      if (asOfCommits == 0) Map.empty
+      else graft.sources.Snapshots.resolveAsOf(spark, table, asOfCommits)
+    def member(live: String): String = resolved.getOrElse(live, live)
+    val cTbl = member(s"${table}_cells")
+    val cenTbl = member(s"${table}_centroids")
+    if (asOfCommits > 0)
+      graft.sources.Generations.refreshTables(spark, cTbl, cenTbl)
     // tombstones (deleteFromIvfIndex): deleted vectors are out of every
-    // result immediately — the cell scan anti-joins the list
-    val tomb = graft.sources.Tombstones.frame(spark, table)
-    val centroids: Array[Array[Double]] = spark.table(s"${table}_centroids")
+    // result immediately — the cell scan anti-joins the list (read at
+    // its historical generation under time travel)
+    val tomb =
+      if (asOfCommits == 0) graft.sources.Tombstones.frame(spark, table)
+      else resolved.get(s"${table}_deletes")
+        .flatMap(g => graft.sources.Tombstones.frameAt(spark, g))
+    val centroids: Array[Array[Double]] = spark.table(cenTbl)
       .orderBy($"cell").collect().map(_.getSeq[Double](1).toArray)
     val qcells = Stage.cut(withVecAndNorm(queries, idCol, vecCol)
       .withColumn("cell", explode(probesUdf(centroids, nProbe)($"v")))
@@ -455,7 +472,7 @@ object Knn {
       if (nQcells <= broadcastMaxQcells) {
         val probed = qcells.select($"cell").distinct()
           .collect().map(_.getInt(0)).toSeq
-        spark.table(s"${table}_cells")
+        spark.table(cTbl)
           .filter($"cell".isin(probed: _*))
           .select($"cell", $"id", $"v", $"nrm")
       } else {
@@ -464,7 +481,7 @@ object Knn {
           s"$broadcastMaxQcells — skipping cell pruning and scanning " +
           "all cells (identical rows; split the workload into bounded " +
           "retrieval batches to get the pruned plan back)")
-        spark.table(s"${table}_cells").select($"cell", $"id", $"v", $"nrm")
+        spark.table(cTbl).select($"cell", $"id", $"v", $"nrm")
       }
     val alive = graft.sources.Tombstones.filterWith(cells, "id", tomb, table)
     val candidates = candidateFilter.fold(alive)(alive.filter)

@@ -91,6 +91,55 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("retired"))
   }
 
+  test("IVF time travel: asOf=1 after a delete serves the pre-delete " +
+      "neighbor set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_ivftt").toString
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 17 + d * 3).toFloat).toSeq))
+    val tbl = "g_snap_ivftt"
+    Knn.writeIvfIndex(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      tbl, s"$dir/ivf", nCells = 4)
+    def probe(asOf: Int) = Knn.ivfTopKAgainstIndex(
+        vecs.filter(_._1 < 5).toDF("vec_id", "embedding"),
+        tbl, "vec_id", "embedding", k = 10, asOfCommits = asOf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val pre = probe(0)
+    Knn.deleteFromIvfIndex(spark, tbl,
+      vecs.map(_._1).filter(_ % 3 == 1).toDF("id"))
+    val post = probe(0)
+    assert(post != pre, "the delete must change the neighbor set")
+    assert(probe(1) == pre,
+      "asOf=1 must serve the pre-delete neighbor set exactly")
+  }
+
+  test("MinHash time travel: asOf=1 after a delete classifies against " +
+      "the pre-delete history") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_mhtt").toString
+    def doc(i: Long) = s"history document number $i with common filler"
+    val tbl = "g_snap_mhtt"
+    Dedup.writeMinhashIndex((0L until 30L).map(i => (i, doc(i)))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", tbl, s"$dir/mh", numBuckets = 4)
+    // replay exact copies of history docs 0..9 as a new batch
+    val replay = (0L until 10L).map(i => (1000L + i, doc(i)))
+      .toDF("doc_id", "text")
+    def cls(asOf: Int) = Dedup.minhashIncrementalAgainstIndex(
+        replay, tbl, "doc_id", "text", asOfCommits = asOf)
+      .select($"doc_id", $"status", $"n_hist_dups").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val pre = cls(0)
+    assert(pre.forall(_._2 == "dup_history"))
+    Dedup.deleteFromMinhashIndex(spark, tbl,
+      (0L until 10L).filter(_ % 2 == 0).toDF("id"))
+    val post = cls(0)
+    assert(post.count(_._2 == "new") == 5,
+      s"evens' twins tombstoned => their replays classify new: $post")
+    assert(cls(1) == pre,
+      "asOf=1 must classify against the full pre-delete history")
+  }
+
   test("IVF and MinHash maintenance record manifests too (family " +
       "symmetry of the log)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap_sym").toString
