@@ -147,14 +147,21 @@ object IvfMirror {
     * [[graft.expressions.Sq8Dot]]/[[graft.expressions.Sq8NormSq]]. */
   def recomputeSq8(vecs: IndexedSeq[(Long, Array[Double])],
       maxQid: Long = 10L, k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
-      iterations: Int = 5): Seq[(Long, Int, Long, Double)] = {
-    val centroids = trainCentroids(vecs, nCells, iterations)
+      iterations: Int = 5,
+      trainFilter: Long => Boolean = _ => true,
+      paramFilter: Long => Boolean = _ => true): Seq[(Long, Int, Long, Double)] = {
+    val centroids = trainCentroids(
+      vecs.filter { case (id, _) => trainFilter(id) }, nCells, iterations)
     if (centroids.isEmpty) return Seq.empty
+    // params derive from the population quantizeIvfIndex SAW (the build
+    // half when appends arrive later — frozen-quantizer semantics);
+    // appended components outside [min, max] clamp to the byte edges
+    val pvecs = vecs.filter { case (id, _) => paramFilter(id) }
     val dim = vecs.map(_._2.length).max
     val mins = Array.tabulate(dim)(d =>
-      vecs.iterator.filter(_._2.length > d).map(_._2(d)).min)
+      pvecs.iterator.filter(_._2.length > d).map(_._2(d)).min)
     val maxs = Array.tabulate(dim)(d =>
-      vecs.iterator.filter(_._2.length > d).map(_._2(d)).max)
+      pvecs.iterator.filter(_._2.length > d).map(_._2(d)).max)
     val steps = Array.tabulate(dim)(d =>
       if (maxs(d) > mins(d)) (maxs(d) - mins(d)) / 255.0 else 0.0)
     def recon(v: Array[Double]): Array[Double] =

@@ -395,8 +395,9 @@ object Knn {
     val cellsGen = graft.sources.Generations.ensureGen(spark, s"${table}_cells")
     val centroids: Array[Array[Double]] = spark.table(s"${table}_centroids")
       .orderBy($"cell").collect().map(_.getSeq[Double](1).toArray)
-    withVecAndNorm(data, idCol, vecCol)
+    def assigned = withVecAndNorm(data, idCol, vecCol)
       .withColumn("cell", nearestUdf(centroids)($"v"))
+    assigned
       .select($"id", $"v", $"nrm", $"cell")
       .repartition($"cell")
       .write.format("parquet").mode("append").partitionBy("cell")
@@ -404,6 +405,19 @@ object Knn {
     // register any NEW cell directories in the shared catalog; stale
     // listings in OTHER sessions are handled probe-side (refreshTables)
     spark.sql(s"ALTER TABLE $cellsGen RECOVER PARTITIONS")
+    // the SQ8 replica grows IN THE SAME maintenance op (frozen params,
+    // out-of-range components clamp): without this, an SQ8 probe after
+    // an append would silently miss the new vectors
+    if (hasQ8(spark, table)) {
+      val (mins, steps) = qparamsOf(spark, table)
+      val q8Gen = graft.sources.Generations.ensureGen(spark, s"${table}_cells_q8")
+      assigned
+        .select($"id", codeUdfFor(mins, steps)($"v").as("codes"), $"cell")
+        .repartition($"cell")
+        .write.format("parquet").mode("append").partitionBy("cell")
+        .saveAsTable(q8Gen)
+      spark.sql(s"ALTER TABLE $q8Gen RECOVER PARTITIONS")
+    }
     // NOT revertible: files appended into the live cells generation
     recordSnapshot(spark, table, "append", revertible = false)
   }
@@ -488,6 +502,45 @@ object Knn {
     scoreCells(candidates, qcells, k, nQcells, broadcastMaxQcells)
   }
 
+  /** Does the index carry an SQ8 replica ([[quantizeIvfIndex]] ran)? */
+  private def hasQ8(spark: org.apache.spark.sql.SparkSession,
+      table: String): Boolean = {
+    val cat = spark.sessionState.catalog
+    cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(
+      s"${table}_cells_q8")) &&
+    cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(
+      s"${table}_qparams"))
+  }
+
+  private def qparamsOf(spark: org.apache.spark.sql.SparkSession,
+      table: String): (Array[Double], Array[Double]) = {
+    val qp = spark.table(s"${table}_qparams").collect()
+    require(qp.length == 1, s"index ${table}_qparams must hold exactly 1 row" +
+      " — run quantizeIvfIndex first")
+    (qp(0).getSeq[Double](0).toArray, qp(0).getSeq[Double](1).toArray)
+  }
+
+  /** The byte-code map shared by [[quantizeIvfIndex]] (fresh params) and
+    * [[appendToIvfIndex]] (FROZEN params — out-of-range values clamp to
+    * the [0, 255] edges, the standard frozen-quantizer drift; rebuild or
+    * re-quantize on the usual cadence). math.round == HALF_UP for the
+    * non-negative (x − min)/step, replayed bit-for-bit by the mirror. */
+  private def codeUdfFor(mins: Array[Double], steps: Array[Double]) =
+    udf { (v: Seq[Double]) =>
+      val out = new Array[Byte](v.length)
+      var i = 0
+      while (i < out.length) {
+        val s = if (i < steps.length) steps(i) else 0.0
+        val c =
+          if (s == 0.0) 0
+          else math.min(255L, math.max(0L,
+            math.round((v(i) - mins(i)) / s))).toInt
+        out(i) = c.toByte
+        i += 1
+      }
+      out
+    }
+
   /** SQ8-quantize a [[writeIvfIndex]] index (faiss-style per-dimension
     * affine scalar quantization): derive per-dim (min, max) over the
     * CURRENT cell table — exact, order-insensitive aggregations, so the
@@ -530,22 +583,7 @@ object Knn {
     val mins: Array[Double] = mm.map(_._2)
     val steps: Array[Double] =
       mm.map { case (_, mn, mx) => if (mx > mn) (mx - mn) / 255.0 else 0.0 }
-    // byte codes via one build-time map pass (math.round == HALF_UP for
-    // the non-negative (x-min)/step, replayed bit-for-bit by the mirror)
-    val codeUdf = udf { (v: Seq[Double]) =>
-      val out = new Array[Byte](v.length)
-      var i = 0
-      while (i < out.length) {
-        val s = if (i < steps.length) steps(i) else 0.0
-        val c =
-          if (s == 0.0) 0
-          else math.min(255L, math.max(0L,
-            math.round((v(i) - mins(i)) / s))).toInt
-        out(i) = c.toByte
-        i += 1
-      }
-      out
-    }
+    val codeUdf = codeUdfFor(mins, steps)
     val parent = new org.apache.hadoop.fs.Path(
       Generations.basePath(spark, s"${table}_cells")).getParent.toString
     val q8Name = s"${table}_cells_q8"
@@ -672,6 +710,26 @@ object Knn {
     // superseded generation is retained for in-flight readers until the
     // next maintenance commit
     Generations.commit(spark, name, nextGen, Some(gen))
+    // fold the SAME tombstones into the SQ8 replica BEFORE the list
+    // resets — otherwise the cleared list would let the dead rows still
+    // sitting in cells_q8 RESURFACE in quantized results
+    if (hasQ8(spark, table)) {
+      val q8name = s"${table}_cells_q8"
+      val gen8 = Generations.ensureGen(spark, q8name)
+      val old8 = Generations.location(spark, gen8)
+      val next8 = Generations.reserve(spark, q8name)
+      spark.sql(s"DROP TABLE IF EXISTS $next8")
+      graft.sources.Tombstones.filterWith(
+          spark.read.parquet(old8)
+            .select($"id", $"codes", $"cell".cast("int").as("cell")),
+          "id", tomb, table)
+        .repartition($"cell")
+        .write.format("parquet")
+        .option("path",
+          Generations.genPath(old8.replaceAll("__g\\d+$", ""), next8))
+        .partitionBy("cell").mode("overwrite").saveAsTable(next8)
+      Generations.commit(spark, q8name, next8, Some(gen8))
+    }
     if (tomb.nonEmpty) graft.sources.Tombstones.clear(spark, table)
     recordSnapshot(spark, table, "compact", revertible = true)
   }
@@ -763,6 +821,10 @@ object Knn {
       Generations.commit(spark, cellsName, nextCells, Some(cellsGen))
       if (tomb.nonEmpty) graft.sources.Tombstones.clear(spark, table)
       recordSnapshot(spark, table, "rebuild", revertible = true)
+      // a rebuild reassigns every row, so an existing SQ8 replica is
+      // wholesale stale: re-derive it (fresh params — the rebuild IS the
+      // retrain cadence); one more recorded 'quantize' commit
+      if (hasQ8(spark, table)) quantizeIvfIndex(spark, table)
     } finally d.unpersist()
   }
 

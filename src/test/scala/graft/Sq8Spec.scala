@@ -69,6 +69,59 @@ class Sq8Spec extends AnyFunSuite {
     assert(steps(5) > 3000.0, "the huge-spread dimension has a huge step")
   }
 
+  test("append after quantize grows the SQ8 replica in the same op " +
+      "(frozen params, clamped codes) — probe == mirror") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8_app").toString
+    val tbl = "g_sq8_app"
+    val evens = vecs.filter(_._1 % 2 == 0)
+    // odd batch exceeds the even-derived [min, max] on dim 5 → clamps
+    val odds = vecs.filter(_._1 % 2 == 1)
+      .map { case (id, v) => (id, v.updated(5, v(5) * 2.0 + 1e6)) }
+    Knn.writeIvfIndex(
+      evens.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", tbl, s"$dir/idx", nCells = 8)
+    Knn.quantizeIvfIndex(spark, tbl)
+    Knn.appendToIvfIndex(
+      odds.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", tbl)
+    val union = (evens ++ odds).sortBy(_._1).toIndexedSeq
+    val got = Knn.ivfTopKAgainstIndexSq8(
+        union.filter(_._1 < 10).map { case (id, v) => (id, v.toSeq) }
+          .toDF("vec_id", "embedding"),
+        tbl, "vec_id", "embedding", k = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = IvfMirror.recomputeSq8(union, maxQid = 10L, k = 8,
+      nCells = 8, nProbe = 4,
+      trainFilter = _ % 2 == 0, paramFilter = _ % 2 == 0)
+    assert(got == want,
+      "appended vectors must be servable from the SQ8 replica at frozen params")
+    assert(got.exists(_._3 % 2 == 1),
+      "workload sanity: some appended (odd) vector must actually rank")
+  }
+
+  test("compaction folds tombstones into the SQ8 replica too — deleted " +
+      "ids never resurface after the list resets") {
+    val tbl = buildQuantized("fold")
+    val doomed = vecs.map(_._1).filter(_ % 5 == 2).toSet
+    Knn.deleteFromIvfIndex(spark, tbl, doomed.toSeq.toDF("id"))
+    def sq8Ids() = Knn.ivfTopKAgainstIndexSq8(
+        vecs.filter(_._1 < 10).map { case (id, v) => (id, v.toSeq) }
+          .toDF("vec_id", "embedding"),
+        tbl, "vec_id", "embedding", k = 60, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val preFold = sq8Ids()
+    assert(preFold.forall(t => !doomed(t._3)))
+    Knn.compactIvfIndex(spark, tbl)
+    // the tombstone list is now EMPTY — the q8 fold must have dropped
+    // the rows physically or the dead ids would resurface here
+    val postFold = sq8Ids()
+    assert(postFold.forall(t => !doomed(t._3)),
+      "deleted ids resurfaced from the un-folded SQ8 replica")
+    assert(postFold == preFold, "the fold must not move any SQ8 ranking")
+  }
+
   test("tombstoned ids leave SQ8 results immediately; quantize is a " +
       "recorded revertible commit") {
     val tbl = buildQuantized("del")
