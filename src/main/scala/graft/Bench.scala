@@ -44,7 +44,8 @@ object Bench {
     val layoutBacked = Set("q104", "q112", "q123", "q131", "q132",
       "q154", "q155", "q156", "q157", "q158", "q159", "q160", "q161",
       "q162", "q163", "q164", "q165", "q166", "q167", "q168", "q169",
-      "q170", "q171", "q172", "q173", "q174", "q175", "q176")
+      "q170", "q171", "q172", "q173", "q174", "q175", "q176", "q177",
+      "q178")
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t1 = once(name, fn)
       val steady =
