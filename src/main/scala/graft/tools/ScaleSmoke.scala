@@ -777,6 +777,88 @@ object ScaleSmoke {
       spark.stop(); return
     }
 
+    // SCALE_ONLY_CONC — multi-writer maintenance at nDocs: two RACING
+    // appends (disjoint 1%-batches with planted marker terms) against a
+    // full BM25 index, with a probe thread hammering the live name the
+    // whole time. Checks: both writers succeed (family-lock
+    // serialization — no lost batch, no CAS casualty in-JVM); the
+    // post-race index holds EVERY marker doc from BOTH batches and
+    // bounds N == nDocs + both batches (the df/N merges composed);
+    // probes during the race never throw (stale reads are legal,
+    // failures are not). Cost report: racing-pair wall vs the sum of
+    // the same two appends run back-to-back — the lock's serialization
+    // price (expect ≈ sequential sum; the lock trades concurrency for
+    // correctness, appends to ONE index are maintenance, not serving).
+    if (sys.env.contains("SCALE_ONLY_CONC")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_conc_smoke").toString
+      time(s"bm25 index BUILD ($nDocs docs)") {
+        graft.operators.Bm25.buildIndex(docs, "id", "text",
+          "g_conc_smoke", s"$dir/idx", nDirs = 64)
+      }
+      docs.unpersist(true)
+      val batchN = math.max(1000L, nDocs.toLong / 100L)
+      def batch(tag: String, base: Long) = spark.range(batchN)
+        .select(($"id" + base).as("id"),
+          concat(lit(s"zz$tag marker payload row "), $"id").as("text"))
+      val b1 = batch("batchone", 1000000000L).localCheckpoint(true)
+      val b2 = batch("batchtwo", 2000000000L).localCheckpoint(true)
+      // sequential reference pair on a throwaway clone of the index
+      // would double disk; instead measure the pair ONCE sequentially
+      // on this index (order: b1 then b2) after timing the racing pair
+      // on fresh batches is impossible — so race FIRST with b1/b2,
+      // then append two more disjoint batches back-to-back for the
+      // sequential reference. Same sizes, same shapes.
+      val probeQ = Seq((1L, "zzbatchone"), (2L, "zzbatchtwo"), (3L, "marker"))
+        .toDF("qid", "term")
+      @volatile var probeErr: Option[Throwable] = None
+      @volatile var stop = false
+      val prober = new Thread(() => {
+        while (!stop && probeErr.isEmpty) {
+          try graft.operators.Bm25.topKAgainstIndex(probeQ,
+              "g_conc_smoke", k = 5).count()
+          catch { case e: Throwable => probeErr = Some(e) }
+        }
+      })
+      prober.start()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      time(s"two RACING appends ($batchN docs each) + live probes") {
+        val ts = Seq(b1, b2).map { b =>
+          val t = new Thread(() => {
+            try graft.operators.Bm25.appendToIndex(b, "id", "text", "g_conc_smoke")
+            catch { case e: Throwable => errs.add(e) }
+          })
+          t.start(); t
+        }
+        ts.foreach(_.join())
+      }
+      stop = true; prober.join()
+      require(errs.isEmpty, s"racing appends failed: $errs")
+      require(probeErr.isEmpty, s"a probe failed during the race: $probeErr")
+      val b3 = batch("batchthree", 3000000000L).localCheckpoint(true)
+      val b4 = batch("batchfour", 4000000000L).localCheckpoint(true)
+      time(s"two SEQUENTIAL appends ($batchN docs each, the lock-cost baseline)") {
+        graft.operators.Bm25.appendToIndex(b3, "id", "text", "g_conc_smoke")
+        graft.operators.Bm25.appendToIndex(b4, "id", "text", "g_conc_smoke")
+      }
+      // every marker doc from every batch must be present and scored
+      val got = graft.operators.Bm25.topKAgainstIndex(
+          Seq((1L, "zzbatchone"), (2L, "zzbatchtwo"), (3L, "zzbatchthree"),
+            (4L, "zzbatchfour")).toDF("qid", "term"),
+          "g_conc_smoke", k = (batchN + 10L).toInt)
+        .groupBy($"qid").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      require((1L to 4L).forall(q => got.getOrElse(q, 0L) == batchN),
+        s"a batch lost docs (lost-update): per-term counts $got, want $batchN each")
+      val bounds = spark.table("g_conc_smoke_bounds").collect()(0)
+      require(bounds.getLong(0) == nDocs.toLong + 4L * batchN,
+        s"bounds N=${bounds.getLong(0)} != ${nDocs.toLong + 4L * batchN} — a df/N merge was lost")
+      println(s"  all four batches fully merged; bounds N=${bounds.getLong(0)}; " +
+        s"history=${graft.sources.Snapshots.history(spark, "g_conc_smoke")
+          .select("op").collect().map(_.getString(0)).mkString(",")}")
+      spark.stop(); return
+    }
+
     // SCALE_ONLY_SQ8 — the SQ8 serving-economics claim at nVecs: the
     // quantized cell table must be ~8× smaller on disk than the float64
     // cells, the SQ8 probe must be at-or-below the float probe's time
