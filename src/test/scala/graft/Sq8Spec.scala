@@ -122,6 +122,45 @@ class Sq8Spec extends AnyFunSuite {
     assert(postFold == preFold, "the fold must not move any SQ8 ranking")
   }
 
+  test("Sq8Dot/Sq8NormSq: interpreted eval == whole-stage codegen on " +
+      "random inputs (both paths ship)") {
+    import graft.expressions.VectorExpressions.{sq8Dot, sq8NormSq}
+    val rows = (0 until 200).map { i =>
+      val dim = 1 + (i % 9)
+      val q = Array.tabulate(dim)(d => math.sin(i * 7.0 + d) * (d + 1))
+      val codes = Array.tabulate(dim)(d =>
+        (((i * 31 + d * 17) % 256 + 256) % 256).toByte)
+      (i.toLong, q.toSeq, codes)
+    }
+    val mins = typedLit(Seq(-2.0, 0.0, 1.5, -0.25, 3.0, -1.0, 0.5, 2.0, -3.0))
+    val steps = typedLit(Seq(0.01, 0.0, 0.002, 0.5, 0.03, 0.001, 0.25, 0.0, 0.1))
+    def run(codegen: Boolean): Seq[(Long, Double, Double)] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      try rows.toDF("id", "q", "codes")
+        .select($"id",
+          sq8Dot(spark)($"q", $"codes", mins, steps).as("d"),
+          sq8NormSq(spark)($"codes", mins, steps).as("n"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    val gen = run(codegen = true)
+    val interp = run(codegen = false)
+    assert(gen == interp, "doGenCode and nullSafeEval must agree bit-for-bit")
+    // and both match a plain-Scala reference (unsigned byte decode)
+    val ref = rows.map { case (id, q, codes) =>
+      val mn = Seq(-2.0, 0.0, 1.5, -0.25, 3.0, -1.0, 0.5, 2.0, -3.0)
+      val st = Seq(0.01, 0.0, 0.002, 0.5, 0.03, 0.001, 0.25, 0.0, 0.1)
+      var d = 0.0; var n = 0.0; var i = 0
+      while (i < q.length) {
+        val r = mn(i) + (codes(i) & 0xFF) * st(i)
+        d += q(i) * r; n += r * r; i += 1
+      }
+      (id, d, n)
+    }
+    assert(gen == ref)
+  }
+
   test("tombstoned ids leave SQ8 results immediately; quantize is a " +
       "recorded revertible commit") {
     val tbl = buildQuantized("del")
