@@ -73,143 +73,136 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * stays float64, the corpus vector is ONE BYTE per dimension plus the
   * shared per-dimension (mins, steps) parameter arrays, reconstructed
   * on the fly as `mins[i] + (codes[i] & 0xFF) * steps[i]` — 8× less
-  * index memory/IO than array<double> cells at probe time, which is
-  * the lever that keeps a 100 TB vector corpus servable. Summation is
-  * left-to-right IEEE like [[DotProduct]], so the SQ8 probe is exactly
-  * mirrorable (no float tolerance in its oracle).
+  * raw index memory/IO than array<double> cells at probe time.
+  * Summation is left-to-right IEEE like [[DotProduct]], so the SQ8
+  * probe is exactly mirrorable (no float tolerance in its oracle).
   *
-  * Null semantics: any null input → null; parameter arrays are dense.
+  * The parameter arrays are CONSTRUCTOR FIELDS, not child expressions:
+  * they are per-index constants (dim-sized, collected once per probe),
+  * and codegen binds them as plain `double[]` reference objects — two
+  * raw array loads per dimension instead of two `ArrayData.getDouble`
+  * calls on literal columns. Honest measurement note: on a WARM page
+  * cache the probe is join/window-bound, so this (and the byte decode
+  * itself) doesn't move local wall-clock at 64 dims — the expression's
+  * value there is the 8× smaller scan footprint, which matters for
+  * cold object-storage reads and cache capacity, not hot-cache CPU
+  * (SCALE.md §SQ8 carries the full band).
+  *
+  * Null semantics: null query/codes → null; parameter arrays are dense.
   */
 case class Sq8Dot(q: Expression, codes: Expression,
-    mins: Expression, steps: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+    mins: Array[Double], steps: Array[Double])
+  extends BinaryExpression {
 
-  override def first: Expression = q
-  override def second: Expression = codes
-  override def third: Expression = mins
-  override def fourth: Expression = steps
+  override def left: Expression = q
+  override def right: Expression = codes
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_sq8_dot"
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    def arr(dt: DataType) = dt match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    }
-    if (arr(q.dataType) &&
-        codes.dataType == org.apache.spark.sql.types.BinaryType &&
-        arr(mins.dataType) && arr(steps.dataType))
+    if ((q.dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        }) && codes.dataType == org.apache.spark.sql.types.BinaryType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (array<double>, binary, array<double>, " +
-        s"array<double>), got ${q.dataType.simpleString}, " +
-        s"${codes.dataType.simpleString}, ${mins.dataType.simpleString}, " +
-        s"${steps.dataType.simpleString}")
+      s"$prettyName requires (array<double>, binary) children, got " +
+        s"${q.dataType.simpleString} and ${codes.dataType.simpleString}")
   }
 
-  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any = {
+  override def nullSafeEval(a: Any, b: Any): Any = {
     val qv = a.asInstanceOf[ArrayData]
     val cs = b.asInstanceOf[Array[Byte]]
-    val mn = c.asInstanceOf[ArrayData]
-    val st = d.asInstanceOf[ArrayData]
     val n = math.min(math.min(qv.numElements(), cs.length),
-      math.min(mn.numElements(), st.numElements()))
+      math.min(mins.length, steps.length))
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += qv.getDouble(i) * (mn.getDouble(i) + (cs(i) & 0xFF) * st.getDouble(i))
+      acc += qv.getDouble(i) * (mins(i) + (cs(i) & 0xFF) * steps(i))
       i += 1
     }
     acc
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b, c, d) => {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("sq8mins", mins, "double[]")
+    val stepsRef = ctx.addReferenceObj("sq8steps", steps, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
          |final int $n = java.lang.Math.min(
          |  java.lang.Math.min($a.numElements(), $b.length),
-         |  java.lang.Math.min($c.numElements(), $d.numElements()));
+         |  java.lang.Math.min($minsRef.length, $stepsRef.length));
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $a.getDouble($i) *
-         |    ($c.getDouble($i) + (($b[$i]) & 0xFF) * $d.getDouble($i));
+         |    ($minsRef[$i] + (($b[$i]) & 0xFF) * $stepsRef[$i]);
          |}
          |${ev.value} = $acc;
        """.stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(
-      newFirst: Expression, newSecond: Expression,
-      newThird: Expression, newFourth: Expression): Sq8Dot =
-    copy(q = newFirst, codes = newSecond, mins = newThird, steps = newFourth)
+      newLeft: Expression, newRight: Expression): Sq8Dot =
+    copy(q = newLeft, codes = newRight)
 }
 
 /** Squared L2 norm of an SQ8-reconstructed vector (see [[Sq8Dot]]) —
   * the probe divides by sqrt of this, so cosine is computed against the
   * EXACT reconstruction both engines and the mirror share. */
-case class Sq8NormSq(codes: Expression, mins: Expression, steps: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+case class Sq8NormSq(codes: Expression,
+    mins: Array[Double], steps: Array[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  override def first: Expression = codes
-  override def second: Expression = mins
-  override def third: Expression = steps
+  override def child: Expression = codes
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_sq8_normsq"
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def arr(dt: DataType) = dt match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    }
-    if (codes.dataType == org.apache.spark.sql.types.BinaryType &&
-        arr(mins.dataType) && arr(steps.dataType))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (codes.dataType == org.apache.spark.sql.types.BinaryType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (binary, array<double>, array<double>), " +
-        s"got ${codes.dataType.simpleString}, ${mins.dataType.simpleString}, " +
-        s"${steps.dataType.simpleString}")
-  }
+      s"$prettyName requires a binary child, got ${codes.dataType.simpleString}")
 
-  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+  override def nullSafeEval(a: Any): Any = {
     val cs = a.asInstanceOf[Array[Byte]]
-    val mn = b.asInstanceOf[ArrayData]
-    val st = c.asInstanceOf[ArrayData]
-    val n = math.min(cs.length, math.min(mn.numElements(), st.numElements()))
+    val n = math.min(cs.length, math.min(mins.length, steps.length))
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val r = mn.getDouble(i) + (cs(i) & 0xFF) * st.getDouble(i)
+      val r = mins(i) + (cs(i) & 0xFF) * steps(i)
       acc += r * r
       i += 1
     }
     acc
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("sq8mins", mins, "double[]")
+    val stepsRef = ctx.addReferenceObj("sq8steps", steps, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val r = ctx.freshName("r")
       s"""
          |final int $n = java.lang.Math.min($a.length,
-         |  java.lang.Math.min($b.numElements(), $c.numElements()));
+         |  java.lang.Math.min($minsRef.length, $stepsRef.length));
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  final double $r = $b.getDouble($i) + (($a[$i]) & 0xFF) * $c.getDouble($i);
+         |  final double $r = $minsRef[$i] + (($a[$i]) & 0xFF) * $stepsRef[$i];
          |  $acc += $r * $r;
          |}
          |${ev.value} = $acc;
        """.stripMargin
     })
+  }
 
-  override protected def withNewChildrenInternal(
-      newFirst: Expression, newSecond: Expression,
-      newThird: Expression): Sq8NormSq =
-    copy(codes = newFirst, mins = newSecond, steps = newThird)
+  override protected def withNewChildInternal(newChild: Expression): Sq8NormSq =
+    copy(codes = newChild)
 }
 
 object VectorExpressions {
@@ -221,12 +214,26 @@ object VectorExpressions {
     case cs: org.apache.spark.sql.classic.SparkSession =>
       cs.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+      // the SQL surface requires LITERAL parameter arrays (the Column
+      // API passes them as plain double[] constructor fields)
+      def litDoubles(e: Expression, fn: String): Array[Double] = e match {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType.isInstanceOf[ArrayType] =>
+          l.value.asInstanceOf[ArrayData].toDoubleArray()
+        case other => throw new IllegalArgumentException(
+          s"$fn requires a foldable array<double> literal for its " +
+            s"quantization params, got ${other.sql}")
+      }
       cs.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_sq8_dot",
-        exprs => Sq8Dot(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
+        exprs => Sq8Dot(exprs.head, exprs(1),
+          litDoubles(exprs(2), "graft_sq8_dot"),
+          litDoubles(exprs(3), "graft_sq8_dot")), "built-in")
       cs.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_sq8_normsq",
-        exprs => Sq8NormSq(exprs.head, exprs(1), exprs(2)), "built-in")
+        exprs => Sq8NormSq(exprs.head,
+          litDoubles(exprs(1), "graft_sq8_normsq"),
+          litDoubles(exprs(2), "graft_sq8_normsq")), "built-in")
     case _ => // non-classic session: SQL surface unavailable, Column API still fine
   }
 
@@ -240,17 +247,19 @@ object VectorExpressions {
   /** Squared L2 norm via the same fused loop. */
   def normSq(spark: SparkSession)(a: Column): Column = dot(spark)(a, a)
 
-  /** Column-API surface for [[Sq8Dot]] (query float64 × SQ8 codes). */
+  /** Column-API surface for [[Sq8Dot]] (query float64 × SQ8 codes):
+    * params bind as raw double[] reference objects in codegen. */
   def sq8Dot(spark: SparkSession)(q: Column, codes: Column,
-      mins: Column, steps: Column): Column = {
-    ensureRegistered(spark)
-    call_function("graft_sq8_dot", q, codes, mins, steps)
-  }
+      mins: Array[Double], steps: Array[Double]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(Sq8Dot(
+      org.apache.spark.sql.graft.ColumnBridge.expression(q),
+      org.apache.spark.sql.graft.ColumnBridge.expression(codes),
+      mins, steps))
 
   /** Column-API surface for [[Sq8NormSq]]. */
   def sq8NormSq(spark: SparkSession)(codes: Column,
-      mins: Column, steps: Column): Column = {
-    ensureRegistered(spark)
-    call_function("graft_sq8_normsq", codes, mins, steps)
-  }
+      mins: Array[Double], steps: Array[Double]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(Sq8NormSq(
+      org.apache.spark.sql.graft.ColumnBridge.expression(codes),
+      mins, steps))
 }

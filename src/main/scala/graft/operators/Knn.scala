@@ -630,11 +630,7 @@ object Knn {
     val tomb = graft.sources.Tombstones.frame(spark, table)
     val centroids: Array[Array[Double]] = spark.table(s"${table}_centroids")
       .orderBy($"cell").collect().map(_.getSeq[Double](1).toArray)
-    val qp = spark.table(s"${table}_qparams").collect()
-    require(qp.length == 1, s"index ${table}_qparams must hold exactly 1 row" +
-      " — run quantizeIvfIndex first")
-    val minsLit = typedLit(qp(0).getSeq[Double](0))
-    val stepsLit = typedLit(qp(0).getSeq[Double](1))
+    val (minsArr, stepsArr) = qparamsOf(spark, table)
     val qcells = Stage.cut(withVecAndNorm(queries, idCol, vecCol)
       .withColumn("cell", explode(probesUdf(centroids, nProbe)($"v")))
       .select($"cell", $"id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
@@ -661,8 +657,8 @@ object Knn {
     candidates.join(bc(qcells), Seq("cell"))
       .filter($"id" =!= $"qid")
       .withColumn("score",
-        sq8Dot(spark)($"qv", $"codes", minsLit, stepsLit) /
-          ($"qn" * sqrt(sq8NormSq(spark)($"codes", minsLit, stepsLit))))
+        sq8Dot(spark)($"qv", $"codes", minsArr, stepsArr) /
+          ($"qn" * sqrt(sq8NormSq(spark)($"codes", minsArr, stepsArr))))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= k)
       .select($"qid", $"rnk", $"id".as("nid"), $"score")

@@ -856,6 +856,27 @@ object ScaleSmoke {
       println(s"  all four batches fully merged; bounds N=${bounds.getLong(0)}; " +
         s"history=${graft.sources.Snapshots.history(spark, "g_conc_smoke")
           .select("op").collect().map(_.getString(0)).mkString(",")}")
+      // time-travel cost at this decade: delete a slice (a revertible
+      // commit), then compare the LIVE probe against the asOfCommits=1
+      // probe of the SAME queries — the rollback read must cost the
+      // live probe plus a metadata constant, never an index rescan
+      graft.operators.Bm25.deleteFromIndex(spark, "g_conc_smoke",
+        spark.range(batchN)
+          .select(($"id" + 1000000000L).as("id"))
+          .filter(pmod($"id", lit(7L)) === 3L))
+      def ttProbe(tag: String, asOf: Int) = {
+        def one(i: Int) = time(s"probe [$tag#$i] (asOfCommits=$asOf)") {
+          graft.operators.Bm25.topKAgainstIndex(probeQ, "g_conc_smoke",
+              k = 10, asOfCommits = asOf)
+            .agg(count(lit(1)), sum($"doc_id"), sum($"score_e4")).collect()(0)
+        }
+        one(1); one(2)
+      }
+      val live = ttProbe("live", 0)
+      val back = ttProbe("time-travel", 1)
+      require(live != back,
+        "the delete must separate the live and asOf=1 probe results")
+      println(s"  live=$live asOf1=$back")
       spark.stop(); return
     }
 
@@ -868,12 +889,14 @@ object ScaleSmoke {
     // number; the raw in-memory ratio is exactly 8.)
     if (sys.env.contains("SCALE_ONLY_SQ8")) {
       docs.unpersist(true)
+      val dims = sys.env.getOrElse("SCALE_SQ8_DIMS", "16").toInt
       def comp(i: Int) = (pmod(xxhash64($"id", lit(i)), lit(1000L))
         .cast("double") / 1000.0 +
         when(pmod($"id", lit(8L)) === (i % 8).toLong, 3.0).otherwise(0.0))
         .cast("float")
+      println(s"[scale] sq8 dims=$dims")
       val vecs = spark.range(nVecs.toLong)
-        .select($"id", array((0 until 16).map(comp): _*).as("v"))
+        .select($"id", array((0 until dims).map(comp): _*).as("v"))
       val dir = java.nio.file.Files
         .createTempDirectory("graft_sq8_smoke").toString
       time(s"ivf index BUILD ($nVecs vectors)") {

@@ -132,8 +132,8 @@ class Sq8Spec extends AnyFunSuite {
         (((i * 31 + d * 17) % 256 + 256) % 256).toByte)
       (i.toLong, q.toSeq, codes)
     }
-    val mins = typedLit(Seq(-2.0, 0.0, 1.5, -0.25, 3.0, -1.0, 0.5, 2.0, -3.0))
-    val steps = typedLit(Seq(0.01, 0.0, 0.002, 0.5, 0.03, 0.001, 0.25, 0.0, 0.1))
+    val mins = Array(-2.0, 0.0, 1.5, -0.25, 3.0, -1.0, 0.5, 2.0, -3.0)
+    val steps = Array(0.01, 0.0, 0.002, 0.5, 0.03, 0.001, 0.25, 0.0, 0.1)
     def run(codegen: Boolean): Seq[(Long, Double, Double)] = {
       spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
       try rows.toDF("id", "q", "codes")
