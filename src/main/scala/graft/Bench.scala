@@ -17,6 +17,11 @@ object Bench {
     try SparkEntry.queries.toSeq.sortBy(_._1).headOption.foreach(_._2(spark, sfDir)
       .write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => }
+    // Failed runs must never masquerade as timings (r14 verdict: the 2 KB
+    // driver tail window drops stderr, so a caught error looked like a
+    // 17 s regression). Every once() failure lands here and is emitted as
+    // an "err" list inside the JSON on every shed rung.
+    val errs = scala.collection.mutable.LinkedHashSet.empty[String]
     // De-noising: host-load swings put ±25% on sub-second queries (r5/r6
     // showed 3x blips on 0.4 s queries that a steady-state retime erased),
     // and the expensive queries fold one-time pipeline-build cost (cached
@@ -34,19 +39,32 @@ object Bench {
       // and every operator (incl. UDFs) runs — a bare .count() would let
       // Catalyst prune deterministic projections and benchmark nothing.
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: $e")
+        errs += name.takeWhile(_ != '_')
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Queries that build a cached one-time layout on first touch (derived
-    // lakes, streaming replays through Queries.cachedLayout) fold that
-    // setup into their first run no matter how slow it is — retime them
-    // UNCONDITIONALLY so steady measures the read path, not the build.
+    // lakes, persisted index families, streaming replays through
+    // Queries.cachedLayout) would otherwise fold that setup into their
+    // first timed run no matter how slow it is (BENCH_r14 recorded q132's
+    // 17 s one-time streaming-replay build as its steady number). Build
+    // every such layout HERE, in the untimed warmup pass, so both timed
+    // runs measure the steady read path.
     val layoutBacked = Set("q104", "q112", "q123", "q131", "q132",
       "q154", "q155", "q156", "q157", "q158", "q159", "q160", "q161",
       "q162", "q163", "q164", "q165", "q166", "q167", "q168", "q169",
       "q170", "q171", "q172", "q173", "q174", "q175", "q176", "q177",
-      "q178")
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      "q178", "q179", "q180")
+    val byName = SparkEntry.queries.toSeq.sortBy(_._1)
+    byName.foreach { case (name, fn) =>
+      if (layoutBacked(name.takeWhile(_ != '_'))) {
+        val tw = once(name, fn)
+        System.err.println(f"[bench] warmup(build) $name ${tw}%.3fs")
+      }
+    }
+    val timed = byName.map { case (name, fn) =>
       val t1 = once(name, fn)
       val steady =
         if (t1 < retimeUnder || layoutBacked(name.takeWhile(_ != '_')))
@@ -153,17 +171,20 @@ object Bench {
       if (prevSteady.isEmpty) ""
       else s""","prev_steady_total":${f1(prevTotal)},"regress":$regressShort"""
     val sfShort = new java.io.File(sfDir).getName
+    // Always emitted, on every shed rung: a failed run can never masquerade
+    // as a timing (empty list = every query materialized cleanly).
+    val errJson = "\"err\":" + errs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val candidates = Seq(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"noise":$noise$vsPrev,"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$vsPrev,"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qsMap(2)}$vsPrevShort,"sf":"$sfShort"}""",
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":$qs,"noise":$noise$vsPrev,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":$qs$vsPrev,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":${qsMap(2)}$vsPrevShort,"sf":"$sfShort"}""",
       // regress sheds LAST (the r11 lesson, round-12 re-fix: at 160
       // queries even the trimmed 2-decimal map + vsPrevShort overflows
       // by ~10 chars, so the old ladder silently dropped the regress
       // map again — 1-decimal per-query precision is worth losing
       // before the round-over-round self-regression watch is)
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qsMap(1)}$vsPrevShort,"sf":"$sfShort"}""",
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qsMap(2)},"sf":"$sfShort"}""",
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":${qsMap(1)}$vsPrevShort,"sf":"$sfShort"}""",
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":${qsMap(2)},"sf":"$sfShort"}""",
       // 175-query rung (round 14): even the 1-decimal full map overflows
       // the window, but dropping the whole map loses the per-query
       // visibility every verdict's plan audit reads. Keep every query
@@ -176,9 +197,9 @@ object Bench {
         val bigMap = big.map { case (k, v) =>
             "\"" + k.takeWhile(_ != '_') + "\":" + fTrim(v, 1) }
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$bigMap,"small_n":${small.size},"small_sum":${f1(small.values.sum)}$vsPrevShort,"sf":"$sfShort"}"""
+        s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":$bigMap,"small_n":${small.size},"small_sum":${f1(small.values.sum)}$vsPrevShort,"sf":"$sfShort"}"""
       },
-      s"""{"metric":"total","value":${f(total)},"unit":"sec"$vsPrevShort,"sf":"$sfShort"}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson$vsPrevShort,"sf":"$sfShort"}""")
     println(candidates.find(_.length <= 1950).getOrElse(candidates.last))
     spark.stop()
   }

@@ -29,6 +29,19 @@ object Bm25OracleSql {
     template.replace("__EXCLUDE__",
       if (excludeDocs.isEmpty) "" else s"\n  WHERE NOT ($excludeDocs)")
 
+  /** [[rankedCtes]] over a RESTRICTED corpus — the q179 time-travel
+    * oracle: a probe that crossed an append commit serves the index as
+    * built, so N, Σdl, df AND the candidate postings all describe only
+    * the build-time documents (`corpusPred` over `doc_id`). Statistics
+    * shrink WITH the corpus here — unlike [[rankedCtesExcluding]],
+    * whose excluded docs leave candidates but keep their statistics
+    * (the delete semantics). The query batch is unaffected: qt's
+    * every-50th qids are all even, so restricting toks to the even
+    * build half reproduces the live batch exactly. */
+  def rankedCtesCorpus(corpusPred: String): String =
+    rankedCtes.replace("FROM documents)",
+      s"FROM documents WHERE $corpusPred)")
+
   /** The q174 DOCUMENT-UPDATE oracle: the recipe `delete(U) →
     * compactIndex (fold) → appendToIndex(U with new text)` leaves an
     * index whose published semantics are exactly replayable:

@@ -3278,6 +3278,38 @@ object Queries {
       .orderBy($"qid", $"rank")
   }
 
+  /** q179: time travel ACROSS an in-place append commit — the round-15
+    * capability the r14 contract refused. Same maintenance history as
+    * q177 (build on evens → append odds → delete %7==3; the layout is
+    * shared, built once), probed at `asOfCommits = 2`: the BUILD-TIME
+    * state. The probe's posting read lists the build commit's FILE
+    * MANIFEST (recorded per maintenance commit in the family snapshot
+    * log's `_logfiles` sibling) instead of the live generation
+    * directory, so the files the append added later are unseen — and
+    * the ranking must equal a fresh index over the even half alone
+    * (statistics included: N, Σdl, df all describe the build corpus).
+    * Appends are the most frequent maintenance op, so this is what
+    * makes "serve yesterday's index" an everyday read instead of a
+    * lucky one. */
+  def bm25TimeTravelAcrossAppend(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = s"g_bm25tt_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q177_bm25tt_${sfDir.hashCode.toHexString}") { d =>
+      val docs = Tables(spark, sfDir, "documents")
+      graft.operators.Bm25.buildIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+        tbl, s"$d/idx", nDirs = 8)
+      graft.operators.Bm25.appendToIndex(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", tbl)
+      graft.operators.Bm25.deleteFromIndex(spark, tbl,
+        docs.filter($"doc_id" % 7 === 3).select($"doc_id"))
+    }
+    graft.operators.Bm25.topKAgainstIndex(
+        bm25QueryBatch(spark, sfDir), tbl, k = 5, asOfCommits = 2)
+      .orderBy($"qid", $"rank")
+  }
+
   /** q169: HYBRID retrieval — the standard RAG retrieval stack: the
     * BM25 serving index (q155's, reused) and the IVF embedding index
     * (q158's, reused) each retrieve their top-10 for the same query
@@ -3321,6 +3353,58 @@ object Queries {
     val ivf = Knn.ivfTopKAgainstIndex(
         emb.filter($"vec_id" % 50 === 0), ivfTbl, "vec_id", "embedding",
         k = 10)
+      .select($"qid", $"nid".as("id"),
+        expr("CAST(1000000000 DIV (60 + CAST(rnk AS BIGINT)) AS BIGINT)")
+          .as("rrf"))
+    val w = Window.partitionBy($"qid").orderBy($"rrf_score".desc, $"id".asc)
+    bm.unionByName(ivf)
+      .groupBy($"qid", $"id")
+      .agg(sum($"rrf").as("rrf_score"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"id".as("doc_id"), $"rrf_score", $"n_lists")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** q180: FILTERED hybrid retrieval — q169's RRF fusion with q173's
+    * metadata predicate on BOTH legs: the actual RAG serving query
+    * ("top-k over documents matching this tenant/language/date
+    * predicate, lexical + vector, fused"). The BM25 leg anti-joins
+    * non-qualifying docs out of its candidates (the new
+    * `topKAgainstIndex(candidateFilter)` — symmetric to the IVF leg's),
+    * both with delete-style semantics: candidates only, statistics
+    * index-wide. Same persisted indexes as q169 (shared layouts, zero
+    * extra build); the filter here is `doc_id % 2 = 0` / `id % 2 = 0`
+    * (q173's predicate), so the oracle replays the BM25 leg with
+    * `rankedCtesExcluding(odd)` and the IVF leg from the
+    * candidate-filtered mirror.
+    *
+    * 100 TB plan: identical to q169 — two dir-/cell-pruned index probes
+    * plus a retrieval-batch-bounded fusion; the filter is a broadcast
+    * anti/semi-join riding the already-pruned scans, never a corpus
+    * pass. */
+  def hybridRrfFilteredRetrieval(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bmTbl = s"g_bm25idx_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q155_bm25idx_${sfDir.hashCode.toHexString}") { d =>
+      graft.operators.Bm25.buildIndex(
+        Tables(spark, sfDir, "documents"), "doc_id", "text",
+        bmTbl, s"$d/idx", nDirs = 8)
+    }
+    val ivfTbl = s"g_ivfidx_${sfDir.hashCode.toHexString}"
+    val emb = Tables(spark, sfDir, "embeddings")
+    cachedLayout(s"q158_ivfidx_${sfDir.hashCode.toHexString}") { d =>
+      Knn.writeIvfIndex(emb, "vec_id", "embedding", ivfTbl, s"$d/idx")
+    }
+    val bm = graft.operators.Bm25
+      .topKAgainstIndex(bm25QueryBatch(spark, sfDir), bmTbl, k = 10,
+        candidateFilter = Some($"doc_id" % 2 === 0))
+      .select($"qid", $"doc_id".as("id"),
+        expr("CAST(1000000000 DIV (60 + rank) AS BIGINT)").as("rrf"))
+    val ivf = Knn.ivfTopKAgainstIndex(
+        emb.filter($"vec_id" % 50 === 0), ivfTbl, "vec_id", "embedding",
+        k = 10, candidateFilter = Some($"id" % 2 === 0))
       .select($"qid", $"nid".as("id"),
         expr("CAST(1000000000 DIV (60 + CAST(rnk AS BIGINT)) AS BIGINT)")
           .as("rrf"))

@@ -62,6 +62,7 @@ object SfOracles {
       ivfTopK: Seq[(Long, Int, Long, Double)],     // q42
       ivfAppendTopK: Seq[(Long, Int, Long, Double)], // q160: even-id-trained quantizer
       hybridIvfTopK: Seq[(Long, Int, Long, Double)], // q169: every-50th qids, k=10
+      hybridFilIvfTopK: Seq[(Long, Int, Long, Double)], // q180: q169 + even-id candidates
       ivfDeleteTopK: Seq[(Long, Int, Long, Double)],   // q172: %5==2 ids tombstoned
       ivfFilteredTopK: Seq[(Long, Int, Long, Double)], // q173: even-id candidates only
       ivfRecall: Seq[(Long, Long)],                    // q175: hits@10 vs exact
@@ -319,6 +320,10 @@ object SfOracles {
         // k=10, matching the BM25 leg's every-50th-document batch
         hybridIvfTopK = IvfMirror.recompute(vecs, k = 10,
           qidFilter = _ % 50 == 0),
+        // q180: the FILTERED hybrid's IVF leg — q169's probe with
+        // q173's metadata predicate (even-id candidates only)
+        hybridFilIvfTopK = IvfMirror.recompute(vecs, k = 10,
+          qidFilter = _ % 50 == 0, candidateFilter = _ % 2 == 0),
         // q172: tombstone deletes — the quantizer was trained on the full
         // corpus at build time; deleted ids leave the CANDIDATE set only
         ivfDeleteTopK = IvfMirror.recompute(vecs,
@@ -438,6 +443,10 @@ object SfOracles {
 
   private def hybridIvfCte: String =
     cte("hiv", "qid, rnk, nid", prepared.map(_.hybridIvfTopK), "0, 0, 0") {
+      p: (Long, Int, Long, Double) => s"(${p._1}, ${p._2}, ${p._3})" }
+
+  private def hybridFilIvfCte: String =
+    cte("hfiv", "qid, rnk, nid", prepared.map(_.hybridFilIvfTopK), "0, 0, 0") {
       p: (Long, Int, Long, Double) => s"(${p._1}, ${p._2}, ${p._3})" }
 
   private def ivfDelCte: String =
@@ -672,6 +681,33 @@ object SfOracles {
          |  FROM ranked WHERE rank <= 10
          |  UNION ALL
          |  SELECT qid, nid AS id, 1000000000 // (60 + rnk) AS rrf FROM hiv),
+         |fused AS (
+         |  SELECT qid, id, CAST(sum(rrf) AS BIGINT) AS rrf_score,
+         |         CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM u GROUP BY qid, id),
+         |rr AS (
+         |  SELECT qid, id, rrf_score, n_lists,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY rrf_score DESC, id) AS rank
+         |  FROM fused)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, id AS doc_id,
+         |       rrf_score, n_lists
+         |FROM rr WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // q180: FILTERED hybrid retrieval — q169's fusion with q173's
+    // metadata predicate on BOTH legs. The BM25 leg replays with the
+    // candidates-only exclusion (odd docs out of contrib, statistics
+    // index-wide — exactly topKAgainstIndex(candidateFilter)'s
+    // published semantics, the q170 delete placement); the IVF leg
+    // comes from the candidate-filtered mirror. Fusion identical to
+    // q169: pure-BIGINT RRF, ties on doc_id, n_lists pinned.
+    "q180_hybrid_rrf_filtered" ->
+      s"""WITH ${Bm25OracleSql.rankedCtesExcluding("p.doc_id % 2 = 1")},
+         |$hybridFilIvfCte,
+         |u AS (
+         |  SELECT qid, doc_id AS id, 1000000000 // (60 + rank) AS rrf
+         |  FROM ranked WHERE rank <= 10
+         |  UNION ALL
+         |  SELECT qid, nid AS id, 1000000000 // (60 + rnk) AS rrf FROM hfiv),
          |fused AS (
          |  SELECT qid, id, CAST(sum(rrf) AS BIGINT) AS rrf_score,
          |         CAST(count(*) AS BIGINT) AS n_lists

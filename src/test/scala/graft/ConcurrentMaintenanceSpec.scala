@@ -100,7 +100,8 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_conc_cas").toString
     val live = "g_conc_cas"
     def writeGen(gen: String, tag: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $gen")
+      // no DROP: the reserve claim is held continuously, overwrite
+      // replaces the placeholder (the round-15 contract)
       Seq((1L, tag)).toDF("id", "tag")
         .write.format("parquet")
         .option("path", Generations.genPath(s"$dir/t", gen))
@@ -137,7 +138,8 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_conc_ret").toString
     val live = "g_conc_ret"
     def writeGen(gen: String, tag: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $gen")
+      // no DROP: the reserve claim is held continuously, overwrite
+      // replaces the placeholder (the round-15 contract)
       Seq((1L, tag)).toDF("id", "tag")
         .write.format("parquet")
         .option("path", Generations.genPath(s"$dir/t", gen))
@@ -164,6 +166,92 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite {
       "generations older than the superseded one are retired as before")
     assert(spark.catalog.tableExists(g1),
       "the superseded generation is retained for in-flight readers")
+  }
+
+  test("vacuum queues behind an in-flight maintenance op: a live " +
+      "writer's reservation is never deleted mid-write (r15 directive 3)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac_fam").toString
+    // member-name shape: familyOf strips _postings, so vacuum contends
+    // on the same lock every maintenance op of family g_vac_fam takes
+    val live = "g_vac_fam_postings"
+    def writeGen(gen: String, tag: String): Unit =
+      Seq((1L, tag)).toDF("id", "tag")
+        .write.format("parquet")
+        .option("path", Generations.genPath(s"$dir/t", gen))
+        .mode("overwrite").saveAsTable(gen)
+    val g0 = Generations.reserve(spark, live)
+    writeGen(g0, "g0")
+    Generations.commit(spark, live, g0, None)
+    @volatile var vacuumDone = false
+    @volatile var reservedGen: String = null
+    val lockHeld = new CountDownLatch(1)
+    val writer = new Thread(() =>
+      Generations.withMaintenanceLock("g_vac_fam") {
+        val base = Generations.currentOpt(spark, live)
+        reservedGen = Generations.reserve(spark, live)
+        lockHeld.countDown()
+        Thread.sleep(2000) // hold the reservation with the lock held
+        writeGen(reservedGen, "g1")
+        Generations.commit(spark, live, reservedGen, base)
+      })
+    writer.start()
+    lockHeld.await()
+    val vac = new Thread(() => {
+      Generations.vacuum(spark, live)
+      vacuumDone = true
+    })
+    vac.start()
+    Thread.sleep(800)
+    assert(!vacuumDone,
+      "vacuum must BLOCK on the family maintenance lock while a writer " +
+        "is in flight (the old behavior deleted its reservation here)")
+    assert(spark.catalog.tableExists(reservedGen),
+      "the in-flight reservation must survive a concurrent vacuum call")
+    writer.join(300000); vac.join(300000)
+    assert(vacuumDone)
+    assert(Generations.current(spark, live) == reservedGen,
+      "the writer's commit must land after the queued vacuum")
+    assert(spark.table(live).select($"tag").head().getString(0) == "g1")
+    assert(!spark.catalog.tableExists(g0),
+      "the queued vacuum (running after the writer) reclaims the " +
+        "superseded generation as usual")
+  }
+
+  test("retryOnConcurrentMaintenance: two racing cross-JVM-style " +
+      "writers both land without manual intervention (r15 directive 4)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retry_cas").toString
+    val live = "g_retry_cas"
+    def writeRows(gen: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "tag")
+        .write.format("parquet")
+        .option("path", Generations.genPath(s"$dir/t", gen))
+        .mode("overwrite").saveAsTable(gen)
+    val g0 = Generations.reserve(spark, live)
+    writeRows(g0, Seq((0L, "base")))
+    Generations.commit(spark, live, g0, None)
+    // a read-merge-write maintenance body that deliberately BYPASSES the
+    // family lock (the cross-JVM simulation): without retry, one of two
+    // racers aborts with ConcurrentMaintenanceException and its batch is
+    // dropped; wrapped, the loser re-runs against the winner's state
+    def addRow(id: Long, tag: String): Unit =
+      Generations.retryOnConcurrentMaintenance() {
+        val base = Generations.currentOpt(spark, live)
+        val cur = spark.table(Generations.current(spark, live))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        val gN = Generations.reserve(spark, live)
+        writeRows(gN, cur :+ (id -> tag))
+        Thread.sleep(400) // widen the race window so the CAS must decide
+        Generations.commit(spark, live, gN, base)
+      }
+    val errs = inThreads(
+      () => addRow(1L, "a"),
+      () => addRow(2L, "b"))
+    assert(errs.forall(_.isEmpty),
+      s"both retried writers must land: $errs")
+    val got = spark.table(live).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(0L -> "base", 1L -> "a", 2L -> "b"),
+      s"the final state must hold BOTH batches merged, got $got")
   }
 
   test("concurrent MinHash ingests on one index both grow the history") {

@@ -61,11 +61,34 @@ class SnapshotsSpec extends AnyFunSuite {
     // asOf = 1 replays the pre-delete (post-append) state exactly
     assert(probe(tbl, asOf = 1) == atAppend)
     assert(atAppend != atDelete, "the delete must have changed the ranking")
-    // stepping ACROSS the in-place append refuses loudly
-    val e = intercept[IllegalStateException] { probe(tbl, asOf = 2) }
-    assert(e.getMessage.contains("appended files") &&
-      e.getMessage.contains("commit 1"))
-    assert(atBuild != atAppend) // (sanity: the refused state really differs)
+    // stepping ACROSS the in-place append serves the build-time state
+    // exactly: the build commit's FILE MANIFEST pins the postings read
+    // to the files present then, un-seeing the appended ones (round 15
+    // — the r14 contract refused here)
+    assert(atBuild != atAppend) // (sanity: the crossed state really differs)
+    assert(probe(tbl, asOf = 2) == atBuild,
+      "asOf=2 must cross the append commit via the file manifest and " +
+        "serve the build-time ranking exactly")
+    // ... but the name-only resolver (audit tooling that reads the
+    // generation TABLES directly) still refuses, since a table read
+    // cannot un-see appended files
+    val e = intercept[IllegalStateException] {
+      Snapshots.resolveAsOf(spark, tbl, 2)
+    }
+    assert(e.getMessage.contains("commit 1"))
+    // a LEGACY manifest (no per-commit file log) still refuses loudly
+    val lf = Snapshots.logFilesTable(tbl)
+    val lfLoc = Generations.location(spark, lf)
+    spark.sql(s"DROP TABLE IF EXISTS $lf")
+    try {
+      val e2 = intercept[IllegalStateException] { probe(tbl, asOf = 2) }
+      assert(e2.getMessage.contains("commit 1") &&
+        e2.getMessage.contains("file log"))
+    } finally {
+      // restore the file log (other asserts in this suite reuse the index)
+      spark.sql(s"CREATE TABLE $lf (commit_id BIGINT, member STRING, " +
+        s"files ARRAY<STRING>) USING parquet LOCATION '$lfLoc'")
+    }
     // history deeper than recorded refuses
     intercept[IllegalArgumentException] { probe(tbl, asOf = 3) }
   }
@@ -138,6 +161,50 @@ class SnapshotsSpec extends AnyFunSuite {
       s"evens' twins tombstoned => their replays classify new: $post")
     assert(cls(1) == pre,
       "asOf=1 must classify against the full pre-delete history")
+  }
+
+  test("snapshot-log retention: compactLog folds the per-commit files " +
+      "to one and bounds history; recording continues monotonic after " +
+      "(r15 directive 8)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_ret").toString
+    val tbl = "g_snap_logret"
+    Bm25.buildIndex(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      tbl, s"$dir/idx", nDirs = 4)
+    // 4 more commits → 5 manifest files (one per commit)
+    (0 until 4).foreach { i =>
+      Bm25.deleteFromIndex(spark, tbl, Seq(Tuple1(i.toLong)).toDF("id"))
+    }
+    def dataFiles(table: String): Int = {
+      val root = new org.apache.hadoop.fs.Path(
+        Generations.location(spark, table))
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(root).count(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    }
+    val logLive = Snapshots.logTable(tbl)
+    assert(dataFiles(logLive) == 5,
+      "one manifest file per commit before compaction")
+    Snapshots.compactLog(spark, tbl, keepCommits = 2)
+    // ONE file, exactly the newest 2 manifests, newest first
+    assert(dataFiles(Generations.current(spark, logLive)) == 1,
+      "compactLog must fold the log to one file")
+    val hist = Snapshots.history(spark, tbl)
+      .select("commit_id", "op").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist == Seq((4L, "delete"), (3L, "delete")),
+      s"history reaches exactly keepCommits after the fold: $hist")
+    // within retention resolves; beyond refuses with the usual error
+    assert(Snapshots.resolveStateAsOf(spark, tbl, 1).nonEmpty)
+    intercept[IllegalArgumentException] {
+      Snapshots.resolveStateAsOf(spark, tbl, 2)
+    }
+    // recording continues, ids stay monotonic past the fold
+    Bm25.deleteFromIndex(spark, tbl, Seq(Tuple1(99L)).toDF("id"))
+    val afterIds = Snapshots.history(spark, tbl)
+      .select("commit_id").collect().map(_.getLong(0)).toSeq
+    assert(afterIds == Seq(5L, 4L, 3L),
+      s"post-compaction commits append with monotonic ids: $afterIds")
   }
 
   test("IVF and MinHash maintenance record manifests too (family " +

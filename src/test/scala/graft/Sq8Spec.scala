@@ -125,8 +125,10 @@ class Sq8Spec extends AnyFunSuite {
   test("Sq8Dot/Sq8NormSq: interpreted eval == whole-stage codegen on " +
       "random inputs (both paths ship)") {
     import graft.expressions.VectorExpressions.{sq8Dot, sq8NormSq}
+    // dims are EQUAL across query/codes/params by contract (round 15:
+    // drift throws loudly instead of silently truncating — see below)
+    val dim = 9
     val rows = (0 until 200).map { i =>
-      val dim = 1 + (i % 9)
       val q = Array.tabulate(dim)(d => math.sin(i * 7.0 + d) * (d + 1))
       val codes = Array.tabulate(dim)(d =>
         (((i * 31 + d * 17) % 256 + 256) % 256).toByte)
@@ -149,8 +151,8 @@ class Sq8Spec extends AnyFunSuite {
     assert(gen == interp, "doGenCode and nullSafeEval must agree bit-for-bit")
     // and both match a plain-Scala reference (unsigned byte decode)
     val ref = rows.map { case (id, q, codes) =>
-      val mn = Seq(-2.0, 0.0, 1.5, -0.25, 3.0, -1.0, 0.5, 2.0, -3.0)
-      val st = Seq(0.01, 0.0, 0.002, 0.5, 0.03, 0.001, 0.25, 0.0, 0.1)
+      val mn = mins.toSeq
+      val st = steps.toSeq
       var d = 0.0; var n = 0.0; var i = 0
       while (i < q.length) {
         val r = mn(i) + (codes(i) & 0xFF) * st(i)
@@ -159,6 +161,68 @@ class Sq8Spec extends AnyFunSuite {
       (id, d, n)
     }
     assert(gen == ref)
+  }
+
+  test("Sq8Dot/Sq8NormSq: a codes/params dimension mismatch fails " +
+      "loudly in BOTH eval modes — never a silently-truncated score") {
+    import graft.expressions.VectorExpressions.{sq8Dot, sq8NormSq}
+    // 4-dim rows against 3-dim params: stale qparams after a rebuild
+    // with different dims (the r14 ADVICE drift scenario)
+    val rows = Seq((1L, Seq(1.0, 2.0, 3.0, 4.0),
+      Array[Byte](10, 20, 30, 40)))
+    val mins = Array(0.0, 0.0, 0.0)
+    val steps = Array(0.5, 0.5, 0.5)
+    def mismatches(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(t => Option(t.getMessage).exists(_.contains("dimension mismatch")))
+    for (codegen <- Seq(true, false)) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      try {
+        val e = intercept[Throwable] {
+          rows.toDF("id", "q", "codes")
+            .select(sq8Dot(spark)($"q", $"codes", mins, steps).as("d"))
+            .collect()
+        }
+        assert(mismatches(e), s"want a loud dimension-mismatch error, got $e")
+        val e2 = intercept[Throwable] {
+          rows.toDF("id", "q", "codes")
+            .select(sq8NormSq(spark)($"codes", mins, steps).as("n"))
+            .collect()
+        }
+        assert(mismatches(e2), s"want a loud dimension-mismatch error, got $e2")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("the probe reads (codes, params) from ONE committed generation: " +
+      "a drifted _qparams table cannot poison scores (r14 ADVICE)") {
+    import graft.sources.Generations
+    val tbl = buildQuantized("pair")
+    def probe(): Seq[(Long, Int, Long, Double)] = Knn.ivfTopKAgainstIndexSq8(
+        vecs.filter(_._1 < 6).map { case (id, v) => (id, v.toSeq) }
+          .toDF("vec_id", "embedding"),
+        tbl, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val before = probe()
+    // simulate the old two-flip race window: the `_qparams` audit table
+    // flips to params that do NOT match the live codes (here: garbage)
+    val qpLive = s"${tbl}_qparams"
+    val base = Generations.currentOpt(spark, qpLive)
+    val gen = Generations.reserve(spark, qpLive)
+    Seq((Seq.fill(6)(123.0), Seq.fill(6)(456.0))).toDF("mins", "steps")
+      .coalesce(1).write.format("parquet")
+      .option("path",
+        Generations.genPath(Generations.basePath(spark, qpLive), gen))
+      .mode("overwrite").saveAsTable(gen)
+    Generations.commit(spark, qpLive, gen, base)
+    // scores must be unchanged: the probe resolves params from the
+    // sidecar INSIDE the cells_q8 generation it scans — one matched
+    // pair per atomic flip, the _qparams table is audit surface only
+    assert(probe() == before,
+      "probe scores must come from the generation-matched sidecar, " +
+        "never from a drifted _qparams table")
   }
 
   test("tombstoned ids leave SQ8 results immediately; quantize is a " +
