@@ -187,4 +187,37 @@ class Bm25IndexSpec extends AnyFunSuite {
       Seq((1L, "rare2")).toDF("qid", "term"), k = 60))
     assert(bounded.filter(_._1 == 1L) == noStop)
   }
+
+  test("a probe on an empty-tombstone index plans ZERO bookkeeping Spark " +
+      "jobs — the job count is pinned (r15 directive 5)") {
+    buildIdx(corpus, "g_bm25_spec_jobs")
+    val queries = Seq((1L, "rare3"), (2L, "rare5")).toDF("qid", "term")
+    // warm one probe (listings, codegen) so the counted run is steady
+    Bm25.topKAgainstIndex(queries, "g_bm25_spec_jobs", k = 5).collect()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Bm25.topKAgainstIndex(queries, "g_bm25_spec_jobs", k = 5).collect()
+      // listener delivery is async; JobStart events for jobs the collect
+      // above ran are in flight at most briefly
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // The steady probe runs exactly FIVE actions — the qStaged
+    // localCheckpoint, the bounded take (cap check + query pairs in ONE
+    // action, where the r14 shape ran a count() AND a collect()), the
+    // dir-pruned dfs stats collect, the 1-row bounds collect, and the
+    // result — and AQE materializes each multi-stage action as one job
+    // per query stage, which lands at 12 on this corpus. Pinning the
+    // measured number makes any future per-probe bookkeeping job (the
+    // count()-for-the-cap regression, a max-scan on a log) a test
+    // failure instead of a silent serving-path tax.
+    assert(jobs.get() <= 12,
+      s"steady probe must stay within the measured 12 jobs (5 actions " +
+        s"under AQE staging), got ${jobs.get()}")
+  }
 }

@@ -62,10 +62,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "q176_bm25_delete_stream",   // q170's probe over the
                                    // stream-tombstoned index — same
                                    // 1-row bounds broadcast
-      "q177_bm25_time_travel")     // q155's probe over the HISTORICAL
+      "q177_bm25_time_travel",     // q155's probe over the HISTORICAL
                                    // generations (asOfCommits=1) — same
                                    // 1-row bounds broadcast, read from
                                    // the manifest-resolved bounds gen
+      "q179_bm25_tt_across_append", // q177's probe at asOfCommits=2 —
+                                    // same 1-row bounds broadcast, read
+                                    // from the build-time bounds gen
+                                    // (the postings read is file-pinned)
+      "q180_hybrid_rrf_filtered")  // q169's fusion with the metadata
+                                   // predicate — the BM25 leg keeps the
+                                   // same 1-row bounds broadcast
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =
