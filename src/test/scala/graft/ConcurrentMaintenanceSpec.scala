@@ -254,6 +254,76 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite {
       s"the final state must hold BOTH batches merged, got $got")
   }
 
+  test("a BM25 append that loses a cross-JVM dfs race leaves the index " +
+      "UNCHANGED (staged postings) and lands on retry (r15 ADVICE 3)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage_app").toString
+    val docs = (0L until 60L).map(i => (i, s"shared words rare${i % 6} doc$i"))
+    val (base, batch) = (docs.filter(_._1 % 2 == 0), docs.filter(_._1 % 2 == 1))
+    val tbl = "g_stage_app"
+    Bm25.buildIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+      tbl, s"$dir/idx", nDirs = 4)
+    def postingFiles(): Set[String] = {
+      val root = new org.apache.hadoop.fs.Path(
+        Generations.location(spark, Generations.current(spark, s"${tbl}_postings")))
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(root, true)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-")) out += f.getPath.toString
+      }
+      out.toSet
+    }
+    val before = postingFiles()
+    // a cross-JVM-style racer: flips the dfs member to an identical COPY
+    // (a no-op competing commit) OUTSIDE the family lock, inside the
+    // append's stage-write window — the append's dfs CAS must then lose.
+    // The competing generation is FULLY PREPARED up front so the racing
+    // commit itself is one ~ms catalog op, and it triggers the moment
+    // the append's staging directory appears (which is after the append
+    // observed its dfs base and long before its own CAS) — the race is
+    // decided deterministically.
+    val dGen0 = Generations.ensureGen(spark, s"${tbl}_dfs")
+    val copy = spark.table(dGen0).collect()
+    val nextRacer = Generations.reserve(spark, s"${tbl}_dfs")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(copy.toSeq, 1),
+        spark.table(dGen0).schema)
+      .write.format("parquet")
+      .option("path", Generations.genPath(
+        Generations.basePath(spark, s"${tbl}_dfs"), nextRacer))
+      .mode("overwrite").saveAsTable(nextRacer)
+    val racer = new Thread(() => {
+      val parent = new java.io.File(s"$dir/idx")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline &&
+          !Option(parent.listFiles()).exists(_.exists(
+            _.getName.startsWith("postings__stage"))))
+        Thread.sleep(10)
+      Generations.commit(spark, s"${tbl}_dfs", nextRacer, Some(dGen0))
+    })
+    racer.start()
+    val e = intercept[ConcurrentMaintenanceException] {
+      Bm25.appendToIndex(batch.toDF("doc_id", "text"), "doc_id", "text", tbl)
+    }
+    racer.join(300000)
+    assert(e.getMessage.contains("moved"))
+    assert(postingFiles() == before,
+      "a lost dfs race must leave the postings generation byte-identical " +
+        "(the staged files were deleted, never moved in)")
+    // the op is retryable: wrapped, it lands against the new state
+    Generations.retryOnConcurrentMaintenance() {
+      Bm25.appendToIndex(batch.toDF("doc_id", "text"), "doc_id", "text", tbl)
+    }
+    // final ranking equals a fresh build over the union
+    val ref = "g_stage_app_ref"
+    Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text",
+      ref, s"$dir/ref", nDirs = 4)
+    val qs = Seq((1L, "rare2"), (2L, "rare5"), (3L, "words"))
+    assert(bmRows(tbl, qs) == bmRows(ref, qs),
+      "the retried append must fully merge the batch")
+  }
+
   test("concurrent MinHash ingests on one index both grow the history") {
     val dir = java.nio.file.Files.createTempDirectory("graft_conc_mh").toString
     def doc(i: Long) = s"minhash corpus sentence number $i with shared filler words"
