@@ -30,5 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): the bench sweep runs 182 queries in ONE
+  // session, and the persisted-index warmup pass plus each query's
+  // Stage.cut/operator caches accumulate in the unified memory pool —
+  // at 8g the storage fraction crossed its eviction cliff mid-sweep and
+  // evicted the similarity-join family's prepared-dictionary caches
+  // (q46/q49 measured 6x slower in-sweep while 2.1-2.9 s standalone).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -1056,6 +1056,61 @@ object Queries {
       .orderBy($"qid", $"rnk")
   }
 
+  /** q181: IVF time travel ACROSS the append commit — the vector-family
+    * twin of q179 (family symmetry of the file-manifest capability):
+    * q160's layout (build on evens — quantizer trained on the build
+    * half — then append the odds in place), probed at `asOfCommits = 1`,
+    * the BUILD-TIME state. The cells read lists the build commit's file
+    * manifest, so the appended odd vectors are structurally unseen; the
+    * ranking must equal a probe of an even-only index (mirror: train on
+    * evens, candidates evens, queries ids < 10 from the full corpus). */
+  def knnIvfTimeTravelAcrossAppend(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val tbl = s"g_ivfapp_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q160_ivfapp_${sfDir.hashCode.toHexString}") { d =>
+      Knn.writeIvfIndex(emb.filter($"vec_id" % 2 === 0), "vec_id",
+        "embedding", tbl, s"$d/idx")
+      Knn.appendToIvfIndex(emb.filter($"vec_id" % 2 === 1), "vec_id",
+        "embedding", tbl)
+    }
+    Knn.ivfTopKAgainstIndex(emb.filter($"vec_id" < 10), tbl,
+        "vec_id", "embedding", k = 5, asOfCommits = 1)
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** q182: MinHash time travel ACROSS the ingest commits — the
+    * dedup-family twin of q179: q157's layout (build on %3==0, ingest
+    * %3==1 then %3==2 — both in-place grows of the sigs/buckets
+    * generations), with the %3==1 batch RE-CLASSIFIED at
+    * `asOfCommits = 2`: the BUILD-TIME history. The historical
+    * sigs/buckets reads list the build commit's file manifests, so both
+    * ingested batches are unseen and the classification must equal the
+    * stateless form against the %3==0 history alone (= what batch 1 saw
+    * live — the ingest loop's day-1 answer, now reproducible forever). */
+  def minhashTimeTravelAcrossIngest(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val tbl = s"g_mhing_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q157_mhing_${sfDir.hashCode.toHexString}") { d =>
+      graft.operators.Dedup.writeMinhashIndex(
+        docs.filter($"doc_id" % 3 === 0), "doc_id", "text",
+        tbl, s"$d/idx", numBuckets = 8)
+      graft.operators.Dedup.ingestAgainstIndex(
+          docs.filter($"doc_id" % 3 === 1), tbl, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$d/b1")
+      graft.operators.Dedup.ingestAgainstIndex(
+          docs.filter($"doc_id" % 3 === 2), tbl, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$d/b2")
+    }
+    graft.operators.Dedup.minhashIncrementalAgainstIndex(
+        docs.filter($"doc_id" % 3 === 1), tbl, "doc_id", "text",
+        asOfCommits = 2)
+      .orderBy($"doc_id")
+  }
+
   /** q172: IVF index DELETE — the takedown primitive for the vector
     * index: q158's build over the full corpus, then every
     * `vec_id % 5 == 2` vector is tombstoned

@@ -61,6 +61,7 @@ object SfOracles {
       dsirTop: Seq[(Int, Long, Long, Long, Long)], // q139 selected rows
       ivfTopK: Seq[(Long, Int, Long, Double)],     // q42
       ivfAppendTopK: Seq[(Long, Int, Long, Double)], // q160: even-id-trained quantizer
+      ivfTtTopK: Seq[(Long, Int, Long, Double)], // q181: build-time state (evens only)
       hybridIvfTopK: Seq[(Long, Int, Long, Double)], // q169: every-50th qids, k=10
       hybridFilIvfTopK: Seq[(Long, Int, Long, Double)], // q180: q169 + even-id candidates
       ivfDeleteTopK: Seq[(Long, Int, Long, Double)],   // q172: %5==2 ids tombstoned
@@ -77,7 +78,8 @@ object SfOracles {
       pipelineV4Rows: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)], // q148
       incFuzzyRows: Seq[(Long, String, Long)], // q153: doc_id, status, n_hist_dups
       incFuzzy2Rows: Seq[(Long, Int, String, Long)], // q157: doc_id, batch, status, n_hist_dups
-      incFuzzyDelRows: Seq[(Long, String, Long)]) // q171: history minus %4==0 tombstones
+      incFuzzyDelRows: Seq[(Long, String, Long)], // q171: history minus %4==0 tombstones
+      incFuzzyTtRows: Seq[(Long, String, Long)]) // q182: %3==1 batch vs build-time %3==0 history
 
   @volatile private var prepared: Option[Prepared] = None
 
@@ -315,6 +317,11 @@ object SfOracles {
         // q160: the append contract — the quantizer is trained on the
         // BUILD half (even vec_ids) only; assignment/scoring cover all
         ivfAppendTopK = IvfMirror.recompute(vecs, trainFilter = _ % 2 == 0),
+        // q181: time travel across the append — the BUILD-TIME index:
+        // quantizer trained on evens AND candidates evens only (the odd
+        // vectors were appended later; the file manifest un-sees them)
+        ivfTtTopK = IvfMirror.recompute(vecs, trainFilter = _ % 2 == 0,
+          candidateFilter = _ % 2 == 0),
         // q169: the hybrid-retrieval IVF leg — the q158 index (full
         // corpus, default quantizer) probed by every 50th vector at
         // k=10, matching the BM25 leg's every-50th-document batch
@@ -366,6 +373,12 @@ object SfOracles {
         // q171: tombstone deletes — classification must equal a probe
         // against a history that never held the deleted docs (evens
         // minus the %4==0 tombstones = ids ≡ 2 mod 4)
+        // q182: time travel across both ingests — the %3==1 batch
+        // classified against the BUILD-TIME history alone (what batch 1
+        // saw live on day 1, now reproducible forever)
+        incFuzzyTtRows = DedupGolden.recomputeIncrementalFor(
+          incoming = docs.filter(_._1 % 3 == 1),
+          history = docs.filter(_._1 % 3 == 0)),
         incFuzzyDelRows = DedupGolden.recomputeIncrementalFor(
           incoming = docs.filter(_._1 % 2 == 1),
           history = docs.filter(d => d._1 % 2 == 0 && d._1 % 4 != 0))))
@@ -448,6 +461,16 @@ object SfOracles {
   private def hybridFilIvfCte: String =
     cte("hfiv", "qid, rnk, nid", prepared.map(_.hybridFilIvfTopK), "0, 0, 0") {
       p: (Long, Int, Long, Double) => s"(${p._1}, ${p._2}, ${p._3})" }
+
+  private def ivfTtCte: String =
+    cte("ivt", "qid, rnk, nid, score", prepared.map(_.ivfTtTopK), "0, 0, 0, 0.0") {
+      p: (Long, Int, Long, Double) =>
+        s"(${p._1}, ${p._2}, ${p._3}, ${dlit(p._4)})" }
+
+  private def incFuzzyTtCte: String =
+    cte("ift", "doc_id, status, n_hist_dups",
+      prepared.map(_.incFuzzyTtRows), "0, '', 0") {
+      p: (Long, String, Long) => s"(${p._1}, ${lit(p._2)}, ${p._3})" }
 
   private def ivfDelCte: String =
     cte("ivd", "qid, rnk, nid, score", prepared.map(_.ivfDeleteTopK), "0, 0, 0, 0.0") {
@@ -609,6 +632,14 @@ object SfOracles {
     // q168: the SAME mirror rows as q160 — streaming micro-batch
     // appends to the frozen quantizer must neither retrain nor lose a
     // vector
+    // q181: IVF time travel across the append commit — the probe must
+    // serve the BUILD-TIME index exactly (even-trained quantizer, even
+    // candidates; the appended odds unseen via the file manifest)
+    "q181_knn_ivf_tt_append" ->
+      s"""WITH $ivfTtCte
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
+         |       CAST(nid AS BIGINT) AS nid, score
+         |FROM ivt ORDER BY qid, rnk""".stripMargin,
     "q168_knn_ivf_append_stream" ->
       s"""WITH $ivfAppCte
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
@@ -741,6 +772,14 @@ object SfOracles {
     // q153: incremental fuzzy dedup — the mirror replays the whole
     // candidate machine (exact-slice banding == the operator's hash
     // buckets at this threshold), so even n_hist_dups counts are pinned
+    // q182: MinHash time travel across both ingest commits — the %3==1
+    // batch re-classified against the BUILD-TIME history alone
+    "q182_minhash_tt_ingest" ->
+      s"""WITH $incFuzzyTtCte
+         |SELECT d.doc_id, f.status, CAST(f.n_hist_dups AS BIGINT) AS n_hist_dups
+         |FROM documents d JOIN ift f ON f.doc_id = d.doc_id
+         |WHERE d.doc_id % 3 = 1
+         |ORDER BY d.doc_id""".stripMargin,
     "q153_minhash_incremental" ->
       s"""WITH $incFuzzyCte
          |SELECT d.doc_id, f.status, CAST(f.n_hist_dups AS BIGINT) AS n_hist_dups

@@ -202,7 +202,9 @@ object SparkEntry {
     "q177_bm25_time_travel" -> (Queries.bm25TimeTravelTopK _),
     "q178_knn_ivf_sq8" -> (Queries.knnIvfSq8 _),
     "q179_bm25_tt_across_append" -> (Queries.bm25TimeTravelAcrossAppend _),
-    "q180_hybrid_rrf_filtered" -> (Queries.hybridRrfFilteredRetrieval _)
+    "q180_hybrid_rrf_filtered" -> (Queries.hybridRrfFilteredRetrieval _),
+    "q181_knn_ivf_tt_append" -> (Queries.knnIvfTimeTravelAcrossAppend _),
+    "q182_minhash_tt_ingest" -> (Queries.minhashTimeTravelAcrossIngest _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the
