@@ -207,6 +207,29 @@ class SnapshotsSpec extends AnyFunSuite {
       s"post-compaction commits append with monotonic ids: $afterIds")
   }
 
+  test("compactLog preserves the kept commits' FILE manifests: time " +
+      "travel across an append still serves after the fold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_lfc").toString
+    val tbl = "g_snap_logfold"
+    val evens = corpus.filter(_._1 % 2 == 0)
+    Bm25.buildIndex(evens.toDF("doc_id", "text"), "doc_id", "text",
+      tbl, s"$dir/idx", nDirs = 4)
+    val atBuild = probe(tbl)
+    Bm25.appendToIndex(corpus.filter(_._1 % 2 == 1).toDF("doc_id", "text"),
+      "doc_id", "text", tbl)
+    Bm25.deleteFromIndex(spark, tbl,
+      corpus.filter(_._1 % 7 === 3).map(t => Tuple1(t._1)).toDF("id"))
+    // fold both logs, keeping the full history — one file each, every
+    // manifest (and its file rows) intact
+    Snapshots.compactLog(spark, tbl, keepCommits = 3)
+    assert(probe(tbl, asOf = 2) == atBuild,
+      "the build commit's file manifest must survive the log fold — " +
+        "time travel across the append still serves the build state")
+    // and a bounded fold truncates file rows WITH their manifests
+    Snapshots.compactLog(spark, tbl, keepCommits = 1)
+    intercept[IllegalArgumentException] { probe(tbl, asOf = 2) }
+  }
+
   test("IVF and MinHash maintenance record manifests too (family " +
       "symmetry of the log)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap_sym").toString
