@@ -230,6 +230,29 @@ class SnapshotsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { probe(tbl, asOf = 2) }
   }
 
+  test("the file-pinned historical read keeps partition pruning (the " +
+      "schema-normalizing cast must not defeat it)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_prune").toString
+    val tbl = "g_snap_prune"
+    Bm25.buildIndex(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      tbl, s"$dir/idx", nDirs = 4)
+    Bm25.appendToIndex(
+      corpus.map { case (i, t) => (1000L + i, t) }.toDF("doc_id", "text"),
+      "doc_id", "text", tbl)
+    val st = Snapshots.resolveStateAsOf(spark, tbl, 1)(s"${tbl}_postings")
+    assert(st.files.exists(_.nonEmpty), "postings must be file-pinned")
+    val plan = st.read(spark).filter(col("tb") === 1L)
+      .queryExecution.executedPlan.toString
+    // the explicit-file scan must still prune tb directories at planning:
+    // unwrap-cast turns the filter on the normalized bigint column back
+    // into a partition filter on the discovered int column
+    assert(plan.contains("PartitionFilters") && !plan
+        .split("\n").filter(_.contains("PartitionFilters")).head
+        .contains("PartitionFilters: []"),
+      s"tb filter must reach PartitionFilters on the pinned read:\n$plan")
+  }
+
   test("IVF and MinHash maintenance record manifests too (family " +
       "symmetry of the log)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap_sym").toString
