@@ -56,7 +56,7 @@ object Bench {
       "q154", "q155", "q156", "q157", "q158", "q159", "q160", "q161",
       "q162", "q163", "q164", "q165", "q166", "q167", "q168", "q169",
       "q170", "q171", "q172", "q173", "q174", "q175", "q176", "q177",
-      "q178", "q179", "q180", "q181", "q182")
+      "q178", "q179", "q180", "q181", "q182", "q183", "q184")
     val byName = SparkEntry.queries.toSeq.sortBy(_._1)
     byName.foreach { case (name, fn) =>
       if (layoutBacked(name.takeWhile(_ != '_'))) {
@@ -64,15 +64,6 @@ object Bench {
         System.err.println(f"[bench] warmup(build) $name ${tw}%.3fs")
       }
     }
-    val timed = byName.map { case (name, fn) =>
-      val t1 = once(name, fn)
-      val steady =
-        if (t1 < retimeUnder || layoutBacked(name.takeWhile(_ != '_')))
-          math.min(t1, once(name, fn))
-        else t1
-      (name, t1, steady)
-    }
-    val results = timed.map { case (n, _, s) => n -> s }.toMap
     // Steady-to-steady round-over-round comparison (VERDICT r7 directive:
     // never again mix single-shot and steady methodologies in the delta).
     // The previous round's steady map is read from the newest BENCH_r*.json
@@ -104,6 +95,35 @@ object Bench {
         } catch { case _: Throwable => None }
       }.getOrElse(Map.empty)
     }
+    // SELF-ADJUDICATION (r15 verdict directive 2): two rounds in a row a
+    // judge had to retime the regress map by hand and found only host
+    // noise. Any query whose steady would ENTER the regress map
+    // (steady − prev-steady > 0.3 s) gets 3 extra reps here, and the
+    // MEDIAN of all its runs is recorded — so a surviving regress entry
+    // means 5-rep-confirmed drift, and blips that recover are named in
+    // "noise_adjudicated" instead. ~10 s of extra wall per flagged
+    // query, zero when the round is clean.
+    val adjudicated = scala.collection.mutable.LinkedHashSet.empty[String]
+    val timed = byName.map { case (name, fn) =>
+      val q = name.takeWhile(_ != '_')
+      val t1 = once(name, fn)
+      var runs: List[Double] = List(t1)
+      if (t1 < retimeUnder || layoutBacked(q)) runs ::= once(name, fn)
+      var steady = runs.min
+      prevSteady.get(q).foreach { p =>
+        if (steady - p > 0.3) {
+          (1 to 3).foreach(_ => runs ::= once(name, fn))
+          val sorted = runs.sorted
+          val median = sorted(sorted.length / 2)
+          System.err.println(f"[bench] retime $name: steady ${steady}%.3fs " +
+            f"vs prev ${p}%.3fs — ${runs.length} reps, median ${median}%.3fs")
+          if (median - p <= 0.3) adjudicated += q
+          steady = median
+        }
+      }
+      (name, t1, steady)
+    }
+    val results = timed.map { case (n, _, s) => n -> s }.toMap
     // The driver stores only the final ~2000 chars of output; a 64-query map
     // with full names and 9-digit values overflows that window and the JSON
     // head gets truncated (BENCH_r03 arrived unparseable). Keys are therefore
@@ -174,10 +194,17 @@ object Bench {
     // Always emitted, on every shed rung: a failed run can never masquerade
     // as a timing (empty list = every query materialized cleanly).
     val errJson = "\"err\":" + errs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Adjudicated blips ride the top rungs (they explain a clean regress
+    // map); shed with the noise map — the regress entries that REMAIN are
+    // the 5-rep-confirmed signal and survive to the last rung via vsPrev.
+    val adjJson =
+      if (adjudicated.isEmpty) ""
+      else ",\"noise_adjudicated\":" +
+        adjudicated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val candidates = Seq(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":$qs,"noise":$noise$vsPrev,"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":$qs$vsPrev,"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":${qsMap(2)}$vsPrevShort,"sf":"$sfShort"}""",
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":$qs,"noise":$noise$adjJson$vsPrev,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":$qs$adjJson$vsPrev,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":${qsMap(2)}$adjJson$vsPrevShort,"sf":"$sfShort"}""",
       // regress sheds LAST (the r11 lesson, round-12 re-fix: at 160
       // queries even the trimmed 2-decimal map + vsPrevShort overflows
       // by ~10 chars, so the old ladder silently dropped the regress

@@ -149,7 +149,8 @@ object IvfMirror {
       maxQid: Long = 10L, k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
       iterations: Int = 5,
       trainFilter: Long => Boolean = _ => true,
-      paramFilter: Long => Boolean = _ => true): Seq[(Long, Int, Long, Double)] = {
+      paramFilter: Long => Boolean = _ => true,
+      candidateFilter: Long => Boolean = _ => true): Seq[(Long, Int, Long, Double)] = {
     val centroids = trainCentroids(
       vecs.filter { case (id, _) => trainFilter(id) }, nCells, iterations)
     if (centroids.isEmpty) return Seq.empty
@@ -185,6 +186,7 @@ object IvfMirror {
       }.sorted.take(nProbe).map(_._2)
       val cand = probes.flatMap(c => byCell.getOrElse(c, Seq.empty))
         .filter(_ != qid)
+        .filter(candidateFilter)
       cand.map { id =>
         val r = reconOf(id)
         (id, dotAsc(qv, r) / (qnorm(qid) * math.sqrt(dotAsc(r, r))))

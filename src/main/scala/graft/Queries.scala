@@ -1193,6 +1193,36 @@ object Queries {
       .orderBy($"qid", $"rnk")
   }
 
+  /** q183: SQ8 time travel ACROSS the append commit — the quantized
+    * deployment's rollback read (r15 verdict directive 3: the float
+    * probe had `asOfCommits`, the SQ8 probe didn't, so "serve
+    * yesterday's index" silently wasn't available where the serving
+    * economics live). Layout: build on the even half (quantizer trained
+    * on evens) → [[graft.operators.Knn.quantizeIvfIndex]] (params
+    * derived from the even cells) → append the odd half (codes grown in
+    * place under FROZEN params). Probing at `asOfCommits = 1` targets
+    * the quantize commit: the codes read lists that commit's file
+    * manifest (appended odd codes structurally unseen) and the
+    * reconstruction params come from the SAME historical generation's
+    * sidecar — the (codes, params) pairing survives time travel by
+    * construction. The mirror replays exactly that: even-trained
+    * quantizer, even-derived params, even candidates. */
+  def knnIvfSq8TimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val tbl = s"g_sq8tt_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q183_sq8tt_${sfDir.hashCode.toHexString}") { d =>
+      Knn.writeIvfIndex(emb.filter($"vec_id" % 2 === 0), "vec_id",
+        "embedding", tbl, s"$d/idx")
+      Knn.quantizeIvfIndex(spark, tbl)
+      Knn.appendToIvfIndex(emb.filter($"vec_id" % 2 === 1), "vec_id",
+        "embedding", tbl)
+    }
+    Knn.ivfTopKAgainstIndexSq8(emb.filter($"vec_id" < 10), tbl,
+        "vec_id", "embedding", k = 5, asOfCommits = 1)
+      .orderBy($"qid", $"rnk")
+  }
+
   /** q173: metadata-FILTERED vector search — the vector-DB capability
     * ("nearest neighbors WHERE <predicate>") over q158's UNMODIFIED
     * persisted index: the probe passes `candidateFilter = id % 2 == 0`,
@@ -3460,6 +3490,62 @@ object Queries {
     val ivf = Knn.ivfTopKAgainstIndex(
         emb.filter($"vec_id" % 50 === 0), ivfTbl, "vec_id", "embedding",
         k = 10, candidateFilter = Some($"id" % 2 === 0))
+      .select($"qid", $"nid".as("id"),
+        expr("CAST(1000000000 DIV (60 + CAST(rnk AS BIGINT)) AS BIGINT)")
+          .as("rrf"))
+    val w = Window.partitionBy($"qid").orderBy($"rrf_score".desc, $"id".asc)
+    bm.unionByName(ivf)
+      .groupBy($"qid", $"id")
+      .agg(sum($"rrf").as("rrf_score"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"id".as("doc_id"), $"rrf_score", $"n_lists")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** q184: TIME-TRAVEL hybrid retrieval — "serve yesterday's stack"
+    * (r15 verdict directive 7): q169's RRF fusion with BOTH legs read
+    * at their pre-append commits, the operational answer to "a bad
+    * ingest landed across the retrieval stack; serve the last good
+    * state of BOTH indexes while we fix it". The BM25 leg is q179's
+    * layout (build evens → append odds → delete) probed at
+    * `asOfCommits = 2` — the build commit's file manifest, statistics
+    * included; the IVF leg is q181's layout (build evens → append odds)
+    * probed at `asOfCommits = 1` — the even-trained, even-candidate
+    * build state. Fusion identical to q169: integer-exact RRF
+    * (1e9 div (60 + rank), pure BIGINT sums), ties on doc_id, n_lists
+    * pinned. 100 TB plan: both historical legs stay dir-/cell-pruned
+    * (the pinned file read keeps partition pruning — PLANS.md), and the
+    * fusion touches ≤ 2·k rows per query, retrieval-batch-bounded. */
+  def hybridRrfTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bmTbl = s"g_bm25tt_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q177_bm25tt_${sfDir.hashCode.toHexString}") { d =>
+      val docs = Tables(spark, sfDir, "documents")
+      graft.operators.Bm25.buildIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+        bmTbl, s"$d/idx", nDirs = 8)
+      graft.operators.Bm25.appendToIndex(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", bmTbl)
+      graft.operators.Bm25.deleteFromIndex(spark, bmTbl,
+        docs.filter($"doc_id" % 7 === 3).select($"doc_id"))
+    }
+    val ivfTbl = s"g_ivfapp_${sfDir.hashCode.toHexString}"
+    val emb = Tables(spark, sfDir, "embeddings")
+    cachedLayout(s"q160_ivfapp_${sfDir.hashCode.toHexString}") { d =>
+      Knn.writeIvfIndex(emb.filter($"vec_id" % 2 === 0), "vec_id",
+        "embedding", ivfTbl, s"$d/idx")
+      Knn.appendToIvfIndex(emb.filter($"vec_id" % 2 === 1), "vec_id",
+        "embedding", ivfTbl)
+    }
+    val bm = graft.operators.Bm25
+      .topKAgainstIndex(bm25QueryBatch(spark, sfDir), bmTbl, k = 10,
+        asOfCommits = 2)
+      .select($"qid", $"doc_id".as("id"),
+        expr("CAST(1000000000 DIV (60 + rank) AS BIGINT)").as("rrf"))
+    val ivf = Knn.ivfTopKAgainstIndex(
+        emb.filter($"vec_id" % 50 === 0), ivfTbl, "vec_id", "embedding",
+        k = 10, asOfCommits = 1)
       .select($"qid", $"nid".as("id"),
         expr("CAST(1000000000 DIV (60 + CAST(rnk AS BIGINT)) AS BIGINT)")
           .as("rrf"))

@@ -68,6 +68,8 @@ object SfOracles {
       ivfFilteredTopK: Seq[(Long, Int, Long, Double)], // q173: even-id candidates only
       ivfRecall: Seq[(Long, Long)],                    // q175: hits@10 vs exact
       ivfSq8TopK: Seq[(Long, Int, Long, Double)],      // q178: SQ8-reconstructed rerank
+      ivfSq8TtTopK: Seq[(Long, Int, Long, Double)],    // q183: SQ8 at the quantize-time state
+      hybridTtIvfTopK: Seq[(Long, Int, Long, Double)], // q184: build-time IVF leg, every-50th qids, k=10
       qualityRows: Seq[(Long, Long, Boolean)],     // q140
       bloomRows: Seq[(Long, Long, Long, Boolean)], // q141
       lcRows: Seq[(String, Long, Long)],           // q143
@@ -344,6 +346,19 @@ object SfOracles {
         // q178: the SQ8-quantized probe — same quantizer/cell pruning as
         // q158, candidates scored against byte-quantized reconstructions
         ivfSq8TopK = IvfMirror.recomputeSq8(vecs),
+        // q183: SQ8 time travel across the append — the QUANTIZE-TIME
+        // state: quantizer trained on evens, (codes, params) derived from
+        // the even cells, candidates evens only (the odd vectors were
+        // appended later; the commit's file manifest un-sees their codes)
+        ivfSq8TtTopK = IvfMirror.recomputeSq8(vecs,
+          trainFilter = _ % 2 == 0, paramFilter = _ % 2 == 0,
+          candidateFilter = _ % 2 == 0),
+        // q184: the hybrid time-travel IVF leg — the q181 build-time
+        // state (even-trained quantizer, even candidates) probed by the
+        // hybrid batch (every-50th qids) at k=10
+        hybridTtIvfTopK = IvfMirror.recompute(vecs, k = 10,
+          qidFilter = _ % 50 == 0, trainFilter = _ % 2 == 0,
+          candidateFilter = _ % 2 == 0),
         qualityRows = QualityMirror.recompute(docs4.map(d => (d._1, d._2, d._4))),
         hashedQualityRows =
           QualityMirror.recomputeHashed(docs4.map(d => (d._1, d._2, d._4))),
@@ -486,6 +501,15 @@ object SfOracles {
     cte("ivs", "qid, rnk, nid, score", prepared.map(_.ivfSq8TopK), "0, 0, 0, 0.0") {
       p: (Long, Int, Long, Double) =>
         s"(${p._1}, ${p._2}, ${p._3}, ${dlit(p._4)})" }
+
+  private def ivfSq8TtCte: String =
+    cte("ivst", "qid, rnk, nid, score", prepared.map(_.ivfSq8TtTopK), "0, 0, 0, 0.0") {
+      p: (Long, Int, Long, Double) =>
+        s"(${p._1}, ${p._2}, ${p._3}, ${dlit(p._4)})" }
+
+  private def hybridTtIvfCte: String =
+    cte("htiv", "qid, rnk, nid", prepared.map(_.hybridTtIvfTopK), "0, 0, 0") {
+      p: (Long, Int, Long, Double) => s"(${p._1}, ${p._2}, ${p._3})" }
 
   private def ivfRecallCte: String =
     cte("ivr", "qid, hits_at_10", prepared.map(_.ivfRecall), "0, 0") {
@@ -689,6 +713,16 @@ object SfOracles {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
          |       CAST(nid AS BIGINT) AS nid, score
          |FROM ivs ORDER BY qid, rnk""".stripMargin,
+    // q183: SQ8 time travel across the append commit — the quantized
+    // probe must serve the QUANTIZE-TIME (codes, params) pair exactly:
+    // even-trained quantizer, params from the even cells, even
+    // candidates only; the appended odd codes unseen via the file
+    // manifest, the params from the historical generation's sidecar
+    "q183_knn_ivf_sq8_tt" ->
+      s"""WITH $ivfSq8TtCte
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INTEGER) AS rnk,
+         |       CAST(nid AS BIGINT) AS nid, score
+         |FROM ivst ORDER BY qid, rnk""".stripMargin,
     // q164: the SAME mirror rows as q42/q158 — rebuild-after-append
     // retrains on the whole corpus, so it must equal one fresh build
     "q164_knn_ivf_rebuild" ->
@@ -739,6 +773,34 @@ object SfOracles {
          |  FROM ranked WHERE rank <= 10
          |  UNION ALL
          |  SELECT qid, nid AS id, 1000000000 // (60 + rnk) AS rrf FROM hfiv),
+         |fused AS (
+         |  SELECT qid, id, CAST(sum(rrf) AS BIGINT) AS rrf_score,
+         |         CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM u GROUP BY qid, id),
+         |rr AS (
+         |  SELECT qid, id, rrf_score, n_lists,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY rrf_score DESC, id) AS rank
+         |  FROM fused)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, id AS doc_id,
+         |       rrf_score, n_lists
+         |FROM rr WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // q184: TIME-TRAVEL hybrid retrieval — "serve yesterday's stack":
+    // q169's RRF fusion with BOTH legs read at their pre-append commits.
+    // The BM25 leg replays over the even build corpus (rankedCtesCorpus
+    // — statistics shrink WITH the corpus, the q179 time-travel
+    // semantics, cut at rank <= 10); the IVF leg comes from the
+    // build-time mirror (even-trained quantizer, even candidates,
+    // every-50th qids at k=10). Fusion identical to q169: pure-BIGINT
+    // RRF, ties on doc_id, n_lists pinned.
+    "q184_hybrid_rrf_tt" ->
+      s"""WITH ${Bm25OracleSql.rankedCtesCorpus("doc_id % 2 = 0")},
+         |$hybridTtIvfCte,
+         |u AS (
+         |  SELECT qid, doc_id AS id, 1000000000 // (60 + rank) AS rrf
+         |  FROM ranked WHERE rank <= 10
+         |  UNION ALL
+         |  SELECT qid, nid AS id, 1000000000 // (60 + rnk) AS rrf FROM htiv),
          |fused AS (
          |  SELECT qid, id, CAST(sum(rrf) AS BIGINT) AS rrf_score,
          |         CAST(count(*) AS BIGINT) AS n_lists

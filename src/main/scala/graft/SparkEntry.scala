@@ -204,7 +204,9 @@ object SparkEntry {
     "q179_bm25_tt_across_append" -> (Queries.bm25TimeTravelAcrossAppend _),
     "q180_hybrid_rrf_filtered" -> (Queries.hybridRrfFilteredRetrieval _),
     "q181_knn_ivf_tt_append" -> (Queries.knnIvfTimeTravelAcrossAppend _),
-    "q182_minhash_tt_ingest" -> (Queries.minhashTimeTravelAcrossIngest _)
+    "q182_minhash_tt_ingest" -> (Queries.minhashTimeTravelAcrossIngest _),
+    "q183_knn_ivf_sq8_tt" -> (Queries.knnIvfSq8TimeTravel _),
+    "q184_hybrid_rrf_tt" -> (Queries.hybridRrfTimeTravel _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the

@@ -519,12 +519,14 @@ object Bm25 {
     * place, so each commit records its exact file list — that is what
     * lets a historical probe cross an append commit. */
   private def recordSnapshot(spark: org.apache.spark.sql.SparkSession,
-      table: String, op: String, revertible: Boolean): Unit =
+      table: String, op: String, revertible: Boolean,
+      addedFiles: Map[String, Seq[String]] = Map.empty): Unit =
     graft.sources.Snapshots.record(spark, table, op, revertible,
       Seq(s"${table}_postings", s"${table}_dfs", s"${table}_bounds",
         s"${table}_deletes"),
       s"${table}_postings",
-      fileTracked = Set(s"${table}_postings"))
+      fileTracked = Set(s"${table}_postings"),
+      addedFiles = addedFiles)
 
   /** DELETE documents from a [[buildIndex]] index — the takedown
     * primitive (a removal request must stop serving a document NOW, not
@@ -584,8 +586,12 @@ object Bm25 {
     * append is safe (wrap in
     * [[graft.sources.Generations.retryOnConcurrentMaintenance]]). A
     * lost bounds CAS self-heals: both contributions are additive, so
-    * the op re-reads the moved bounds and re-adds its batch (bounded
-    * retry). The remaining non-retryable window is a CRASH between the
+    * the op re-reads the moved bounds and re-adds its batch (UNBOUNDED
+    * retry — each lost round means another writer committed, so it
+    * always converges; exhausting a bounded retry here would let
+    * ConcurrentMaintenanceException escape AFTER the postings moved in,
+    * and the documented wrapper would replay the whole append,
+    * duplicating postings). The remaining non-retryable window is a CRASH between the
     * dfs commit and the staged-file move (a pure rename pass —
     * microseconds against the write): df stats then lead the postings;
     * re-running would double-count dfs, so recover by rebuilding
@@ -671,7 +677,10 @@ object Bm25 {
     }
     // the dfs flip committed — move the staged posting files into the
     // live generation's tb directories (pure renames; file names carry
-    // the write job's UUID, so they never collide with resident files)
+    // the write job's UUID, so they never collide with resident files).
+    // The moved names are the commit's add-file delta for the snapshot
+    // log (r16) — zero directory walks per append commit.
+    val addedPostings = scala.collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(stageP)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("tb="))
       .foreach { tbDir =>
@@ -684,6 +693,7 @@ object Bm25 {
             require(fs.rename(f.getPath,
                 new org.apache.hadoop.fs.Path(dest, f.getPath.getName)),
               s"bm25 appendToIndex: rename ${f.getPath} -> $dest failed")
+            addedPostings += s"${tbDir.getPath.getName}/${f.getPath.getName}"
           }
       }
     fs.delete(stageP, true)
@@ -693,10 +703,18 @@ object Bm25 {
     spark.sql(s"ALTER TABLE $pGen RECOVER PARTITIONS")
     spark.catalog.refreshTable(pGen)
     // bounds: additive counters, 1 driver row — same fresh-generation
-    // flip, with a bounded re-read-and-retry on a lost CAS: a cross-JVM
-    // append committing its bounds between our dfs commit and here must
-    // ADD to ours, not erase it (both contributions are additive), so
-    // the loser re-reads the moved bounds and re-adds its batch.
+    // flip, with an UNBOUNDED re-read-and-retry on a lost CAS: a
+    // cross-JVM append committing its bounds between our dfs commit and
+    // here must ADD to ours, not erase it (both contributions are
+    // additive), so the loser re-reads the moved bounds and re-adds its
+    // batch. The retry must never exhaust: at this point the staged
+    // postings are MOVED IN and the dfs merge COMMITTED, so letting
+    // ConcurrentMaintenanceException escape would hand the documented
+    // retryOnConcurrentMaintenance wrapper a half-committed append to
+    // replay — duplicating postings and double-counting df (r15 ADVICE).
+    // The additive merge always converges: each lost round means another
+    // writer COMMITTED (system-wide progress), and this op re-reads the
+    // moved value before re-adding — no livelock, no lost update.
     val b = boundsOf(docs, idCol, textCol).collect()(0)
     var committedB = false
     var attemptsB = 0
@@ -718,16 +736,17 @@ object Bm25 {
         Generations.commit(spark, s"${table}_bounds", nextB, Some(bCur))
         committedB = true
       } catch {
-        case e: graft.sources.ConcurrentMaintenanceException
-            if attemptsB < 3 =>
+        case e: graft.sources.ConcurrentMaintenanceException =>
           logger.warn(s"bm25 appendToIndex: bounds CAS lost a cross-JVM " +
-            s"race (attempt $attemptsB/3) — re-reading and re-adding: $e")
+            s"race (attempt $attemptsB) — re-reading and re-adding: $e")
       }
     }
-    // NOT revertible: the posting files appended above live inside the
-    // current generation's directory — a historical reader cannot
-    // un-see them, so time travel refuses to cross this commit
-    recordSnapshot(spark, table, "append", revertible = false)
+    // NOT revertible (directory readers cannot un-see the appended
+    // files); the moved file names become the commit's add-file delta,
+    // which is exactly what lets resolveStateAsOf serve history ACROSS
+    // this commit
+    recordSnapshot(spark, table, "append", revertible = false,
+      addedFiles = Map(s"${table}_postings" -> addedPostings.toSeq))
   }
 
   /** Compact an index after [[appendToIndex]] batches — the THIRD

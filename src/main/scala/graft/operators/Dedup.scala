@@ -300,16 +300,20 @@ object Dedup {
   }
 
   /** One manifest row in the family snapshot log per maintenance commit
-    * (see [[graft.sources.Snapshots]]). */
+    * (see [[graft.sources.Snapshots]]). Ingest commits pass the staged
+    * batch's file names via `addedFiles`, so the log records an
+    * O(batch) delta instead of re-walking the index (r16). */
   private def recordSnapshot(spark: org.apache.spark.sql.SparkSession,
-      table: String, op: String, revertible: Boolean): Unit =
+      table: String, op: String, revertible: Boolean,
+      addedFiles: Map[String, Seq[String]] = Map.empty): Unit =
     graft.sources.Snapshots.record(spark, table, op, revertible,
       Seq(s"${table}_sigs", s"${table}_buckets", s"${table}_meta",
         s"${table}_deletes"),
       s"${table}_sigs",
       // the ingest loop appends into both generations in place — their
       // per-commit file manifests make time travel cross ingest commits
-      fileTracked = Set(s"${table}_sigs", s"${table}_buckets"))
+      fileTracked = Set(s"${table}_sigs", s"${table}_buckets"),
+      addedFiles = addedFiles)
 
   /** DELETE documents from a [[writeMinhashIndex]] history index — the
     * takedown primitive (a removed document must stop matching incoming
@@ -439,12 +443,16 @@ object Dedup {
       broadcastMaxBatchDocs)
     // eager: classification is on disk/blocks before the index mutates
     val out = Stage.cut(assembled)
-    graft.sources.Bucketing.appendBucketed(spark, incSigs, s"${table}_sigs")
-    graft.sources.Bucketing.appendBucketed(spark,
+    val addedSigs = graft.sources.Bucketing.appendBucketed(
+      spark, incSigs, s"${table}_sigs")
+    val addedBuckets = graft.sources.Bucketing.appendBucketed(spark,
       bandBucketsOf(incSigs, bands, numHashes / bands), s"${table}_buckets")
     incSigs.unpersist()
-    // NOT revertible: bucketed files appended into live generations
-    recordSnapshot(spark, table, "ingest", revertible = false)
+    // NOT revertible: bucketed files appended into live generations;
+    // the staged batch's file names become the commit's add-file delta
+    recordSnapshot(spark, table, "ingest", revertible = false,
+      addedFiles = Map(s"${table}_sigs" -> addedSigs,
+        s"${table}_buckets" -> addedBuckets))
     out
   }
 

@@ -342,16 +342,20 @@ object Knn {
   }
 
   /** One manifest row in the family snapshot log per maintenance commit
-    * (see [[graft.sources.Snapshots]]). */
+    * (see [[graft.sources.Snapshots]]). Append commits pass the staged
+    * batch's file names via `addedFiles`, so the log records an
+    * O(batch) delta instead of re-walking the index (r16). */
   private def recordSnapshot(spark: org.apache.spark.sql.SparkSession,
-      table: String, op: String, revertible: Boolean): Unit =
+      table: String, op: String, revertible: Boolean,
+      addedFiles: Map[String, Seq[String]] = Map.empty): Unit =
     graft.sources.Snapshots.record(spark, table, op, revertible,
       Seq(s"${table}_cells", s"${table}_centroids", s"${table}_deletes",
         s"${table}_cells_q8", s"${table}_qparams"),
       s"${table}_cells",
       // appends mutate these two generations in place — their per-commit
       // file manifests make time travel cross append commits
-      fileTracked = Set(s"${table}_cells", s"${table}_cells_q8"))
+      fileTracked = Set(s"${table}_cells", s"${table}_cells_q8"),
+      addedFiles = addedFiles)
 
   /** DELETE vectors from a [[writeIvfIndex]] index — the takedown
     * primitive (a removed document's embedding must stop surfacing as a
@@ -392,36 +396,39 @@ object Knn {
     val spark = data.sparkSession
     import spark.implicits._
     // appends target the CURRENT generation in place (new files only —
-    // never a rewrite of files a reader holds, so no flip needed)
+    // never a rewrite of files a reader holds, so no flip needed). The
+    // batch STAGES beside the index and MOVES in (StagedAppend, r16):
+    // a crash during the write leaves the index unchanged, and the
+    // rename pass hands the snapshot log its exact add-file delta —
+    // zero directory walks per append commit.
     val cellsGen = graft.sources.Generations.ensureGen(spark, s"${table}_cells")
     val centroids: Array[Array[Double]] = spark.table(s"${table}_centroids")
       .orderBy($"cell").collect().map(_.getSeq[Double](1).toArray)
     def assigned = withVecAndNorm(data, idCol, vecCol)
       .withColumn("cell", nearestUdf(centroids)($"v"))
-    assigned
-      .select($"id", $"v", $"nrm", $"cell")
-      .repartition($"cell")
-      .write.format("parquet").mode("append").partitionBy("cell")
-      .saveAsTable(cellsGen)
-    // register any NEW cell directories in the shared catalog; stale
-    // listings in OTHER sessions are handled probe-side (refreshTables)
-    spark.sql(s"ALTER TABLE $cellsGen RECOVER PARTITIONS")
+    val addedCells = graft.sources.StagedAppend.partitioned(
+      assigned.select($"id", $"v", $"nrm", $"cell").repartition($"cell"),
+      cellsGen, "cell")
     // the SQ8 replica grows IN THE SAME maintenance op (frozen params,
     // out-of-range components clamp): without this, an SQ8 probe after
     // an append would silently miss the new vectors
-    if (hasQ8(spark, table)) {
-      val q8Gen = graft.sources.Generations.ensureGen(spark, s"${table}_cells_q8")
-      // frozen params matched to the generation the batch appends into
-      val (mins, steps) = qparamsFor(spark, table, q8Gen)
-      assigned
-        .select($"id", codeUdfFor(mins, steps)($"v").as("codes"), $"cell")
-        .repartition($"cell")
-        .write.format("parquet").mode("append").partitionBy("cell")
-        .saveAsTable(q8Gen)
-      spark.sql(s"ALTER TABLE $q8Gen RECOVER PARTITIONS")
-    }
-    // NOT revertible: files appended into the live cells generation
-    recordSnapshot(spark, table, "append", revertible = false)
+    val addedQ8: Seq[String] =
+      if (!hasQ8(spark, table)) Seq.empty
+      else {
+        val q8Gen = graft.sources.Generations.ensureGen(spark, s"${table}_cells_q8")
+        // frozen params matched to the generation the batch appends into
+        val (mins, steps) = qparamsFor(spark, table, q8Gen)
+        graft.sources.StagedAppend.partitioned(
+          assigned
+            .select($"id", codeUdfFor(mins, steps)($"v").as("codes"), $"cell")
+            .repartition($"cell"),
+          q8Gen, "cell")
+      }
+    // NOT revertible: files appended into the live cells generation;
+    // the staged batch's file names become the commit's add-file delta
+    recordSnapshot(spark, table, "append", revertible = false,
+      addedFiles = Map(s"${table}_cells" -> addedCells,
+        s"${table}_cells_q8" -> addedQ8))
   }
 
   /** [[ivfTopK]] against a PERSISTED index from [[writeIvfIndex]]:
@@ -672,26 +679,59 @@ object Knn {
     * [[graft.expressions.Sq8NormSq]] codegen loops, reading 1 byte per
     * dimension instead of 8. Approximation is the quantization's (≤ half
     * a step per dimension); q178 prices the recall against the exact
-    * top-k. `candidateFilter` sees columns (id, codes, cell). */
+    * top-k. `candidateFilter` sees columns (id, codes, cell).
+    * `asOfCommits` serves the QUANTIZED index as it was n maintenance
+    * commits ago (r15 verdict directive 3 — the float probe had time
+    * travel, the SQ8 probe didn't, so "serve yesterday's index" wasn't
+    * available on a quantized deployment): the codes member is
+    * file-tracked in the snapshot log, so the historical read crosses
+    * append commits exactly, and the reconstruction params come from
+    * the SAME historical generation's sidecar — the (codes, params)
+    * pairing survives time travel by construction. */
   def ivfTopKAgainstIndexSq8(queries: DataFrame, table: String,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
       broadcastMaxQcells: Long = 8000000L,
-      candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      candidateFilter: Option[org.apache.spark.sql.Column] = None,
+      asOfCommits: Int = 0): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     import graft.expressions.VectorExpressions.{sq8Dot, sq8NormSq}
     graft.sources.Generations.refreshTables(spark,
       s"${table}_cells_q8", s"${table}_centroids", s"${table}_qparams")
-    val tomb = graft.sources.Tombstones.frame(spark, table)
-    val centroids: Array[Array[Double]] = spark.table(s"${table}_centroids")
+    // TIME TRAVEL (the ivfTopKAgainstIndex asOfCommits contract)
+    val resolved: Map[String, graft.sources.Snapshots.MemberState] =
+      if (asOfCommits == 0) Map.empty
+      else graft.sources.Snapshots.resolveStateAsOf(spark, table, asOfCommits)
+    def member(live: String): DataFrame =
+      resolved.get(live).map(_.read(spark)).getOrElse(spark.table(live))
+    val tomb =
+      if (asOfCommits == 0) graft.sources.Tombstones.frame(spark, table)
+      else resolved.get(s"${table}_deletes")
+        .flatMap(g => graft.sources.Tombstones.frameAt(spark, g.gen))
+    val centroids: Array[Array[Double]] = member(s"${table}_centroids")
       .orderBy($"cell").collect().map(_.getSeq[Double](1).toArray)
     // resolve the q8 GENERATION once and read both the codes scan and
     // the params from it: a (re)quantize flipping the live view mid-probe
     // can then only make this probe stale-but-consistent, never serve a
     // mismatched (codes, params) pair (r14 ADVICE; the superseded
     // generation's files are retained until the next maintenance commit,
-    // so the pinned scan still collects)
-    val q8Gen = graft.sources.Generations.current(spark, s"${table}_cells_q8")
+    // so the pinned scan still collects). Under time travel the pair
+    // comes from the HISTORICAL generation — codes via the commit's file
+    // manifest (appended files unseen), params via that generation's
+    // sidecar (frozen at its quantize, untouched by appends).
+    val (q8Gen, q8Scan) =
+      if (asOfCommits == 0) {
+        val g = graft.sources.Generations.current(spark, s"${table}_cells_q8")
+        (g, spark.table(g))
+      } else {
+        val st = resolved.getOrElse(s"${table}_cells_q8",
+          throw new IllegalStateException(
+            s"index $table had no SQ8 replica at the requested commit " +
+              s"($asOfCommits back) — quantizeIvfIndex had not run yet; " +
+              "probe the float index (ivfTopKAgainstIndex) at that commit " +
+              "instead"))
+        (st.gen, st.read(spark))
+      }
     val (minsArr, stepsArr) = qparamsFor(spark, table, q8Gen)
     val qcells = Stage.cut(withVecAndNorm(queries, idCol, vecCol)
       .withColumn("cell", explode(probesUdf(centroids, nProbe)($"v")))
@@ -701,7 +741,7 @@ object Knn {
       if (nQcells <= broadcastMaxQcells) {
         val probed = qcells.select($"cell").distinct()
           .collect().map(_.getInt(0)).toSeq
-        spark.table(q8Gen)
+        q8Scan
           .filter($"cell".isin(probed: _*))
           .select($"cell", $"id", $"codes")
       } else {
@@ -709,7 +749,7 @@ object Knn {
           s"$nQcells cell rows, above broadcastMaxQcells=" +
           s"$broadcastMaxQcells — skipping cell pruning and scanning " +
           "all cells (identical rows)")
-        spark.table(q8Gen).select($"cell", $"id", $"codes")
+        q8Scan.select($"cell", $"id", $"codes")
       }
     val alive = graft.sources.Tombstones.filterWith(cells, "id", tomb, table)
     val candidates = candidateFilter.fold(alive)(alive.filter)

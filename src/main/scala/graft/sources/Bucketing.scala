@@ -73,21 +73,55 @@ object Bucketing {
     * never a rewrite of the accumulated table. Appends target the
     * CURRENT generation in place — new files only, never a rewrite of
     * files a reader holds — so they need no generation flip.
+    *
+    * STAGED (r16): the batch writes to a sibling staging table with the
+    * same bucket spec, then its files MOVE into the live generation
+    * directory (pure renames — bucketed-read bucket ids ride the file
+    * NAME's `_0000N` tag, which the rename preserves, so the
+    * exchange-free join shape survives; spec-pinned). A crash during
+    * the write leaves the index unchanged; the [[StagedAppend]]
+    * rationale. Returns the generation-relative names of the files
+    * added — the `addedFiles` input of [[Snapshots.record]], so an
+    * ingest commit's file delta is recorded with zero directory walks.
     */
-  def appendBucketed(spark: SparkSession, df: DataFrame, table: String): DataFrame =
-      Generations.withMaintenanceLock(table) {
+  def appendBucketed(spark: SparkSession, df: DataFrame,
+      table: String): Seq[String] = Generations.withMaintenanceLock(table) {
     val (gen, meta) = genMeta(spark, table)
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"table $table has no bucket spec — appendBucketed only grows " +
         "tables written by writeBucketed"))
-    df.write
-      .format("parquet")
-      .bucketBy(spec.numBuckets,
-        spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
-      .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
-      .mode("append")
-      .saveAsTable(gen)
-    spark.table(table)
+    val destRoot = new org.apache.hadoop.fs.Path(meta.location.toString)
+    val fs = destRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val tag = "__stage" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    val stageTbl = gen + tag
+    val stagePath = new org.apache.hadoop.fs.Path(destRoot.toString + tag)
+    val added = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      val writer = df.write.format("parquet")
+        .option("path", stagePath.toString)
+        .bucketBy(spec.numBuckets,
+          spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+      (if (spec.sortColumnNames.nonEmpty)
+         writer.sortBy(spec.sortColumnNames.head,
+           spec.sortColumnNames.tail: _*)
+       else writer)
+        .mode("overwrite").saveAsTable(stageTbl)
+      fs.listStatus(stagePath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .foreach { f =>
+          require(fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(destRoot, f.getPath.getName)),
+            s"bucketed staged append: rename ${f.getPath} -> $destRoot failed")
+          added += f.getPath.getName
+        }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $stageTbl")
+      fs.delete(stagePath, true)
+    }
+    spark.catalog.refreshTable(gen)
+    added.toSeq.sorted
   }
 
   /** Compact a [[writeBucketed]] table after [[appendBucketed]] batches —

@@ -77,10 +77,24 @@ object Generations {
   /** The index family a member live name belongs to — the name every
     * maintenance op passes to [[withMaintenanceLock]]. Member tables
     * follow the `{index}_{suffix}` convention across all three index
-    * families; a name with no known suffix is its own family. */
+    * families; a name with no known suffix is its own family.
+    *
+    * `_logfiles` must sit BEFORE `_log` (longest-match first): the
+    * snapshot FILE log `{index}_logfiles` belongs to family `{index}`,
+    * and without the entry `familyOf("x_logfiles")` returned itself —
+    * so a [[vacuum]] on the file-log table took a DIFFERENT lock than
+    * `Snapshots.compactLog` (which locks the index name) and could
+    * retire its in-flight reserved generation mid-fold (r15 ADVICE).
+    *
+    * Known residual collision, by convention not guarded: an index
+    * whose OWN base name ends in a member suffix (e.g. a top-level
+    * table literally named `x_meta`) maps to family `x` rather than
+    * itself. Index base names must not end in a member suffix — all
+    * in-repo names and the naming contract in each build* scaladoc
+    * respect this. */
   private val memberSuffixes = Seq("_postings", "_dfs", "_bounds",
     "_deletes", "_cells_q8", "_cells", "_centroids", "_qparams", "_sigs",
-    "_buckets", "_meta", "_log")
+    "_buckets", "_meta", "_logfiles", "_log")
   def familyOf(live: String): String =
     memberSuffixes.find(live.endsWith).map(s => live.dropRight(s.length))
       .getOrElse(live)

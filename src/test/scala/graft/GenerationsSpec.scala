@@ -199,4 +199,17 @@ class GenerationsSpec extends AnyFunSuite {
       "vacuum must keep the live generation")
     assert(bmRows(tbl) == expected)
   }
+
+  test("familyOf maps every member suffix — the snapshot FILE log " +
+      "included — onto the index family, so vacuum and compactLog " +
+      "contend on the same lock (r15 ADVICE)") {
+    assert(Generations.familyOf("idx_postings") == "idx")
+    assert(Generations.familyOf("idx_log") == "idx")
+    // pre-fix, "_logfiles" was missing and the file-log table locked
+    // ITSELF — a vacuum could retire compactLog's in-flight reservation
+    assert(Generations.familyOf("idx_logfiles") == "idx")
+    assert(Generations.familyOf("idx_cells_q8") == "idx")
+    assert(Generations.familyOf("idx_cells") == "idx")
+    assert(Generations.familyOf("plain_table") == "plain_table")
+  }
 }

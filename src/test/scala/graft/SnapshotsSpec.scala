@@ -87,7 +87,8 @@ class SnapshotsSpec extends AnyFunSuite {
     } finally {
       // restore the file log (other asserts in this suite reuse the index)
       spark.sql(s"CREATE TABLE $lf (commit_id BIGINT, member STRING, " +
-        s"files ARRAY<STRING>) USING parquet LOCATION '$lfLoc'")
+        s"gen STRING, kind STRING, files ARRAY<STRING>) USING parquet " +
+        s"LOCATION '$lfLoc'")
     }
     // history deeper than recorded refuses
     intercept[IllegalArgumentException] { probe(tbl, asOf = 3) }
@@ -251,6 +252,90 @@ class SnapshotsSpec extends AnyFunSuite {
         .split("\n").filter(_.contains("PartitionFilters")).head
         .contains("PartitionFilters: []"),
       s"tb filter must reach PartitionFilters on the pinned read:\n$plan")
+  }
+
+  test("the file log records O(batch) ADD deltas per append — one base " +
+      "at build, one add row per append, nothing for deletes (r16: the " +
+      "incremental add-file log)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_delta").toString
+    val tbl = "g_snap_delta"
+    Bm25.buildIndex(corpus.filter(_._1 < 20).toDF("doc_id", "text"),
+      "doc_id", "text", tbl, s"$dir/idx", nDirs = 4)
+    val states = scala.collection.mutable.ArrayBuffer(probe(tbl))
+    (0 until 3).foreach { i =>
+      Bm25.appendToIndex(
+        corpus.filter(t => t._1 >= 20 + i * 20 && t._1 < 40 + i * 20)
+          .toDF("doc_id", "text"), "doc_id", "text", tbl)
+      states += probe(tbl)
+    }
+    Bm25.deleteFromIndex(spark, tbl, Seq(Tuple1(3L)).toDF("id"))
+    val rows = spark.table(Snapshots.logFilesTable(tbl))
+      .select("commit_id", "kind", "files").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).length))
+      .sortBy(_._1).toSeq
+    // exactly one base (the build), one add per append, NOTHING for the
+    // delete commit (its tracked member is untouched) — the shape that
+    // keeps the log O(commits + batch files), never O(commits × files)
+    assert(rows.map(_._2) == Seq("base", "add", "add", "add"),
+      s"delta log shape: $rows")
+    assert(rows.map(_._1) == Seq(0L, 1L, 2L, 3L), s"delta log ids: $rows")
+    val baseN = rows.head._3
+    assert(rows.tail.forall(r => r._3 <= baseN),
+      s"each append's add row must hold only ITS batch's files (never " +
+        s"the cumulative list): $rows")
+    // and the folds reconstruct the historical states exactly within
+    // the retention window (each append flips the dfs generation, and
+    // retention keeps ONE superseded generation per member — so two
+    // commits back is the guaranteed-servable depth)
+    assert(probe(tbl, asOf = 1) == states(3),
+      "asOf=1 must fold base+adds to the pre-delete state")
+    assert(probe(tbl, asOf = 2) == states(2),
+      "asOf=2 must fold base+adds to the post-second-append state")
+    // deeper targets a retired dfs generation: loudly NAMED, never a
+    // partial read (the Delta VACUUM trade, per the retention contract)
+    val retired = intercept[IllegalStateException] { probe(tbl, asOf = 4) }
+    assert(retired.getMessage.contains("retired"))
+    // addsSinceBase counts the growth for the auto-compaction trigger
+    assert(Snapshots.addsSinceBase(spark, tbl, s"${tbl}_postings") == 3L)
+    // ... and a compaction resets it with a fresh base
+    Bm25.compactIndex(spark, tbl)
+    assert(Snapshots.addsSinceBase(spark, tbl, s"${tbl}_postings") == 0L)
+    val afterCompact = spark.table(Snapshots.logFilesTable(tbl))
+      .filter(col("commit_id") === 5L).select("kind").collect()
+      .map(_.getString(0)).toSeq
+    assert(afterCompact == Seq("base"),
+      "a generation flip must open a fresh base manifest")
+  }
+
+  test("per-member version-skew refusal: a tracked member with no base " +
+      "at or before the target refuses across an append instead of " +
+      "leaking later files (r15 ADVICE)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_skew").toString
+    val tbl = "g_snap_skew"
+    Bm25.buildIndex(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      tbl, s"$dir/idx", nDirs = 4)
+    Bm25.appendToIndex(
+      corpus.map { case (i, t) => (1000L + i, t) }.toDF("doc_id", "text"),
+      "doc_id", "text", tbl)
+    // simulate version skew: strip the member's BASE row (as if the
+    // build predated file tracking) while keeping the append's add row
+    val lf = Snapshots.logFilesTable(tbl)
+    val loc = Generations.location(spark, lf)
+    val kept = spark.table(lf).filter(col("kind") =!= "base").collect()
+    val schema = spark.table(lf).schema
+    spark.sql(s"DROP TABLE $lf")
+    Generations.delete(spark, loc)
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(kept: _*)), schema)
+      .coalesce(1).write.format("parquet").option("path", loc)
+      .saveAsTable(lf)
+    val e = intercept[IllegalStateException] { probe(tbl, asOf = 1) }
+    assert(e.getMessage.contains(s"${tbl}_postings") &&
+      e.getMessage.contains("no base file manifest"),
+      s"must refuse NAMING the unreconstructable member: ${e.getMessage}")
   }
 
   test("IVF and MinHash maintenance record manifests too (family " +
