@@ -605,8 +605,19 @@ object Bm25 {
     * at worst, never partial (the previous in-place rewrite could serve
     * an empty or half-written dfs set mid-overwrite, silently dropping
     * terms from concurrent rankings). */
+  /** @param autoCompactAfter when > 0, the append finishes by checking
+    *   the snapshot log's adds-since-base count for the postings member
+    *   (each append adds ~one file per touched tb directory, so the
+    *   count IS the probe's files-per-directory growth — measured from
+    *   the log alone, no FS walk) and triggers [[compactIndex]] once it
+    *   reaches the threshold (r15 directive 6: the 10M-vector smoke
+    *   measured grown probes at 3× the fresh band after 5 appends; the
+    *   fix existed but had to be remembered). 0 disables — the right
+    *   default for histories that must stay time-travelable at fixed
+    *   depths (a compaction is one more commit, and retention retires
+    *   deeper generations). */
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
-      table: String): Unit =
+      table: String, autoCompactAfter: Int = 0): Unit =
     graft.sources.Generations.withMaintenanceLock(table) {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -747,6 +758,13 @@ object Bm25 {
     // this commit
     recordSnapshot(spark, table, "append", revertible = false,
       addedFiles = Map(s"${table}_postings" -> addedPostings.toSeq))
+    // auto-compaction cadence: reentrant under the family lock
+    if (autoCompactAfter > 0 && graft.sources.Snapshots.addsSinceBase(
+        spark, table, s"${table}_postings") >= autoCompactAfter) {
+      logger.info(s"bm25 $table: $autoCompactAfter appends since the last " +
+        "base manifest — auto-compacting")
+      compactIndex(spark, table)
+    }
   }
 
   /** Compact an index after [[appendToIndex]] batches — the THIRD

@@ -419,9 +419,17 @@ object Dedup {
     * which copy a downstream keep-one policy retains. Callers wanting
     * a canonical-copies-only index filter `status = 'new'` upstream
     * and append via the building blocks directly. */
+  /** @param autoCompactAfter when > 0, trigger [[compactMinhashIndex]]
+    *   once the snapshot log counts this many ingests since the last
+    *   base manifest of the sigs member (adds-since-base ==
+    *   files-per-bucket growth, read from the log with no FS walk —
+    *   r15 directive 6). 0 disables; see
+    *   [[graft.operators.Bm25.appendToIndex]] for the time-travel
+    *   trade. */
   def ingestAgainstIndex(incoming: DataFrame, table: String,
       idCol: String, textCol: String, threshold: Double = 0.8,
-      broadcastMaxBatchDocs: Long = 2000000L): DataFrame =
+      broadcastMaxBatchDocs: Long = 2000000L,
+      autoCompactAfter: Int = 0): DataFrame =
       graft.sources.Generations.withMaintenanceLock(table) {
     val spark = incoming.sparkSession
     graft.sources.Generations.refreshTables(spark,
@@ -453,6 +461,13 @@ object Dedup {
     recordSnapshot(spark, table, "ingest", revertible = false,
       addedFiles = Map(s"${table}_sigs" -> addedSigs,
         s"${table}_buckets" -> addedBuckets))
+    // auto-compaction cadence: reentrant under the family lock
+    if (autoCompactAfter > 0 && graft.sources.Snapshots.addsSinceBase(
+        spark, table, s"${table}_sigs") >= autoCompactAfter) {
+      log.info(s"minhash $table: $autoCompactAfter ingests since the " +
+        "last base manifest — auto-compacting")
+      compactMinhashIndex(spark, table)
+    }
     out
   }
 

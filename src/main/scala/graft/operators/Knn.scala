@@ -390,8 +390,13 @@ object Knn {
     * precedent, completing the grow story for all three index
     * families). Vector ids must be NEW — re-appending an indexed id
     * would duplicate it in every probe that reads its cell. */
+  /** @param autoCompactAfter when > 0, trigger [[compactIvfIndex]] once
+    *   the snapshot log counts this many appends since the last base
+    *   manifest of the cells member (adds-since-base == files-per-cell
+    *   growth, read from the log with no FS walk — r15 directive 6). 0
+    *   disables; see [[Bm25.appendToIndex]] for the time-travel trade. */
   def appendToIvfIndex(data: DataFrame, idCol: String, vecCol: String,
-      table: String): Unit =
+      table: String, autoCompactAfter: Int = 0): Unit =
       graft.sources.Generations.withMaintenanceLock(table) {
     val spark = data.sparkSession
     import spark.implicits._
@@ -429,6 +434,13 @@ object Knn {
     recordSnapshot(spark, table, "append", revertible = false,
       addedFiles = Map(s"${table}_cells" -> addedCells,
         s"${table}_cells_q8" -> addedQ8))
+    // auto-compaction cadence: reentrant under the family lock
+    if (autoCompactAfter > 0 && graft.sources.Snapshots.addsSinceBase(
+        spark, table, s"${table}_cells") >= autoCompactAfter) {
+      log.info(s"ivf $table: $autoCompactAfter appends since the last " +
+        "base manifest — auto-compacting")
+      compactIvfIndex(spark, table)
+    }
   }
 
   /** [[ivfTopK]] against a PERSISTED index from [[writeIvfIndex]]:

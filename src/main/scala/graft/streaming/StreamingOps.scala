@@ -222,11 +222,13 @@ object StreamingOps {
       table: String, idCol: String, textCol: String,
       outDir: String, checkpoint: String,
       threshold: Double = 0.8,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      autoCompactAfter: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val applyBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
       graft.operators.Dedup
-        .ingestAgainstIndex(batch, table, idCol, textCol, threshold)
+        .ingestAgainstIndex(batch, table, idCol, textCol, threshold,
+          autoCompactAfter = autoCompactAfter)
         .withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(outDir)
     }
@@ -250,10 +252,12 @@ object StreamingOps {
       incoming: DataFrame, // streaming frame carrying idCol + textCol
       table: String, idCol: String, textCol: String,
       checkpoint: String,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      autoCompactAfter: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val applyBatch: (DataFrame, Long) => Unit = { (batch, _) =>
-      graft.operators.Bm25.appendToIndex(batch, idCol, textCol, table)
+      graft.operators.Bm25.appendToIndex(batch, idCol, textCol, table,
+        autoCompactAfter = autoCompactAfter)
     }
     val writer = incoming.writeStream
       .option("checkpointLocation", checkpoint)
@@ -274,10 +278,12 @@ object StreamingOps {
       incoming: DataFrame, // streaming frame carrying idCol + vecCol
       table: String, idCol: String, vecCol: String,
       checkpoint: String,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      autoCompactAfter: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val applyBatch: (DataFrame, Long) => Unit = { (batch, _) =>
-      graft.operators.Knn.appendToIvfIndex(batch, idCol, vecCol, table)
+      graft.operators.Knn.appendToIvfIndex(batch, idCol, vecCol, table,
+        autoCompactAfter = autoCompactAfter)
     }
     val writer = incoming.writeStream
       .option("checkpointLocation", checkpoint)
