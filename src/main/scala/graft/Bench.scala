@@ -56,7 +56,7 @@ object Bench {
       "q154", "q155", "q156", "q157", "q158", "q159", "q160", "q161",
       "q162", "q163", "q164", "q165", "q166", "q167", "q168", "q169",
       "q170", "q171", "q172", "q173", "q174", "q175", "q176", "q177",
-      "q178", "q179", "q180", "q181", "q182", "q183", "q184")
+      "q178", "q179", "q180", "q181", "q182", "q183", "q184", "q185")
     val byName = SparkEntry.queries.toSeq.sortBy(_._1)
     byName.foreach { case (name, fn) =>
       if (layoutBacked(name.takeWhile(_ != '_'))) {

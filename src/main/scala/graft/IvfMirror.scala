@@ -150,7 +150,8 @@ object IvfMirror {
       iterations: Int = 5,
       trainFilter: Long => Boolean = _ => true,
       paramFilter: Long => Boolean = _ => true,
-      candidateFilter: Long => Boolean = _ => true): Seq[(Long, Int, Long, Double)] = {
+      candidateFilter: Long => Boolean = _ => true,
+      qidFilter: Long => Boolean = null): Seq[(Long, Int, Long, Double)] = {
     val centroids = trainCentroids(
       vecs.filter { case (id, _) => trainFilter(id) }, nCells, iterations)
     if (centroids.isEmpty) return Seq.empty
@@ -177,7 +178,9 @@ object IvfMirror {
     val qnorm = vecs.map { case (id, v) => id -> math.sqrt(dotAsc(v, v)) }.toMap
     val cellOf = vecs.map { case (id, v) => id -> nearestCell(v, centroids) }.toMap
     val byCell = vecs.map(_._1).groupBy(cellOf)
-    vecs.filter(_._1 < maxQid).sortBy(_._1).flatMap { case (qid, qv) =>
+    val isQ: Long => Boolean =
+      if (qidFilter != null) qidFilter else (_ < maxQid)
+    vecs.filter(v => isQ(v._1)).sortBy(_._1).flatMap { case (qid, qv) =>
       val probes = centroids.indices.map { c =>
         var dist = 0.0; var i = 0
         val cv = centroids(c)

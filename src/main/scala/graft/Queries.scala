@@ -3559,6 +3559,58 @@ object Queries {
       .orderBy($"qid", $"rank")
   }
 
+  /** q185: the QUANTIZED "serve yesterday's stack" — q184's time-travel
+    * fusion with the vector leg served from the SQ8 REPLICA at its
+    * quantize-time commit (directive 7's optional half, composable once
+    * the SQ8 probe gained `asOfCommits`): the rollback story now covers
+    * the serving-economics deployment — an operator running byte-coded
+    * vectors in production rolls BOTH legs back in one move, lexical
+    * and quantized-vector, each from its own family's snapshot log.
+    * Layouts shared with q179 (BM25) and q183 (SQ8) — zero extra
+    * builds. Fusion identical to q169/q184. */
+  def hybridRrfTimeTravelSq8(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bmTbl = s"g_bm25tt_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q177_bm25tt_${sfDir.hashCode.toHexString}") { d =>
+      val docs = Tables(spark, sfDir, "documents")
+      graft.operators.Bm25.buildIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+        bmTbl, s"$d/idx", nDirs = 8)
+      graft.operators.Bm25.appendToIndex(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", bmTbl)
+      graft.operators.Bm25.deleteFromIndex(spark, bmTbl,
+        docs.filter($"doc_id" % 7 === 3).select($"doc_id"))
+    }
+    val sqTbl = s"g_sq8tt_${sfDir.hashCode.toHexString}"
+    val emb = Tables(spark, sfDir, "embeddings")
+    cachedLayout(s"q183_sq8tt_${sfDir.hashCode.toHexString}") { d =>
+      Knn.writeIvfIndex(emb.filter($"vec_id" % 2 === 0), "vec_id",
+        "embedding", sqTbl, s"$d/idx")
+      Knn.quantizeIvfIndex(spark, sqTbl)
+      Knn.appendToIvfIndex(emb.filter($"vec_id" % 2 === 1), "vec_id",
+        "embedding", sqTbl)
+    }
+    val bm = graft.operators.Bm25
+      .topKAgainstIndex(bm25QueryBatch(spark, sfDir), bmTbl, k = 10,
+        asOfCommits = 2)
+      .select($"qid", $"doc_id".as("id"),
+        expr("CAST(1000000000 DIV (60 + rank) AS BIGINT)").as("rrf"))
+    val sq = Knn.ivfTopKAgainstIndexSq8(
+        emb.filter($"vec_id" % 50 === 0), sqTbl, "vec_id", "embedding",
+        k = 10, asOfCommits = 1)
+      .select($"qid", $"nid".as("id"),
+        expr("CAST(1000000000 DIV (60 + CAST(rnk AS BIGINT)) AS BIGINT)")
+          .as("rrf"))
+    val w = Window.partitionBy($"qid").orderBy($"rrf_score".desc, $"id".asc)
+    bm.unionByName(sq)
+      .groupBy($"qid", $"id")
+      .agg(sum($"rrf").as("rrf_score"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"id".as("doc_id"), $"rrf_score", $"n_lists")
+      .orderBy($"qid", $"rank")
+  }
+
   /** q162: MinHash index COMPACTION — the layout-maintenance primitive
     * completing the MinHash lifecycle (build → probe → grow → compact,
     * the q161 BM25 precedent): q157's ingest loop runs with a

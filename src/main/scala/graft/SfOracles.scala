@@ -70,6 +70,7 @@ object SfOracles {
       ivfSq8TopK: Seq[(Long, Int, Long, Double)],      // q178: SQ8-reconstructed rerank
       ivfSq8TtTopK: Seq[(Long, Int, Long, Double)],    // q183: SQ8 at the quantize-time state
       hybridTtIvfTopK: Seq[(Long, Int, Long, Double)], // q184: build-time IVF leg, every-50th qids, k=10
+      hybridTtSq8TopK: Seq[(Long, Int, Long, Double)], // q185: quantize-time SQ8 leg, every-50th qids, k=10
       qualityRows: Seq[(Long, Long, Boolean)],     // q140
       bloomRows: Seq[(Long, Long, Long, Boolean)], // q141
       lcRows: Seq[(String, Long, Long)],           // q143
@@ -359,6 +360,11 @@ object SfOracles {
         hybridTtIvfTopK = IvfMirror.recompute(vecs, k = 10,
           qidFilter = _ % 50 == 0, trainFilter = _ % 2 == 0,
           candidateFilter = _ % 2 == 0),
+        // q185: the hybrid time-travel SQ8 leg — the q183 quantize-time
+        // state probed by the hybrid batch at k=10
+        hybridTtSq8TopK = IvfMirror.recomputeSq8(vecs, k = 10,
+          trainFilter = _ % 2 == 0, paramFilter = _ % 2 == 0,
+          candidateFilter = _ % 2 == 0, qidFilter = _ % 50 == 0),
         qualityRows = QualityMirror.recompute(docs4.map(d => (d._1, d._2, d._4))),
         hashedQualityRows =
           QualityMirror.recomputeHashed(docs4.map(d => (d._1, d._2, d._4))),
@@ -509,6 +515,10 @@ object SfOracles {
 
   private def hybridTtIvfCte: String =
     cte("htiv", "qid, rnk, nid", prepared.map(_.hybridTtIvfTopK), "0, 0, 0") {
+      p: (Long, Int, Long, Double) => s"(${p._1}, ${p._2}, ${p._3})" }
+
+  private def hybridTtSq8Cte: String =
+    cte("htsq", "qid, rnk, nid", prepared.map(_.hybridTtSq8TopK), "0, 0, 0") {
       p: (Long, Int, Long, Double) => s"(${p._1}, ${p._2}, ${p._3})" }
 
   private def ivfRecallCte: String =
@@ -801,6 +811,30 @@ object SfOracles {
          |  FROM ranked WHERE rank <= 10
          |  UNION ALL
          |  SELECT qid, nid AS id, 1000000000 // (60 + rnk) AS rrf FROM htiv),
+         |fused AS (
+         |  SELECT qid, id, CAST(sum(rrf) AS BIGINT) AS rrf_score,
+         |         CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM u GROUP BY qid, id),
+         |rr AS (
+         |  SELECT qid, id, rrf_score, n_lists,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY rrf_score DESC, id) AS rank
+         |  FROM fused)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, id AS doc_id,
+         |       rrf_score, n_lists
+         |FROM rr WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // q185: the QUANTIZED "serve yesterday's stack" — q184's fusion
+    // with the vector leg served from the SQ8 replica at its
+    // quantize-time commit (the serving-economics deployment rolled
+    // back whole: lexical + quantized-vector legs both historical)
+    "q185_hybrid_rrf_tt_sq8" ->
+      s"""WITH ${Bm25OracleSql.rankedCtesCorpus("doc_id % 2 = 0")},
+         |$hybridTtSq8Cte,
+         |u AS (
+         |  SELECT qid, doc_id AS id, 1000000000 // (60 + rank) AS rrf
+         |  FROM ranked WHERE rank <= 10
+         |  UNION ALL
+         |  SELECT qid, nid AS id, 1000000000 // (60 + rnk) AS rrf FROM htsq),
          |fused AS (
          |  SELECT qid, id, CAST(sum(rrf) AS BIGINT) AS rrf_score,
          |         CAST(count(*) AS BIGINT) AS n_lists

@@ -206,7 +206,8 @@ object SparkEntry {
     "q181_knn_ivf_tt_append" -> (Queries.knnIvfTimeTravelAcrossAppend _),
     "q182_minhash_tt_ingest" -> (Queries.minhashTimeTravelAcrossIngest _),
     "q183_knn_ivf_sq8_tt" -> (Queries.knnIvfSq8TimeTravel _),
-    "q184_hybrid_rrf_tt" -> (Queries.hybridRrfTimeTravel _)
+    "q184_hybrid_rrf_tt" -> (Queries.hybridRrfTimeTravel _),
+    "q185_hybrid_rrf_tt_sq8" -> (Queries.hybridRrfTimeTravelSq8 _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the

@@ -528,6 +528,223 @@ object Bm25 {
       fileTracked = Set(s"${table}_postings"),
       addedFiles = addedFiles)
 
+  // ---- append crash recovery (r15 directive 4) ---------------------
+  // Property tagging the dfs generation with the append batch that
+  // produced it — recovery's commit detector — and the bounds
+  // generation with the batch whose delta it last applied — recovery's
+  // exactly-once guard for the additive counters.
+  private val batchProp = "graft.batch"
+  private val appliedBatchProp = "graft.applied_batch"
+
+  /** Test seam: set to a crash-point name to make the next matching
+    * point throw, simulating a JVM death there; cleared on fire. The
+    * points are the two halves of the append's commit window:
+    * `bm25.append.afterDfsCommit` (nothing moved yet) and
+    * `bm25.append.afterMove` (postings in, bounds not applied). */
+  private[graft] var testCrashPoint: String = ""
+  private def crashPoint(name: String): Unit =
+    if (testCrashPoint == name) {
+      testCrashPoint = ""
+      throw new RuntimeException(s"simulated crash at $name (test seam)")
+    }
+
+  /** The pending-append sidecar beside the index (`_`-prefixed: never a
+    * data file to any listing): the batch's staged file list plus its
+    * additive bounds delta — everything recovery needs to roll the
+    * append forward without the dead JVM. */
+  private def pendingPath(spark: org.apache.spark.sql.SparkSession,
+      table: String, batchId: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(graft.sources.Generations
+        .basePath(spark, s"${table}_postings")).getParent,
+      s"_pending_append_$batchId")
+
+  private def writePending(spark: org.apache.spark.sql.SparkSession,
+      table: String, batchId: String, stage: String, n: Long,
+      sumdl: Long, files: Seq[String]): Unit = {
+    val p = pendingPath(spark, table, batchId)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try {
+      val sb = new StringBuilder
+      sb.append(s"stage=$stage\n").append(s"n=$n\n").append(s"sumdl=$sumdl\n")
+      files.foreach(f => sb.append(s"file=$f\n"))
+      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+  }
+
+  private def deletePending(spark: org.apache.spark.sql.SparkSession,
+      table: String, batchId: String): Unit = {
+    val p = pendingPath(spark, table, batchId)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
+  }
+
+  /** Generation-relative paths of the staged batch's data files. */
+  private def listStagedFiles(fs: org.apache.hadoop.fs.FileSystem,
+      stageP: org.apache.hadoop.fs.Path): Seq[String] = {
+    if (!fs.exists(stageP)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(stageP)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tb="))
+      .foreach { tbDir =>
+        fs.listStatus(tbDir.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .foreach(f =>
+            out += s"${tbDir.getPath.getName}/${f.getPath.getName}")
+      }
+    out.toSeq.sorted
+  }
+
+  /** IDEMPOTENT staged-file move: renames whatever still sits in the
+    * stage; entries whose source is gone were moved by a previous
+    * attempt (file names carry the write job's UUID, so a present
+    * destination is always THIS batch's own earlier move). */
+  private def moveStagedIn(fs: org.apache.hadoop.fs.FileSystem,
+      stageP: org.apache.hadoop.fs.Path,
+      pDest: org.apache.hadoop.fs.Path, files: Seq[String]): Unit =
+    files.foreach { rel =>
+      val src = new org.apache.hadoop.fs.Path(stageP, rel)
+      if (fs.exists(src)) {
+        val dest = new org.apache.hadoop.fs.Path(pDest, rel)
+        if (!fs.exists(dest.getParent)) fs.mkdirs(dest.getParent)
+        require(fs.rename(src, dest),
+          s"bm25 append: rename $src -> $dest failed")
+      }
+    }
+
+  /** Add the batch's (n, Σdl) to the bounds table — a fresh tagged
+    * generation behind an atomic flip, with an UNBOUNDED
+    * re-read-and-retry on a lost CAS: a cross-JVM append committing its
+    * bounds concurrently must ADD to ours, not erase it (both
+    * contributions are additive), so the loser re-reads the moved
+    * bounds and re-adds its batch. The retry must never exhaust: at
+    * this point the staged postings are MOVED IN and the dfs merge
+    * COMMITTED, so letting ConcurrentMaintenanceException escape would
+    * hand the documented retryOnConcurrentMaintenance wrapper a
+    * half-committed append to replay — duplicating postings and
+    * double-counting df (r15 ADVICE). It always converges: each lost
+    * round means another writer COMMITTED (system-wide progress). The
+    * batch tag on the committed generation is what makes the delta
+    * exactly-once under crash recovery. */
+  private def addBoundsTagged(spark: org.apache.spark.sql.SparkSession,
+      table: String, addN: Long, addSumdl: Long, batchId: String): Unit = {
+    import spark.implicits._
+    import graft.sources.Generations
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      attempts += 1
+      val bCur = Generations.ensureGen(spark, s"${table}_bounds")
+      val rows = spark.table(bCur).collect()
+      require(rows.length == 1,
+        s"index ${table}_bounds must hold exactly 1 row")
+      val nextB = Generations.reserve(spark, s"${table}_bounds")
+      Seq((rows(0).getLong(0) + addN, rows(0).getLong(1) + addSumdl,
+          rows(0).getLong(2)))
+        .toDF("n", "sumdl", "n_dirs")
+        .write.format("parquet")
+        .option("path", Generations.genPath(
+          Generations.basePath(spark, s"${table}_bounds"), nextB))
+        .mode("overwrite").saveAsTable(nextB)
+      spark.sql(s"ALTER TABLE $nextB SET TBLPROPERTIES " +
+        s"('$appliedBatchProp' = '$batchId')")
+      try {
+        Generations.commit(spark, s"${table}_bounds", nextB, Some(bCur))
+        committed = true
+      } catch {
+        case e: graft.sources.ConcurrentMaintenanceException =>
+          logger.warn(s"bm25 append: bounds CAS lost a cross-JVM race " +
+            s"(attempt $attempts) — re-reading and re-adding: $e")
+      }
+    }
+  }
+
+  /** Recover an [[appendToIndex]] that died mid-commit — called
+    * automatically at the start of every maintenance op, and available
+    * directly for an operator who just restarted a dead ingest job.
+    * Keyed on the pending sidecar [[writePending]] left behind:
+    *
+    *  - if the current dfs generation carries the pending batch's tag,
+    *    the df merge COMMITTED — roll FORWARD: replay the staged-file
+    *    renames (idempotent — sources already moved are skipped), apply
+    *    the bounds delta unless the current bounds generation is
+    *    already tagged with the batch (exactly-once), and record the
+    *    snapshot commit so the add-file log sees the batch (duplicate
+    *    rows from a crash-after-record are deduped by the fold);
+    *  - otherwise the merge never committed — roll BACK: delete the
+    *    stage and the sidecar, index untouched (re-run the batch).
+    *
+    * A crash DURING recovery re-enters the same decision tree and
+    * converges: every step is idempotent or tagged. */
+  def recoverPendingAppend(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+      graft.sources.Generations.withMaintenanceLock(table) {
+    import graft.sources.Generations
+    val cat = spark.sessionState.catalog
+    if (!cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${table}_postings"))) return
+    val parent = new org.apache.hadoop.fs.Path(
+      Generations.basePath(spark, s"${table}_postings")).getParent
+    val fs = parent.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(parent)) return
+    val pendings = fs.listStatus(parent).filter(s =>
+      s.isFile && s.getPath.getName.startsWith("_pending_append_"))
+    if (pendings.isEmpty) return
+    pendings.sortBy(_.getPath.getName).foreach { pend =>
+      val batchId = pend.getPath.getName.stripPrefix("_pending_append_")
+      val in = fs.open(pend.getPath)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      val stageOpt = lines.find(_.startsWith("stage="))
+        .map(_.stripPrefix("stage="))
+      val dGen = Generations.ensureGen(spark, s"${table}_dfs")
+      val committed = cat.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(dGen))
+        .properties.get(batchProp).contains(batchId)
+      if (!committed) {
+        // the merge never committed (or a partial sidecar from a crash
+        // mid-write — which implies the same): the index is untouched
+        logger.warn(s"bm25 $table: rolling BACK pending append $batchId " +
+          "— its df merge never committed; re-run the batch")
+        stageOpt.foreach(sp =>
+          fs.delete(new org.apache.hadoop.fs.Path(sp), true))
+        fs.delete(pend.getPath, false)
+      } else {
+        logger.warn(s"bm25 $table: rolling FORWARD pending append " +
+          s"$batchId — its df merge committed but the staged move " +
+          "and/or bounds delta did not finish")
+        val n = lines.find(_.startsWith("n="))
+          .getOrElse(throw new IllegalStateException(
+            s"pending append $batchId sidecar is truncated but its df " +
+              "merge committed — should be impossible (the sidecar is " +
+              "fully written before the merge); rebuild the index"))
+          .stripPrefix("n=").toLong
+        val sumdl = lines.find(_.startsWith("sumdl=")).get
+          .stripPrefix("sumdl=").toLong
+        val files = lines.filter(_.startsWith("file="))
+          .map(_.stripPrefix("file="))
+        val pGen = Generations.ensureGen(spark, s"${table}_postings")
+        val pDest = new org.apache.hadoop.fs.Path(
+          Generations.location(spark, pGen))
+        val stage = new org.apache.hadoop.fs.Path(stageOpt.get)
+        moveStagedIn(fs, stage, pDest, files)
+        fs.delete(stage, true)
+        spark.sql(s"ALTER TABLE $pGen RECOVER PARTITIONS")
+        spark.catalog.refreshTable(pGen)
+        val bGen = Generations.ensureGen(spark, s"${table}_bounds")
+        val boundsApplied = cat.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(bGen))
+          .properties.get(appliedBatchProp).contains(batchId)
+        if (!boundsApplied) addBoundsTagged(spark, table, n, sumdl, batchId)
+        recordSnapshot(spark, table, "append-recovery", revertible = false,
+          addedFiles = Map(s"${table}_postings" -> files))
+        fs.delete(pend.getPath, false)
+      }
+    }
+  }
+
   /** DELETE documents from a [[buildIndex]] index — the takedown
     * primitive (a removal request must stop serving a document NOW, not
     * at the next rebuild). Lucene-style tombstones
@@ -550,6 +767,7 @@ object Bm25 {
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, ids: DataFrame): Unit =
     graft.sources.Generations.withMaintenanceLock(table) {
+      recoverPendingAppend(spark, table)
       graft.sources.Tombstones.add(spark, table, ids, s"${table}_postings")
       // revertible: the merge landed as a fresh deletes generation; the
       // prior list survives under retention — "undo the takedown" is
@@ -591,14 +809,18 @@ object Bm25 {
     * always converges; exhausting a bounded retry here would let
     * ConcurrentMaintenanceException escape AFTER the postings moved in,
     * and the documented wrapper would replay the whole append,
-    * duplicating postings). The remaining non-retryable window is a CRASH between the
-    * dfs commit and the staged-file move (a pure rename pass —
-    * microseconds against the write): df stats then lead the postings;
-    * re-running would double-count dfs, so recover by rebuilding
-    * ([[buildIndex]]) or compacting from a known-good snapshot. A probe
+    * duplicating postings). A CRASH after the dfs commit — mid-move,
+    * mid-bounds, anywhere — is rolled FORWARD by
+    * [[recoverPendingAppend]] (r15 directive 4): the batch's full
+    * intent (staged file list + bounds delta) was persisted in a
+    * pending sidecar before the commit, renames are idempotent and the
+    * bounds delta is exactly-once via a generation tag, so the next
+    * maintenance op (or an explicit recover call) COMPLETES the append
+    * instead of the old rebuild-from-snapshot prescription; a crash
+    * before the commit rolls back to an untouched index. A probe
     * running DURING an append may observe the df merge before the
     * batch's postings land — the documented transient staleness,
-    * resolved at the move + bounds commit. The df merge
+    * resolved at the move + bounds commit (or the recovery). The df merge
     * and bounds update themselves land as fresh GENERATIONS flipped
     * atomically (the [[graft.sources.Generations]] contract), so a
     * concurrent probe always reads a COMPLETE dfs/bounds table — stale
@@ -622,6 +844,10 @@ object Bm25 {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.sources.Generations
+    // a previous append may have died between its dfs commit and its
+    // staged-file move — roll it forward (or a pre-commit death back)
+    // before building on the index state (r15 directive 4)
+    recoverPendingAppend(spark, table)
     val pGen = Generations.ensureGen(spark, s"${table}_postings")
     val dGen = Generations.ensureGen(spark, s"${table}_dfs")
     val bGen = Generations.ensureGen(spark, s"${table}_bounds")
@@ -653,14 +879,29 @@ object Bm25 {
     val pDest = new org.apache.hadoop.fs.Path(
       Generations.location(spark, pGen))
     val fs = pDest.getFileSystem(spark.sessionState.newHadoopConf())
+    val batchId = java.util.UUID.randomUUID().toString.take(8)
     val stageP = new org.apache.hadoop.fs.Path(
       Generations.basePath(spark, s"${table}_postings") +
-        "__stage" + java.util.UUID.randomUUID().toString.take(8))
+        "__stage" + batchId)
     postingsOf(docs, idCol, textCol, nDirs.toInt)
       .repartition($"tb")
       .sortWithinPartitions($"tb", $"term")
       .write.format("parquet").mode("overwrite").partitionBy("tb")
       .save(stageP.toString)
+    val stagedFiles: Seq[String] = listStagedFiles(fs, stageP)
+    val b = boundsOf(docs, idCol, textCol).collect()(0)
+    // PENDING MANIFEST (r15 directive 4 — closing the last
+    // non-retryable crash window): before the dfs merge commits, the
+    // batch's full intent — staged file list + additive bounds delta —
+    // lands in a sidecar beside the index, and the new dfs generation
+    // is tagged with the batch id. A crash ANYWHERE after the dfs
+    // commit is then rolled FORWARD by recoverPendingAppend (renames
+    // idempotent, bounds exactly-once via the generation tag, snapshot
+    // rows re-recorded); a crash BEFORE it rolls back (stage + sidecar
+    // deleted, index untouched). The previous contract documented this
+    // window honestly and prescribed a rebuild — now it self-heals.
+    writePending(spark, table, batchId, stageP.toString,
+      b.getLong(0), b.getLong(1), stagedFiles)
     // df merge: vocabulary-sized, written as a FRESH generation and
     // flipped atomically — a probe in another session during the merge
     // reads the complete previous generation, never a partial one. df
@@ -678,86 +919,45 @@ object Bm25 {
         nextD,
         Generations.genPath(
           Generations.basePath(spark, s"${table}_dfs"), nextD))
+      // the batch tag is what recovery keys on: current dfs gen tagged
+      // with this batch ⇒ the merge committed ⇒ roll forward
+      spark.sql(s"ALTER TABLE $nextD SET TBLPROPERTIES " +
+        s"('$batchProp' = '$batchId')")
       // CAS on the generation the merge READ (dGen): a concurrent
       // append's committed df contributions must never be silently
       // discarded. Losing here deletes the staging — index unchanged,
       // op retryable (retryOnConcurrentMaintenance-safe).
       Generations.commit(spark, s"${table}_dfs", nextD, Some(dGen))
     } catch {
-      case e: Throwable => fs.delete(stageP, true); throw e
+      case e: Throwable =>
+        fs.delete(stageP, true)
+        deletePending(spark, table, batchId)
+        throw e
     }
+    crashPoint("bm25.append.afterDfsCommit")
     // the dfs flip committed — move the staged posting files into the
     // live generation's tb directories (pure renames; file names carry
     // the write job's UUID, so they never collide with resident files).
     // The moved names are the commit's add-file delta for the snapshot
     // log (r16) — zero directory walks per append commit.
-    val addedPostings = scala.collection.mutable.ArrayBuffer.empty[String]
-    fs.listStatus(stageP)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tb="))
-      .foreach { tbDir =>
-        val dest = new org.apache.hadoop.fs.Path(pDest, tbDir.getPath.getName)
-        if (!fs.exists(dest)) fs.mkdirs(dest)
-        fs.listStatus(tbDir.getPath)
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-            !f.getPath.getName.startsWith("."))
-          .foreach { f =>
-            require(fs.rename(f.getPath,
-                new org.apache.hadoop.fs.Path(dest, f.getPath.getName)),
-              s"bm25 appendToIndex: rename ${f.getPath} -> $dest failed")
-            addedPostings += s"${tbDir.getPath.getName}/${f.getPath.getName}"
-          }
-      }
+    moveStagedIn(fs, stageP, pDest, stagedFiles)
     fs.delete(stageP, true)
     // register any NEW partition directories this batch introduced in
     // the shared external catalog (the probe-side refreshTables note
     // below covers stale file listings in OTHER sessions)
     spark.sql(s"ALTER TABLE $pGen RECOVER PARTITIONS")
     spark.catalog.refreshTable(pGen)
-    // bounds: additive counters, 1 driver row — same fresh-generation
-    // flip, with an UNBOUNDED re-read-and-retry on a lost CAS: a
-    // cross-JVM append committing its bounds between our dfs commit and
-    // here must ADD to ours, not erase it (both contributions are
-    // additive), so the loser re-reads the moved bounds and re-adds its
-    // batch. The retry must never exhaust: at this point the staged
-    // postings are MOVED IN and the dfs merge COMMITTED, so letting
-    // ConcurrentMaintenanceException escape would hand the documented
-    // retryOnConcurrentMaintenance wrapper a half-committed append to
-    // replay — duplicating postings and double-counting df (r15 ADVICE).
-    // The additive merge always converges: each lost round means another
-    // writer COMMITTED (system-wide progress), and this op re-reads the
-    // moved value before re-adding — no livelock, no lost update.
-    val b = boundsOf(docs, idCol, textCol).collect()(0)
-    var committedB = false
-    var attemptsB = 0
-    while (!committedB) {
-      attemptsB += 1
-      val bCur = Generations.ensureGen(spark, s"${table}_bounds")
-      val rows = spark.table(bCur).collect()
-      require(rows.length == 1,
-        s"index ${table}_bounds must hold exactly 1 row")
-      val nextB = Generations.reserve(spark, s"${table}_bounds")
-      Seq((rows(0).getLong(0) + b.getLong(0),
-          rows(0).getLong(1) + b.getLong(1), nDirs))
-        .toDF("n", "sumdl", "n_dirs")
-        .write.format("parquet")
-        .option("path", Generations.genPath(
-          Generations.basePath(spark, s"${table}_bounds"), nextB))
-        .mode("overwrite").saveAsTable(nextB)
-      try {
-        Generations.commit(spark, s"${table}_bounds", nextB, Some(bCur))
-        committedB = true
-      } catch {
-        case e: graft.sources.ConcurrentMaintenanceException =>
-          logger.warn(s"bm25 appendToIndex: bounds CAS lost a cross-JVM " +
-            s"race (attempt $attemptsB) — re-reading and re-adding: $e")
-      }
-    }
+    crashPoint("bm25.append.afterMove")
+    // bounds: additive counters, 1 driver row — exactly-once via the
+    // batch tag, unbounded CAS retry (see addBoundsTagged)
+    addBoundsTagged(spark, table, b.getLong(0), b.getLong(1), batchId)
     // NOT revertible (directory readers cannot un-see the appended
     // files); the moved file names become the commit's add-file delta,
     // which is exactly what lets resolveStateAsOf serve history ACROSS
     // this commit
     recordSnapshot(spark, table, "append", revertible = false,
-      addedFiles = Map(s"${table}_postings" -> addedPostings.toSeq))
+      addedFiles = Map(s"${table}_postings" -> stagedFiles))
+    deletePending(spark, table, batchId)
     // auto-compaction cadence: reentrant under the family lock
     if (autoCompactAfter > 0 && graft.sources.Snapshots.addsSinceBase(
         spark, table, s"${table}_postings") >= autoCompactAfter) {
@@ -804,6 +1004,9 @@ object Bm25 {
     graft.sources.Generations.withMaintenanceLock(table) {
     import spark.implicits._
     import graft.sources.{Generations, Tombstones}
+    // finish (or discard) any append that died mid-commit before the
+    // rewrite reads the directories it left behind
+    recoverPendingAppend(spark, table)
     def swap(live: String, cols: Seq[Column],
         fold: DataFrame => DataFrame = identity): Unit = {
       val gen = Generations.ensureGen(spark, live)

@@ -41,7 +41,8 @@ object Bucketing {
       table: String,
       path: String,
       numBuckets: Int,
-      keys: Seq[String]): DataFrame = Generations.withMaintenanceLock(table) {
+      keys: Seq[String]): DataFrame =
+      Generations.withMaintenanceLock(Generations.familyOf(table)) {
     val base = Generations.currentOpt(spark, table)
     val gen = Generations.reserve(spark, table)
     df.write
@@ -85,7 +86,8 @@ object Bucketing {
     * ingest commit's file delta is recorded with zero directory walks.
     */
   def appendBucketed(spark: SparkSession, df: DataFrame,
-      table: String): Seq[String] = Generations.withMaintenanceLock(table) {
+      table: String): Seq[String] =
+      Generations.withMaintenanceLock(Generations.familyOf(table)) {
     val (gen, meta) = genMeta(spark, table)
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"table $table has no bucket spec — appendBucketed only grows " +
@@ -147,7 +149,7 @@ object Bucketing {
     */
   def compactBucketed(spark: SparkSession, table: String,
       fold: DataFrame => DataFrame = identity): Unit =
-      Generations.withMaintenanceLock(table) {
+      Generations.withMaintenanceLock(Generations.familyOf(table)) {
     import org.apache.spark.sql.functions.col
     val (gen, meta) = genMeta(spark, table)
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(

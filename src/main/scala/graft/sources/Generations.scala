@@ -66,13 +66,115 @@ object Generations {
     nameMonitors.computeIfAbsent(name, _ => new Object)
 
   /** Serialize whole maintenance operations (build / append / ingest /
-    * compact / rebuild / delete) per index family within this JVM.
-    * `synchronized` on a per-family monitor, so nesting is reentrant —
-    * compaction's tombstone reset runs under the same family lock.
-    * Concurrent PROBES never take this lock (reads are always safe
-    * against the atomic flips); only writers serialize. */
+    * compact / rebuild / delete) per index family within this JVM —
+    * `synchronized` on a per-family monitor — AND across JVMs sharing a
+    * metastore, via a [[acquireLease]] lease row (r15 verdict directive
+    * 4: the CAS detected cross-JVM races loudly but could not prevent
+    * them; the lease turns optimistic-retry into mutual exclusion, the
+    * missing half of the Delta-on-S3 posture). Nesting is reentrant on
+    * both levels — compaction's tombstone reset runs under the same
+    * family lock, and the lease is held once per family per holding
+    * stack. Concurrent PROBES never take this lock (reads are always
+    * safe against the atomic flips); only writers serialize. When no
+    * SparkSession is resolvable (bare unit contexts) the lease half is
+    * skipped — the JVM monitor still serializes, which is the whole
+    * topology there by construction. */
   def withMaintenanceLock[T](family: String)(body: => T): T =
-    monitor("family::" + family).synchronized(body)
+    monitor("family::" + family).synchronized {
+      if (heldLeases.containsKey(family)) body
+      else SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession) match {
+        case None => body
+        case Some(spark) =>
+          acquireLease(spark, family)
+          heldLeases.put(family, java.lang.Boolean.TRUE)
+          try body
+          finally {
+            heldLeases.remove(family)
+            releaseLease(spark, family)
+          }
+      }
+    }
+
+  /** Families whose metastore lease THIS JVM currently holds. Guarded
+    * by the per-family monitor: only the monitor-holding thread touches
+    * a family's entry, so nested [[withMaintenanceLock]] calls (always
+    * same-thread, via synchronized reentrancy) see it and skip the
+    * re-acquire. */
+  private val heldLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def leaseTable(family: String): String = s"${family}__lease"
+  private val leaseExpiryProp = "graft.lease_expiry"
+  private val leaseOwnerProp = "graft.lease_owner"
+  /** This JVM's lease identity — release only drops a lease it owns. */
+  private val leaseOwner = java.util.UUID.randomUUID().toString
+
+  /** Cross-JVM maintenance lease: an atomic-CREATE claim on the
+    * metastore (the [[reserve]] pattern extended to a lock row with
+    * expiry). `CREATE TABLE` either succeeds — the claim — or throws
+    * TableAlreadyExists: the metastore is the arbiter, exactly as for
+    * generation reservations. The entry carries an owner id and an
+    * expiry timestamp; a holder that DIES leaves an entry that other
+    * writers break after `spark.graft.lease.ttlSeconds` (default 600 —
+    * generous against the longest maintenance op; a broken lease means
+    * the dead op's recovery contract applies, e.g.
+    * `Bm25.recoverPendingAppend`). Waiters poll up to
+    * `spark.graft.lease.waitSeconds` (default 120), then fail loudly
+    * naming the holder. Caveat (standard for drop-based leases): the
+    * expiry check and the break are not one atomic op — two breakers
+    * can race, and the CREATE tie-break decides; a live holder whose
+    * op outruns the TTL can lose its lease mid-op, in which case the
+    * per-member CAS commits remain the correctness backstop (loud
+    * ConcurrentMaintenanceException, never a lost update). */
+  private def acquireLease(spark: SparkSession, family: String): Unit = {
+    val name = leaseTable(family)
+    val ttlMs = spark.conf.getOption("spark.graft.lease.ttlSeconds")
+      .map(_.toLong).getOrElse(600L) * 1000L
+    val waitMs = spark.conf.getOption("spark.graft.lease.waitSeconds")
+      .map(_.toLong).getOrElse(120L) * 1000L
+    val deadline = System.currentTimeMillis() + waitMs
+    while (true) {
+      try {
+        spark.sql(s"CREATE TABLE $name (graft_lease INT) USING parquet " +
+          s"TBLPROPERTIES ('$leaseOwnerProp' = '$leaseOwner', " +
+          s"'$leaseExpiryProp' = '${System.currentTimeMillis() + ttlMs}')")
+        return
+      } catch {
+        case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
+          val expiry =
+            try spark.sessionState.catalog
+              .getTableMetadata(TableIdentifier(name))
+              .properties.get(leaseExpiryProp).map(_.toLong).getOrElse(0L)
+            catch { case _: Throwable => 0L } // dropped between check and read
+          if (expiry < System.currentTimeMillis()) {
+            logger.warn(s"maintenance lease on $family expired " +
+              s"(holder died?) — breaking it; the dead op's recovery " +
+              "contract applies")
+            spark.sql(s"DROP TABLE IF EXISTS $name")
+            // loop: the CREATE race decides which breaker wins
+          } else if (System.currentTimeMillis() > deadline) {
+            throw new ConcurrentMaintenanceException(
+              s"could not acquire the maintenance lease on family " +
+                s"$family within ${waitMs / 1000}s — another JVM holds " +
+                s"it (expires in ${(expiry - System.currentTimeMillis()) / 1000}s); " +
+                "retry, raise spark.graft.lease.waitSeconds, or vacuum a " +
+                "dead holder's lease by dropping " + name)
+          } else Thread.sleep(200L)
+      }
+    }
+  }
+
+  /** Drop the lease — only if still ours (an expired-and-broken lease
+    * re-claimed by another JVM must not be released from under it). */
+  private def releaseLease(spark: SparkSession, family: String): Unit = {
+    val name = leaseTable(family)
+    val mine =
+      try spark.sessionState.catalog.getTableMetadata(TableIdentifier(name))
+        .properties.get(leaseOwnerProp).contains(leaseOwner)
+      catch { case _: Throwable => false }
+    if (mine) spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
 
   /** The index family a member live name belongs to — the name every
     * maintenance op passes to [[withMaintenanceLock]]. Member tables

@@ -1003,6 +1003,70 @@ object ScaleSmoke {
       spark.stop(); return
     }
 
+    // SCALE_ONLY_AUTOCOMPACT — the r15-directive-6 cadence claim at
+    // nVecs: N in-place appends WITHOUT compaction degrade the probe
+    // (more files per cell directory → more scan tasks, worse
+    // locality — the r15 10M smoke measured ~3× the fresh band after 5
+    // batches), and the SAME append loop with autoCompactAfter keeps
+    // the grown probe in the fresh-index band, with zero manual
+    // compaction calls. The cadence triggers off the snapshot log's
+    // adds-since-base count (no FS walks).
+    if (sys.env.contains("SCALE_ONLY_AUTOCOMPACT")) {
+      docs.unpersist(true)
+      val dims = sys.env.getOrElse("SCALE_AC_DIMS", "16").toInt
+      def comp(i: Int) = (pmod(xxhash64($"id", lit(i)), lit(1000L))
+        .cast("double") / 1000.0 +
+        when(pmod($"id", lit(8L)) === (i % 8).toLong, 3.0).otherwise(0.0))
+        .cast("float")
+      val vecs = spark.range(nVecs.toLong)
+        .select($"id", array((0 until dims).map(comp): _*).as("v"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ac_smoke").toString
+      val batchN = math.max(nVecs / 50, 1000)
+      def batch(i: Int) = spark
+        .range(1000000000L + (i - 1).toLong * batchN,
+          1000000000L + i.toLong * batchN)
+        .select($"id", array((0 until dims).map(comp): _*).as("v"))
+      def filesPerCell(table: String): (Int, Double) = {
+        val loc = graft.sources.Generations.location(spark,
+          graft.sources.Generations.current(spark, table))
+        val root = new org.apache.hadoop.fs.Path(loc)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        val counts = fs.listStatus(root)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+          .map(d => fs.listStatus(d.getPath).count(f => f.isFile &&
+            !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith(".")))
+        (counts.max, counts.sum.toDouble / counts.length)
+      }
+      def loop(tag: String, tbl: String, after: Int): Unit = {
+        time(s"[$tag] ivf index BUILD ($nVecs vectors)") {
+          Knn.writeIvfIndex(vecs, "id", "v", tbl, s"$dir/$tag", nCells = 64)
+        }
+        (1 to 6).foreach { i =>
+          time(s"[$tag] appendToIvfIndex batch#$i ($batchN vectors, " +
+            s"autoCompactAfter=$after)") {
+            Knn.appendToIvfIndex(batch(i), "id", "v", tbl,
+              autoCompactAfter = after)
+          }
+        }
+        val (mx, avg) = filesPerCell(s"${tbl}_cells")
+        println(f"  [$tag] files/cell after 6 appends: max=$mx%d avg=$avg%.1f")
+        val ops = graft.sources.Snapshots.history(spark, tbl)
+          .select("op").collect().map(_.getString(0)).toSeq
+        println(s"  [$tag] history: ${ops.reverse.mkString(" -> ")}")
+        val queries = vecs.filter($"id" < 1000L).localCheckpoint(true)
+        def one(i: Int) = time(s"[$tag] grown probe #$i (1000 queries, k=10)") {
+          Knn.ivfTopKAgainstIndex(queries, tbl, "id", "v", k = 10)
+            .agg(count(lit(1)), sum($"nid")).collect()(0)
+        }
+        one(1); println(s"  [$tag] steady: ${one(2)}")
+      }
+      loop("uncompacted", "g_ac_smoke_u", after = 0)
+      loop("autocompact", "g_ac_smoke_a", after = 2)
+      spark.stop(); return
+    }
+
     // SCALE_ONLY_THIRD — the third decade (run with nDocs = 100000000,
     // SPARK_DRIVER_MEM=100g): the two headline dedup operators at 100M
     // docs, then the Bloom decontamination CAP regime with PLANTED

@@ -350,4 +350,153 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite {
     assert(statuses.values.forall(_ == "dup_history"),
       s"every replayed doc must match the grown history, got $statuses")
   }
+
+  // ---- append crash recovery (r15 directive 4) ----------------------
+
+  private def crashRecoveryCase(tag: String, crashAt: String): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_crash_$tag").toString
+    val docs = (0L until 60L).map(i => (i, s"shared words rare${i % 6} doc$i"))
+    val (base, batch) = (docs.filter(_._1 % 2 == 0), docs.filter(_._1 % 2 == 1))
+    val tbl = s"g_crash_$tag"
+    Bm25.buildIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+      tbl, s"$dir/idx", nDirs = 4)
+    Bm25.testCrashPoint = crashAt
+    val e = intercept[RuntimeException] {
+      Bm25.appendToIndex(batch.toDF("doc_id", "text"), "doc_id", "text", tbl)
+    }
+    assert(e.getMessage.contains("simulated crash"))
+    // the dead JVM's successor: ANY maintenance op (or the explicit
+    // call) completes the append from the pending sidecar
+    Bm25.recoverPendingAppend(spark, tbl)
+    val ref = s"g_crash_${tag}_ref"
+    Bm25.buildIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+      ref, s"$dir/ref", nDirs = 4)
+    Bm25.appendToIndex(batch.toDF("doc_id", "text"), "doc_id", "text", ref)
+    val qs = Seq((1L, "rare1"), (2L, "rare4"), (3L, "words"))
+    assert(bmRows(tbl, qs) == bmRows(ref, qs),
+      s"recovery after a $crashAt crash must equal a clean append")
+    // bounds applied exactly once (n = |base| + |batch|, Σdl matched)
+    val b = spark.table(s"${tbl}_bounds").collect()(0)
+    val bRef = spark.table(s"${ref}_bounds").collect()(0)
+    assert((b.getLong(0), b.getLong(1)) == (bRef.getLong(0), bRef.getLong(1)),
+      "the bounds delta must apply exactly once under recovery")
+    // the recovery is a RECORDED commit, so the add-file log saw the
+    // batch — time travel across it serves the build-time state
+    val ops = graft.sources.Snapshots.history(spark, tbl)
+      .select("op").collect().map(_.getString(0)).toSeq
+    assert(ops.contains("append-recovery"), s"recovery must be recorded: $ops")
+    val baseOnly = s"g_crash_${tag}_base"
+    Bm25.buildIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+      baseOnly, s"$dir/base", nDirs = 4)
+    assert(
+      Bm25.topKAgainstIndex(qs.toDF("qid", "term"), tbl, k = 100,
+          asOfCommits = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Bm25.topKAgainstIndex(qs.toDF("qid", "term"), baseOnly, k = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      "time travel across the recovered append must serve the build state")
+    // recovery is idempotent: a second call is a no-op
+    val histBefore = graft.sources.Snapshots.history(spark, tbl).count()
+    Bm25.recoverPendingAppend(spark, tbl)
+    assert(graft.sources.Snapshots.history(spark, tbl).count() == histBefore)
+  }
+
+  test("a crash between the dfs commit and the staged move rolls " +
+      "FORWARD: recovery equals a clean append (r15 directive 4)") {
+    crashRecoveryCase("dfsc", "bm25.append.afterDfsCommit")
+  }
+
+  test("a crash between the staged move and the bounds delta rolls " +
+      "FORWARD with the bounds applied exactly once") {
+    crashRecoveryCase("move", "bm25.append.afterMove")
+  }
+
+  test("a pending sidecar whose df merge never committed rolls BACK: " +
+      "stage and sidecar deleted, index untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash_rb").toString
+    val docs = (0L until 40L).map(i => (i, s"shared words rare${i % 4} doc$i"))
+    val tbl = "g_crash_rb"
+    Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text",
+      tbl, s"$dir/idx", nDirs = 4)
+    val qs = Seq((1L, "rare2"), (2L, "words"))
+    val before = bmRows(tbl, qs)
+    // manufacture the crash-before-commit residue: a stage dir and a
+    // pending sidecar, with NO batch tag on the current dfs generation
+    val parent = new org.apache.hadoop.fs.Path(
+      Generations.basePath(spark, s"${tbl}_postings")).getParent
+    val fs = parent.getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = new org.apache.hadoop.fs.Path(
+      Generations.basePath(spark, s"${tbl}_postings") + "__stagedead1")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stage, "tb=0"))
+    val pend = new org.apache.hadoop.fs.Path(parent, "_pending_append_dead1")
+    val out = fs.create(pend, true)
+    out.write(s"stage=$stage\nn=5\nsumdl=25\nfile=tb=0/ghost.parquet\n"
+      .getBytes("UTF-8"))
+    out.close()
+    Bm25.recoverPendingAppend(spark, tbl)
+    assert(!fs.exists(stage), "the dead stage must be reclaimed")
+    assert(!fs.exists(pend), "the sidecar must be reclaimed")
+    assert(bmRows(tbl, qs) == before, "the index must be untouched")
+    val ops = graft.sources.Snapshots.history(spark, tbl)
+      .select("op").collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("build"), s"a rollback records nothing: $ops")
+  }
+
+  // ---- cross-JVM maintenance lease (r15 directive 4) -----------------
+
+  test("the maintenance lease blocks behind a live foreign holder and " +
+      "breaks an expired one; timeout fails loudly naming the holder") {
+    def foreignLease(family: String, ttlMs: Long): Unit =
+      spark.sql(s"CREATE TABLE ${family}__lease (graft_lease INT) USING " +
+        s"parquet TBLPROPERTIES ('graft.lease_owner' = 'other-jvm', " +
+        s"'graft.lease_expiry' = '${System.currentTimeMillis() + ttlMs}')")
+    // expired foreign lease: broken immediately, op proceeds
+    foreignLease("g_lease_a", ttlMs = -1000L)
+    var ran = false
+    Generations.withMaintenanceLock("g_lease_a") { ran = true }
+    assert(ran)
+    assert(!spark.catalog.tableExists("g_lease_a__lease"),
+      "the lease must be released after the op")
+    // live foreign lease expiring in ~2s: the waiter polls, breaks it at
+    // expiry, and proceeds — elapsed covers the wait
+    foreignLease("g_lease_b", ttlMs = 2000L)
+    val t0 = System.nanoTime()
+    Generations.withMaintenanceLock("g_lease_b") {}
+    val waitedMs = (System.nanoTime() - t0) / 1000000L
+    assert(waitedMs >= 1500L,
+      s"the op must have waited for the foreign lease to expire: ${waitedMs}ms")
+    // live foreign lease far from expiry + short wait budget: loud throw
+    foreignLease("g_lease_c", ttlMs = 600000L)
+    spark.conf.set("spark.graft.lease.waitSeconds", "1")
+    try {
+      val e = intercept[ConcurrentMaintenanceException] {
+        Generations.withMaintenanceLock("g_lease_c") {}
+      }
+      assert(e.getMessage.contains("g_lease_c"))
+    } finally {
+      spark.conf.unset("spark.graft.lease.waitSeconds")
+      spark.sql("DROP TABLE IF EXISTS g_lease_c__lease")
+    }
+  }
+
+  test("the lease is reentrant per family, held across the nested body, " +
+      "and released on exception") {
+    Generations.withMaintenanceLock("g_lease_re") {
+      assert(spark.catalog.tableExists("g_lease_re__lease"),
+        "the lease table is the claim")
+      Generations.withMaintenanceLock("g_lease_re") {
+        assert(spark.catalog.tableExists("g_lease_re__lease"))
+      }
+      // the nested exit must NOT have released the outer hold
+      assert(spark.catalog.tableExists("g_lease_re__lease"))
+    }
+    assert(!spark.catalog.tableExists("g_lease_re__lease"))
+    intercept[RuntimeException] {
+      Generations.withMaintenanceLock("g_lease_ex") {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(!spark.catalog.tableExists("g_lease_ex__lease"),
+      "the lease must be released when the body throws")
+  }
 }

@@ -70,9 +70,16 @@ class PlanAuditSpec extends AnyFunSuite {
                                     // same 1-row bounds broadcast, read
                                     // from the build-time bounds gen
                                     // (the postings read is file-pinned)
-      "q180_hybrid_rrf_filtered")  // q169's fusion with the metadata
+      "q180_hybrid_rrf_filtered",  // q169's fusion with the metadata
                                    // predicate — the BM25 leg keeps the
                                    // same 1-row bounds broadcast
+      "q184_hybrid_rrf_tt",        // q169's fusion with both legs
+                                   // historical — the BM25 leg is q179's
+                                   // probe, same 1-row bounds broadcast
+                                   // read from the build-time bounds gen
+      "q185_hybrid_rrf_tt_sq8")    // q184 with the SQ8 vector leg — the
+                                   // BM25 leg unchanged (same 1-row
+                                   // bounds broadcast)
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =
