@@ -487,6 +487,37 @@ object Snapshots {
     Generations.commit(spark, lf, nextGen, Some(gen))
   }
 
+  /** AUDIT: the data files present in `member`'s current generation
+    * directory but ABSENT from the file log's folded head state — the
+    * signature of an append that crashed between its staged file moves
+    * and its snapshot record. Live probes are unaffected (they read
+    * the directory); historical reads miss the unrecorded batch until
+    * the next BASE manifest — any generation rewrite (compact/rebuild)
+    * self-heals the log by construction, which is the documented
+    * repair (each family's append contract already prescribes
+    * rebuild/compact after a crashed append; the BM25 append
+    * additionally self-recovers via its pending sidecar). Cost: one
+    * directory walk — audit cadence, never probe cadence. Returns
+    * empty for untracked members and absent logs. */
+  def unrecordedFiles(spark: SparkSession, index: String,
+      member: String): Seq[String] = {
+    val lf = logFilesTable(index)
+    if (!exists(spark, lf)) return Seq.empty
+    val rows = fileLogRows(spark, lf).filter(col("member") === member)
+      .select("commit_id", "gen", "kind", "files").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getSeq[String](3).toSeq))
+    val bases = rows.filter(_._3 == "base")
+    if (bases.isEmpty) return Seq.empty
+    val baseId = bases.map(_._1).max
+    val base = bases.filter(_._1 == baseId).head
+    val gen = Generations.currentOpt(spark, member).getOrElse(return Seq.empty)
+    if (base._2.nonEmpty && base._2 != gen) return Seq.empty // stale audit
+    val recorded = (base._4 ++
+      rows.filter(r => r._1 > baseId && r._3 == "add").flatMap(_._4)).toSet
+    listDataFiles(spark, gen).filterNot(recorded)
+  }
+
   /** Number of ADD commits recorded for `member` since its latest base
     * manifest — the auto-compaction trigger (r15 directive 6): each
     * in-place append adds ~one file per touched directory, so this

@@ -338,6 +338,96 @@ class SnapshotsSpec extends AnyFunSuite {
       s"must refuse NAMING the unreconstructable member: ${e.getMessage}")
   }
 
+  test("unrecordedFiles audits the crash window between an append's " +
+      "file moves and its snapshot record; a generation rewrite heals " +
+      "the log (r16)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_audit").toString
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 23 + d * 7).toFloat).toSeq))
+    val tbl = "g_snap_audit"
+    Knn.writeIvfIndex(vecs.filter(_._1 % 2 == 0).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", tbl, s"$dir/ivf", nCells = 4)
+    Knn.appendToIvfIndex(
+      vecs.filter(_._1 % 2 == 1).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", tbl)
+    // clean lifecycle: the directory and the folded log agree
+    assert(Snapshots.unrecordedFiles(spark, tbl, s"${tbl}_cells").isEmpty)
+    // simulate the crash: the batch's files moved in, but the snapshot
+    // record never landed — strip the append's add row from the log
+    val lf = Snapshots.logFilesTable(tbl)
+    val loc = Generations.location(spark, lf)
+    val kept = spark.table(lf).filter(col("kind") === "base").collect()
+    val schema = spark.table(lf).schema
+    spark.sql(s"DROP TABLE $lf")
+    Generations.delete(spark, loc)
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(kept: _*)), schema)
+      .coalesce(1).write.format("parquet").option("path", loc)
+      .saveAsTable(lf)
+    val missing = Snapshots.unrecordedFiles(spark, tbl, s"${tbl}_cells")
+    assert(missing.nonEmpty,
+      "the audit must surface the directory-ahead-of-log divergence")
+    assert(missing.forall(_.startsWith("cell=")),
+      s"unrecorded entries are generation-relative data files: $missing")
+    // live probes read the directory and are unaffected throughout
+    val live = Knn.ivfTopKAgainstIndex(
+        vecs.filter(_._1 < 3).toDF("vec_id", "embedding"), tbl,
+        "vec_id", "embedding", k = 5)
+      .collect()
+    assert(live.nonEmpty)
+    // the documented repair: any generation rewrite opens a fresh BASE
+    // manifest (full list of what it just wrote) — log healed
+    Knn.compactIvfIndex(spark, tbl)
+    assert(Snapshots.unrecordedFiles(spark, tbl, s"${tbl}_cells").isEmpty,
+      "a compaction's base manifest must reconcile the log with disk")
+  }
+
+  test("a legacy (r15, full-list) file log migrates one-time to the " +
+      "delta schema and keeps serving history") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_mig").toString
+    val tbl = "g_snap_mig"
+    Bm25.buildIndex(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      tbl, s"$dir/idx", nDirs = 4)
+    val atBuild = probe(tbl)
+    // rewrite the file log in the r15 shape: (commit_id, member, files)
+    // full-list rows, no gen/kind columns
+    val lf = Snapshots.logFilesTable(tbl)
+    val loc = Generations.location(spark, lf)
+    val legacyRows = spark.table(lf)
+      .select(col("commit_id"), col("member"), col("files")).collect()
+    val legacySchema = spark.table(lf)
+      .select(col("commit_id"), col("member"), col("files")).schema
+    spark.sql(s"DROP TABLE $lf")
+    Generations.delete(spark, loc)
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(legacyRows: _*)), legacySchema)
+      .coalesce(1).write.format("parquet").option("path", loc)
+      .saveAsTable(lf)
+    assert(!spark.table(lf).columns.contains("kind"))
+    // the next maintenance op migrates the log in place...
+    Bm25.deleteFromIndex(spark, tbl, Seq(Tuple1(3L)).toDF("id"))
+    assert(spark.table(lf).columns.contains("kind"),
+      "record() must migrate a legacy file log to the delta schema")
+    // ...and history still serves: asOf=1 targets the build commit,
+    // whose legacy full-list row reads as a base manifest
+    assert(probe(tbl, asOf = 1) == atBuild,
+      "legacy full-list rows must keep serving as base manifests")
+    // appends after migration open with a fresh base (the legacy gen is
+    // unknown), then deltas take over
+    Bm25.appendToIndex(
+      corpus.map { case (i, t) => (2000L + i, t) }.toDF("doc_id", "text"),
+      "doc_id", "text", tbl)
+    val kinds = spark.table(lf).select("commit_id", "kind").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(kinds.last._2 == "base" || kinds.count(_._2 == "base") >= 2,
+      s"post-migration appends must be anchored by a fresh base: $kinds")
+    assert(Snapshots.unrecordedFiles(spark, tbl, s"${tbl}_postings").isEmpty)
+  }
+
   test("IVF and MinHash maintenance record manifests too (family " +
       "symmetry of the log)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap_sym").toString
