@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The previous round's per-query steady map, extracted from a
+    * BENCH_r*.json in any of its three observed shapes: this main's raw
+    * one-line JSON, the driver's pretty-printed wrapper holding an
+    * unescaped copy, or (the r15 failure mode, now spec-pinned) ONLY
+    * the ESCAPED `\"queries\"` fragment inside the wrapper's "tail"
+    * string — the driver's ~2000-char window had cut the raw line's
+    * head, so the wrapper's `parsed` field arrived null and the escaped
+    * tail was all that survived. `[^}]*` scopes to the queries object
+    * so the qNN-keyed noise/regress maps cannot pollute the baseline;
+    * the inner regex tolerates the escaping backslashes. */
+  private[graft] def parsePrevSteady(txt: String): Option[Map[String, Double]] =
+    "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+      .orElse(
+        "\\\\\"queries\\\\\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt))
+      .map { m =>
+        "\\\\?\"(q\\d+)\\\\?\"\\s*:\\s*([-0-9.eE]+)".r
+          .findAllMatchIn(m.group(1))
+          .map(g => g.group(1) -> g.group(2).toDouble).toMap
+      }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -80,27 +100,9 @@ object Bench {
           .lastOption
       }
       path.flatMap { p =>
-        try {
-          val txt = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(p)), "UTF-8")
-          // Tolerates three shapes: this main's raw one-line JSON, the
-          // driver's pretty-printed wrapper with an unescaped copy, and
-          // (r15's actual file — its `parsed` field is null and only the
-          // ESCAPED tail survived the 2000-char window) the \"queries\"
-          // form inside the wrapper's "tail" string. [^}]* scopes to the
-          // queries object so the qNN-keyed noise/regress maps can't
-          // pollute the baseline; the inner regex tolerates the escaping
-          // backslashes.
-          "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt)
-            .orElse(
-              "\\\\\"queries\\\\\"\\s*:\\s*\\{([^}]*)\\}".r
-                .findFirstMatchIn(txt))
-            .map { m =>
-            "\\\\?\"(q\\d+)\\\\?\"\\s*:\\s*([-0-9.eE]+)".r
-              .findAllMatchIn(m.group(1))
-              .map(g => g.group(1) -> g.group(2).toDouble).toMap
-          }
-        } catch { case _: Throwable => None }
+        try Bench.parsePrevSteady(new String(java.nio.file.Files
+          .readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
+        catch { case _: Throwable => None }
       }.getOrElse(Map.empty)
     }
     // SELF-ADJUDICATION (r15 verdict directive 2): two rounds in a row a
@@ -241,12 +243,17 @@ object Bench {
         s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":$bigMap,"small_n":${small.size},"small_sum":${f1(small.values.sum)}$adjShort$vsPrevShort,"sf":"$sfShort"}"""
       },
       {
+        // names did not fit (a noisy run adjudicates many) — keep at
+        // least the COUNT: a non-zero adj_n says "this many would-be
+        // regressions were retimed and recovered; names in stderr"
         val big = results.filter(_._2 >= 0.25)
         val small = results.filter(_._2 < 0.25)
         val bigMap = big.map { case (k, v) =>
             "\"" + k.takeWhile(_ != '_') + "\":" + fTrim(v, 1) }
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":$bigMap,"small_n":${small.size},"small_sum":${f1(small.values.sum)}$vsPrevShort,"sf":"$sfShort"}"""
+        val adjN =
+          if (adjudicated.isEmpty) "" else s""","adj_n":${adjudicated.size}"""
+        s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":$bigMap,"small_n":${small.size},"small_sum":${f1(small.values.sum)}$adjN$vsPrevShort,"sf":"$sfShort"}"""
       },
       s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson$vsPrevShort,"sf":"$sfShort"}""")
     // 1880, not 1950: the driver's ~2000-char tail window also swallows
