@@ -31,6 +31,39 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // INPUT WRITER FINGERPRINT (r16 verdict directive 5): two rounds of
+    // regress-map entries traced to driver testdata REGENERATION — same
+    // seed-42 content, different parquet writer encodings, different IO
+    // profile. Record created_by + per-column encodings of a reference
+    // input so round-over-round per-query deltas compare like-for-like:
+    // full detail on stderr, an 8-hex digest in the JSON (a changed
+    // digest between rounds says "the inputs' physical layout moved —
+    // read the regress map against that, not as plan drift").
+    val inputFp: String = try {
+      import scala.jdk.CollectionConverters._
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$sfDir/lineitem.parquet"),
+          spark.sessionState.newHadoopConf()))
+      try {
+        val fm = rd.getFooter.getFileMetaData
+        val created = Option(fm.getCreatedBy).getOrElse("unknown")
+        val encodings = rd.getFooter.getBlocks.get(0).getColumns.asScala
+          .map(c => c.getPath.toDotString + "=" +
+            c.getEncodings.asScala.map(_.name).toSeq.sorted.mkString("+"))
+          .toSeq.sorted.mkString(";")
+        val detail = s"$created|$encodings"
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(detail.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        System.err.println(s"[bench] input_fp=$digest $detail")
+        digest
+      } finally rd.close()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] input fingerprint failed: $e")
+        "na"
+    }
     // Warm the JVM once (codegen, parquet reader, shuffle machinery) so the
     // per-query numbers measure steady-state throughput, not first-query
     // JIT compilation. Uses the cheapest real query; not counted.
@@ -76,7 +109,8 @@ object Bench {
       "q154", "q155", "q156", "q157", "q158", "q159", "q160", "q161",
       "q162", "q163", "q164", "q165", "q166", "q167", "q168", "q169",
       "q170", "q171", "q172", "q173", "q174", "q175", "q176", "q177",
-      "q178", "q179", "q180", "q181", "q182", "q183", "q184", "q185")
+      "q178", "q179", "q180", "q181", "q182", "q183", "q184", "q185",
+      "q186", "q187")
     val byName = SparkEntry.queries.toSeq.sortBy(_._1)
     byName.foreach { case (name, fn) =>
       if (layoutBacked(name.takeWhile(_ != '_'))) {
@@ -212,16 +246,16 @@ object Bench {
       else ",\"noise_adjudicated\":" +
         adjudicated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val candidates = Seq(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":$qs,"noise":$noise$adjJson$vsPrev,"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":$qs$adjJson$vsPrev,"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":${qsMap(2)}$adjJson$vsPrevShort,"sf":"$sfShort"}""",
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","fp":"$inputFp",$errJson,"queries":$qs,"noise":$noise$adjJson$vsPrev,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","fp":"$inputFp",$errJson,"queries":$qs$adjJson$vsPrev,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","fp":"$inputFp",$errJson,"queries":${qsMap(2)}$adjJson$vsPrevShort,"sf":"$sfShort"}""",
       // regress sheds LAST (the r11 lesson, round-12 re-fix: at 160
       // queries even the trimmed 2-decimal map + vsPrevShort overflows
       // by ~10 chars, so the old ladder silently dropped the regress
       // map again — 1-decimal per-query precision is worth losing
       // before the round-over-round self-regression watch is)
-      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":${qsMap(1)}$vsPrevShort,"sf":"$sfShort"}""",
-      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":${qsMap(2)},"sf":"$sfShort"}""",
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","fp":"$inputFp",$errJson,"queries":${qsMap(1)}$vsPrevShort,"sf":"$sfShort"}""",
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","fp":"$inputFp",$errJson,"queries":${qsMap(2)},"sf":"$sfShort"}""",
       // 175-query rung (round 14): even the 1-decimal full map overflows
       // the window, but dropping the whole map loses the per-query
       // visibility every verdict's plan audit reads. Keep every query
@@ -240,7 +274,7 @@ object Bench {
         val adjShort =
           if (adjudicated.isEmpty) ""
           else s""","adj":"${adjudicated.mkString(",")}""""
-        s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":$bigMap,"small_n":${small.size},"small_sum":${f1(small.values.sum)}$adjShort$vsPrevShort,"sf":"$sfShort"}"""
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","fp":"$inputFp",$errJson,"queries":$bigMap,"small_n":${small.size},"small_sum":${f1(small.values.sum)}$adjShort$vsPrevShort,"sf":"$sfShort"}"""
       },
       {
         // names did not fit (a noisy run adjudicates many) — keep at
@@ -253,9 +287,9 @@ object Bench {
           .mkString("{", ",", "}")
         val adjN =
           if (adjudicated.isEmpty) "" else s""","adj_n":${adjudicated.size}"""
-        s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,"queries":$bigMap,"small_n":${small.size},"small_sum":${f1(small.values.sum)}$adjN$vsPrevShort,"sf":"$sfShort"}"""
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","fp":"$inputFp",$errJson,"queries":$bigMap,"small_n":${small.size},"small_sum":${f1(small.values.sum)}$adjN$vsPrevShort,"sf":"$sfShort"}"""
       },
-      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson$vsPrevShort,"sf":"$sfShort"}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","fp":"$inputFp",$errJson$vsPrevShort,"sf":"$sfShort"}""")
     // 1880, not 1950: the driver's ~2000-char tail window also swallows
     // whatever sbt prints AFTER this line ("[success] Total time: …",
     // ~65 chars) — at 1950 the JSON head falls out of the window, which

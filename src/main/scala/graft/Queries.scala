@@ -3395,6 +3395,76 @@ object Queries {
       .orderBy($"qid", $"rank")
   }
 
+  /** Shared layout of q186/q187 — the r17 time-travel addressing pair:
+    * build(evens) → append(odds, `autoCompactAfter = 1` — the ingest
+    * runs WITH auto-compaction enabled, so the maintenance history
+    * contains a cadence-inserted compact commit) → tag the pre-takedown
+    * state by NAME → delete(doc_id % 7 == 3). The 5 ms sleep separates
+    * the tagged commit's wall clock from the delete's, so the timestamp
+    * probe's `ts(delete) − 1` resolves deterministically (commit ids
+    * break exact-millisecond ties by design, but the fixture should not
+    * depend on the tie-break). */
+  private def bm25TsTravelLayout(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val tbl = s"g_bm25tts_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q186_bm25tts_${sfDir.hashCode.toHexString}") { d =>
+      val docs = Tables(spark, sfDir, "documents")
+      graft.operators.Bm25.buildIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+        tbl, s"$d/idx", nDirs = 8)
+      graft.operators.Bm25.appendToIndex(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", tbl,
+        autoCompactAfter = 1)
+      graft.sources.Snapshots.tagSnapshot(spark, tbl, "pre_takedown")
+      Thread.sleep(5L)
+      graft.operators.Bm25.deleteFromIndex(spark, tbl,
+        docs.filter($"doc_id" % 7 === 3).select($"doc_id"))
+    }
+    tbl
+  }
+
+  /** q186: BM25 time travel BY WALL-CLOCK TIMESTAMP — "serve
+    * yesterday's index by yesterday's clock" (r16 verdict directive 4):
+    * the maintenance history here includes an auto-compaction commit
+    * the operator never scheduled, so a fixed `asOfCommits` depth would
+    * name a different state depending on cadence; the probe instead
+    * passes `asOfTimestamp = ts(takedown) − 1 ms`, resolved against the
+    * wall-clock column every manifest row now carries
+    * ([[graft.sources.Snapshots.backForTimestamp]]: max commit id at or
+    * before the instant — commit ids stay the total order, the clock is
+    * the name). The pre-delete state is the full corpus (the cadence
+    * compaction is pure layout), so q152/q155's oracle pins the whole
+    * resolution chain — manifest timestamps, commit targeting, file
+    * manifests, empty historical tombstones. */
+  def bm25TimestampTravelTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = bm25TsTravelLayout(spark, sfDir)
+    val tsDelete = graft.sources.Snapshots.history(spark, tbl)
+      .select($"ts").head().getLong(0)
+    graft.operators.Bm25.topKAgainstIndex(
+        bm25QueryBatch(spark, sfDir), tbl, k = 5,
+        asOfTimestamp = tsDelete - 1L)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** q187: BM25 time travel BY SNAPSHOT TAG — the operational "pin the
+    * known-good state by NAME before a risky op" read (the Iceberg tag
+    * shape, r16 verdict directive 4): the layout tags `pre_takedown`
+    * right before its delete, and the probe passes
+    * `asOfTag = "pre_takedown"` — no commit arithmetic, no clock; the
+    * tag rides the manifest log as a table property, survives
+    * compactLog's view flips, and PINS its commit against log
+    * retention. Same pre-delete full-corpus state as q186, same
+    * q152/q155 oracle. */
+  def bm25TagTravelTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tbl = bm25TsTravelLayout(spark, sfDir)
+    graft.operators.Bm25.topKAgainstIndex(
+        bm25QueryBatch(spark, sfDir), tbl, k = 5,
+        asOfTag = "pre_takedown")
+      .orderBy($"qid", $"rank")
+  }
+
   /** q169: HYBRID retrieval — the standard RAG retrieval stack: the
     * BM25 serving index (q155's, reused) and the IVF embedding index
     * (q158's, reused) each retrieve their top-10 for the same query

@@ -207,7 +207,9 @@ object SparkEntry {
     "q182_minhash_tt_ingest" -> (Queries.minhashTimeTravelAcrossIngest _),
     "q183_knn_ivf_sq8_tt" -> (Queries.knnIvfSq8TimeTravel _),
     "q184_hybrid_rrf_tt" -> (Queries.hybridRrfTimeTravel _),
-    "q185_hybrid_rrf_tt_sq8" -> (Queries.hybridRrfTimeTravelSq8 _)
+    "q185_hybrid_rrf_tt_sq8" -> (Queries.hybridRrfTimeTravelSq8 _),
+    "q186_bm25_tt_timestamp" -> (Queries.bm25TimestampTravelTopK _),
+    "q187_bm25_tt_tag" -> (Queries.bm25TagTravelTopK _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the
@@ -783,6 +785,15 @@ object SparkEntry {
     // targeting, member generation reads, and the (empty) historical
     // tombstone list.
     "q177_bm25_time_travel" -> bm25OracleSql,
+    // q186/q187 likewise: the same pre-delete state addressed by WALL
+    // CLOCK (asOfTimestamp over the manifest's new ts column) and by
+    // NAME (asOfTag) instead of commit depth — and their layout ran its
+    // append with auto-compaction ON, so the equality also pins that a
+    // cadence-inserted compact commit shifts neither selector (the r17
+    // reason these selectors exist). Pre-delete state = full corpus =
+    // the q152/q155 ranking.
+    "q186_bm25_tt_timestamp" -> bm25OracleSql,
+    "q187_bm25_tt_tag" -> bm25OracleSql,
     // q179: time travel ACROSS the in-place append commit (asOf = 2 in
     // the same build→append→delete history) — the probe reads the build
     // commit's FILE MANIFEST, so it must rank exactly like a fresh

@@ -548,6 +548,17 @@ object Bm25 {
       throw new RuntimeException(s"simulated crash at $name (test seam)")
     }
 
+  /** Test seams for the lease-TTL-outrun races (r16 ADVICE): run a
+    * foreign recoverer's action at the exact interleaving point —
+    * after the pending sidecar lands (a rollback can race the dfs
+    * commit) and after the dfs commit (a roll-forward can race the
+    * move/bounds/record half). Cleared after firing. */
+  private[graft] var testAfterPendingHook: () => Unit = () => ()
+  private[graft] var testAfterDfsCommitHook: () => Unit = () => ()
+  private def fireHook(get: () => () => Unit, set: (() => Unit) => Unit): Unit = {
+    val h = get(); set(() => ()); h()
+  }
+
   /** The pending-append sidecar beside the index (`_`-prefixed: never a
     * data file to any listing): the batch's staged file list plus its
     * additive bounds delta — everything recovery needs to roll the
@@ -605,12 +616,22 @@ object Bm25 {
       pDest: org.apache.hadoop.fs.Path, files: Seq[String]): Unit =
     files.foreach { rel =>
       val src = new org.apache.hadoop.fs.Path(stageP, rel)
+      val dest = new org.apache.hadoop.fs.Path(pDest, rel)
       if (fs.exists(src)) {
-        val dest = new org.apache.hadoop.fs.Path(pDest, rel)
         if (!fs.exists(dest.getParent)) fs.mkdirs(dest.getParent)
-        require(fs.rename(src, dest),
-          s"bm25 append: rename $src -> $dest failed")
-      }
+        // src-or-dest tolerance (r16 ADVICE): a recoverer rolling this
+        // batch forward concurrently (the op outran its lease TTL) may
+        // win the rename race — a failed rename with the destination
+        // present is its move, not an error
+        if (!fs.rename(src, dest))
+          require(fs.exists(dest),
+            s"bm25 append: rename $src -> $dest failed and the " +
+              "destination is absent")
+      } else require(fs.exists(dest),
+        s"bm25 append: staged file $rel exists at neither the stage " +
+          "nor the destination — the batch is lost past its df commit; " +
+          "rebuild the index (r16 ADVICE: never record files that " +
+          "never landed)")
     }
 
   /** Add the batch's (n, Σdl) to the bounds table — a fresh tagged
@@ -636,6 +657,19 @@ object Bm25 {
     while (!committed) {
       attempts += 1
       val bCur = Generations.ensureGen(spark, s"${table}_bounds")
+      // exactly-once ACROSS WRITERS, not just across recovery calls
+      // (r16 ADVICE): a recoverer rolling this batch forward in another
+      // JVM may have applied the delta already — the live append's and
+      // the recovery's adds both funnel through this tag check, re-read
+      // on every CAS round
+      if (spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(bCur))
+          .properties.get(appliedBatchProp).contains(batchId)) {
+        logger.warn(s"bm25 append: bounds delta of batch $batchId is " +
+          "already applied (a recovery in another JVM completed it) — " +
+          "skipping")
+        return
+      }
       val rows = spark.table(bCur).collect()
       require(rows.length == 1,
         s"index ${table}_bounds must hold exactly 1 row")
@@ -889,6 +923,11 @@ object Bm25 {
       .write.format("parquet").mode("overwrite").partitionBy("tb")
       .save(stageP.toString)
     val stagedFiles: Seq[String] = listStagedFiles(fs, stageP)
+    // the staged write is the phase that scales with the batch — renew
+    // the cross-JVM lease before entering the commit window (r16
+    // ADVICE: an append outrunning the TTL could have its stage rolled
+    // back under it by another JVM's recovery)
+    Generations.renewLease(table)
     val b = boundsOf(docs, idCol, textCol).collect()(0)
     // PENDING MANIFEST (r15 directive 4 — closing the last
     // non-retryable crash window): before the dfs merge commits, the
@@ -902,6 +941,7 @@ object Bm25 {
     // window honestly and prescribed a rebuild — now it self-heals.
     writePending(spark, table, batchId, stageP.toString,
       b.getLong(0), b.getLong(1), stagedFiles)
+    fireHook(() => testAfterPendingHook, testAfterPendingHook = _)
     // df merge: vocabulary-sized, written as a FRESH generation and
     // flipped atomically — a probe in another session during the merge
     // reads the complete previous generation, never a partial one. df
@@ -923,6 +963,22 @@ object Bm25 {
       // with this batch ⇒ the merge committed ⇒ roll forward
       spark.sql(s"ALTER TABLE $nextD SET TBLPROPERTIES " +
         s"('$batchProp' = '$batchId')")
+      // SIDECAR RE-CHECK before the point of no return (r16 ADVICE): if
+      // this op outran its lease TTL, another JVM's recovery may have
+      // rolled the batch BACK — sidecar and stage deleted. Committing
+      // the dfs merge now would record df contributions whose postings
+      // are gone (silent df-vs-postings divergence); abort loudly
+      // instead — the index is untouched, re-run the batch. (The
+      // check-to-commit window is microseconds against the TTL; the
+      // recovery's decision is stable once the sidecar is gone.)
+      if (!fs.exists(pendingPath(spark, table, batchId)))
+        throw new IllegalStateException(
+          s"bm25 append $batchId on $table: the pending sidecar vanished " +
+            "before the df commit — this op outran its maintenance lease " +
+            "TTL and another JVM's recovery rolled the batch back. The " +
+            "index is unchanged; re-run the batch (and raise " +
+            "spark.graft.lease.ttlSeconds or keep renewLease checkpoints " +
+            "for batches this large)")
       // CAS on the generation the merge READ (dGen): a concurrent
       // append's committed df contributions must never be silently
       // discarded. Losing here deletes the staging — index unchanged,
@@ -935,11 +991,24 @@ object Bm25 {
         throw e
     }
     crashPoint("bm25.append.afterDfsCommit")
-    // the dfs flip committed — move the staged posting files into the
-    // live generation's tb directories (pure renames; file names carry
-    // the write job's UUID, so they never collide with resident files).
-    // The moved names are the commit's add-file delta for the snapshot
-    // log (r16) — zero directory walks per append commit.
+    fireHook(() => testAfterDfsCommitHook, testAfterDfsCommitHook = _)
+    // the dfs flip committed — past here the batch WILL land. If the
+    // sidecar is gone NOW, another JVM's recovery saw the committed tag
+    // and rolled the batch FORWARD to completion (moves, bounds,
+    // snapshot — it deletes the sidecar LAST): everything this op still
+    // had to do is done; finish as a success instead of double-applying
+    // (r16 ADVICE — the lease-TTL-outrun window, closed end to end)
+    if (!fs.exists(pendingPath(spark, table, batchId))) {
+      logger.warn(s"bm25 append $batchId on $table: completed by another " +
+        "JVM's recovery after this op outran its lease TTL — the batch " +
+        "is fully applied (postings, bounds, snapshot); nothing left to do")
+      return
+    }
+    // move the staged posting files into the live generation's tb
+    // directories (pure renames; file names carry the write job's UUID,
+    // so they never collide with resident files). The moved names are
+    // the commit's add-file delta for the snapshot log (r16) — zero
+    // directory walks per append commit.
     moveStagedIn(fs, stageP, pDest, stagedFiles)
     fs.delete(stageP, true)
     // register any NEW partition directories this batch introduced in
@@ -949,8 +1018,18 @@ object Bm25 {
     spark.catalog.refreshTable(pGen)
     crashPoint("bm25.append.afterMove")
     // bounds: additive counters, 1 driver row — exactly-once via the
-    // batch tag, unbounded CAS retry (see addBoundsTagged)
+    // batch tag (re-checked every CAS round, so a concurrent recovery's
+    // application is never doubled), unbounded CAS retry
     addBoundsTagged(spark, table, b.getLong(0), b.getLong(1), batchId)
+    // a recovery may have finished the record half while this op was
+    // moving/adding (both directions are idempotent; the narrow
+    // double-record window leaves one extra dedup-folded commit row) —
+    // skip the duplicate when the sidecar is already gone
+    if (!fs.exists(pendingPath(spark, table, batchId))) {
+      logger.warn(s"bm25 append $batchId on $table: snapshot already " +
+        "recorded by a concurrent recovery — skipping the duplicate")
+      return
+    }
     // NOT revertible (directory readers cannot un-see the appended
     // files); the moved file names become the commit's add-file delta,
     // which is exactly what lets resolveStateAsOf serve history ACROSS
@@ -1005,8 +1084,12 @@ object Bm25 {
     import spark.implicits._
     import graft.sources.{Generations, Tombstones}
     // finish (or discard) any append that died mid-commit before the
-    // rewrite reads the directories it left behind
+    // rewrite reads the directories it left behind; audit unrecorded
+    // files loudly before the fresh base manifest folds them back into
+    // served history (r16 directive 6)
     recoverPendingAppend(spark, table)
+    graft.sources.Snapshots.auditUnrecorded(spark, table,
+      Seq(s"${table}_postings"))
     def swap(live: String, cols: Seq[Column],
         fold: DataFrame => DataFrame = identity): Unit = {
       val gen = Generations.ensureGen(spark, live)
@@ -1138,7 +1221,9 @@ object Bm25 {
       semiJoinMinPrunable: Long = 50000000L,
       maxBatchPairs: Long = 8000000L,
       asOfCommits: Int = 0,
-      candidateFilter: Option[Column] = None): DataFrame = {
+      candidateFilter: Option[Column] = None,
+      asOfTimestamp: Long = 0L,
+      asOfTag: String = ""): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(floorTermsPerQuery >= 1,
       s"need floorTermsPerQuery >= 1, got $floorTermsPerQuery")
@@ -1151,20 +1236,27 @@ object Bm25 {
     // planning pays anyway.
     graft.sources.Generations.refreshTables(spark,
       s"${table}_postings", s"${table}_dfs", s"${table}_bounds")
-    // TIME TRAVEL (`asOfCommits` > 0): resolve every member to the
-    // state it served that many maintenance commits ago, from the
+    // TIME TRAVEL: resolve every member to a historical state from the
     // family snapshot log ([[graft.sources.Snapshots]]) — the
     // operational rollback read ("a bad takedown/compaction landed;
-    // serve yesterday's index while we fix it"). The postings member is
-    // file-tracked: its historical read lists the commit's FILE
-    // MANIFEST instead of the directory, so the probe crosses append
-    // commits exactly (files appended later are unseen). The rest of
-    // the probe is IDENTICAL: same dir pruning, same WAND bounds, same
-    // scoring tree, just over the historical members; a retired
-    // generation is named loudly on first read, never partially served.
+    // serve yesterday's index while we fix it"). Addressable three
+    // ways (at most one): `asOfCommits` (fixed depth), `asOfTimestamp`
+    // (epoch millis — "yesterday's index by yesterday's clock", stable
+    // under any auto-compaction cadence, r17 directive 4), or
+    // `asOfTag` (a name minted by Snapshots.tagSnapshot). The postings
+    // member is file-tracked: its historical read lists the commit's
+    // FILE MANIFEST instead of the directory, so the probe crosses
+    // append commits exactly (files appended later are unseen). The
+    // rest of the probe is IDENTICAL: same dir pruning, same WAND
+    // bounds, same scoring tree, just over the historical members; a
+    // retired generation is named loudly on first read, never
+    // partially served.
+    val timeTravel = asOfCommits != 0 || asOfTimestamp != 0L ||
+      (asOfTag != null && asOfTag.nonEmpty)
     val resolved: Map[String, graft.sources.Snapshots.MemberState] =
-      if (asOfCommits == 0) Map.empty
-      else graft.sources.Snapshots.resolveStateAsOf(spark, table, asOfCommits)
+      if (!timeTravel) Map.empty
+      else graft.sources.Snapshots.resolveSelector(spark, table,
+        asOfCommits, asOfTimestamp, asOfTag)
     def member(live: String): DataFrame =
       resolved.get(live).map(_.read(spark)).getOrElse(spark.table(live))
     def pTbl = member(s"${table}_postings")
@@ -1199,7 +1291,7 @@ object Bm25 {
     // an upper bound) and θ comes from achieved scores of SURVIVORS
     // (still a valid floor) — losslessness holds with deletes in play.
     val tomb =
-      if (asOfCommits == 0) graft.sources.Tombstones.frame(spark, table)
+      if (!timeTravel) graft.sources.Tombstones.frame(spark, table)
       else resolved.get(s"${table}_deletes")
         .flatMap(g => graft.sources.Tombstones.frameAt(spark, g.gen))
     def minusDeleted(df: DataFrame): DataFrame = {

@@ -330,9 +330,30 @@ object Dedup {
   def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, ids: DataFrame): Unit =
     graft.sources.Generations.withMaintenanceLock(table) {
+      recoverPendingAppend(spark, table)
       graft.sources.Tombstones.add(spark, table, ids, s"${table}_sigs")
       recordSnapshot(spark, table, "delete", revertible = true)
     }
+
+  /** Recover an [[ingestAgainstIndex]] that died mid-commit — called
+    * automatically at the start of every MinHash maintenance op, and
+    * available directly after restarting a dead ingest job. The
+    * [[graft.sources.PendingAppend]] sidecar + commit-marker protocol
+    * (the BM25 pattern, r16 verdict directive 1): past the marker the
+    * batch rolls FORWARD (both bucketed tables' staged moves replayed,
+    * snapshot commit recorded); before it, BACK (stages + sidecar
+    * deleted, index untouched — re-run the batch; re-ingesting is
+    * classification-idempotent per the ingest contract). */
+  def recoverPendingAppend(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+      graft.sources.Generations.withMaintenanceLock(table) {
+    if (!spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_sigs")))
+      return
+    graft.sources.PendingAppend.recover(spark, s"${table}_sigs",
+      added => recordSnapshot(spark, table, "append-recovery",
+        revertible = false, addedFiles = added))
+  }
 
   /** [[minhashIncremental]] probing a PERSISTED history index written by
     * [[writeMinhashIndex]] — bit-identical classification (same
@@ -348,19 +369,24 @@ object Dedup {
   def minhashIncrementalAgainstIndex(incoming: DataFrame, table: String,
       idCol: String, textCol: String, threshold: Double = 0.8,
       broadcastMaxBatchDocs: Long = 2000000L,
-      asOfCommits: Int = 0): DataFrame = {
+      asOfCommits: Int = 0, asOfTimestamp: Long = 0L,
+      asOfTag: String = ""): DataFrame = {
     val spark = incoming.sparkSession
     // the index may have grown in another session (q165's foreachBatch
     // clone) — drop this session's cached listings first (the
     // Bm25.topKAgainstIndex note)
     graft.sources.Generations.refreshTables(spark,
       s"${table}_sigs", s"${table}_buckets", s"${table}_meta")
-    // TIME TRAVEL (the Bm25.topKAgainstIndex asOfCommits contract):
-    // classify against the history as it was `asOfCommits` maintenance
-    // commits ago — members resolve from the family snapshot log
+    // TIME TRAVEL (the Bm25.topKAgainstIndex contract: commit depth,
+    // wall-clock timestamp, or snapshot tag — r17 directive 4):
+    // classify against the history as it was at the named state —
+    // members resolve from the family snapshot log
+    val timeTravel = asOfCommits != 0 || asOfTimestamp != 0L ||
+      (asOfTag != null && asOfTag.nonEmpty)
     val resolved: Map[String, graft.sources.Snapshots.MemberState] =
-      if (asOfCommits == 0) Map.empty
-      else graft.sources.Snapshots.resolveStateAsOf(spark, table, asOfCommits)
+      if (!timeTravel) Map.empty
+      else graft.sources.Snapshots.resolveSelector(spark, table,
+        asOfCommits, asOfTimestamp, asOfTag)
     def member(live: String): org.apache.spark.sql.DataFrame =
       resolved.get(live).map(_.read(spark)).getOrElse(spark.table(live))
     def sTbl = member(s"${table}_sigs")
@@ -375,7 +401,7 @@ object Dedup {
     // list, fetched once per probe (historical generation under time
     // travel)
     val tomb =
-      if (asOfCommits == 0) graft.sources.Tombstones.frame(spark, table)
+      if (!timeTravel) graft.sources.Tombstones.frame(spark, table)
       else resolved.get(s"${table}_deletes")
         .flatMap(g => graft.sources.Tombstones.frameAt(spark, g.gen))
     def live(df: org.apache.spark.sql.DataFrame) =
@@ -432,6 +458,9 @@ object Dedup {
       autoCompactAfter: Int = 0): DataFrame =
       graft.sources.Generations.withMaintenanceLock(table) {
     val spark = incoming.sparkSession
+    // finish (or discard) any ingest that died mid-commit before
+    // classifying against the history it half-grew (r16 directive 1)
+    recoverPendingAppend(spark, table)
     graft.sources.Generations.refreshTables(spark,
       s"${table}_sigs", s"${table}_buckets", s"${table}_meta")
     val meta = spark.table(s"${table}_meta").collect()
@@ -451,16 +480,35 @@ object Dedup {
       broadcastMaxBatchDocs)
     // eager: classification is on disk/blocks before the index mutates
     val out = Stage.cut(assembled)
-    val addedSigs = graft.sources.Bucketing.appendBucketed(
+    // both tables STAGE first (bucket spec re-declared — the appended
+    // files hash/sort exactly like build-time files), then the batch
+    // intent + commit marker persist, then the files move in
+    // (PendingAppend, r17): a crash during the writes leaves the index
+    // unchanged, a crash past the marker is completed by the next
+    // maintenance op — the BM25 self-healing contract on this family
+    val stagedSigs = graft.sources.Bucketing.stageBucketed(
       spark, incSigs, s"${table}_sigs")
-    val addedBuckets = graft.sources.Bucketing.appendBucketed(spark,
+    val stagedBuckets = graft.sources.Bucketing.stageBucketed(spark,
       bandBucketsOf(incSigs, bands, numHashes / bands), s"${table}_buckets")
     incSigs.unpersist()
+    // staged writes done — renew the cross-JVM lease before the commit
+    // window (r16 ADVICE: an ingest outrunning the TTL could have its
+    // stage rolled back under it)
+    graft.sources.Generations.renewLease(table)
+    val members = Seq(stagedSigs, stagedBuckets)
+    val batchId = java.util.UUID.randomUUID().toString.take(8)
+    graft.sources.PendingAppend.writeIntent(spark, s"${table}_sigs",
+      batchId, members)
+    graft.sources.PendingAppend.crashPoint("pending.afterIntent")
+    graft.sources.PendingAppend.markCommitted(spark, s"${table}_sigs",
+      batchId)
+    graft.sources.PendingAppend.crashPoint("pending.afterMarker")
     // NOT revertible: bucketed files appended into live generations;
     // the staged batch's file names become the commit's add-file delta
-    recordSnapshot(spark, table, "ingest", revertible = false,
-      addedFiles = Map(s"${table}_sigs" -> addedSigs,
-        s"${table}_buckets" -> addedBuckets))
+    graft.sources.PendingAppend.complete(spark, s"${table}_sigs",
+      batchId, members,
+      added => recordSnapshot(spark, table, "ingest", revertible = false,
+        addedFiles = added))
     // auto-compaction cadence: reentrant under the family lock
     if (autoCompactAfter > 0 && graft.sources.Snapshots.addsSinceBase(
         spark, table, s"${table}_sigs") >= autoCompactAfter) {
@@ -492,6 +540,13 @@ object Dedup {
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit =
       graft.sources.Generations.withMaintenanceLock(table) {
+    // finish (or discard) any ingest that died mid-commit before the
+    // rewrite reads the directories it left behind; audit unrecorded
+    // files loudly before the fresh base manifest folds them back into
+    // served history (r16 directive 6)
+    recoverPendingAppend(spark, table)
+    graft.sources.Snapshots.auditUnrecorded(spark, table,
+      Seq(s"${table}_sigs", s"${table}_buckets"))
     // fold tombstones into the rewrite both tables were getting anyway
     // (the Lucene segment-merge shape): the dead rows drop physically,
     // then the list resets — a crash in between leaves tombstones for

@@ -374,6 +374,7 @@ object Knn {
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, ids: DataFrame): Unit =
     graft.sources.Generations.withMaintenanceLock(table) {
+      recoverPendingAppend(spark, table)
       graft.sources.Tombstones.add(spark, table, ids, s"${table}_cells")
       recordSnapshot(spark, table, "delete", revertible = true)
     }
@@ -400,40 +401,61 @@ object Knn {
       graft.sources.Generations.withMaintenanceLock(table) {
     val spark = data.sparkSession
     import spark.implicits._
+    // a previous append may have died past its commit marker — roll it
+    // forward (or a pre-marker death back) before building on the
+    // index state (r16 verdict directive 1: the BM25 sidecar pattern,
+    // transplanted)
+    recoverPendingAppend(spark, table)
     // appends target the CURRENT generation in place (new files only —
     // never a rewrite of files a reader holds, so no flip needed). The
-    // batch STAGES beside the index and MOVES in (StagedAppend, r16):
-    // a crash during the write leaves the index unchanged, and the
-    // rename pass hands the snapshot log its exact add-file delta —
-    // zero directory walks per append commit.
+    // batch STAGES beside the index (StagedAppend, r16), persists its
+    // intent + commit marker (PendingAppend, r17), and only then moves
+    // in: a crash during the write leaves the index unchanged, a crash
+    // past the marker is completed by the next maintenance op, and the
+    // staged file names hand the snapshot log its exact add-file
+    // delta — zero directory walks per append commit.
     val cellsGen = graft.sources.Generations.ensureGen(spark, s"${table}_cells")
     val centroids: Array[Array[Double]] = spark.table(s"${table}_centroids")
       .orderBy($"cell").collect().map(_.getSeq[Double](1).toArray)
     def assigned = withVecAndNorm(data, idCol, vecCol)
       .withColumn("cell", nearestUdf(centroids)($"v"))
-    val addedCells = graft.sources.StagedAppend.partitioned(
+    val stagedCells = graft.sources.StagedAppend.stage(
       assigned.select($"id", $"v", $"nrm", $"cell").repartition($"cell"),
-      cellsGen, "cell")
+      s"${table}_cells", cellsGen, "cell")
     // the SQ8 replica grows IN THE SAME maintenance op (frozen params,
     // out-of-range components clamp): without this, an SQ8 probe after
     // an append would silently miss the new vectors
-    val addedQ8: Seq[String] =
-      if (!hasQ8(spark, table)) Seq.empty
+    val stagedQ8: Option[graft.sources.PendingAppend.StagedMember] =
+      if (!hasQ8(spark, table)) None
       else {
         val q8Gen = graft.sources.Generations.ensureGen(spark, s"${table}_cells_q8")
         // frozen params matched to the generation the batch appends into
         val (mins, steps) = qparamsFor(spark, table, q8Gen)
-        graft.sources.StagedAppend.partitioned(
+        Some(graft.sources.StagedAppend.stage(
           assigned
             .select($"id", codeUdfFor(mins, steps)($"v").as("codes"), $"cell")
             .repartition($"cell"),
-          q8Gen, "cell")
+          s"${table}_cells_q8", q8Gen, "cell"))
       }
+    // the staged write is the phase that scales with the batch — renew
+    // the cross-JVM lease before entering the commit window (r16
+    // ADVICE: an op outrunning the TTL could have its stage rolled
+    // back under it)
+    graft.sources.Generations.renewLease(table)
+    val members = Seq(stagedCells) ++ stagedQ8
+    val batchId = java.util.UUID.randomUUID().toString.take(8)
+    graft.sources.PendingAppend.writeIntent(spark, s"${table}_cells",
+      batchId, members)
+    graft.sources.PendingAppend.crashPoint("pending.afterIntent")
+    graft.sources.PendingAppend.markCommitted(spark, s"${table}_cells",
+      batchId)
+    graft.sources.PendingAppend.crashPoint("pending.afterMarker")
     // NOT revertible: files appended into the live cells generation;
     // the staged batch's file names become the commit's add-file delta
-    recordSnapshot(spark, table, "append", revertible = false,
-      addedFiles = Map(s"${table}_cells" -> addedCells,
-        s"${table}_cells_q8" -> addedQ8))
+    graft.sources.PendingAppend.complete(spark, s"${table}_cells",
+      batchId, members,
+      added => recordSnapshot(spark, table, "append", revertible = false,
+        addedFiles = added))
     // auto-compaction cadence: reentrant under the family lock
     if (autoCompactAfter > 0 && graft.sources.Snapshots.addsSinceBase(
         spark, table, s"${table}_cells") >= autoCompactAfter) {
@@ -441,6 +463,25 @@ object Knn {
         "base manifest — auto-compacting")
       compactIvfIndex(spark, table)
     }
+  }
+
+  /** Recover an [[appendToIvfIndex]] that died mid-commit — called
+    * automatically at the start of every IVF maintenance op, and
+    * available directly for an operator who just restarted a dead
+    * ingest job. Keyed on the [[graft.sources.PendingAppend]] sidecar
+    * + commit marker: past the marker the batch rolls FORWARD (staged
+    * moves replayed idempotently, snapshot commit recorded so
+    * historical reads see the batch); before it, BACK (stage and
+    * sidecar deleted, index untouched — re-run the batch). */
+  def recoverPendingAppend(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+      graft.sources.Generations.withMaintenanceLock(table) {
+    if (!spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_cells")))
+      return
+    graft.sources.PendingAppend.recover(spark, s"${table}_cells",
+      added => recordSnapshot(spark, table, "append-recovery",
+        revertible = false, addedFiles = added))
   }
 
   /** [[ivfTopK]] against a PERSISTED index from [[writeIvfIndex]]:
@@ -464,7 +505,8 @@ object Knn {
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
       broadcastMaxQcells: Long = 8000000L,
       candidateFilter: Option[org.apache.spark.sql.Column] = None,
-      asOfCommits: Int = 0): DataFrame = {
+      asOfCommits: Int = 0, asOfTimestamp: Long = 0L,
+      asOfTag: String = ""): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     // maintenance may have run in another session (q168's foreachBatch
@@ -472,15 +514,19 @@ object Knn {
     // Bm25.topKAgainstIndex note)
     graft.sources.Generations.refreshTables(spark,
       s"${table}_cells", s"${table}_centroids")
-    // TIME TRAVEL (the Bm25.topKAgainstIndex asOfCommits contract):
-    // members resolve to the manifest `asOfCommits` maintenance commits
-    // back; the cells member is file-tracked, so the historical read
-    // lists the commit's file manifest and the probe crosses append
-    // commits exactly. The probe below is otherwise identical (same
-    // cell pruning, same scoring) over the historical state.
+    // TIME TRAVEL (the Bm25.topKAgainstIndex contract, addressable by
+    // commit depth, wall-clock timestamp, or snapshot tag — r17
+    // directive 4): members resolve to a historical manifest; the
+    // cells member is file-tracked, so the historical read lists the
+    // commit's file manifest and the probe crosses append commits
+    // exactly. The probe below is otherwise identical (same cell
+    // pruning, same scoring) over the historical state.
+    val timeTravel = asOfCommits != 0 || asOfTimestamp != 0L ||
+      (asOfTag != null && asOfTag.nonEmpty)
     val resolved: Map[String, graft.sources.Snapshots.MemberState] =
-      if (asOfCommits == 0) Map.empty
-      else graft.sources.Snapshots.resolveStateAsOf(spark, table, asOfCommits)
+      if (!timeTravel) Map.empty
+      else graft.sources.Snapshots.resolveSelector(spark, table,
+        asOfCommits, asOfTimestamp, asOfTag)
     def member(live: String): DataFrame =
       resolved.get(live).map(_.read(spark)).getOrElse(spark.table(live))
     def cTbl = member(s"${table}_cells")
@@ -489,7 +535,7 @@ object Knn {
     // result immediately — the cell scan anti-joins the list (read at
     // its historical generation under time travel)
     val tomb =
-      if (asOfCommits == 0) graft.sources.Tombstones.frame(spark, table)
+      if (!timeTravel) graft.sources.Tombstones.frame(spark, table)
       else resolved.get(s"${table}_deletes")
         .flatMap(g => graft.sources.Tombstones.frameAt(spark, g.gen))
     val centroids: Array[Array[Double]] = cenTbl
@@ -645,6 +691,9 @@ object Knn {
       graft.sources.Generations.withMaintenanceLock(table) {
     import spark.implicits._
     import graft.sources.Generations
+    // the quantize reads the live cells — complete any dead append
+    // first so the derived codes cover it
+    recoverPendingAppend(spark, table)
     val cellsGen = Generations.ensureGen(spark, s"${table}_cells")
     val src = spark.table(cellsGen)
     val mm = src.select(posexplode($"v").as(Seq("d", "x")))
@@ -704,20 +753,25 @@ object Knn {
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
       broadcastMaxQcells: Long = 8000000L,
       candidateFilter: Option[org.apache.spark.sql.Column] = None,
-      asOfCommits: Int = 0): DataFrame = {
+      asOfCommits: Int = 0, asOfTimestamp: Long = 0L,
+      asOfTag: String = ""): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     import graft.expressions.VectorExpressions.{sq8Dot, sq8NormSq}
     graft.sources.Generations.refreshTables(spark,
       s"${table}_cells_q8", s"${table}_centroids", s"${table}_qparams")
-    // TIME TRAVEL (the ivfTopKAgainstIndex asOfCommits contract)
+    // TIME TRAVEL (the ivfTopKAgainstIndex contract: commit depth,
+    // timestamp, or tag — r17 directive 4)
+    val timeTravel = asOfCommits != 0 || asOfTimestamp != 0L ||
+      (asOfTag != null && asOfTag.nonEmpty)
     val resolved: Map[String, graft.sources.Snapshots.MemberState] =
-      if (asOfCommits == 0) Map.empty
-      else graft.sources.Snapshots.resolveStateAsOf(spark, table, asOfCommits)
+      if (!timeTravel) Map.empty
+      else graft.sources.Snapshots.resolveSelector(spark, table,
+        asOfCommits, asOfTimestamp, asOfTag)
     def member(live: String): DataFrame =
       resolved.get(live).map(_.read(spark)).getOrElse(spark.table(live))
     val tomb =
-      if (asOfCommits == 0) graft.sources.Tombstones.frame(spark, table)
+      if (!timeTravel) graft.sources.Tombstones.frame(spark, table)
       else resolved.get(s"${table}_deletes")
         .flatMap(g => graft.sources.Tombstones.frameAt(spark, g.gen))
     val centroids: Array[Array[Double]] = member(s"${table}_centroids")
@@ -732,16 +786,15 @@ object Knn {
     // manifest (appended files unseen), params via that generation's
     // sidecar (frozen at its quantize, untouched by appends).
     val (q8Gen, q8Scan) =
-      if (asOfCommits == 0) {
+      if (!timeTravel) {
         val g = graft.sources.Generations.current(spark, s"${table}_cells_q8")
         (g, spark.table(g))
       } else {
         val st = resolved.getOrElse(s"${table}_cells_q8",
           throw new IllegalStateException(
             s"index $table had no SQ8 replica at the requested commit " +
-              s"($asOfCommits back) — quantizeIvfIndex had not run yet; " +
-              "probe the float index (ivfTopKAgainstIndex) at that commit " +
-              "instead"))
+              "— quantizeIvfIndex had not run yet; probe the float " +
+              "index (ivfTopKAgainstIndex) at that commit instead"))
         (st.gen, st.read(spark))
       }
     val (minsArr, stepsArr) = qparamsFor(spark, table, q8Gen)
@@ -795,6 +848,14 @@ object Knn {
       graft.sources.Generations.withMaintenanceLock(table) {
     import spark.implicits._
     import graft.sources.Generations
+    // finish (or discard) any append that died mid-commit before the
+    // rewrite reads the directories it left behind; then audit — files
+    // present but unrecorded (an append that bypassed the log) are
+    // named loudly before this rewrite's base manifest folds them back
+    // into served history (r16 verdict directive 6)
+    recoverPendingAppend(spark, table)
+    graft.sources.Snapshots.auditUnrecorded(spark, table,
+      Seq(s"${table}_cells", s"${table}_cells_q8"))
     val name = s"${table}_cells"
     val gen = Generations.ensureGen(spark, name)
     val old = Generations.location(spark, gen)
@@ -891,6 +952,12 @@ object Knn {
       graft.sources.Generations.withMaintenanceLock(table) {
     import spark.implicits._
     import graft.sources.Generations
+    // the rebuild reads the live cell directories — recover any dead
+    // append first, and audit for unrecorded files the fresh base
+    // manifest is about to fold back into history (r16 directive 6)
+    recoverPendingAppend(spark, table)
+    graft.sources.Snapshots.auditUnrecorded(spark, table,
+      Seq(s"${table}_cells", s"${table}_cells_q8"))
     val cellsName = s"${table}_cells"
     val centName = s"${table}_centroids"
     val cellsGen = Generations.ensureGen(spark, cellsName)

@@ -88,6 +88,40 @@ object Bucketing {
   def appendBucketed(spark: SparkSession, df: DataFrame,
       table: String): Seq[String] =
       Generations.withMaintenanceLock(Generations.familyOf(table)) {
+    val m = stageBucketed(spark, df, table)
+    try {
+      val destRoot = new org.apache.hadoop.fs.Path(
+        Generations.location(spark, m.gen))
+      val fs = destRoot.getFileSystem(spark.sessionState.newHadoopConf())
+      m.files.foreach { rel =>
+        val src = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(m.stage), rel)
+        val dest = new org.apache.hadoop.fs.Path(destRoot, rel)
+        if (!fs.rename(src, dest))
+          require(fs.exists(dest),
+            s"bucketed staged append: rename $src -> $dest failed")
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${m.stageTbl}")
+      val p = new org.apache.hadoop.fs.Path(m.stage)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+    spark.catalog.refreshTable(m.gen)
+    m.files
+  }
+
+  /** STAGE HALF of [[appendBucketed]] (r17 — the [[PendingAppend]]
+    * split, mirroring [[StagedAppend.stage]]): write `df` with the
+    * destination's exact bucket spec into a sibling staging table and
+    * return the staged member descriptor; the live table is untouched
+    * until the caller (under its pending sidecar) moves the files in.
+    * Bucketed-read bucket ids ride the file NAME's `_0000N` tag, which
+    * the later rename preserves — the exchange-free join shape
+    * survives (spec-pinned by the whole MinHash suite). A write
+    * FAILURE cleans the stage and rethrows; a JVM death leaves an
+    * orphan stage for [[PendingAppend.recover]]'s sweep. */
+  def stageBucketed(spark: SparkSession, df: DataFrame,
+      table: String): PendingAppend.StagedMember = {
     val (gen, meta) = genMeta(spark, table)
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"table $table has no bucket spec — appendBucketed only grows " +
@@ -98,7 +132,7 @@ object Bucketing {
       .replace("-", "").take(8)
     val stageTbl = gen + tag
     val stagePath = new org.apache.hadoop.fs.Path(destRoot.toString + tag)
-    val added = scala.collection.mutable.ArrayBuffer.empty[String]
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       val writer = df.write.format("parquet")
         .option("path", stagePath.toString)
@@ -112,18 +146,15 @@ object Bucketing {
       fs.listStatus(stagePath)
         .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
           !f.getPath.getName.startsWith("."))
-        .foreach { f =>
-          require(fs.rename(f.getPath,
-              new org.apache.hadoop.fs.Path(destRoot, f.getPath.getName)),
-            s"bucketed staged append: rename ${f.getPath} -> $destRoot failed")
-          added += f.getPath.getName
-        }
-    } finally {
-      spark.sql(s"DROP TABLE IF EXISTS $stageTbl")
-      fs.delete(stagePath, true)
+        .foreach(f => files += f.getPath.getName)
+    } catch {
+      case e: Throwable =>
+        spark.sql(s"DROP TABLE IF EXISTS $stageTbl")
+        fs.delete(stagePath, true)
+        throw e
     }
-    spark.catalog.refreshTable(gen)
-    added.toSeq.sorted
+    PendingAppend.StagedMember(table, gen, "bucketed", stagePath.toString,
+      files.toSeq.sorted, stageTbl)
   }
 
   /** Compact a [[writeBucketed]] table after [[appendBucketed]] batches —

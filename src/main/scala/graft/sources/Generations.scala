@@ -121,13 +121,23 @@ object Generations {
     * the dead op's recovery contract applies, e.g.
     * `Bm25.recoverPendingAppend`). Waiters poll up to
     * `spark.graft.lease.waitSeconds` (default 120), then fail loudly
-    * naming the holder. Caveat (standard for drop-based leases): the
-    * expiry check and the break are not one atomic op — two breakers
-    * can race, and the CREATE tie-break decides; a live holder whose
-    * op outruns the TTL can lose its lease mid-op, in which case the
-    * per-member CAS commits remain the correctness backstop (loud
+    * naming the holder.
+    *
+    * BREAKING IS ATOMIC per entry (r16 ADVICE / r17 directive 2): the
+    * break is an `ALTER TABLE RENAME` — one catalog op that succeeds
+    * for exactly ONE breaker (the loser's rename finds the source name
+    * gone and retries the CREATE race) — and the breaker then inspects
+    * the renamed entry IT NOW EXCLUSIVELY OWNS: still expired → drop it
+    * and claim; actually live (a racer re-claimed the name between the
+    * expiry read and the rename) → rename it straight back and wait.
+    * The old drop-based break let two breakers race so that breaker B's
+    * queued DROP deleted breaker A's freshly-created lease — a window
+    * for two simultaneous holders; the rename closes it. A holder whose
+    * op outruns the TTL can still lose its lease mid-op — call
+    * [[renewLease]] at long-op checkpoints; the per-member CAS commits
+    * remain the correctness backstop (loud
     * ConcurrentMaintenanceException, never a lost update). */
-  private def acquireLease(spark: SparkSession, family: String): Unit = {
+  private[graft] def acquireLease(spark: SparkSession, family: String): Unit = {
     val name = leaseTable(family)
     val ttlMs = spark.conf.getOption("spark.graft.lease.ttlSeconds")
       .map(_.toLong).getOrElse(600L) * 1000L
@@ -151,8 +161,8 @@ object Generations {
             logger.warn(s"maintenance lease on $family expired " +
               s"(holder died?) — breaking it; the dead op's recovery " +
               "contract applies")
-            spark.sql(s"DROP TABLE IF EXISTS $name")
-            // loop: the CREATE race decides which breaker wins
+            breakLease(spark, name)
+            // loop: the CREATE race decides who claims after the break
           } else if (System.currentTimeMillis() > deadline) {
             throw new ConcurrentMaintenanceException(
               s"could not acquire the maintenance lease on family " +
@@ -165,15 +175,131 @@ object Generations {
     }
   }
 
-  /** Drop the lease — only if still ours (an expired-and-broken lease
-    * re-claimed by another JVM must not be released from under it). */
-  private def releaseLease(spark: SparkSession, family: String): Unit = {
+  /** Atomically claim-and-remove an (apparently expired) lease entry:
+    * RENAME it to a private residue name — the one-catalog-op
+    * test-and-set; exactly one breaker's rename succeeds — then verify
+    * the entry we now own really is expired. A live one (re-claimed in
+    * the read-to-rename window) is renamed straight back; if even the
+    * restore loses a race (a third writer CREATEd meanwhile) the stolen
+    * entry is dropped with a LOUD error — its holder detects the theft
+    * at renew/release time and the per-member CAS still prevents any
+    * lost update. Returns true when an expired lease was removed. */
+  private def breakLease(spark: SparkSession, name: String): Boolean = {
+    val residue =
+      s"${name}_broken_${java.util.UUID.randomUUID().toString.take(8)}"
+    try spark.sql(s"ALTER TABLE $name RENAME TO $residue")
+    catch {
+      case _: Throwable => return false // another breaker/release won
+    }
+    val expiry =
+      try spark.sessionState.catalog.getTableMetadata(TableIdentifier(residue))
+        .properties.get(leaseExpiryProp).map(_.toLong).getOrElse(0L)
+      catch { case _: Throwable => 0L }
+    if (expiry < System.currentTimeMillis()) {
+      spark.sql(s"DROP TABLE IF EXISTS $residue")
+      true
+    } else {
+      try {
+        spark.sql(s"ALTER TABLE $residue RENAME TO $name")
+        logger.warn(s"lease break on $name raced a re-claim — the live " +
+          "lease was restored; waiting on its holder")
+      } catch {
+        case _: Throwable =>
+          logger.error(s"lease break on $name renamed a LIVE lease and " +
+            "could not restore it (a third writer claimed the name " +
+            "meanwhile) — dropping the stolen entry; its holder will " +
+            "detect the theft at renew/release and the per-member CAS " +
+            "commits remain the correctness backstop")
+          spark.sql(s"DROP TABLE IF EXISTS $residue")
+      }
+      false
+    }
+  }
+
+  /** Release the lease — owner-conditional via the same RENAME
+    * primitive as the break (r17 directive 2): rename the entry to a
+    * private residue (one catalog op; fails harmlessly if the lease was
+    * already broken), verify the residue is OURS, and only then drop
+    * it. A foreign residue (a breaker re-claimed between the owner
+    * pre-check and the rename — this op outran its TTL) is renamed
+    * straight back, loudly: the old read-owner-then-DROP shape deleted
+    * the new holder's lease in exactly that window. */
+  private[graft] def releaseLease(spark: SparkSession, family: String): Unit = {
     val name = leaseTable(family)
-    val mine =
+    val owner =
       try spark.sessionState.catalog.getTableMetadata(TableIdentifier(name))
-        .properties.get(leaseOwnerProp).contains(leaseOwner)
-      catch { case _: Throwable => false }
-    if (mine) spark.sql(s"DROP TABLE IF EXISTS $name")
+        .properties.get(leaseOwnerProp)
+      catch { case _: Throwable => None }
+    if (!owner.contains(leaseOwner)) {
+      if (owner.isDefined)
+        logger.warn(s"maintenance lease on $family is held by another " +
+          "JVM at release time — this op outran its TTL and a breaker " +
+          "re-claimed the lease mid-op (raise spark.graft.lease." +
+          "ttlSeconds or call renewLease at long-op checkpoints); " +
+          "leaving the new holder's lease in place — per-member CAS " +
+          "commits remain the correctness backstop")
+      return
+    }
+    val residue =
+      s"${name}_rel_${java.util.UUID.randomUUID().toString.take(8)}"
+    try spark.sql(s"ALTER TABLE $name RENAME TO $residue")
+    catch { case _: Throwable => return } // broken under us: nothing to drop
+    val rOwner =
+      try spark.sessionState.catalog.getTableMetadata(TableIdentifier(residue))
+        .properties.get(leaseOwnerProp)
+      catch { case _: Throwable => None }
+    if (rOwner.contains(leaseOwner)) spark.sql(s"DROP TABLE IF EXISTS $residue")
+    else {
+      logger.warn(s"lease release on $family renamed a lease this JVM " +
+        "no longer owns (a breaker re-claimed it between the owner " +
+        "check and the rename) — restoring it")
+      try spark.sql(s"ALTER TABLE $residue RENAME TO $name")
+      catch {
+        case _: Throwable =>
+          logger.error(s"could not restore the re-claimed lease on " +
+            s"$family (a third writer took the name) — dropping the " +
+            "stolen entry; CAS commits remain the correctness backstop")
+          spark.sql(s"DROP TABLE IF EXISTS $residue")
+      }
+    }
+  }
+
+  /** Extend this JVM's lease on `family` by a fresh TTL — the heartbeat
+    * for maintenance ops that may outrun `spark.graft.lease.ttlSeconds`
+    * (r16 ADVICE: a BM25/IVF/MinHash append whose staged WRITE exceeds
+    * the TTL could otherwise have its stage rolled back by another
+    * JVM's recovery mid-op). Called at the long-phase checkpoints of
+    * every append/ingest (right after the staged write — the phase that
+    * scales with the batch); deliberately synchronous and best-effort:
+    * one catalog read + one ALTER, and a lease already broken logs
+    * loudly instead of failing the op (the pending-sidecar re-checks
+    * at the commit points are the correctness guard). No-op when this
+    * JVM holds no lease on the family (bare unit contexts). */
+  def renewLease(family: String): Unit = {
+    if (!heldLeases.containsKey(family)) return
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach { spark =>
+        val name = leaseTable(family)
+        val ttlMs = spark.conf.getOption("spark.graft.lease.ttlSeconds")
+          .map(_.toLong).getOrElse(600L) * 1000L
+        val owner =
+          try spark.sessionState.catalog
+            .getTableMetadata(TableIdentifier(name))
+            .properties.get(leaseOwnerProp)
+          catch { case _: Throwable => None }
+        if (owner.contains(leaseOwner))
+          try spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES " +
+            s"('$leaseExpiryProp' = '${System.currentTimeMillis() + ttlMs}')")
+          catch {
+            case _: Throwable => logger.warn(
+              s"lease renewal on $family raced a break — proceeding; " +
+                "commit-point sidecar checks and CAS guard correctness")
+          }
+        else logger.warn(s"maintenance lease on $family was broken " +
+          "mid-op (this op outran the TTL) — renewal skipped; " +
+          "commit-point sidecar checks and per-member CAS commits " +
+          "remain the correctness backstop")
+      }
   }
 
   /** The index family a member live name belongs to — the name every

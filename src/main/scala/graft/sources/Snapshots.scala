@@ -201,6 +201,33 @@ object Snapshots {
       lit("base").as("kind"), col("files"))
   }
 
+  /** The file-log rows a historical resolve actually needs — member and
+    * commit bounds pushed INTO the scan (r16 ADVICE / r17 directive 3:
+    * the previous shape collected the ENTIRE log to the driver — every
+    * member's every base row, 10⁵–10⁶ paths each at the stated scale —
+    * then filtered in Scala; now parquet row-group pruning applies and
+    * the driver only ever holds the target members' rows within the
+    * commit window). Exposed package-private so the spec can pin the
+    * pushed filters on the exact frame the production fold collects. */
+  private[graft] def memberLogRows(spark: SparkSession, lf: String,
+      members: Seq[String], maxId: Long): DataFrame =
+    fileLogRows(spark, lf)
+      .filter(col("member").isInCollection(members) &&
+        col("commit_id") <= maxId)
+
+  /** Per-member newest BASE commit id at or before `maxId`, computed
+    * DISTRIBUTED (one tiny aggregate collect — member names and ids
+    * only, never file lists). The second half of the two-pass fold:
+    * knowing the governing base id first means the row collect below it
+    * can skip every superseded base row — the rows that carry the
+    * million-path lists. */
+  private def baseIdsAtOrBefore(spark: SparkSession, lf: String,
+      members: Seq[String], maxId: Long): Map[String, Long] =
+    memberLogRows(spark, lf, members, maxId)
+      .filter(col("kind") === "base")
+      .groupBy(col("member")).agg(max(col("commit_id")).as("base_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** One-time migration of a pre-r16 file log to the delta schema (the
     * parquet append below needs matching columns). Rides the
     * [[Generations]] machinery, so a concurrent history read sees the
@@ -288,6 +315,11 @@ object Snapshots {
     import spark.implicits._
     val live = logTable(index)
     val bootstrap = !exists(spark, live)
+    // legacy manifest (no ts column): migrate BEFORE the id claim — the
+    // migration's view flip would otherwise wipe the nextIdProp bump we
+    // just paid for, re-opening the duplicate-id crash window the
+    // claim-first ordering closed (r15 ADVICE)
+    if (!bootstrap) migrateManifestIfLegacy(spark, index)
     val nextId: Long =
       if (bootstrap) 0L
       else {
@@ -339,8 +371,13 @@ object Snapshots {
     val manifest = members.map { m =>
       (m, Generations.currentOpt(spark, m).getOrElse(""))
     }
-    val row = Seq((nextId, op, revertible, manifest))
-      .toDF("commit_id", "op", "revertible", "members")
+    // wall-clock stamp (r17 directive 4): commit ids order the history,
+    // the timestamp NAMES a state without commit arithmetic — what lets
+    // an operator "serve yesterday's index" by yesterday's clock even
+    // when auto-compaction has shifted fixed commit depths
+    val row = Seq((nextId, op, revertible, manifest,
+        System.currentTimeMillis()))
+      .toDF("commit_id", "op", "revertible", "members", "ts")
     if (bootstrap) {
       row.coalesce(1).write.format("parquet")
         .option("path", pathBeside(spark, anchorTable))
@@ -352,6 +389,57 @@ object Snapshots {
       // into its current generation table (a view rejects appends)
       row.coalesce(1).write.format("parquet").mode("append")
         .saveAsTable(appendTarget(spark, live))
+    }
+  }
+
+  /** Capture the live log entry's durable properties (next commit id,
+    * snapshot tags) around a body that REWRITES that catalog entry — a
+    * [[Generations.pointAt]] view flip replaces every property, and
+    * losing a tag silently un-pins a named snapshot while losing the id
+    * claim re-opens the max-scan fallback (harmless but paid). */
+  private def withLogPropsPreserved[T](spark: SparkSession, live: String)(
+      body: => T): T = {
+    val props =
+      if (!exists(spark, live)) Map.empty[String, String]
+      else spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(live))
+        .properties
+        .filter { case (k, _) =>
+          k == nextIdProp || k.startsWith(tagPropPrefix) }
+    val out = body
+    if (props.nonEmpty) {
+      val kw = if (isView(spark, live)) "VIEW" else "TABLE"
+      val kv = props
+        .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+      spark.sql(s"ALTER $kw $live SET TBLPROPERTIES ($kv)")
+    }
+    out
+  }
+
+  /** One-time migration of a pre-r17 manifest log (no `ts` column) so
+    * the parquet append in [[record]] has matching columns. Legacy rows
+    * get a NULL timestamp — honest "recorded before wall-clock
+    * stamping"; [[backForTimestamp]] never resolves to them. Rides the
+    * [[Generations]] machinery like the file-log migration; runs BEFORE
+    * the commit-id claim, with the id/tag properties carried across the
+    * flip. */
+  private def migrateManifestIfLegacy(spark: SparkSession,
+      index: String): Unit = {
+    val live = logTable(index)
+    spark.catalog.refreshTable(live)
+    if (spark.table(live).columns.contains("ts")) return
+    logger.info(s"migrating legacy snapshot manifest $live to the " +
+      "timestamped schema (one-time rewrite; legacy rows get ts = NULL)")
+    withLogPropsPreserved(spark, live) {
+      val rows = spark.table(live)
+        .withColumn("ts", lit(null).cast("long"))
+      val gen = Generations.ensureGen(spark, live)
+      val nextGen = Generations.reserve(spark, live)
+      rows.coalesce(1).write.format("parquet")
+        .option("path",
+          Generations.genPath(Generations.basePath(spark, live), nextGen))
+        .mode("overwrite").saveAsTable(nextGen)
+      Generations.commit(spark, live, nextGen, Some(gen))
     }
   }
 
@@ -404,8 +492,27 @@ object Snapshots {
         case r if r.isNullAt(0) => return
         case r => r.getLong(0)
       }
-      val minKept = maxId - (keepCommits - 1L)
-      locally { // manifest log: plain truncating fold
+      // TAGS PIN RETENTION (r17 directive 4, the Iceberg tag contract):
+      // a named snapshot must stay resolvable, so the cutoff never
+      // crosses the oldest tagged commit — dropping its manifest would
+      // turn the name into a dangling pointer
+      val minTagged = tags(spark, index).values
+        .foldLeft(Long.MaxValue)(math.min)
+      val minKept = math.min(maxId - (keepCommits - 1L), minTagged)
+      // the id/tag properties ride the live entry the view flip below
+      // replaces — carry them across, and NEVER re-seed the next commit
+      // id BACKWARDS: a record() that crashed after claiming an id may
+      // have left file rows above maxId with no manifest row yet, and a
+      // regressed property would re-mint that id, violating the
+      // later-ids-are-never-reused invariant the duplicate-base
+      // disambiguation relies on (r16 ADVICE)
+      val claimed: Long =
+        spark.sessionState.catalog
+          .getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(live))
+          .properties.get(nextIdProp).map(_.toLong).getOrElse(0L)
+      withLogPropsPreserved(spark, live) {
+        // manifest log: plain truncating fold
         val gen = Generations.ensureGen(spark, live)
         val nextGen = Generations.reserve(spark, live)
         spark.table(gen).filter(col("commit_id") >= minKept)
@@ -415,7 +522,7 @@ object Snapshots {
           .mode("overwrite").saveAsTable(nextGen)
         Generations.commit(spark, live, nextGen, Some(gen))
       }
-      setNextId(spark, live, maxId + 1L)
+      setNextId(spark, live, math.max(claimed, maxId + 1L))
       val lf = logFilesTable(index)
       if (exists(spark, lf)) {
         migrateFileLogIfLegacy(spark, index)
@@ -503,19 +610,50 @@ object Snapshots {
       member: String): Seq[String] = {
     val lf = logFilesTable(index)
     if (!exists(spark, lf)) return Seq.empty
-    val rows = fileLogRows(spark, lf).filter(col("member") === member)
-      .select("commit_id", "gen", "kind", "files").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-        r.getSeq[String](3).toSeq))
-    val bases = rows.filter(_._3 == "base")
-    if (bases.isEmpty) return Seq.empty
-    val baseId = bases.map(_._1).max
-    val base = bases.filter(_._1 == baseId).head
+    // two-pass (r17 directive 3): the governing base id first (tiny
+    // aggregate), then ONLY the rows at or after it reach the driver —
+    // superseded bases' million-path lists never do
+    val baseIds = baseIdsAtOrBefore(spark, lf, Seq(member), Long.MaxValue)
+    if (baseIds.isEmpty) return Seq.empty
+    val baseId = baseIds(member)
+    val rows = memberLogRows(spark, lf, Seq(member), Long.MaxValue)
+      .filter(col("commit_id") >= baseId).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3),
+        r.getSeq[String](4).toSeq))
+    val base = rows.filter(r => r._1 == baseId && r._3 == "base").head
     val gen = Generations.currentOpt(spark, member).getOrElse(return Seq.empty)
     if (base._2.nonEmpty && base._2 != gen) return Seq.empty // stale audit
+    // adds AT the base id are included (>= — the foldFileLog alignment,
+    // r16 ADVICE), excluding only the base row itself by kind
     val recorded = (base._4 ++
-      rows.filter(r => r._1 > baseId && r._3 == "add").flatMap(_._4)).toSet
+      rows.filter(r => r._1 >= baseId && r._3 == "add").flatMap(_._4)).toSet
     listDataFiles(spark, gen).filterNot(recorded)
+  }
+
+  /** Run [[unrecordedFiles]] over a family's file-tracked members and
+    * WARN loudly per hit (r17 directive 6): called automatically at the
+    * start of every compaction/rebuild, where the hit is about to be
+    * healed — the rewrite's fresh generation opens with a BASE manifest
+    * holding exactly the directory's files, unrecorded ones included —
+    * so the operator learns an append once crashed (or bypassed the
+    * log) instead of silently losing pre-rewrite historical reads of
+    * that batch. Returns the findings for the spec and for tooling. */
+  def auditUnrecorded(spark: SparkSession, index: String,
+      members: Seq[String]): Map[String, Seq[String]] = {
+    val found = members
+      .map(m => m -> unrecordedFiles(spark, index, m))
+      .filter(_._2.nonEmpty).toMap
+    found.foreach { case (m, fs) =>
+      logger.warn(s"snapshot audit of $index: member $m holds " +
+        s"${fs.length} data file(s) present in its current generation " +
+        "directory but ABSENT from the snapshot file log — an append " +
+        "crashed between its file moves and its snapshot record, or " +
+        "bypassed the log. The BASE manifest this rewrite is about to " +
+        "record folds them back into served history; historical reads " +
+        "BEFORE this commit keep missing them. Files: " +
+        fs.take(5).mkString(", ") + (if (fs.length > 5) ", …" else ""))
+    }
+    found
   }
 
   /** Number of ADD commits recorded for `member` since its latest base
@@ -527,13 +665,13 @@ object Snapshots {
       member: String): Long = {
     val lf = logFilesTable(index)
     if (!exists(spark, lf)) return 0L
-    val rows = fileLogRows(spark, lf).filter(col("member") === member)
-      .select("commit_id", "kind").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
-    val baseIds = rows.filter(_._2 == "base").map(_._1)
+    // aggregate-only (r17 directive 3): the governing base id and the
+    // add count both fold distributed; no file list touches the driver
+    val baseIds = baseIdsAtOrBefore(spark, lf, Seq(member), Long.MaxValue)
     if (baseIds.isEmpty) return 0L
-    val baseId = baseIds.max
-    rows.count(r => r._1 > baseId && r._2 == "add").toLong
+    memberLogRows(spark, lf, Seq(member), Long.MaxValue)
+      .filter(col("kind") === "add" && col("commit_id") > baseIds(member))
+      .count()
   }
 
   /** The full commit history, newest first — the operator's audit view:
@@ -569,25 +707,40 @@ object Snapshots {
   def resolveStateAsOf(spark: SparkSession, index: String,
       back: Int): Map[String, MemberState] = {
     require(back >= 0, s"need back >= 0, got $back")
-    val commits = history(spark, index)
+    val commits = collectedCommits(spark, index)
+    require(commits.length > back,
+      s"index $index has ${commits.length} recorded maintenance commits — " +
+        s"cannot step back $back")
+    resolveStateAt(spark, index, commits, back)
+  }
+
+  /** The manifest log collected newest-first — bounded by compactLog
+    * retention (commit rows are tiny: member names + generations, never
+    * file lists). */
+  private def collectedCommits(spark: SparkSession, index: String)
+      : Array[(Long, String, Boolean, Seq[(String, String)])] =
+    history(spark, index)
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
         r.getSeq[org.apache.spark.sql.Row](3)
           .map(m => (m.getString(0), m.getString(1)))))
-    require(commits.length > back,
-      s"index $index has ${commits.length} recorded maintenance commits — " +
-        s"cannot step back $back")
+
+  private def resolveStateAt(spark: SparkSession, index: String,
+      commits: Array[(Long, String, Boolean, Seq[(String, String)])],
+      back: Int): Map[String, MemberState] = {
     val target = commits(back)
     val targetId = target._1
     val targetGens: Map[String, String] = target._4.toMap
     val crossedNonRevertible = commits.take(back).filter(!_._3)
     val lf = logFilesTable(index)
-    val allRows: Seq[(Long, String, String, String, Seq[String])] =
-      if (!exists(spark, lf)) Seq.empty
-      else fileLogRows(spark, lf).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-          r.getString(3), r.getSeq[String](4).toSeq)).toSeq
-    if (allRows.isEmpty) {
+    // tracked-ever membership is a tiny DISTINCT aggregate — never the
+    // full log (r17 directive 3: the previous shape collected every
+    // member's every base row to the driver per probe)
+    val trackedEver: Set[String] =
+      if (!exists(spark, lf)) Set.empty
+      else fileLogRows(spark, lf).select(col("member")).distinct()
+        .collect().map(_.getString(0)).toSet
+    if (trackedEver.isEmpty) {
       // legacy manifest (no file log at all): an in-place append
       // between the target commit and now means appended files are
       // visible in the target's generation directories — refuse rather
@@ -601,8 +754,27 @@ object Snapshots {
             "maintenance op to start recording file manifests")
       }
     }
-    val trackedEver: Set[String] = allRows.map(_._2).toSet
-    val rows = allRows.filter(_._1 <= targetId)
+    // two-pass fold: the governing base id per wanted member first (a
+    // distributed aggregate), then ONLY rows in [baseId, targetId] for
+    // those members reach the driver — filters pushed into the parquet
+    // scan, so a probe reads its target's rows within the window, not
+    // every member's full history within retention
+    val wanted = target._4.map(_._1).filter(trackedEver.contains)
+    val baseIds: Map[String, Long] =
+      if (wanted.isEmpty) Map.empty
+      else baseIdsAtOrBefore(spark, lf, wanted, targetId)
+    val rows: Seq[(Long, String, String, String, Seq[String])] =
+      if (baseIds.isEmpty) Seq.empty
+      else {
+        val window = baseIds
+          .map { case (m, b) =>
+            col("member") === m && col("commit_id") >= b }
+          .reduce(_ || _)
+        memberLogRows(spark, lf, baseIds.keys.toSeq, targetId)
+          .filter(window).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getSeq[String](4).toSeq)).toSeq
+      }
     // per member: (base generation, folded file set) at the target commit
     val fileLists: Map[String, (String, Seq[String])] =
       rows.groupBy(_._2).flatMap { case (m, rs) =>
@@ -633,7 +805,12 @@ object Snapshots {
                   s"rebuild the index (or drop ${logFilesTable(index)}) " +
                   "to restore time travel")
             }
-          val adds = rs.filter(r => r._1 > baseId && r._4 == "add")
+          // >= baseId, excluding only the base row itself by kind: an
+          // add row SHARING the base's commit id (crash residue whose
+          // re-run re-minted an id) folds in here exactly as
+          // foldFileLog folds it at compaction — the two readers of the
+          // log agree on every state (r16 ADVICE alignment)
+          val adds = rs.filter(r => r._1 >= baseId && r._4 == "add")
           adds.find(_._3 != base._3).foreach { a =>
             throw new IllegalStateException(
               s"file log of $index: add row at commit ${a._1} for member " +
@@ -683,11 +860,7 @@ object Snapshots {
   def resolveAsOf(spark: SparkSession, index: String,
       back: Int): Map[String, String] = {
     require(back >= 0, s"need back >= 0, got $back")
-    val commits = history(spark, index)
-      .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
-        r.getSeq[org.apache.spark.sql.Row](3)
-          .map(m => (m.getString(0), m.getString(1)))))
+    val commits = collectedCommits(spark, index)
     require(commits.length > back,
       s"index $index has ${commits.length} recorded maintenance commits — " +
         s"cannot step back $back")
@@ -708,5 +881,124 @@ object Snapshots {
             "vacuum or later maintenance reclaimed this one)")
       live -> gen
     }.toMap
+  }
+
+  // ---- timestamp / named-snapshot resolution (r17 directive 4) -------
+  // `asOfCommits` counts commits, so an enabled auto-compaction cadence
+  // SHIFTS fixed depths (each triggered compaction is one more commit —
+  // the reason auto-compact shipped defaulting off). Timestamps and
+  // tags name a state without commit arithmetic: rollback reads stay
+  // stable under any maintenance cadence, which is what lets the ingest
+  // loops run auto-compaction by default.
+
+  /** Table-property key of a named snapshot tag on the manifest log.
+    * Properties survive compactLog ([[withLogPropsPreserved]]) and pin
+    * their commit against retention (the Iceberg tag contract). */
+  private val tagPropPrefix = "graft.tag."
+
+  /** Name the state `back` commits ago (default: the newest commit) so
+    * probes can resolve it later by name — `tagSnapshot(s, idx,
+    * "pre_migration")` before a risky maintenance run, then
+    * `asOfTag = "pre_migration"` on any probe while it is vetted. The
+    * tag is one table property on the manifest log: O(1), crash-atomic
+    * with the catalog op, carried across compactLog flips, and it PINS
+    * its commit — compactLog never drops manifests at or after the
+    * oldest tagged commit. */
+  def tagSnapshot(spark: SparkSession, index: String, name: String,
+      back: Int = 0): Unit = {
+    require(name.matches("[A-Za-z0-9_\\-]+"),
+      s"tag names are [A-Za-z0-9_-]+, got '$name'")
+    val commits = collectedCommits(spark, index)
+    require(commits.length > back,
+      s"index $index has ${commits.length} recorded maintenance commits — " +
+        s"cannot tag $back back")
+    val live = logTable(index)
+    val kw = if (isView(spark, live)) "VIEW" else "TABLE"
+    spark.sql(s"ALTER $kw $live SET TBLPROPERTIES " +
+      s"('$tagPropPrefix$name' = '${commits(back)._1}')")
+  }
+
+  /** Every named snapshot of `index`: tag name → commit id. */
+  def tags(spark: SparkSession, index: String): Map[String, Long] = {
+    val live = logTable(index)
+    if (!exists(spark, live)) return Map.empty
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(live))
+      .properties.collect {
+        case (k, v) if k.startsWith(tagPropPrefix) =>
+          k.stripPrefix(tagPropPrefix) -> v.toLong
+      }
+  }
+
+  /** Drop a named snapshot — its commit stops pinning retention at the
+    * next [[compactLog]]. */
+  def dropTag(spark: SparkSession, index: String, name: String): Unit = {
+    val live = logTable(index)
+    val kw = if (isView(spark, live)) "VIEW" else "TABLE"
+    spark.sql(s"ALTER $kw $live UNSET TBLPROPERTIES IF EXISTS " +
+      s"('$tagPropPrefix$name')")
+  }
+
+  /** The `back` depth of commit `targetId` in the current history —
+    * how timestamp/tag selectors reuse the one resolution path. */
+  private def backForCommitId(spark: SparkSession, index: String,
+      targetId: Long): Int = {
+    val ids = collectedCommits(spark, index).map(_._1)
+    val pos = ids.indexOf(targetId)
+    require(pos >= 0,
+      s"commit $targetId of index $index is no longer in the snapshot " +
+        "log (compactLog retention dropped it) — time travel reaches " +
+        "only kept manifests")
+    pos
+  }
+
+  /** The `back` depth of the newest commit recorded at or before
+    * `tsMillis` (epoch millis) — the "serve yesterday's index by
+    * yesterday's clock" selector. Commits predating the timestamped
+    * manifest schema carry a NULL ts and never match; non-monotonic
+    * wall clocks resolve by MAX COMMIT ID among qualifying rows (ids
+    * are the total order, ts is the name). */
+  def backForTimestamp(spark: SparkSession, index: String,
+      tsMillis: Long): Int = {
+    val live = logTable(index)
+    require(exists(spark, live),
+      s"index $index has no snapshot log ($live) — it predates the " +
+        "snapshot-log format; rebuild it to enable time travel")
+    Generations.refreshTables(spark, live)
+    val df = spark.table(live)
+    require(df.columns.contains("ts"),
+      s"snapshot log of $index predates wall-clock stamping — run any " +
+        "maintenance op to migrate it, then probe by timestamp")
+    val head = df.filter(col("ts").isNotNull && col("ts") <= tsMillis)
+      .agg(max(col("commit_id"))).head()
+    require(!head.isNullAt(0),
+      s"index $index has no maintenance commit recorded at or before " +
+        s"timestamp $tsMillis")
+    backForCommitId(spark, index, head.getLong(0))
+  }
+
+  /** [[resolveStateAsOf]] addressed by commit depth, wall-clock
+    * timestamp, or snapshot tag — the shared probe entry (BM25 / IVF /
+    * MinHash probes all delegate here). At most one selector may be
+    * set; all unset resolves the LIVE state (empty map — the caller
+    * reads the live tables). */
+  def resolveSelector(spark: SparkSession, index: String,
+      asOfCommits: Int, asOfTimestamp: Long = 0L,
+      asOfTag: String = ""): Map[String, MemberState] = {
+    val set = Seq(asOfCommits != 0, asOfTimestamp != 0L,
+      asOfTag != null && asOfTag.nonEmpty)
+    require(set.count(identity) <= 1,
+      "set at most ONE of asOfCommits / asOfTimestamp / asOfTag")
+    if (asOfCommits != 0) resolveStateAsOf(spark, index, asOfCommits)
+    else if (asOfTimestamp != 0L)
+      resolveStateAsOf(spark, index,
+        backForTimestamp(spark, index, asOfTimestamp))
+    else if (asOfTag != null && asOfTag.nonEmpty) {
+      val t = tags(spark, index).getOrElse(asOfTag,
+        throw new IllegalArgumentException(
+          s"index $index has no snapshot tag '$asOfTag' — tags: " +
+            tags(spark, index).keys.toSeq.sorted.mkString(", ")))
+      resolveStateAsOf(spark, index, backForCommitId(spark, index, t))
+    } else Map.empty
   }
 }

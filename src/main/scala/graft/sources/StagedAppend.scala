@@ -26,45 +26,41 @@ import org.apache.spark.sql.DataFrame
   */
 object StagedAppend {
 
-  /** Append `df` into the current generation of directory-partitioned
-    * table `genTable` (layout `partCol=v/part-*.parquet`) via
-    * stage-and-move. Returns the generation-relative paths of the files
-    * added, sorted — the `addedFiles` input of
-    * [[Snapshots.record]]. New partition directories are registered in
-    * the shared catalog (RECOVER PARTITIONS); stale listings in OTHER
-    * sessions remain the probe's responsibility
-    * ([[Generations.refreshTables]]). */
-  def partitioned(df: DataFrame, genTable: String,
-      partCol: String): Seq[String] = {
+  /** STAGE HALF (r17: split from the move so the append's pending
+    * sidecar can persist the batch intent BETWEEN them —
+    * [[PendingAppend]]): write `df` partitioned by `partCol` into a
+    * sibling staging directory of `genTable`'s location and return the
+    * staged member descriptor (stage path + generation-relative file
+    * names, sorted). The live index is untouched; a write FAILURE
+    * deletes the stage and rethrows (a JVM death instead leaves an
+    * orphan stage, swept by [[PendingAppend.recover]]). The caller
+    * records the intent, marks the commit, then moves the files in via
+    * [[PendingAppend.complete]]. */
+  def stage(df: DataFrame, member: String, genTable: String,
+      partCol: String): PendingAppend.StagedMember = {
     val spark = df.sparkSession
     val destRoot = new org.apache.hadoop.fs.Path(
       Generations.location(spark, genTable))
     val fs = destRoot.getFileSystem(spark.sessionState.newHadoopConf())
-    val stage = new org.apache.hadoop.fs.Path(destRoot.toString +
+    val stageP = new org.apache.hadoop.fs.Path(destRoot.toString +
       "__stage" + java.util.UUID.randomUUID().toString.take(8))
-    val added = scala.collection.mutable.ArrayBuffer.empty[String]
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       df.write.format("parquet").mode("overwrite")
-        .partitionBy(partCol).save(stage.toString)
-      fs.listStatus(stage)
+        .partitionBy(partCol).save(stageP.toString)
+      fs.listStatus(stageP)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
         .foreach { pdir =>
-          val dest = new org.apache.hadoop.fs.Path(destRoot,
-            pdir.getPath.getName)
-          if (!fs.exists(dest)) fs.mkdirs(dest)
           fs.listStatus(pdir.getPath)
             .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
               !f.getPath.getName.startsWith("."))
-            .foreach { f =>
-              require(fs.rename(f.getPath,
-                  new org.apache.hadoop.fs.Path(dest, f.getPath.getName)),
-                s"staged append: rename ${f.getPath} -> $dest failed")
-              added += s"${pdir.getPath.getName}/${f.getPath.getName}"
-            }
+            .foreach(f =>
+              files += s"${pdir.getPath.getName}/${f.getPath.getName}")
         }
-    } finally fs.delete(stage, true)
-    spark.sql(s"ALTER TABLE $genTable RECOVER PARTITIONS")
-    spark.catalog.refreshTable(genTable)
-    added.toSeq.sorted
+    } catch {
+      case e: Throwable => fs.delete(stageP, true); throw e
+    }
+    PendingAppend.StagedMember(member, genTable, "partitioned",
+      stageP.toString, files.toSeq.sorted)
   }
 }

@@ -479,6 +479,125 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("the rename-based lease break is atomic: two racing breakers of " +
+      "one expired lease admit exactly one claimant (r17 directive 2)") {
+    val fam = "g_lease_race"
+    spark.sql(s"CREATE TABLE ${fam}__lease (graft_lease INT) USING " +
+      s"parquet TBLPROPERTIES ('graft.lease_owner' = 'dead-jvm', " +
+      s"'graft.lease_expiry' = '${System.currentTimeMillis() - 5000L}')")
+    // both threads bypass the in-JVM monitor (the cross-JVM simulation)
+    // and race the break+create; the rename tie-break admits ONE — the
+    // loser observes a LIVE lease and, with a 1 s wait budget, fails
+    // loudly instead of double-holding
+    spark.conf.set("spark.graft.lease.waitSeconds", "1")
+    try {
+      val errs = inThreads(
+        () => Generations.acquireLease(spark, fam),
+        () => Generations.acquireLease(spark, fam))
+      val failures = errs.flatten
+      assert(failures.length == 1,
+        s"exactly one racer must lose (hold a live lease loudly): $errs")
+      assert(failures.head.isInstanceOf[ConcurrentMaintenanceException])
+      assert(spark.catalog.tableExists(s"${fam}__lease"),
+        "the winner's lease must exist")
+      // the winner's entry carries THIS JVM's owner id (both racers
+      // share it here; the point is the entry survived both breaks)
+      val owner = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${fam}__lease"))
+        .properties.get("graft.lease_owner")
+      assert(owner.isDefined && owner.get != "dead-jvm")
+      // no broken/released residue entries linger
+      val residue = spark.sessionState.catalog
+        .listTables("default", s"${fam}__lease_*")
+      assert(residue.isEmpty, s"no residue entries may linger: $residue")
+    } finally {
+      spark.conf.unset("spark.graft.lease.waitSeconds")
+      Generations.releaseLease(spark, fam)
+      spark.sql(s"DROP TABLE IF EXISTS ${fam}__lease")
+    }
+  }
+
+  test("release is owner-conditional: a lease re-claimed by another " +
+      "JVM survives the stale holder's release (r17 directive 2)") {
+    val fam = "g_lease_stale"
+    // the 'new holder' (another JVM) owns the lease now — the stale
+    // holder's release must leave it untouched
+    spark.sql(s"CREATE TABLE ${fam}__lease (graft_lease INT) USING " +
+      s"parquet TBLPROPERTIES ('graft.lease_owner' = 'new-holder-jvm', " +
+      s"'graft.lease_expiry' = '${System.currentTimeMillis() + 600000L}')")
+    try {
+      Generations.releaseLease(spark, fam) // we are the stale holder
+      assert(spark.catalog.tableExists(s"${fam}__lease"),
+        "the new holder's lease must survive a stale release")
+      val owner = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${fam}__lease"))
+        .properties.get("graft.lease_owner")
+      assert(owner.contains("new-holder-jvm"),
+        "the surviving lease must still be the new holder's")
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${fam}__lease")
+  }
+
+  test("a BM25 append rolled BACK by a foreign recovery mid-op aborts " +
+      "loudly before its df commit; the index is untouched and the " +
+      "re-run lands (r16 ADVICE — the lease-TTL-outrun window)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_outrun_rb").toString
+    val docs = (0L until 60L).map(i => (i, s"shared words rare${i % 6} doc$i"))
+    val (base, batch) = (docs.filter(_._1 % 2 == 0), docs.filter(_._1 % 2 == 1))
+    val tbl = "g_outrun_rb"
+    Bm25.buildIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+      tbl, s"$dir/idx", nDirs = 4)
+    val before = bmRows(tbl, Seq((1L, "rare2"), (2L, "words")))
+    // the foreign recoverer fires at the exact interleaving point: the
+    // sidecar is down, the df merge not yet committed → recovery rolls
+    // the batch BACK (this simulates another JVM breaking the expired
+    // lease and running recovery while this op is still alive)
+    Bm25.testAfterPendingHook = () => Bm25.recoverPendingAppend(spark, tbl)
+    val e = intercept[IllegalStateException] {
+      Bm25.appendToIndex(batch.toDF("doc_id", "text"), "doc_id", "text", tbl)
+    }
+    assert(e.getMessage.contains("rolled the batch back"),
+      s"the outrun append must abort loudly, got: ${e.getMessage}")
+    assert(bmRows(tbl, Seq((1L, "rare2"), (2L, "words"))) == before,
+      "the aborted append must leave the index untouched")
+    // re-running the batch lands cleanly
+    Bm25.appendToIndex(batch.toDF("doc_id", "text"), "doc_id", "text", tbl)
+    val ref = "g_outrun_rb_ref"
+    Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text",
+      ref, s"$dir/ref", nDirs = 4)
+    val qs2 = Seq((1L, "rare2"), (2L, "rare5"), (3L, "words"))
+    assert(bmRows(tbl, qs2) == bmRows(ref, qs2))
+  }
+
+  test("a BM25 append completed by a foreign recovery mid-op finishes " +
+      "as a success with the bounds applied exactly once (r16 ADVICE)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_outrun_ff").toString
+    val docs = (0L until 60L).map(i => (i, s"shared words rare${i % 6} doc$i"))
+    val (base, batch) = (docs.filter(_._1 % 2 == 0), docs.filter(_._1 % 2 == 1))
+    val tbl = "g_outrun_ff"
+    Bm25.buildIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+      tbl, s"$dir/idx", nDirs = 4)
+    // the foreign recoverer fires right AFTER the df commit: it sees
+    // the committed tag and rolls the batch FORWARD to completion —
+    // the live op must then detect the vanished sidecar and finish
+    // WITHOUT double-moving, double-counting bounds, or double-recording
+    Bm25.testAfterDfsCommitHook = () => Bm25.recoverPendingAppend(spark, tbl)
+    Bm25.appendToIndex(batch.toDF("doc_id", "text"), "doc_id", "text", tbl)
+    val ref = "g_outrun_ff_ref"
+    Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text",
+      ref, s"$dir/ref", nDirs = 4)
+    val qs2 = Seq((1L, "rare2"), (2L, "rare5"), (3L, "words"))
+    assert(bmRows(tbl, qs2) == bmRows(ref, qs2),
+      "the recovered append must equal a clean build over the union")
+    val b = spark.table(s"${tbl}_bounds").collect()(0)
+    val bRef = spark.table(s"${ref}_bounds").collect()(0)
+    assert((b.getLong(0), b.getLong(1)) == (bRef.getLong(0), bRef.getLong(1)),
+      "the bounds delta must apply exactly once across both writers")
+    val ops = graft.sources.Snapshots.history(spark, tbl)
+      .select("op").collect().map(_.getString(0)).toSeq
+    assert(ops.count(o => o == "append" || o == "append-recovery") == 1,
+      s"exactly one recorded append commit: $ops")
+  }
+
   test("the lease is reentrant per family, held across the nested body, " +
       "and released on exception") {
     Generations.withMaintenanceLock("g_lease_re") {

@@ -77,9 +77,15 @@ class PlanAuditSpec extends AnyFunSuite {
                                    // historical — the BM25 leg is q179's
                                    // probe, same 1-row bounds broadcast
                                    // read from the build-time bounds gen
-      "q185_hybrid_rrf_tt_sq8")    // q184 with the SQ8 vector leg — the
+      "q185_hybrid_rrf_tt_sq8",    // q184 with the SQ8 vector leg — the
                                    // BM25 leg unchanged (same 1-row
                                    // bounds broadcast)
+      "q186_bm25_tt_timestamp",    // q177's probe addressed by wall
+                                   // clock instead of commit depth —
+                                   // same 1-row bounds broadcast from
+                                   // the manifest-resolved bounds gen
+      "q187_bm25_tt_tag")          // q177's probe addressed by snapshot
+                                   // tag — same 1-row bounds broadcast
 
   test("filters and projections reach the parquet scan (pushdown + pruning)") {
     def scanDetail(name: String): String =
