@@ -733,13 +733,23 @@ object Snapshots {
     val targetGens: Map[String, String] = target._4.toMap
     val crossedNonRevertible = commits.take(back).filter(!_._3)
     val lf = logFilesTable(index)
-    // tracked-ever membership is a tiny DISTINCT aggregate — never the
-    // full log (r17 directive 3: the previous shape collected every
-    // member's every base row to the driver per probe)
-    val trackedEver: Set[String] =
-      if (!exists(spark, lf)) Set.empty
-      else fileLogRows(spark, lf).select(col("member")).distinct()
-        .collect().map(_.getString(0)).toSet
+    // ONE aggregate job answers both driver-bounded questions (r17
+    // directive 3, re-planned after the first bench showed the
+    // two-aggregate shape costing ~0.3 s/leg on the hybrid probes):
+    // which members were EVER tracked, and each one's governing base
+    // commit at or before the target — member names and ids only,
+    // never a file list (the previous shape collected every member's
+    // every base row to the driver per probe)
+    val memberStats: Map[String, Option[Long]] =
+      if (!exists(spark, lf)) Map.empty
+      else fileLogRows(spark, lf)
+        .groupBy(col("member"))
+        .agg(max(when(col("kind") === "base" &&
+          col("commit_id") <= targetId, col("commit_id"))).as("base_id"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val trackedEver: Set[String] = memberStats.keySet
     if (trackedEver.isEmpty) {
       // legacy manifest (no file log at all): an in-place append
       // between the target commit and now means appended files are
@@ -754,15 +764,14 @@ object Snapshots {
             "maintenance op to start recording file manifests")
       }
     }
-    // two-pass fold: the governing base id per wanted member first (a
-    // distributed aggregate), then ONLY rows in [baseId, targetId] for
-    // those members reach the driver — filters pushed into the parquet
-    // scan, so a probe reads its target's rows within the window, not
-    // every member's full history within retention
-    val wanted = target._4.map(_._1).filter(trackedEver.contains)
-    val baseIds: Map[String, Long] =
-      if (wanted.isEmpty) Map.empty
-      else baseIdsAtOrBefore(spark, lf, wanted, targetId)
+    // two-pass fold: the governing base ids came from the aggregate
+    // above; ONLY rows in [baseId, targetId] for the target's members
+    // now reach the driver — filters pushed into the parquet scan, so
+    // a probe reads its target's rows within the window, not every
+    // member's full history within retention
+    val baseIds: Map[String, Long] = target._4
+      .flatMap { case (m, _) => memberStats.get(m).flatten.map(m -> _) }
+      .toMap
     val rows: Seq[(Long, String, String, String, Seq[String])] =
       if (baseIds.isEmpty) Seq.empty
       else {

@@ -1067,6 +1067,97 @@ object ScaleSmoke {
       spark.stop(); return
     }
 
+    // SCALE_ONLY_R17 — the r17 self-healing-append claim at nVecs: the
+    // pending sidecar + commit marker add only per-batch METADATA cost
+    // (append wall time stays in the plain-batch band), both crash
+    // halves recover to checksum equality with a never-crashed twin,
+    // recovery wall time is move-replay-bounded (not index-scale), the
+    // directory-vs-log invariant holds (unrecordedFiles empty), and
+    // timestamp-addressed probes cost the same as live ones plus the
+    // bounded log resolve.
+    if (sys.env.contains("SCALE_ONLY_R17")) {
+      docs.unpersist(true)
+      val dims = sys.env.getOrElse("SCALE_R17_DIMS", "16").toInt
+      def comp(i: Int) = (pmod(xxhash64($"id", lit(i)), lit(1000L))
+        .cast("double") / 1000.0 +
+        when(pmod($"id", lit(8L)) === (i % 8).toLong, 3.0).otherwise(0.0))
+        .cast("float")
+      val vecs = spark.range(nVecs.toLong)
+        .select($"id", array((0 until dims).map(comp): _*).as("v"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_r17_smoke").toString
+      val batchN = math.max(nVecs / 50, 1000)
+      def batch(i: Int) = spark
+        .range(1000000000L + (i - 1).toLong * batchN,
+          1000000000L + i.toLong * batchN)
+        .select($"id", array((0 until dims).map(comp): _*).as("v"))
+      val queries = vecs.filter($"id" < 1000L).localCheckpoint(true)
+      def checksum(tbl: String, asOfTs: Long = 0L): org.apache.spark.sql.Row =
+        Knn.ivfTopKAgainstIndex(queries, tbl, "id", "v", k = 10,
+            asOfTimestamp = asOfTs)
+          .agg(count(lit(1)), sum($"nid")).collect()(0)
+      // twin A: never crashes
+      val tblA = "g_r17_clean"
+      time(s"[clean] ivf BUILD ($nVecs vectors)") {
+        Knn.writeIvfIndex(vecs, "id", "v", tblA, s"$dir/clean", nCells = 64)
+      }
+      (1 to 6).foreach { i =>
+        time(s"[clean] append batch#$i ($batchN vectors, sidecar+marker)") {
+          Knn.appendToIvfIndex(batch(i), "id", "v", tblA)
+        }
+      }
+      // twin B: batch 3 dies past its commit marker (roll FORWARD),
+      // batch 5 dies before it (roll BACK + re-run)
+      val tblB = "g_r17_crash"
+      Knn.writeIvfIndex(vecs, "id", "v", tblB, s"$dir/crash", nCells = 64)
+      (1 to 6).foreach { i =>
+        if (i == 3) {
+          graft.sources.PendingAppend.testCrashPoint = "pending.afterMarker"
+          val e = try {
+            Knn.appendToIvfIndex(batch(i), "id", "v", tblB)
+            sys.error("crash point did not fire")
+          } catch { case e: RuntimeException => e }
+          assert(e.getMessage.contains("simulated crash"), e.getMessage)
+          time(s"[crash] recovery of batch#$i (roll FORWARD)") {
+            Knn.recoverPendingAppend(spark, tblB)
+          }
+        } else if (i == 5) {
+          graft.sources.PendingAppend.testCrashPoint = "pending.afterIntent"
+          val e = try {
+            Knn.appendToIvfIndex(batch(i), "id", "v", tblB)
+            sys.error("crash point did not fire")
+          } catch { case e: RuntimeException => e }
+          assert(e.getMessage.contains("simulated crash"), e.getMessage)
+          time(s"[crash] recovery of batch#$i (roll BACK)") {
+            Knn.recoverPendingAppend(spark, tblB)
+          }
+          time(s"[crash] re-run of the rolled-back batch#$i") {
+            Knn.appendToIvfIndex(batch(i), "id", "v", tblB)
+          }
+        } else Knn.appendToIvfIndex(batch(i), "id", "v", tblB)
+      }
+      val (a, b) = (checksum(tblA), checksum(tblB))
+      println(s"  [r17] clean checksum: $a")
+      println(s"  [r17] crash checksum: $b")
+      assert(a == b, "both crash halves must recover to checksum equality")
+      val unrec = graft.sources.Snapshots.unrecordedFiles(
+        spark, tblB, s"${tblB}_cells")
+      assert(unrec.isEmpty, s"directory ahead of the log: $unrec")
+      println("  [r17] unrecordedFiles: empty (directory == log)")
+      // timestamp-addressed probe vs live: same rows, resolve-bounded
+      val nowTs = System.currentTimeMillis()
+      def liveProbe(i: Int) = time(s"[r17] LIVE probe #$i (1000 q, k=10)") {
+        checksum(tblB)
+      }
+      def tsProbe(i: Int) = time(s"[r17] asOfTimestamp probe #$i") {
+        checksum(tblB, asOfTs = nowTs)
+      }
+      liveProbe(1); val lv = liveProbe(2)
+      tsProbe(1); val tv = tsProbe(2)
+      assert(lv == tv, "a now-timestamp probe must equal the live read")
+      spark.stop(); return
+    }
+
     // SCALE_ONLY_THIRD — the third decade (run with nDocs = 100000000,
     // SPARK_DRIVER_MEM=100g): the two headline dedup operators at 100M
     // docs, then the Bloom decontamination CAP regime with PLANTED
