@@ -3465,6 +3465,154 @@ object Queries {
       .orderBy($"qid", $"rank")
   }
 
+  /** q188: INCREMENTAL READ of a MinHash history index — the CDC-style
+    * consumer feed ("which docs entered the corpus since the state I
+    * last processed"), the read every downstream job of a maintained
+    * 100 TB corpus needs to avoid re-scanning it. History: build(ids ≡
+    * 0 mod 3) → ingest(≡ 1) → tag `feed_ckpt` → ingest(≡ 2, with
+    * auto-compaction ON, so a cadence compact commit lands INSIDE the
+    * read window). The consumer resolves its checkpoint BY TAG
+    * ([[graft.sources.Snapshots.commitIdFor]]) and reads
+    * [[graft.operators.Dedup.docsAddedBetween]](ckpt, live): the
+    * snapshot log's add-file deltas name exactly the second batch's
+    * signature files — O(window) metadata, zero directory walks, no
+    * history re-scan — and the compaction commit is transparent (a
+    * layout rewrite adds no logical rows). The oracle is the second
+    * batch's ids verbatim: equality pins that the base corpus, the
+    * pre-checkpoint batch, AND the compaction's rewritten files are all
+    * excluded. */
+  def minhashIncrementalFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val tbl = s"g_mhfeed_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q188_mhfeed_${sfDir.hashCode.toHexString}") { d =>
+      graft.operators.Dedup.writeMinhashIndex(
+        docs.filter($"doc_id" % 3 === 0), "doc_id", "text",
+        tbl, s"$d/idx", numBuckets = 8)
+      graft.operators.Dedup.ingestAgainstIndex(
+        docs.filter($"doc_id" % 3 === 1), tbl, "doc_id", "text")
+      graft.sources.Snapshots.tagSnapshot(spark, tbl, "feed_ckpt")
+      graft.operators.Dedup.ingestAgainstIndex(
+        docs.filter($"doc_id" % 3 === 2), tbl, "doc_id", "text",
+        autoCompactAfter = 1)
+    }
+    val from = graft.sources.Snapshots.commitIdFor(spark, tbl,
+      asOfTag = "feed_ckpt")
+    val to = graft.sources.Snapshots.commitIdFor(spark, tbl)
+    graft.operators.Dedup.docsAddedBetween(spark, tbl, from, to)
+      .select($"id".as("doc_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** q189: INCREMENTAL READ of a persisted IVF index — the vector-side
+    * consumer feed (a re-embedding or replication job catching up on
+    * appended vectors), windowed BY COMMIT DEPTH this time: history is
+    * build(evens) → append(ids ≡ 1 mod 4) → append(≡ 3 mod 4), and the
+    * consumer reads between `asOfCommits = 2` (the build) and the live
+    * head — both appended batches, the base corpus excluded.
+    * [[graft.operators.Knn.vectorsAddedBetween]] scans exactly the two
+    * batches' cell files (pinned from the snapshot log's add-file
+    * deltas; the `cell=` partition paths ride the basePath read). The
+    * projection returns each appended vector's id and dimension count —
+    * cross-engine-exact, and dims ≠ 0 pins that the files carry real
+    * vector payloads, not bare ids. */
+  def knnIvfIncrementalFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val tbl = s"g_ivffeed_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q189_ivffeed_${sfDir.hashCode.toHexString}") { d =>
+      Knn.writeIvfIndex(emb.filter($"vec_id" % 2 === 0), "vec_id",
+        "embedding", tbl, s"$d/idx")
+      Knn.appendToIvfIndex(emb.filter($"vec_id" % 4 === 1), "vec_id",
+        "embedding", tbl)
+      Knn.appendToIvfIndex(emb.filter($"vec_id" % 4 === 3), "vec_id",
+        "embedding", tbl)
+    }
+    val from = graft.sources.Snapshots.commitIdFor(spark, tbl,
+      asOfCommits = 2)
+    val to = graft.sources.Snapshots.commitIdFor(spark, tbl)
+    Knn.vectorsAddedBetween(spark, tbl, from, to)
+      .select($"id".as("vec_id"), size($"v").cast("long").as("dims"))
+      .orderBy($"vec_id")
+  }
+
+  /** q190: INCREMENTAL READ ACROSS A TAKEDOWN — the documented
+    * `ignoreDeletes` consumer recipe on the BM25 serving index. History
+    * (q177's, shared): build(evens) → append(odds) → delete(ids ≡ 3
+    * mod 7). The window (build, live] contains the delete commit, so
+    * the plain read REFUSES (rows appended in the window may have been
+    * deleted since — the Delta `ignoreDeletes` streaming contract);
+    * the consumer opts in with `ignoreDeletes = true` and anti-joins
+    * the live tombstone list ([[graft.sources.Tombstones]]), exactly
+    * as the refusal message prescribes. Result: the appended odd ids
+    * minus the tombstoned ones — takedowns propagate to the feed, and
+    * the oracle pins both halves (appended-only, then surviving-only). */
+  def bm25IncrementalFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val tbl = s"g_bm25tt_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q177_bm25tt_${sfDir.hashCode.toHexString}") { d =>
+      graft.operators.Bm25.buildIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+        tbl, s"$d/idx", nDirs = 8)
+      graft.operators.Bm25.appendToIndex(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", tbl)
+      graft.operators.Bm25.deleteFromIndex(spark, tbl,
+        docs.filter($"doc_id" % 7 === 3).select($"doc_id"))
+    }
+    val from = graft.sources.Snapshots.commitIdFor(spark, tbl,
+      asOfCommits = 2)
+    val to = graft.sources.Snapshots.commitIdFor(spark, tbl)
+    val added = graft.operators.Bm25.docsAddedBetween(spark, tbl, from, to,
+      ignoreDeletes = true)
+    val tomb = graft.sources.Tombstones.frame(spark, tbl)
+    graft.sources.Tombstones.filterWith(added, "doc_id", tomb, tbl)
+      .orderBy($"doc_id")
+  }
+
+  /** q191: the TAG-CHECKPOINTED CONSUME LOOP
+    * ([[graft.sources.Snapshots.consumeAddedSince]]) — the polling
+    * consumer a production feed actually runs, with its checkpoint
+    * stored as a snapshot TAG on the index itself (no consumer-side
+    * state files; the tag advances only AFTER the consumer's write
+    * lands, so a crash mid-batch redelivers — at-least-once — and the
+    * tag pins the open window against log retention). Two full cycles
+    * replay at layout-build time (init at the build head → ingest →
+    * consume → ingest → consume, each cycle's delivery written to
+    * parquet); the query reads the deliveries back. The oracle pins
+    * exactly-once windowing across cycles: cycle 1 = the first batch
+    * and nothing else, cycle 2 = the second and nothing else — no
+    * overlap, no loss, base corpus never delivered. */
+  def minhashConsumeLoop(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val tbl = s"g_mhcons_${sfDir.hashCode.toHexString}"
+    val dir = cachedLayout(s"q191_mhcons_${sfDir.hashCode.toHexString}") { d =>
+      graft.operators.Dedup.writeMinhashIndex(
+        docs.filter($"doc_id" % 3 === 0), "doc_id", "text",
+        tbl, s"$d/idx", numBuckets = 8)
+      def consume(out: String): Unit =
+        graft.sources.Snapshots.consumeAddedSince(spark, tbl,
+            s"${tbl}_sigs", "feed") { df =>
+          df.select($"id".as("doc_id"))
+            .write.mode("overwrite").parquet(out)
+        }
+      // first call: tag absent, startAt = latest — checkpoint at the
+      // build head, nothing delivered (the base corpus is not a feed)
+      graft.sources.Snapshots.consumeAddedSince(spark, tbl,
+        s"${tbl}_sigs", "feed")(_ => ())
+      graft.operators.Dedup.ingestAgainstIndex(
+        docs.filter($"doc_id" % 3 === 1), tbl, "doc_id", "text")
+      consume(s"$d/c1")
+      graft.operators.Dedup.ingestAgainstIndex(
+        docs.filter($"doc_id" % 3 === 2), tbl, "doc_id", "text")
+      consume(s"$d/c2")
+    }
+    spark.read.parquet(s"$dir/c1").withColumn("cycle", lit(1))
+      .unionByName(spark.read.parquet(s"$dir/c2").withColumn("cycle", lit(2)))
+      .orderBy($"doc_id")
+  }
+
   /** q169: HYBRID retrieval — the standard RAG retrieval stack: the
     * BM25 serving index (q155's, reused) and the IVF embedding index
     * (q158's, reused) each retrieve their top-10 for the same query

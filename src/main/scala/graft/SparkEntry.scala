@@ -209,7 +209,11 @@ object SparkEntry {
     "q184_hybrid_rrf_tt" -> (Queries.hybridRrfTimeTravel _),
     "q185_hybrid_rrf_tt_sq8" -> (Queries.hybridRrfTimeTravelSq8 _),
     "q186_bm25_tt_timestamp" -> (Queries.bm25TimestampTravelTopK _),
-    "q187_bm25_tt_tag" -> (Queries.bm25TagTravelTopK _)
+    "q187_bm25_tt_tag" -> (Queries.bm25TagTravelTopK _),
+    "q188_minhash_incr_feed" -> (Queries.minhashIncrementalFeed _),
+    "q189_knn_ivf_incr_feed" -> (Queries.knnIvfIncrementalFeed _),
+    "q190_bm25_incr_feed" -> (Queries.bm25IncrementalFeed _),
+    "q191_minhash_consume_loop" -> (Queries.minhashConsumeLoop _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the
@@ -794,6 +798,35 @@ object SparkEntry {
     // the q152/q155 ranking.
     "q186_bm25_tt_timestamp" -> bm25OracleSql,
     "q187_bm25_tt_tag" -> bm25OracleSql,
+    // q188–q190: INCREMENTAL (CDC-style) reads off the snapshot log's
+    // add-file deltas — "only the rows appended between state A and
+    // state B". The oracles are the appended batches' ids verbatim:
+    // equality pins that the base corpus and pre-checkpoint batches are
+    // excluded, that an in-window compaction commit contributes nothing
+    // (its base rows REWRITE previously-visible rows — q188 runs its
+    // second ingest with auto-compaction ON so one lands in-window),
+    // and (q190) that the ignoreDeletes + live-tombstone-anti-join
+    // recipe drops exactly the since-deleted ids.
+    "q188_minhash_incr_feed" ->
+      "SELECT doc_id FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id",
+    "q189_knn_ivf_incr_feed" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dims
+        |FROM embeddings WHERE vec_id % 2 = 1 ORDER BY vec_id""".stripMargin,
+    "q190_bm25_incr_feed" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id % 7 <> 3
+        |ORDER BY doc_id""".stripMargin,
+    // q191: the tag-checkpointed consume loop — cycle 1 delivers the
+    // first ingested batch and nothing else, cycle 2 the second: no
+    // overlap, no loss, base corpus never delivered (exactly-once
+    // windowing under an advancing tag checkpoint)
+    "q191_minhash_consume_loop" ->
+      """SELECT doc_id, CAST(1 AS INT) AS cycle FROM documents
+        |  WHERE doc_id % 3 = 1
+        |UNION ALL
+        |SELECT doc_id, CAST(2 AS INT) AS cycle FROM documents
+        |  WHERE doc_id % 3 = 2
+        |ORDER BY doc_id""".stripMargin,
     // q179: time travel ACROSS the in-place append commit (asOf = 2 in
     // the same build→append→delete history) — the probe reads the build
     // commit's FILE MANIFEST, so it must rank exactly like a fresh

@@ -779,6 +779,26 @@ object Bm25 {
     }
   }
 
+  /** The documents [[appendToIndex]] commits in `(fromId, toId]` added
+    * to the serving index — the incremental-consumer read ("which docs
+    * entered the corpus since the state I last processed"), resolved
+    * from the snapshot log's add-file deltas
+    * ([[graft.sources.Snapshots.readAddedBetween]] over the postings
+    * member, distinct doc ids): O(window) metadata, a pinned scan of
+    * exactly the appended posting files, zero directory walks.
+    * Endpoints come from [[graft.sources.Snapshots.commitIdFor]]
+    * (depth / timestamp / tag); compaction commits inside the window
+    * are transparent; a takedown (`delete`) inside it refuses unless
+    * `ignoreDeletes` (then anti-join the live tombstone list —
+    * [[graft.sources.Tombstones.frame]] — to drop since-deleted ids,
+    * which is exactly what q190 demonstrates). */
+  def docsAddedBetween(spark: org.apache.spark.sql.SparkSession,
+      table: String, fromId: Long, toId: Long,
+      ignoreDeletes: Boolean = false): DataFrame =
+    graft.sources.Snapshots.readAddedBetween(spark, table,
+        s"${table}_postings", fromId, toId, ignoreDeletes)
+      .select(col("doc_id")).distinct()
+
   /** DELETE documents from a [[buildIndex]] index — the takedown
     * primitive (a removal request must stop serving a document NOW, not
     * at the next rebuild). Lucene-style tombstones

@@ -355,6 +355,26 @@ object Dedup {
         revertible = false, addedFiles = added))
   }
 
+  /** The documents [[ingestAgainstIndex]] commits in `(fromId, toId]`
+    * added to the history index — the incremental-consumer read
+    * ("which docs entered the corpus since the state I last
+    * processed"), resolved from the snapshot log's add-file deltas
+    * ([[graft.sources.Snapshots.readAddedBetween]] over the signature
+    * member): O(window) metadata, a pinned scan of exactly the ingested
+    * batches' signature files, zero directory walks and no re-scan of
+    * the history. Endpoints come from
+    * [[graft.sources.Snapshots.commitIdFor]] (depth / timestamp / tag);
+    * compaction commits inside the window — auto-compaction cadence
+    * included — are transparent; a takedown (`delete`) inside it
+    * refuses unless `ignoreDeletes` (then anti-join the live tombstone
+    * list to drop since-deleted ids). */
+  def docsAddedBetween(spark: org.apache.spark.sql.SparkSession,
+      table: String, fromId: Long, toId: Long,
+      ignoreDeletes: Boolean = false): DataFrame =
+    graft.sources.Snapshots.readAddedBetween(spark, table,
+        s"${table}_sigs", fromId, toId, ignoreDeletes)
+      .select(org.apache.spark.sql.functions.col("id"))
+
   /** [[minhashIncremental]] probing a PERSISTED history index written by
     * [[writeMinhashIndex]] — bit-identical classification (same
     * candidate machine, same verification; `MinhashIndexSpec` pins it

@@ -484,6 +484,27 @@ object Knn {
         revertible = false, addedFiles = added))
   }
 
+  /** The vectors [[appendToIvfIndex]] commits in `(fromId, toId]`
+    * added — the incremental-consumer read ("give me only the vectors
+    * ingested since the state I last processed"), resolved entirely
+    * from the snapshot log's add-file deltas
+    * ([[graft.sources.Snapshots.readAddedBetween]]): O(window) metadata
+    * on the driver, a pinned scan of exactly the appended cell files,
+    * zero directory walks — a downstream job catching up on a daily-
+    * append index pays for the new batches, never a re-scan of the
+    * corpus. Window endpoints come from
+    * [[graft.sources.Snapshots.commitIdFor]] (depth / timestamp / tag).
+    * Compaction/quantize commits inside the window are transparent
+    * (layout rewrites add no logical rows); a `delete` commit inside it
+    * refuses unless `ignoreDeletes` — then anti-join the live tombstone
+    * list to drop since-deleted ids. */
+  def vectorsAddedBetween(spark: org.apache.spark.sql.SparkSession,
+      table: String, fromId: Long, toId: Long,
+      ignoreDeletes: Boolean = false): DataFrame =
+    graft.sources.Snapshots.readAddedBetween(spark, table,
+        s"${table}_cells", fromId, toId, ignoreDeletes)
+      .select(col("id"), col("v"))
+
   /** [[ivfTopK]] against a PERSISTED index from [[writeIvfIndex]]:
     * per-call cost is the query batch's signature work plus a scan of
     * the probed cells ONLY — the `cell IN` filter on the partition

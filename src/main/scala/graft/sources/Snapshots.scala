@@ -105,22 +105,26 @@ object Snapshots {
       spark.catalog.refreshTable(gen)
       files match {
         case None => spark.table(gen)
-        case Some(fs) =>
-          val loc = Generations.location(spark, gen)
-          val schema = spark.table(gen).schema
-          if (fs.isEmpty) spark.table(gen).limit(0)
-          else {
-            // explicit-file read with basePath keeps the partition
-            // columns; partition discovery types them from the paths, so
-            // normalize to the catalog schema the live probes see
-            import org.apache.spark.sql.functions.col
-            spark.read.option("basePath", loc)
-              .parquet(fs.map(f => s"$loc/$f"): _*)
-              .select(schema.fields.toSeq
-                .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-          }
+        case Some(fs) => readGenFiles(spark, gen, fs)
       }
     }
+  }
+
+  /** Explicit-file read of `files` (generation-relative paths) out of
+    * generation table `gen` — the pinned-read primitive shared by
+    * historical probes ([[MemberState.read]]) and incremental reads
+    * ([[readAddedBetween]]). basePath keeps the partition columns;
+    * partition discovery types them from the paths, so the result is
+    * normalized to the catalog schema the live probes see. */
+  private def readGenFiles(spark: SparkSession, gen: String,
+      files: Seq[String]): DataFrame = {
+    val loc = Generations.location(spark, gen)
+    val schema = spark.table(gen).schema
+    if (files.isEmpty) spark.table(gen).limit(0)
+    else spark.read.option("basePath", loc)
+      .parquet(files.map(f => s"$loc/$f"): _*)
+      .select(schema.fields.toSeq
+        .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
   private def exists(spark: SparkSession, name: String): Boolean =
@@ -1009,5 +1013,199 @@ object Snapshots {
             tags(spark, index).keys.toSeq.sorted.mkString(", ")))
       resolveStateAsOf(spark, index, backForCommitId(spark, index, t))
     } else Map.empty
+  }
+
+  // ---- incremental (CDC-style) reads (r17 addendum) ------------------
+  // A downstream consumer of a maintained index — an embedding pipeline
+  // over newly-ingested documents, a replica catching up, a feature
+  // job — must not re-scan a 100 TB corpus to find last night's batch.
+  // The snapshot log already holds exactly the needed record: each
+  // append/ingest commit's `add` file rows name the batch's files and
+  // nothing else, so "the rows added between state A and state B" is a
+  // metadata-only resolve (O(window) tiny rows on the driver, zero
+  // directory walks) followed by a pinned scan of just those files —
+  // the Iceberg incremental-append / Delta CDF read, at maintenance-
+  // commit granularity.
+
+  /** The commit id a selector names — depth / wall-clock timestamp /
+    * snapshot tag, at most one; ALL UNSET resolves the NEWEST commit.
+    * The addressing half of [[readAddedBetween]]: endpoints of an
+    * incremental window are named the same three ways probes name a
+    * historical state. */
+  def commitIdFor(spark: SparkSession, index: String, asOfCommits: Int = 0,
+      asOfTimestamp: Long = 0L, asOfTag: String = ""): Long = {
+    val set = Seq(asOfCommits != 0, asOfTimestamp != 0L,
+      asOfTag != null && asOfTag.nonEmpty)
+    require(set.count(identity) <= 1,
+      "set at most ONE of asOfCommits / asOfTimestamp / asOfTag")
+    val ids = history(spark, index).select(col("commit_id"))
+      .collect().map(_.getLong(0)) // newest first; retention-bounded
+    require(ids.nonEmpty, s"index $index has an empty snapshot log")
+    if (asOfTimestamp != 0L)
+      ids(backForTimestamp(spark, index, asOfTimestamp))
+    else if (asOfTag != null && asOfTag.nonEmpty) {
+      val t = tags(spark, index).getOrElse(asOfTag,
+        throw new IllegalArgumentException(
+          s"index $index has no snapshot tag '$asOfTag' — tags: " +
+            tags(spark, index).keys.toSeq.sorted.mkString(", ")))
+      t
+    } else {
+      require(ids.length > asOfCommits,
+        s"index $index has ${ids.length} recorded maintenance commits — " +
+          s"cannot step back $asOfCommits")
+      ids(asOfCommits)
+    }
+  }
+
+  /** The rows maintenance commits in `(fromId, toId]` APPENDED to
+    * file-tracked member `member` — an incremental consumer's "what's
+    * new since the state I last processed", read from the add-file
+    * deltas the snapshot log already records per append/ingest commit.
+    * Generation rewrites inside the window (compact / rebuild /
+    * quantize, auto-compaction cadence included) are transparent: their
+    * base rows rewrite previously-visible rows, never add logical ones,
+    * so only `add` rows contribute. Resolve endpoints by depth /
+    * timestamp / tag via [[commitIdFor]]; `fromId == toId` (or a window
+    * that appended nothing) returns an empty frame with the member's
+    * schema.
+    *
+    * REFUSES loudly when:
+    *  - either endpoint is no longer a kept manifest ([[compactLog]]
+    *    retention folded it — pin consumer checkpoints with
+    *    [[tagSnapshot]], which holds their commits against retention);
+    *  - the window contains a `delete` commit and `ignoreDeletes` is
+    *    false: rows appended in the window may have been deleted since,
+    *    so a pure-append read would resurrect them (the Delta
+    *    `ignoreDeletes` streaming contract). Passing `ignoreDeletes =
+    *    true` reads the appended rows anyway — anti-join the live
+    *    tombstone list to drop since-deleted ids (deletes here are
+    *    tombstones: appended files are never rewritten by a takedown);
+    *  - a non-revertible (append) commit sits in a window the file log
+    *    predates — the batch's files are indistinguishable from the
+    *    base corpus.
+    *
+    * Cost shape at 100 TB: the resolve collects only the WINDOW's add
+    * rows for THIS member (member + commit bounds pushed into the log
+    * scan — each row O(batch files), superseded base manifests never
+    * reach the driver), and the data scan reads exactly the appended
+    * files. A consumer polling a daily-append index pays O(days since
+    * checkpoint) metadata + O(new rows) IO, independent of index size. */
+  def readAddedBetween(spark: SparkSession, index: String, member: String,
+      fromId: Long, toId: Long, ignoreDeletes: Boolean = false): DataFrame = {
+    require(fromId <= toId, s"need fromId <= toId, got ($fromId, $toId]")
+    val live = logTable(index)
+    require(exists(spark, live),
+      s"index $index has no snapshot log ($live) — it predates the " +
+        "snapshot-log format; rebuild it to enable incremental reads")
+    Generations.refreshTables(spark, live)
+    val manifest = spark.table(live)
+    val have = manifest.filter(col("commit_id").isin(fromId, toId))
+      .select(col("commit_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    Seq(fromId, toId).distinct.filterNot(have).foreach { missing =>
+      throw new IllegalArgumentException(
+        s"commit $missing of index $index is not a kept manifest " +
+          "(compactLog retention dropped it, or it never existed) — " +
+          "incremental reads window between kept manifests; pin consumer " +
+          "checkpoints with tagSnapshot to hold them against retention")
+    }
+    // the window's commit rows (tiny: ids, op strings, a flag)
+    val winOps = manifest
+      .filter(col("commit_id") > fromId && col("commit_id") <= toId)
+      .select(col("commit_id"), col("op"), col("revertible"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    val deletes = winOps.filter(_._2 == "delete")
+    if (deletes.nonEmpty && !ignoreDeletes) throw new IllegalStateException(
+      s"incremental read of $member on index $index: window " +
+        s"($fromId, $toId] contains delete commit(s) " +
+        deletes.map(_._1).mkString(", ") +
+        " — rows appended in the window may have been deleted since. " +
+        "Pass ignoreDeletes = true to read the appended rows anyway " +
+        "(anti-join the live tombstone list to drop since-deleted ids), " +
+        "or diff the two resolved states instead")
+    Generations.refreshTables(spark, member)
+    val lf = logFilesTable(index)
+    if (!exists(spark, lf)) {
+      // pre-file-log history: an in-place append's files are
+      // indistinguishable from the base corpus — same refusal contract
+      // as time travel across such a commit
+      winOps.find(!_._3).foreach { c =>
+        throw new IllegalStateException(
+          s"incremental read of $member on index $index: commit ${c._1} " +
+            s"(op '${c._2}') appended files into a live generation " +
+            "before the per-commit file log existed, so its batch cannot " +
+            "be isolated — re-run any maintenance op to start recording " +
+            "file manifests, then window between commits recorded since")
+      }
+      return spark.table(member).limit(0)
+    }
+    // bounded collect: ONLY the window's add rows for this member —
+    // each O(batch files); other members, superseded bases, and rows
+    // outside the window never reach the driver (memberLogRows pushes
+    // the member + commit bounds into the parquet scan)
+    val adds = memberLogRows(spark, lf, Seq(member), toId)
+      .filter(col("commit_id") > fromId && col("kind") === "add")
+      .select(col("gen"), col("files")).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).toSeq))
+    if (adds.isEmpty) return spark.table(member).limit(0)
+    adds.groupBy(_._1).toSeq.sortBy(_._1).map { case (gen, rs) =>
+      if (!exists(spark, gen)) throw new IllegalStateException(
+        s"incremental read of $member on index $index: window " +
+          s"($fromId, $toId] appended into generation $gen, which has " +
+          "been retired (retention keeps one superseded generation per " +
+          "member; vacuum or later maintenance reclaimed this one)")
+      spark.catalog.refreshTable(gen)
+      readGenFiles(spark, gen, rs.flatMap(_._2).distinct.sorted)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Tag-CHECKPOINTED incremental consumption — the polling-consumer
+    * loop over [[readAddedBetween]] with its checkpoint stored as a
+    * snapshot tag on the index itself: one call reads everything
+    * appended since the tag, hands it to `process`, and only AFTER
+    * `process` returns advances the tag to the window's end — so a
+    * consumer that crashes mid-batch re-reads the same window on
+    * restart (at-least-once, the foreachBatch contract), and because
+    * the tag PINS its commit against [[compactLog]] retention, a
+    * consumer that falls behind holds its own window open instead of
+    * silently losing it. No consumer-side state files: the index's log
+    * IS the checkpoint store, shared by every JVM that can see it.
+    *
+    * First call (tag absent) initializes per `startAt`: `"latest"`
+    * (default) tags the live head and processes nothing — new
+    * consumers start from now; `"earliest"` processes everything
+    * appended since the OLDEST KEPT manifest first (the base corpus
+    * predates any append and needs a one-time full scan regardless).
+    *
+    * Returns the commit id the checkpoint now rests at. `process` runs
+    * OUTSIDE the family maintenance lock — a concurrent append simply
+    * lands in the next window. */
+  def consumeAddedSince(spark: SparkSession, index: String, member: String,
+      checkpointTag: String, ignoreDeletes: Boolean = false,
+      startAt: String = "latest")(
+      process: DataFrame => Unit): Long = {
+    require(startAt == "latest" || startAt == "earliest",
+      s"startAt must be 'latest' or 'earliest', got '$startAt'")
+    val ids = history(spark, index).select(col("commit_id"))
+      .collect().map(_.getLong(0)) // newest first
+    require(ids.nonEmpty, s"index $index has an empty snapshot log")
+    val head = ids.head
+    val fromOpt: Option[Long] = tags(spark, index).get(checkpointTag) match {
+      case some @ Some(_) => some
+      case None if startAt == "earliest" => Some(ids.last)
+      case None => None // latest: initialize at head, process nothing
+    }
+    fromOpt.filter(_ != head).foreach { from =>
+      process(readAddedBetween(spark, index, member, from, head,
+        ignoreDeletes))
+    }
+    // advance to the commit the window actually READ to — resolved to
+    // its CURRENT depth, so a concurrent append that moved the head
+    // since our history read lands in the next window, never skipped
+    if (fromOpt.forall(_ != head))
+      tagSnapshot(spark, index, checkpointTag,
+        back = backForCommitId(spark, index, head))
+    head
   }
 }

@@ -1067,6 +1067,65 @@ object ScaleSmoke {
       spark.stop(); return
     }
 
+    // SCALE_ONLY_R17B — the incremental-read cost-shape claim at nVecs:
+    // a consumer catching up on appended batches pays O(window rows)
+    // IO and O(window) driver metadata, INDEPENDENT of index size —
+    // measured as the incremental read of 6 append batches vs a full
+    // scan of the whole cells member, same aggregate, plus the
+    // correctness checks (exact batch ids, windowed subsets).
+    if (sys.env.contains("SCALE_ONLY_R17B")) {
+      docs.unpersist(true)
+      val dims = sys.env.getOrElse("SCALE_R17_DIMS", "16").toInt
+      def comp(i: Int) = (pmod(xxhash64($"id", lit(i)), lit(1000L))
+        .cast("double") / 1000.0 +
+        when(pmod($"id", lit(8L)) === (i % 8).toLong, 3.0).otherwise(0.0))
+        .cast("float")
+      val vecs = spark.range(nVecs.toLong)
+        .select($"id", array((0 until dims).map(comp): _*).as("v"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_r17b_smoke").toString
+      val batchN = math.max(nVecs / 50, 1000)
+      def batch(i: Int) = spark
+        .range(1000000000L + (i - 1).toLong * batchN,
+          1000000000L + i.toLong * batchN)
+        .select($"id", array((0 until dims).map(comp): _*).as("v"))
+      val tbl = "g_r17b_feed"
+      time(s"ivf BUILD ($nVecs vectors)") {
+        Knn.writeIvfIndex(vecs, "id", "v", tbl, s"$dir/idx", nCells = 64)
+      }
+      val buildId = graft.sources.Snapshots.commitIdFor(spark, tbl)
+      var mid = buildId
+      (1 to 6).foreach { i =>
+        time(s"append batch#$i ($batchN vectors)") {
+          Knn.appendToIvfIndex(batch(i), "id", "v", tbl)
+        }
+        if (i == 3) mid = graft.sources.Snapshots.commitIdFor(spark, tbl)
+      }
+      val head = graft.sources.Snapshots.commitIdFor(spark, tbl)
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)), sum($"id")).collect()(0)
+      val incr = time(s"INCREMENTAL read (build, head]: 6 × $batchN rows") {
+        agg(Knn.vectorsAddedBetween(spark, tbl, buildId, head))
+      }
+      val incrMid = time(s"INCREMENTAL read (batch3, head]: 3 × $batchN rows") {
+        agg(Knn.vectorsAddedBetween(spark, tbl, mid, head))
+      }
+      val full = time(s"FULL member scan ($nVecs + ${6 * batchN} rows)") {
+        agg(spark.table(s"${tbl}_cells").select($"id", $"v"))
+      }
+      println(s"  [r17b] incremental rows: ${incr.getLong(0)} " +
+        s"(expect ${6 * batchN}); windowed: ${incrMid.getLong(0)} " +
+        s"(expect ${3 * batchN}); full: ${full.getLong(0)}")
+      assert(incr.getLong(0) == 6L * batchN)
+      assert(incrMid.getLong(0) == 3L * batchN)
+      assert(full.getLong(0) == nVecs + 6L * batchN)
+      // id-sum equality pins EXACT batch membership, not just counts
+      val expectSum = (1 to 6).map(i => agg(batch(i)).getLong(1)).sum
+      assert(incr.getLong(1) == expectSum,
+        "incremental read must return exactly the appended batches")
+      spark.stop(); return
+    }
+
     // SCALE_ONLY_R17 — the r17 self-healing-append claim at nVecs: the
     // pending sidecar + commit marker add only per-batch METADATA cost
     // (append wall time stays in the plain-batch band), both crash
