@@ -3613,6 +3613,63 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** q192: the STACK TAG — q184's "serve yesterday's stack" addressed
+    * by ONE NAME across both index families
+    * ([[graft.sources.Snapshots.tagStack]]): the operator mints
+    * `stack_v1` over the BM25 log (its build commit, depth 2) and the
+    * IVF log (its build commit, depth 1) in one call, and every leg of
+    * the hybrid probe then passes the same `asOfTag = "stack_v1"` — no
+    * per-index commit arithmetic, and each index pins its tagged
+    * commit against its own log's retention, so the named deployment
+    * state stays servable as maintenance continues. Layouts shared
+    * with q177/q160 (zero extra builds); the tagging call re-runs
+    * idempotently on every invocation. Fusion and oracle are q184's
+    * verbatim — equality pins that the one name resolves BOTH
+    * families to exactly the states the depth arithmetic named. */
+  def hybridRrfStackTag(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bmTbl = s"g_bm25tt_${sfDir.hashCode.toHexString}"
+    cachedLayout(s"q177_bm25tt_${sfDir.hashCode.toHexString}") { d =>
+      val docs = Tables(spark, sfDir, "documents")
+      graft.operators.Bm25.buildIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+        bmTbl, s"$d/idx", nDirs = 8)
+      graft.operators.Bm25.appendToIndex(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", bmTbl)
+      graft.operators.Bm25.deleteFromIndex(spark, bmTbl,
+        docs.filter($"doc_id" % 7 === 3).select($"doc_id"))
+    }
+    val ivfTbl = s"g_ivfapp_${sfDir.hashCode.toHexString}"
+    val emb = Tables(spark, sfDir, "embeddings")
+    cachedLayout(s"q160_ivfapp_${sfDir.hashCode.toHexString}") { d =>
+      Knn.writeIvfIndex(emb.filter($"vec_id" % 2 === 0), "vec_id",
+        "embedding", ivfTbl, s"$d/idx")
+      Knn.appendToIvfIndex(emb.filter($"vec_id" % 2 === 1), "vec_id",
+        "embedding", ivfTbl)
+    }
+    graft.sources.Snapshots.tagStack(spark,
+      Seq(bmTbl -> 2, ivfTbl -> 1), "stack_v1")
+    val bm = graft.operators.Bm25
+      .topKAgainstIndex(bm25QueryBatch(spark, sfDir), bmTbl, k = 10,
+        asOfTag = "stack_v1")
+      .select($"qid", $"doc_id".as("id"),
+        expr("CAST(1000000000 DIV (60 + rank) AS BIGINT)").as("rrf"))
+    val ivf = Knn.ivfTopKAgainstIndex(
+        emb.filter($"vec_id" % 50 === 0), ivfTbl, "vec_id", "embedding",
+        k = 10, asOfTag = "stack_v1")
+      .select($"qid", $"nid".as("id"),
+        expr("CAST(1000000000 DIV (60 + CAST(rnk AS BIGINT)) AS BIGINT)")
+          .as("rrf"))
+    val w = Window.partitionBy($"qid").orderBy($"rrf_score".desc, $"id".asc)
+    bm.unionByName(ivf)
+      .groupBy($"qid", $"id")
+      .agg(sum($"rrf").as("rrf_score"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"id".as("doc_id"), $"rrf_score", $"n_lists")
+      .orderBy($"qid", $"rank")
+  }
+
   /** q169: HYBRID retrieval — the standard RAG retrieval stack: the
     * BM25 serving index (q155's, reused) and the IVF embedding index
     * (q158's, reused) each retrieve their top-10 for the same query

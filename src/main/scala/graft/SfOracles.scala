@@ -593,7 +593,16 @@ object SfOracles {
         s"(${p._1}, ${p._2}, ${p._3}, ${p._4}, ${p._5})" }
 
   /** Oracle SQL, same column names/ordering as the Spark side. */
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = {
+    val m = oraclesBase
+    // q192: the STACK-TAG hybrid — q184's "serve yesterday's stack"
+    // with both legs addressed by ONE tagStack name instead of
+    // per-index commit depths; the resolved states are identical by
+    // construction, so the oracle is q184's verbatim
+    m + ("q192_hybrid_rrf_stack_tag" -> m("q184_hybrid_rrf_tt"))
+  }
+
+  private def oraclesBase: Map[String, String] = Map(
     "q35_dedup_fuzzy" ->
       s"""WITH $fuzzyCte
          |SELECT d.doc_id, CAST(f.cluster_id AS BIGINT) AS cluster_id

@@ -213,7 +213,8 @@ object SparkEntry {
     "q188_minhash_incr_feed" -> (Queries.minhashIncrementalFeed _),
     "q189_knn_ivf_incr_feed" -> (Queries.knnIvfIncrementalFeed _),
     "q190_bm25_incr_feed" -> (Queries.bm25IncrementalFeed _),
-    "q191_minhash_consume_loop" -> (Queries.minhashConsumeLoop _)
+    "q191_minhash_consume_loop" -> (Queries.minhashConsumeLoop _),
+    "q192_hybrid_rrf_stack_tag" -> (Queries.hybridRrfStackTag _)
   )
 
   /** Shared by q151 (the sharded permutation plan) and q156 (the

@@ -931,6 +931,40 @@ object Snapshots {
       s"('$tagPropPrefix$name' = '${commits(back)._1}')")
   }
 
+  /** Mint ONE name across several indexes — naming a consistent
+    * serving STACK (the lexical + vector legs of a hybrid retrieval
+    * deployment, a corpus index plus its dedup history) so an operator
+    * pins or rolls back the WHOLE stack with a single tag instead of
+    * per-index commit arithmetic: every probe of every member index
+    * then passes the same `asOfTag`. Each entry is `(index, back)` —
+    * the per-index commit depth to tag (0 = its live head).
+    *
+    * NOT atomic across indexes (each tag is one catalog op on its own
+    * log): a failure mid-loop leaves a PARTIAL stack, reported loudly
+    * with exactly which indexes were tagged — and because tagging is
+    * idempotent (a re-tag at the same state rewrites the same value),
+    * re-running the same call completes it; `dropTag` each named index
+    * to abort instead. Every tagged index pins its commit against its
+    * own log's retention, so a stack name holds the whole deployment
+    * state servable. */
+  def tagStack(spark: SparkSession, indexes: Seq[(String, Int)],
+      name: String): Unit = {
+    require(indexes.nonEmpty, "tagStack needs at least one index")
+    val done = scala.collection.mutable.ArrayBuffer.empty[String]
+    indexes.foreach { case (idx, back) =>
+      try { tagSnapshot(spark, idx, name, back); done += idx }
+      catch { case e: Exception =>
+        throw new IllegalStateException(
+          s"tagStack '$name' failed at index $idx" +
+            (if (done.isEmpty) "" else
+              s" after tagging [${done.mkString(", ")}]") +
+            " — the stack tag is PARTIAL; re-run this call (tagging is " +
+            "idempotent) to complete it, or dropTag the tagged indexes " +
+            "to abort", e)
+      }
+    }
+  }
+
   /** Every named snapshot of `index`: tag name → commit id. */
   def tags(spark: SparkSession, index: String): Map[String, Long] = {
     val live = logTable(index)
@@ -1202,10 +1236,22 @@ object Snapshots {
     }
     // advance to the commit the window actually READ to — resolved to
     // its CURRENT depth, so a concurrent append that moved the head
-    // since our history read lands in the next window, never skipped
-    if (fromOpt.forall(_ != head))
-      tagSnapshot(spark, index, checkpointTag,
-        back = backForCommitId(spark, index, head))
+    // since our history read lands in the next window, never skipped.
+    // NEVER regress a checkpoint another consumer advanced while we
+    // processed: if the tag no longer reads what we started from, a
+    // faster consumer owns the window now — leave its checkpoint alone
+    // (our delivery was a duplicate; at-least-once holds either way)
+    if (fromOpt.forall(_ != head)) {
+      val cur = tags(spark, index).get(checkpointTag)
+      if (cur == fromOpt)
+        tagSnapshot(spark, index, checkpointTag,
+          back = backForCommitId(spark, index, head))
+      else logger.warn(s"consumeAddedSince($index, '$checkpointTag'): " +
+        s"the checkpoint moved from $fromOpt to $cur while this " +
+        "consumer processed — a concurrent consumer advanced it; " +
+        "leaving it (this delivery may have been a duplicate — the " +
+        "at-least-once contract)")
+    }
     head
   }
 }

@@ -225,6 +225,60 @@ class IncrementalReadSpec extends AnyFunSuite {
     assert(seen == (10L until 20L))
   }
 
+  test("consumeAddedSince never regresses a checkpoint a concurrent " +
+      "consumer advanced") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_conr").toString
+    val tbl = "g_incr_conr"
+    Dedup.writeMinhashIndex(docsDF(0L until 10L), "doc_id", "text",
+      tbl, s"$dir/idx", numBuckets = 4)
+    Snapshots.consumeAddedSince(spark, tbl, s"${tbl}_sigs", "feed")(_ => ())
+    Dedup.ingestAgainstIndex(docsDF(10L until 20L), tbl, "doc_id", "text")
+    var fasterHead = 0L
+    Snapshots.consumeAddedSince(spark, tbl, s"${tbl}_sigs", "feed") { _ =>
+      // while this consumer processes, a FASTER consumer ingests the
+      // next batch and advances the shared checkpoint past our head
+      Dedup.ingestAgainstIndex(docsDF(20L until 30L), tbl, "doc_id", "text")
+      fasterHead = Snapshots.consumeAddedSince(spark, tbl,
+        s"${tbl}_sigs", "feed")(_ => ())
+    }
+    // the slow consumer must NOT have pulled the checkpoint back
+    assert(Snapshots.tags(spark, tbl)("feed") == fasterHead)
+    // and the next consume sees nothing left to deliver
+    var extra = false
+    Snapshots.consumeAddedSince(spark, tbl, s"${tbl}_sigs", "feed") { _ =>
+      extra = true
+    }
+    assert(!extra)
+  }
+
+  test("tagStack mints one name across indexes; a partial failure is " +
+      "loud and a re-run completes it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_stk").toString
+    val a = "g_incr_stk_mh"
+    val b = "g_incr_stk_bm"
+    Dedup.writeMinhashIndex(docsDF(0L until 10L), "doc_id", "text",
+      a, s"$dir/mh", numBuckets = 4)
+    Bm25.buildIndex(docsDF(0L until 10L), "doc_id", "text",
+      b, s"$dir/bm", nDirs = 2)
+    Bm25.appendToIndex(docsDF(10L until 16L), "doc_id", "text", b)
+    Snapshots.tagStack(spark, Seq(a -> 0, b -> 1), "stack_v1")
+    assert(Snapshots.tags(spark, a)("stack_v1")
+      == Snapshots.commitIdFor(spark, a))
+    assert(Snapshots.tags(spark, b)("stack_v1")
+      == Snapshots.commitIdFor(spark, b, asOfCommits = 1))
+    // partial failure: the second index has no snapshot log
+    val e = intercept[IllegalStateException] {
+      Snapshots.tagStack(spark,
+        Seq(a -> 0, "g_incr_stk_nope" -> 0), "stack_v2")
+    }
+    assert(e.getMessage.contains("PARTIAL") && e.getMessage.contains(a))
+    assert(Snapshots.tags(spark, a).contains("stack_v2"))
+    // re-running the same call is idempotent on the already-tagged half
+    Snapshots.tagStack(spark, Seq(a -> 0, b -> 0), "stack_v2")
+    assert(Snapshots.tags(spark, b)("stack_v2")
+      == Snapshots.commitIdFor(spark, b))
+  }
+
   test("incremental-read log resolve pushes member and commit filters " +
       "into the scan and collects only the window's add rows") {
     val (tbl, buildId, _, _) = mh

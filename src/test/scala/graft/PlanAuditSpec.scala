@@ -80,6 +80,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q185_hybrid_rrf_tt_sq8",    // q184 with the SQ8 vector leg — the
                                    // BM25 leg unchanged (same 1-row
                                    // bounds broadcast)
+      "q192_hybrid_rrf_stack_tag", // q184's plan verbatim, addressed by
+                                   // the one stack tag — the BM25 leg
+                                   // keeps the same 1-row bounds
+                                   // broadcast from the tagged gen
       "q186_bm25_tt_timestamp",    // q177's probe addressed by wall
                                    // clock instead of commit depth —
                                    // same 1-row bounds broadcast from
