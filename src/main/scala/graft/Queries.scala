@@ -67,6 +67,26 @@ object Queries {
     })
   }
 
+  /** Construct two independent retrieval legs CONCURRENTLY (the
+    * guide's overlap-independent-jobs pattern): each index probe's
+    * construction runs a short sequence of bounded driver jobs
+    * (snapshot resolve, stats collects, the batch take) that are
+    * independent of the other leg's, so constructing them serially
+    * just serializes driver round-trips. Spark schedules jobs from
+    * multiple threads natively; the returned frames — and the fused
+    * plan built from them — are identical to sequential construction.
+    * Layouts must already exist (both hybrid legs build theirs via
+    * [[cachedLayout]] before forking). */
+  private def constructConcurrently(a: => DataFrame, b: => DataFrame)
+      : (DataFrame, DataFrame) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fa = Future(a)
+    val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+
   // ---------------------------------------------------------------- scans
 
   /** Scan + projection + predicate pushdown: both the range filter and the
@@ -3649,17 +3669,18 @@ object Queries {
     }
     graft.sources.Snapshots.tagStack(spark,
       Seq(bmTbl -> 2, ivfTbl -> 1), "stack_v1")
-    val bm = graft.operators.Bm25
-      .topKAgainstIndex(bm25QueryBatch(spark, sfDir), bmTbl, k = 10,
-        asOfTag = "stack_v1")
-      .select($"qid", $"doc_id".as("id"),
-        expr("CAST(1000000000 DIV (60 + rank) AS BIGINT)").as("rrf"))
-    val ivf = Knn.ivfTopKAgainstIndex(
-        emb.filter($"vec_id" % 50 === 0), ivfTbl, "vec_id", "embedding",
-        k = 10, asOfTag = "stack_v1")
-      .select($"qid", $"nid".as("id"),
-        expr("CAST(1000000000 DIV (60 + CAST(rnk AS BIGINT)) AS BIGINT)")
-          .as("rrf"))
+    val (bm, ivf) = constructConcurrently(
+      graft.operators.Bm25
+        .topKAgainstIndex(bm25QueryBatch(spark, sfDir), bmTbl, k = 10,
+          asOfTag = "stack_v1")
+        .select($"qid", $"doc_id".as("id"),
+          expr("CAST(1000000000 DIV (60 + rank) AS BIGINT)").as("rrf")),
+      Knn.ivfTopKAgainstIndex(
+          emb.filter($"vec_id" % 50 === 0), ivfTbl, "vec_id", "embedding",
+          k = 10, asOfTag = "stack_v1")
+        .select($"qid", $"nid".as("id"),
+          expr("CAST(1000000000 DIV (60 + CAST(rnk AS BIGINT)) AS BIGINT)")
+            .as("rrf")))
     val w = Window.partitionBy($"qid").orderBy($"rrf_score".desc, $"id".asc)
     bm.unionByName(ivf)
       .groupBy($"qid", $"id")
@@ -3706,16 +3727,17 @@ object Queries {
     cachedLayout(s"q158_ivfidx_${sfDir.hashCode.toHexString}") { d =>
       Knn.writeIvfIndex(emb, "vec_id", "embedding", ivfTbl, s"$d/idx")
     }
-    val bm = graft.operators.Bm25
-      .topKAgainstIndex(bm25QueryBatch(spark, sfDir), bmTbl, k = 10)
-      .select($"qid", $"doc_id".as("id"),
-        expr("CAST(1000000000 DIV (60 + rank) AS BIGINT)").as("rrf"))
-    val ivf = Knn.ivfTopKAgainstIndex(
-        emb.filter($"vec_id" % 50 === 0), ivfTbl, "vec_id", "embedding",
-        k = 10)
-      .select($"qid", $"nid".as("id"),
-        expr("CAST(1000000000 DIV (60 + CAST(rnk AS BIGINT)) AS BIGINT)")
-          .as("rrf"))
+    val (bm, ivf) = constructConcurrently(
+      graft.operators.Bm25
+        .topKAgainstIndex(bm25QueryBatch(spark, sfDir), bmTbl, k = 10)
+        .select($"qid", $"doc_id".as("id"),
+          expr("CAST(1000000000 DIV (60 + rank) AS BIGINT)").as("rrf")),
+      Knn.ivfTopKAgainstIndex(
+          emb.filter($"vec_id" % 50 === 0), ivfTbl, "vec_id", "embedding",
+          k = 10)
+        .select($"qid", $"nid".as("id"),
+          expr("CAST(1000000000 DIV (60 + CAST(rnk AS BIGINT)) AS BIGINT)")
+            .as("rrf")))
     val w = Window.partitionBy($"qid").orderBy($"rrf_score".desc, $"id".asc)
     bm.unionByName(ivf)
       .groupBy($"qid", $"id")
@@ -3757,17 +3779,18 @@ object Queries {
     cachedLayout(s"q158_ivfidx_${sfDir.hashCode.toHexString}") { d =>
       Knn.writeIvfIndex(emb, "vec_id", "embedding", ivfTbl, s"$d/idx")
     }
-    val bm = graft.operators.Bm25
-      .topKAgainstIndex(bm25QueryBatch(spark, sfDir), bmTbl, k = 10,
-        candidateFilter = Some($"doc_id" % 2 === 0))
-      .select($"qid", $"doc_id".as("id"),
-        expr("CAST(1000000000 DIV (60 + rank) AS BIGINT)").as("rrf"))
-    val ivf = Knn.ivfTopKAgainstIndex(
-        emb.filter($"vec_id" % 50 === 0), ivfTbl, "vec_id", "embedding",
-        k = 10, candidateFilter = Some($"id" % 2 === 0))
-      .select($"qid", $"nid".as("id"),
-        expr("CAST(1000000000 DIV (60 + CAST(rnk AS BIGINT)) AS BIGINT)")
-          .as("rrf"))
+    val (bm, ivf) = constructConcurrently(
+      graft.operators.Bm25
+        .topKAgainstIndex(bm25QueryBatch(spark, sfDir), bmTbl, k = 10,
+          candidateFilter = Some($"doc_id" % 2 === 0))
+        .select($"qid", $"doc_id".as("id"),
+          expr("CAST(1000000000 DIV (60 + rank) AS BIGINT)").as("rrf")),
+      Knn.ivfTopKAgainstIndex(
+          emb.filter($"vec_id" % 50 === 0), ivfTbl, "vec_id", "embedding",
+          k = 10, candidateFilter = Some($"id" % 2 === 0))
+        .select($"qid", $"nid".as("id"),
+          expr("CAST(1000000000 DIV (60 + CAST(rnk AS BIGINT)) AS BIGINT)")
+            .as("rrf")))
     val w = Window.partitionBy($"qid").orderBy($"rrf_score".desc, $"id".asc)
     bm.unionByName(ivf)
       .groupBy($"qid", $"id")
@@ -3813,17 +3836,18 @@ object Queries {
       Knn.appendToIvfIndex(emb.filter($"vec_id" % 2 === 1), "vec_id",
         "embedding", ivfTbl)
     }
-    val bm = graft.operators.Bm25
-      .topKAgainstIndex(bm25QueryBatch(spark, sfDir), bmTbl, k = 10,
-        asOfCommits = 2)
-      .select($"qid", $"doc_id".as("id"),
-        expr("CAST(1000000000 DIV (60 + rank) AS BIGINT)").as("rrf"))
-    val ivf = Knn.ivfTopKAgainstIndex(
-        emb.filter($"vec_id" % 50 === 0), ivfTbl, "vec_id", "embedding",
-        k = 10, asOfCommits = 1)
-      .select($"qid", $"nid".as("id"),
-        expr("CAST(1000000000 DIV (60 + CAST(rnk AS BIGINT)) AS BIGINT)")
-          .as("rrf"))
+    val (bm, ivf) = constructConcurrently(
+      graft.operators.Bm25
+        .topKAgainstIndex(bm25QueryBatch(spark, sfDir), bmTbl, k = 10,
+          asOfCommits = 2)
+        .select($"qid", $"doc_id".as("id"),
+          expr("CAST(1000000000 DIV (60 + rank) AS BIGINT)").as("rrf")),
+      Knn.ivfTopKAgainstIndex(
+          emb.filter($"vec_id" % 50 === 0), ivfTbl, "vec_id", "embedding",
+          k = 10, asOfCommits = 1)
+        .select($"qid", $"nid".as("id"),
+          expr("CAST(1000000000 DIV (60 + CAST(rnk AS BIGINT)) AS BIGINT)")
+            .as("rrf")))
     val w = Window.partitionBy($"qid").orderBy($"rrf_score".desc, $"id".asc)
     bm.unionByName(ivf)
       .groupBy($"qid", $"id")
@@ -3865,17 +3889,18 @@ object Queries {
       Knn.appendToIvfIndex(emb.filter($"vec_id" % 2 === 1), "vec_id",
         "embedding", sqTbl)
     }
-    val bm = graft.operators.Bm25
-      .topKAgainstIndex(bm25QueryBatch(spark, sfDir), bmTbl, k = 10,
-        asOfCommits = 2)
-      .select($"qid", $"doc_id".as("id"),
-        expr("CAST(1000000000 DIV (60 + rank) AS BIGINT)").as("rrf"))
-    val sq = Knn.ivfTopKAgainstIndexSq8(
-        emb.filter($"vec_id" % 50 === 0), sqTbl, "vec_id", "embedding",
-        k = 10, asOfCommits = 1)
-      .select($"qid", $"nid".as("id"),
-        expr("CAST(1000000000 DIV (60 + CAST(rnk AS BIGINT)) AS BIGINT)")
-          .as("rrf"))
+    val (bm, sq) = constructConcurrently(
+      graft.operators.Bm25
+        .topKAgainstIndex(bm25QueryBatch(spark, sfDir), bmTbl, k = 10,
+          asOfCommits = 2)
+        .select($"qid", $"doc_id".as("id"),
+          expr("CAST(1000000000 DIV (60 + rank) AS BIGINT)").as("rrf")),
+      Knn.ivfTopKAgainstIndexSq8(
+          emb.filter($"vec_id" % 50 === 0), sqTbl, "vec_id", "embedding",
+          k = 10, asOfCommits = 1)
+        .select($"qid", $"nid".as("id"),
+          expr("CAST(1000000000 DIV (60 + CAST(rnk AS BIGINT)) AS BIGINT)")
+            .as("rrf")))
     val w = Window.partitionBy($"qid").orderBy($"rrf_score".desc, $"id".asc)
     bm.unionByName(sq)
       .groupBy($"qid", $"id")

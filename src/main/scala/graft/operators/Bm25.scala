@@ -83,11 +83,19 @@ object Bm25 {
     // index-shape smoke)
     val bc: DataFrame => DataFrame =
       if (broadcastQueries) broadcast else identity
-    val scores = bc(qStaged)
-      .join(postings, Seq("term"))
+    // c_e4 depends only on (term, doc) facts (tf, dl, df, n, sumdl) —
+    // never on qid — so it is computed ONCE per posting row BEFORE the
+    // query join fans each posting out to every query sharing the term
+    // (r17 optimization: the fanout previously re-evaluated the
+    // ln-bearing double tree per (qid, term, doc) row; same expression
+    // tree on the same inputs ⇒ bit-identical values, and the BIGINT
+    // sum is order-free)
+    val contrib = postings
       .join(bc(dfs.select($"term", $"df")), Seq("term"))
       .crossJoin(broadcast(totals))
-      .select($"qid", $"doc_id", contributionE4(k1, b).as("c_e4"))
+      .select($"term", $"doc_id", contributionE4(k1, b).as("c_e4"))
+    val scores = bc(qStaged)
+      .join(contrib, Seq("term"))
       .groupBy($"qid", $"doc_id")
       .agg(sum($"c_e4").as("score_e4"))
 
@@ -120,7 +128,8 @@ object Bm25 {
       pruneMinPostings: Long = 2000000L,
       pruneMinMaxDf: Long = 1000000L,
       semiJoinMinPrunable: Long = 50000000L,
-      maxBatchPairs: Long = 8000000L): DataFrame = {
+      maxBatchPairs: Long = 8000000L,
+      spreadMinFanout: Long = 1000000L): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -135,8 +144,8 @@ object Bm25 {
     // scoring join) — stage the SMALL frame once instead of re-deriving
     // it per consumer (it may carry an upstream corpus scan, as q152's
     // does)
-    val qStaged = Stage.cut(
-      queries.select(col("qid").cast("long").as("qid"), col("term")))
+    val qProjected =
+      queries.select(col("qid").cast("long").as("qid"), col("term"))
     // the loud batch cap (the Dedup.incrementalAssembled pattern): every
     // driver-side fold below — the stats collect, the WAND floor, the
     // query-pair collect — is bounded ONLY by the one-retrieval-batch
@@ -150,13 +159,14 @@ object Bm25 {
     // rows, so an abusive corpus-sized "batch" costs the driver one
     // legal batch of rows, not a full materialization.
     val capProbe = (math.min(maxBatchPairs, Int.MaxValue - 2L) + 1L).toInt
-    val qPairsRaw = qStaged.take(capProbe)
+    val qPairsRaw = qProjected.take(capProbe)
     if (qPairsRaw.length >= capProbe) {
       logger.warn(s"bm25 topK: query batch has > $maxBatchPairs (qid, " +
         s"term) pairs (maxBatchPairs) — falling back to the " +
         "fully-distributed exact path (no query broadcast, no WAND prune; " +
         "identical rows). Split the workload into bounded retrieval " +
         "batches to get the serving-shape plan back.")
+      val qStaged = Stage.cut(qProjected)
       val qTermSet = qStaged.select($"term").distinct()
       val postings = Stage.cut(toks
         .select($"doc_id", size($"ts").cast("long").as("dl"),
@@ -168,6 +178,13 @@ object Bm25 {
       return scoreAndRank(qStaged, postings, dfs, totals, k, k1, b,
         broadcastQueries = false)
     }
+    // bounded batch: rows already on the driver (the cap-check take) —
+    // a LocalRelation stage (same rows, original schema) makes every
+    // downstream read driver-local and every broadcast build jobless
+    // (see topKAgainstIndex; the checkpointed frame cost one
+    // materialization job plus a broadcast-build job per consumer)
+    val qStaged = spark.createDataFrame(
+      java.util.Arrays.asList(qPairsRaw: _*), qProjected.schema)
     val qTermSet = qStaged.select($"term").distinct()
     // prune the token stream to query terms BEFORE the tf aggregation:
     // the posting shuffle is bounded by matching tokens, not the corpus.
@@ -192,6 +209,25 @@ object Bm25 {
 
     val matchingPostings = stats.map(_._2).sum
     val maxTermDf = if (stats.isEmpty) 0L else stats.map(_._2).max
+    // the scoring join fans each posting row out to every query sharing
+    // its term — and the staged posting frame behind it was coalesced by
+    // AQE (often to ONE partition at small matching volumes), so the
+    // whole fanout + partial aggregation could run single-threaded
+    // (measured: ~2 s in one task at a 5.4M-row fanout while 31 cores
+    // idled). The fanout is exactly computable driver-side from the
+    // collected stats (Σ_t df(t) · |qids sharing t|); spread the staged
+    // frame back across the shuffle width when the fanout is worth
+    // parallelizing — the repartition moves only the narrow matching
+    // postings, orders of magnitude less than the work it parallelizes.
+    val qPairs = qPairsRaw.map(r => (r.getLong(0), r.getString(1)))
+    val nqByTerm = qPairs.groupBy(_._2).map { case (t, ps) =>
+      (t, ps.map(_._1).distinct.length.toLong) }
+    val fanout = stats.iterator
+      .map(s => s._2 * nqByTerm.getOrElse(s._1, 0L)).sum
+    val postingsSpread =
+      if (fanout >= spreadMinFanout)
+        postings.repartition(spark.sessionState.conf.numShufflePartitions)
+      else postings
     if (!prune || matchingPostings < pruneMinPostings ||
         maxTermDf < pruneMinMaxDf) {
       logger.info(s"bm25 topK: straight scan-score-sort path " +
@@ -202,7 +238,7 @@ object Bm25 {
          else s"max df below pruneMinMaxDf=$pruneMinMaxDf") + ")")
       val dfs = spark.createDataFrame(
         stats.toSeq.map { case (t, df, _, _) => (t, df) }).toDF("term", "df")
-      return scoreAndRank(qStaged, postings, dfs, totals, k, k1, b)
+      return scoreAndRank(qStaged, postingsSpread, dfs, totals, k, k1, b)
     }
     logger.info(s"bm25 topK: WAND-bounded path ($matchingPostings matching " +
       s"postings >= pruneMinPostings=$pruneMinPostings, max term df " +
@@ -210,9 +246,8 @@ object Bm25 {
     // the totals collect is the same 1-row aggregate job the unpruned
     // plan runs inside its broadcast — moved earlier, not added
     val tot = totals.collect()(0)
-    wandScoreAndRank(qStaged, qPairsRaw
-        .map(r => (r.getLong(0), r.getString(1))),
-      stats, tot.getLong(0), tot.getLong(1), postings,
+    wandScoreAndRank(qStaged, qPairs,
+      stats, tot.getLong(0), tot.getLong(1), postingsSpread,
       terms => postings.filter($"term".isin(terms: _*)),
       k, k1, b, floorTermsPerQuery, semiJoinMinPrunable)
   }
@@ -324,11 +359,15 @@ object Bm25 {
     val totalDf = qKept.toSeq.flatMap { case (_, ts) => ts.map(dfOf) }.sum
     val thetas = broadcast(spark.createDataFrame(
         thetaMap.toSeq).toDF("qid", "theta"))
-    val scoredRows = broadcast(qStaged)
-      .join(postings, Seq("term"))
+    // c_e4/ub_e4 are (term, doc) facts — computed once per posting row
+    // before the query fanout (see scoreAndRank; bit-identical values)
+    val contribRows = postings
       .join(broadcast(dfs), Seq("term"))
       .crossJoin(broadcast(totals))
-      .select($"qid", $"doc_id", contributionE4(k1, b).as("c_e4"), $"ub_e4")
+      .select($"term", $"doc_id", contributionE4(k1, b).as("c_e4"), $"ub_e4")
+    val scoredRows = broadcast(qStaged)
+      .join(contribRows, Seq("term"))
+      .select($"qid", $"doc_id", $"c_e4", $"ub_e4")
     // semi-join only when the prunable posting volume amortizes its
     // fixed costs (re-reading the essential lists + the per-partition
     // candidate hash map): at 10M docs the index probe LOST ~6 s to it
@@ -1243,7 +1282,8 @@ object Bm25 {
       asOfCommits: Int = 0,
       candidateFilter: Option[Column] = None,
       asOfTimestamp: Long = 0L,
-      asOfTag: String = ""): DataFrame = {
+      asOfTag: String = "",
+      spreadMinFanout: Long = 1000000L): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(floorTermsPerQuery >= 1,
       s"need floorTermsPerQuery >= 1, got $floorTermsPerQuery")
@@ -1283,8 +1323,8 @@ object Bm25 {
     def dTbl = member(s"${table}_dfs")
     def bTbl = member(s"${table}_bounds")
     import spark.implicits._
-    val qStaged = Stage.cut(
-      queries.select(col("qid").cast("long").as("qid"), col("term")))
+    val qProjected =
+      queries.select(col("qid").cast("long").as("qid"), col("term"))
     // a dfs table persisted by a pre-WAND build lacks (max_tf, min_dl):
     // probes stay SERVABLE via the exact path (no bounds to evaluate —
     // the prune is a cost optimization, never a semantic one), loudly
@@ -1327,13 +1367,14 @@ object Bm25 {
     // purpose is the cap check). take() stops at cap+1 rows, so even an
     // abusive corpus-sized batch costs the driver one legal batch.
     val capProbe = (math.min(maxBatchPairs, Int.MaxValue - 2L) + 1L).toInt
-    val qPairsRaw = qStaged.take(capProbe)
+    val qPairsRaw = qProjected.take(capProbe)
     if (qPairsRaw.length >= capProbe) {
       logger.warn(s"bm25 topKAgainstIndex: query batch has > " +
         s"$maxBatchPairs (qid, term) pairs (maxBatchPairs) — falling " +
         "back to the distributed full-scan path (no dir pruning, no WAND; " +
         "identical rows). Split the workload into bounded retrieval " +
         "batches to get the serving-shape plan back.")
+      val qStaged = Stage.cut(qProjected)
       val dfsAll = dTbl
         .select($"term", $"df").filter($"df" <= maxDf)
       val postingsAll = minusDeleted(pTbl
@@ -1345,7 +1386,17 @@ object Bm25 {
     // bounded driver model: ONE retrieval batch (the same contract that
     // lets topK broadcast the query frame); its pairs — already
     // materialized by the cap-check take above — drive the floor term
-    // selection, its distinct terms the dir pruning
+    // selection, its distinct terms the dir pruning. The batch rows are
+    // ON the driver already, so the staged query frame is a
+    // LocalRelation (same rows, nulls preserved via the original
+    // schema): every downstream read is a driver-local scan and every
+    // broadcast of it builds WITHOUT a Spark job — a serving probe's
+    // latency is its sequential small-job count, and the checkpointed
+    // distributed frame this replaces cost one materialization job plus
+    // one broadcast-build job per consumer (r17 measurement: ~half of
+    // an index probe's wall time was these driver round-trips).
+    val qStaged = spark.createDataFrame(
+      java.util.Arrays.asList(qPairsRaw: _*), qProjected.schema)
     val qPairs = qPairsRaw.map(r => (r.getLong(0), r.getString(1)))
     val qTerms = qPairs.map(_._2).distinct
     val boundsRow = bTbl.collect()
@@ -1396,9 +1447,24 @@ object Bm25 {
         else scan
       }
     val keptTerms = kept.map(_._1).toSeq
-    val postings = dirPrunedPostings(keptTerms)
     val matchingPostings = kept.map(_._2).sum
+    // the zipf-term spread's exchange only pays for itself when the
+    // scoring join's fanout is worth parallelizing (one scan task can
+    // absorb a common term's whole fanout — measured 3.5x on the
+    // aggregation at the 10M decade; conversely at small volumes the
+    // extra exchange plus its one-task-per-core stage IS the probe's
+    // cost). The fanout is exact driver-side arithmetic:
+    // Σ_t df(t) · |qids sharing t| — never an estimate.
+    val nqByTerm = qPairs.groupBy(_._2).map { case (t, ps) =>
+      (t, ps.map(_._1).distinct.length.toLong) }
+    val fanout = kept.iterator
+      .map(s => s._2 * nqByTerm.getOrElse(s._1, 0L)).sum
+    val postings = dirPrunedPostings(keptTerms,
+      spread = fanout >= spreadMinFanout)
     val maxTermDf = if (kept.isEmpty) 0L else kept.map(_._2).max
+    // (n, sumdl) were just collected from the bounds member — stage the
+    // 1-row totals frame locally so its broadcast builds without a job
+    val totalsLocal = spark.createDataFrame(Seq((n, sumdl))).toDF("n", "sumdl")
     if (!prune || !hasWandStats || matchingPostings < pruneMinPostings ||
         maxTermDf < pruneMinMaxDf) {
       logger.info(s"bm25 topKAgainstIndex: straight scan-score-sort path " +
@@ -1410,8 +1476,7 @@ object Bm25 {
          else s"max df below pruneMinMaxDf=$pruneMinMaxDf") + ")")
       val dfs = spark.createDataFrame(kept.toSeq
           .map { case (t, df, _, _) => (t, df) }).toDF("term", "df")
-      val totals = bTbl.select($"n", $"sumdl")
-      return scoreAndRank(qStaged, postings, dfs, totals, k, k1, b)
+      return scoreAndRank(qStaged, postings, dfs, totalsLocal, k, k1, b)
     }
     // floor lists ride their own dir-pruned scan (fewer directories
     // than the full kept set); per-term ub evaluated driver-side inside

@@ -561,31 +561,42 @@ object Knn {
         .flatMap(g => graft.sources.Tombstones.frameAt(spark, g.gen))
     val centroids: Array[Array[Double]] = cenTbl
       .orderBy($"cell").collect().map(_.getSeq[Double](1).toArray)
-    val qcells = Stage.cut(withVecAndNorm(queries, idCol, vecCol)
+    val qFrame = withVecAndNorm(queries, idCol, vecCol)
       .withColumn("cell", explode(probesUdf(centroids, nProbe)($"v")))
-      .select($"cell", $"id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
-    val nQcells = qcells.count()
-    // the probed-cell collect is bounded by nCells AFTER the distinct,
-    // but the distinct itself shuffles the exploded query frame — over
-    // the broadcast cap that batch is corpus-sized and pruning is moot
-    // anyway (a huge batch probes essentially every cell), so skip the
-    // collect and scan all cells, loudly (the scoreCells shuffle-join
-    // fallback handles the join side; identical rows)
+      .select($"cell", $"id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    // ONE bounded take decides the path AND materializes the bounded
+    // batch (r17 optimization: the previous checkpoint + count +
+    // distinct-collect shape cost three sequential driver jobs per
+    // probe; the broadcast below materializes the same rows driver-side
+    // anyway, so the take adds no memory the broadcast path didn't
+    // already need). Under the cap the exploded query frame is a
+    // LocalRelation — downstream reads are driver-local, the probed-cell
+    // set comes from the rows in hand, and the scoring broadcast builds
+    // without a Spark job. Over the cap pruning is moot (a corpus-sized
+    // batch probes essentially every cell): scan all cells, loudly, with
+    // the scoreCells shuffle-join fallback — identical rows.
+    val capQ = (math.min(broadcastMaxQcells, Int.MaxValue - 2L) + 1L).toInt
+    val qRows = qFrame.take(capQ)
+    val (qcells, nQcells) =
+      if (qRows.length < capQ)
+        (spark.createDataFrame(
+          java.util.Arrays.asList(qRows: _*), qFrame.schema),
+          qRows.length.toLong)
+      else {
+        log.warn(s"ivf ivfTopKAgainstIndex: query batch explodes to > " +
+          s"$broadcastMaxQcells cell rows (broadcastMaxQcells) — " +
+          "skipping cell pruning and scanning all cells (identical " +
+          "rows; split the workload into bounded retrieval batches to " +
+          "get the pruned plan back)")
+        (Stage.cut(qFrame), capQ.toLong)
+      }
     val cells =
       if (nQcells <= broadcastMaxQcells) {
-        val probed = qcells.select($"cell").distinct()
-          .collect().map(_.getInt(0)).toSeq
+        val probed = qRows.map(_.getInt(0)).distinct.toSeq
         cTbl
           .filter($"cell".isin(probed: _*))
           .select($"cell", $"id", $"v", $"nrm")
-      } else {
-        log.warn(s"ivf ivfTopKAgainstIndex: query batch explodes to " +
-          s"$nQcells cell rows, above broadcastMaxQcells=" +
-          s"$broadcastMaxQcells — skipping cell pruning and scanning " +
-          "all cells (identical rows; split the workload into bounded " +
-          "retrieval batches to get the pruned plan back)")
-        cTbl.select($"cell", $"id", $"v", $"nrm")
-      }
+      } else cTbl.select($"cell", $"id", $"v", $"nrm")
     val alive = graft.sources.Tombstones.filterWith(cells, "id", tomb, table)
     val candidates = candidateFilter.fold(alive)(alive.filter)
     scoreCells(candidates, qcells, k, nQcells, broadcastMaxQcells)
@@ -819,24 +830,33 @@ object Knn {
         (st.gen, st.read(spark))
       }
     val (minsArr, stepsArr) = qparamsFor(spark, table, q8Gen)
-    val qcells = Stage.cut(withVecAndNorm(queries, idCol, vecCol)
+    // same bounded-take staging as ivfTopKAgainstIndex: one job decides
+    // the path and yields the LocalRelation query frame (jobless
+    // broadcasts, driver-local probed-cell set); over the cap the
+    // distributed fallback is unchanged
+    val qFrame = withVecAndNorm(queries, idCol, vecCol)
       .withColumn("cell", explode(probesUdf(centroids, nProbe)($"v")))
-      .select($"cell", $"id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
-    val nQcells = qcells.count()
+      .select($"cell", $"id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    val capQ = (math.min(broadcastMaxQcells, Int.MaxValue - 2L) + 1L).toInt
+    val qRows = qFrame.take(capQ)
+    val (qcells, nQcells) =
+      if (qRows.length < capQ)
+        (spark.createDataFrame(
+          java.util.Arrays.asList(qRows: _*), qFrame.schema),
+          qRows.length.toLong)
+      else {
+        log.warn(s"ivf ivfTopKAgainstIndexSq8: query batch explodes to > " +
+          s"$broadcastMaxQcells cell rows (broadcastMaxQcells) — " +
+          "skipping cell pruning and scanning all cells (identical rows)")
+        (Stage.cut(qFrame), capQ.toLong)
+      }
     val cells =
       if (nQcells <= broadcastMaxQcells) {
-        val probed = qcells.select($"cell").distinct()
-          .collect().map(_.getInt(0)).toSeq
+        val probed = qRows.map(_.getInt(0)).distinct.toSeq
         q8Scan
           .filter($"cell".isin(probed: _*))
           .select($"cell", $"id", $"codes")
-      } else {
-        log.warn(s"ivf ivfTopKAgainstIndexSq8: query batch explodes to " +
-          s"$nQcells cell rows, above broadcastMaxQcells=" +
-          s"$broadcastMaxQcells — skipping cell pruning and scanning " +
-          "all cells (identical rows)")
-        q8Scan.select($"cell", $"id", $"codes")
-      }
+      } else q8Scan.select($"cell", $"id", $"codes")
     val alive = graft.sources.Tombstones.filterWith(cells, "id", tomb, table)
     val candidates = candidateFilter.fold(alive)(alive.filter)
     val bc: DataFrame => DataFrame =

@@ -723,11 +723,37 @@ object Snapshots {
     * file lists). */
   private def collectedCommits(spark: SparkSession, index: String)
       : Array[(Long, String, Boolean, Seq[(String, String)])] =
-    history(spark, index)
-      .collect()
+    collectedCommitsTs(spark, index)
+      .map(c => (c._1, c._2, c._3, c._4))
+
+  /** [[collectedCommits]] plus the wall-clock stamp (None on legacy
+    * pre-r17 manifests and legacy rows, which never resolve by clock).
+    * ONE manifest collect serves depth, timestamp AND tag addressing —
+    * the selector paths used to re-collect the manifest once per hop
+    * (up to three manifest jobs per time-travel probe; r17 optimization
+    * round). The Option in the 5th slot is None only when the whole
+    * schema predates stamping — callers distinguish "no ts column"
+    * (refuse clock addressing loudly) from "this row is NULL". */
+  private def collectedCommitsTs(spark: SparkSession, index: String)
+      : Array[(Long, String, Boolean, Seq[(String, String)], Option[Long])] = {
+    val df = history(spark, index)
+    val hasTs = df.columns.contains("ts")
+    val proj =
+      if (hasTs) df.select(col("commit_id"), col("op"), col("revertible"),
+        col("members"), col("ts"))
+      else df.select(col("commit_id"), col("op"), col("revertible"),
+        col("members"), lit(null).cast("long").as("ts"))
+    proj.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
         r.getSeq[org.apache.spark.sql.Row](3)
-          .map(m => (m.getString(0), m.getString(1)))))
+          .map(m => (m.getString(0), m.getString(1))),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+  }
+
+  /** Whether the manifest schema carries the wall-clock column —
+    * gating message for clock addressing on a legacy log. */
+  private def manifestHasTs(spark: SparkSession, index: String): Boolean =
+    spark.table(logTable(index)).columns.contains("ts")
 
   private def resolveStateAt(spark: SparkSession, index: String,
       commits: Array[(Long, String, Boolean, Seq[(String, String)])],
@@ -737,22 +763,42 @@ object Snapshots {
     val targetGens: Map[String, String] = target._4.toMap
     val crossedNonRevertible = commits.take(back).filter(!_._3)
     val lf = logFilesTable(index)
-    // ONE aggregate job answers both driver-bounded questions (r17
-    // directive 3, re-planned after the first bench showed the
-    // two-aggregate shape costing ~0.3 s/leg on the hybrid probes):
-    // which members were EVER tracked, and each one's governing base
-    // commit at or before the target — member names and ids only,
-    // never a file list (the previous shape collected every member's
-    // every base row to the driver per probe)
-    val memberStats: Map[String, Option[Long]] =
-      if (!exists(spark, lf)) Map.empty
-      else fileLogRows(spark, lf)
-        .groupBy(col("member"))
-        .agg(max(when(col("kind") === "base" &&
-          col("commit_id") <= targetId, col("commit_id"))).as("base_id"))
-        .collect()
-        .map(r => r.getString(0) ->
-          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // ONE job answers all three driver-bounded questions (r17
+    // optimization round; supersedes the r17-build two-pass): which
+    // members were EVER tracked, each one's governing base commit at or
+    // before the target, AND the fold window's rows. The stats
+    // aggregate rides the same collect as the windowed rows via a
+    // tagged union; superseded base rows — the ones carrying 10⁵–10⁶
+    // paths each at the stated scale — still never reach the driver
+    // (the join bounds each member's rows at its governing base id),
+    // and the windowed side still reads through [[memberLogRows]], so
+    // the member/commit filters stay pushed into the parquet scan
+    // (spec-pinned).
+    val targetMembers = target._4.map(_._1)
+    val (memberStats, rows): (Map[String, Option[Long]],
+        Seq[(Long, String, String, String, Seq[String])]) =
+      if (!exists(spark, lf)) (Map.empty, Seq.empty)
+      else {
+        val stats = fileLogRows(spark, lf)
+          .groupBy(col("member"))
+          .agg(max(when(col("kind") === "base" &&
+            col("commit_id") <= targetId, col("commit_id"))).as("base_id"))
+        val statRows = stats.select(lit(-1L).as("commit_id"),
+          col("member"), lit("").as("gen"), lit("__stats").as("kind"),
+          lit(null).cast("array<string>").as("files"), col("base_id"))
+        val dataRows = memberLogRows(spark, lf, targetMembers, targetId)
+          .join(stats.filter(col("base_id").isNotNull), Seq("member"))
+          .filter(col("commit_id") >= col("base_id"))
+          .select(col("commit_id"), col("member"), col("gen"),
+            col("kind"), col("files"), col("base_id"))
+        val all = statRows.unionByName(dataRows).collect()
+        (all.filter(_.getString(3) == "__stats")
+          .map(r => r.getString(1) ->
+            (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap,
+          all.filter(_.getString(3) != "__stats")
+            .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+              r.getString(3), r.getSeq[String](4).toSeq)).toSeq)
+      }
     val trackedEver: Set[String] = memberStats.keySet
     if (trackedEver.isEmpty) {
       // legacy manifest (no file log at all): an in-place append
@@ -768,26 +814,6 @@ object Snapshots {
             "maintenance op to start recording file manifests")
       }
     }
-    // two-pass fold: the governing base ids came from the aggregate
-    // above; ONLY rows in [baseId, targetId] for the target's members
-    // now reach the driver — filters pushed into the parquet scan, so
-    // a probe reads its target's rows within the window, not every
-    // member's full history within retention
-    val baseIds: Map[String, Long] = target._4
-      .flatMap { case (m, _) => memberStats.get(m).flatten.map(m -> _) }
-      .toMap
-    val rows: Seq[(Long, String, String, String, Seq[String])] =
-      if (baseIds.isEmpty) Seq.empty
-      else {
-        val window = baseIds
-          .map { case (m, b) =>
-            col("member") === m && col("commit_id") >= b }
-          .reduce(_ || _)
-        memberLogRows(spark, lf, baseIds.keys.toSeq, targetId)
-          .filter(window).collect()
-          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-            r.getString(3), r.getSeq[String](4).toSeq)).toSeq
-      }
     // per member: (base generation, folded file set) at the target commit
     val fileLists: Map[String, (String, Seq[String])] =
       rows.groupBy(_._2).flatMap { case (m, rs) =>
@@ -1006,22 +1032,32 @@ object Snapshots {
     * wall clocks resolve by MAX COMMIT ID among qualifying rows (ids
     * are the total order, ts is the name). */
   def backForTimestamp(spark: SparkSession, index: String,
-      tsMillis: Long): Int = {
-    val live = logTable(index)
-    require(exists(spark, live),
-      s"index $index has no snapshot log ($live) — it predates the " +
-        "snapshot-log format; rebuild it to enable time travel")
-    Generations.refreshTables(spark, live)
-    val df = spark.table(live)
-    require(df.columns.contains("ts"),
+      tsMillis: Long): Int =
+    backForTimestampIn(index, collectedCommitsTs(spark, index),
+      manifestHasTs(spark, index), tsMillis)
+
+  /** The driver-side half of [[backForTimestamp]] over an already-
+    * collected manifest — so a selector resolve pays ONE manifest job,
+    * not one per addressing hop. Same contract: max commit id among
+    * stamped rows at or before the instant (ids are the total order,
+    * the clock is the name; NULL-ts legacy rows never match). */
+  private def backForTimestampIn(index: String,
+      commits: Array[(Long, String, Boolean, Seq[(String, String)], Option[Long])],
+      hasTsColumn: Boolean, tsMillis: Long): Int = {
+    require(hasTsColumn,
       s"snapshot log of $index predates wall-clock stamping — run any " +
         "maintenance op to migrate it, then probe by timestamp")
-    val head = df.filter(col("ts").isNotNull && col("ts") <= tsMillis)
-      .agg(max(col("commit_id"))).head()
-    require(!head.isNullAt(0),
+    val qualifying = commits.filter(_._5.exists(_ <= tsMillis))
+    require(qualifying.nonEmpty,
       s"index $index has no maintenance commit recorded at or before " +
         s"timestamp $tsMillis")
-    backForCommitId(spark, index, head.getLong(0))
+    val targetId = qualifying.map(_._1).max
+    val pos = commits.map(_._1).indexOf(targetId)
+    require(pos >= 0,
+      s"commit $targetId of index $index is no longer in the snapshot " +
+        "log (compactLog retention dropped it) — time travel reaches " +
+        "only kept manifests")
+    pos
   }
 
   /** [[resolveStateAsOf]] addressed by commit depth, wall-clock
@@ -1036,17 +1072,36 @@ object Snapshots {
       asOfTag != null && asOfTag.nonEmpty)
     require(set.count(identity) <= 1,
       "set at most ONE of asOfCommits / asOfTimestamp / asOfTag")
-    if (asOfCommits != 0) resolveStateAsOf(spark, index, asOfCommits)
-    else if (asOfTimestamp != 0L)
-      resolveStateAsOf(spark, index,
-        backForTimestamp(spark, index, asOfTimestamp))
-    else if (asOfTag != null && asOfTag.nonEmpty) {
-      val t = tags(spark, index).getOrElse(asOfTag,
-        throw new IllegalArgumentException(
-          s"index $index has no snapshot tag '$asOfTag' — tags: " +
-            tags(spark, index).keys.toSeq.sorted.mkString(", ")))
-      resolveStateAsOf(spark, index, backForCommitId(spark, index, t))
-    } else Map.empty
+    if (set.forall(!_)) return Map.empty
+    // ONE manifest collect serves every addressing mode (r17
+    // optimization round: the previous delegation chain re-collected
+    // the manifest per hop — tag → depth lookup → resolveStateAsOf was
+    // three manifest jobs on every tag-addressed probe)
+    val commitsTs = collectedCommitsTs(spark, index)
+    val commits = commitsTs.map(c => (c._1, c._2, c._3, c._4))
+    val back =
+      if (asOfCommits != 0) {
+        require(asOfCommits >= 0, s"need back >= 0, got $asOfCommits")
+        asOfCommits
+      } else if (asOfTimestamp != 0L)
+        backForTimestampIn(index, commitsTs,
+          manifestHasTs(spark, index), asOfTimestamp)
+      else {
+        val t = tags(spark, index).getOrElse(asOfTag,
+          throw new IllegalArgumentException(
+            s"index $index has no snapshot tag '$asOfTag' — tags: " +
+              tags(spark, index).keys.toSeq.sorted.mkString(", ")))
+        val pos = commits.map(_._1).indexOf(t)
+        require(pos >= 0,
+          s"commit $t of index $index is no longer in the snapshot " +
+            "log (compactLog retention dropped it) — time travel " +
+            "reaches only kept manifests")
+        pos
+      }
+    require(commits.length > back,
+      s"index $index has ${commits.length} recorded maintenance commits — " +
+        s"cannot step back $back")
+    resolveStateAt(spark, index, commits, back)
   }
 
   // ---- incremental (CDC-style) reads (r17 addendum) ------------------
