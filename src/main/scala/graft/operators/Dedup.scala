@@ -933,9 +933,56 @@ object Dedup {
   def connectedComponents(
       vertices: DataFrame, // one column: "id"
       edges: DataFrame,    // columns: "id_a", "id_b"
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      maxDriverEdges: Long = 2000000L): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
+
+    // Bounded fast path (r17 optimization round): near-dup EDGES are a
+    // tiny fraction of any real corpus (they exist only where LSH
+    // banding found collisions), so when the edge set fits the driver
+    // a single union-find pass replaces the whole hook/double loop —
+    // ~3 Spark jobs × rounds collapse into ONE bounded take. The
+    // representative is the component's min id: exactly the
+    // distributed loop's fixpoint, so results are identical. take()
+    // stops at cap+1 rows; over the cap (or on non-long ids) the
+    // Shiloach–Vishkin loop below runs unchanged — identical labels,
+    // loudly logged. The cap bounds driver memory at ~16 B/edge.
+    val longIds = edges.schema.fields.take(2)
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds) {
+      val cap = (math.min(maxDriverEdges, Int.MaxValue - 2L) + 1L).toInt
+      val eRows = edges.select($"id_a", $"id_b").take(cap)
+      if (eRows.isEmpty) return vertices.select($"id", $"id".as("label"))
+      if (eRows.length < cap) {
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent.getOrElse(c, c); parent(c) = r; c = n
+          }
+          r
+        }
+        eRows.foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          // min-id root: the union keeps the smaller id as
+          // representative, which IS the loop's min-label fixpoint
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        val nodes = eRows.iterator
+          .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSet
+        val lbl = spark.createDataFrame(
+            nodes.toSeq.map(n => (n, find(n)))).toDF("id", "label")
+        return vertices.join(lbl, Seq("id"), "left")
+          .select($"id", coalesce($"label", $"id").as("label"))
+      }
+      log.info(s"connectedComponents: > $maxDriverEdges edges " +
+        "(maxDriverEdges) — running the distributed hook/double loop")
+    }
     val sym = edges.select($"id_a".as("src"), $"id_b".as("dst"))
       .unionByName(edges.select($"id_b".as("src"), $"id_a".as("dst")))
 

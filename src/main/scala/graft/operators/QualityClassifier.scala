@@ -182,15 +182,13 @@ object QualityClassifier {
     * membership above `sampleCap` (the [[Sampling.hashSample]]
     * contract), per-doc bucket counts aggregated BEFORE the collect so
     * the driver never sees more than ≈ sampleCap·buckets rows. */
-  private def sampleSparse(df: DataFrame, idCol: String, textCol: String,
-      sampleCap: Int, buckets: Int): Array[SparseRow] = {
-    val n = df.count()
-    val dSample =
-      if (n <= sampleCap) df
-      else Sampling.hashSample(df, idCol, sampleCap.toDouble / n)
+  /** The shared (id, n, bucket) → count aggregation of the sparse
+    * samplers — one definition so the single-class and fused two-class
+    * paths provably build identical rows. */
+  private def sparseAgg(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
     val ts = CorpusFilters.words(coalesce(col(textCol), lit("")))
-    val staged = dSample
-      .select(col(idCol).cast("long").as("id"), ts.as("ts"))
+    df.select(col(idCol).cast("long").as("id"), ts.as("ts"))
       .select(col("id"), hashedGrams(col("ts")).as("grams"))
       .select(col("id"), size(col("grams")).as("n"),
         explode_outer(col("grams")).as("gram"))
@@ -199,7 +197,10 @@ object QualityClassifier {
           pmod(xxhash64(col("gram")), lit(buckets.toLong)).cast("int")).as("bucket"))
       .groupBy(col("id"), col("n"), col("bucket"))
       .agg(count(col("bucket")).as("c"))
-      .collect()
+  }
+
+  private def sparseRowsOf(
+      staged: Array[org.apache.spark.sql.Row]): Array[SparseRow] =
     staged
       .groupBy(r => (r.getLong(0), r.getInt(1).toLong))
       .map { case ((id, nG), rows) =>
@@ -209,6 +210,34 @@ object QualityClassifier {
         (id, nG, sparse)
       }
       .toArray.sortBy(_._1)
+
+  /** Both seed classes sampled in TWO jobs instead of four (r17
+    * optimization round): one union counts both classes, one union
+    * collects both staged sparse aggregations, tagged by class.
+    * Per-class sampling decisions and the per-row aggregation are the
+    * single-class code verbatim (same hashSample fractions on the same
+    * ids, [[sparseAgg]] shared), so the training rows — and therefore
+    * the weights — are bit-identical. */
+  private def sampleSparseBoth(pos: DataFrame, neg: DataFrame,
+      idCol: String, textCol: String, sampleCap: Int, buckets: Int)
+      : (Array[SparseRow], Array[SparseRow]) = {
+    val cls = "__graft_cls"
+    def tag(df: DataFrame, c: Int): DataFrame =
+      df.select(lit(c).as(cls), col(idCol), col(textCol))
+    val counts = tag(pos, 1).unionByName(tag(neg, 0))
+      .groupBy(col(cls)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (nPos, nNeg) = (counts.getOrElse(1, 0L), counts.getOrElse(0, 0L))
+    def sampled(df: DataFrame, n: Long): DataFrame =
+      if (n <= sampleCap) df
+      else Sampling.hashSample(df, idCol, sampleCap.toDouble / n)
+    val staged = sparseAgg(sampled(pos, nPos), idCol, textCol, buckets)
+      .withColumn(cls, lit(1))
+      .unionByName(sparseAgg(sampled(neg, nNeg), idCol, textCol, buckets)
+        .withColumn(cls, lit(0)))
+      .collect()
+    (sparseRowsOf(staged.filter(_.getInt(4) == 1)),
+      sparseRowsOf(staged.filter(_.getInt(4) == 0)))
   }
 
   /** Fixed-iteration full-batch logistic GD over sparse normalized
@@ -255,8 +284,8 @@ object QualityClassifier {
       iterations: Int = 200, learningRate: Double = 0.5): Array[Double] = {
     require(buckets >= 2 && sampleCap >= 1 && iterations >= 1 && learningRate > 0.0,
       "buckets must be >= 2, sampleCap/iterations >= 1 and learningRate > 0")
-    val posRows = sampleSparse(pos, idCol, textCol, sampleCap, buckets)
-    val negRows = sampleSparse(neg, idCol, textCol, sampleCap, buckets)
+    val (posRows, negRows) =
+      sampleSparseBoth(pos, neg, idCol, textCol, sampleCap, buckets)
     require(posRows.nonEmpty && negRows.nonEmpty,
       s"both seed classes must be non-empty (pos=${posRows.length}, neg=${negRows.length})")
     trainSparse(

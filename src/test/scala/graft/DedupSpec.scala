@@ -128,7 +128,10 @@ class DedupSpec extends AnyFunSuite {
     val vertices = spark.range(n).toDF("id")
     val edges = spark.range(n - 1)
       .select($"id".as("id_a"), ($"id" + 1L).as("id_b"))
-    val labels = Dedup.connectedComponents(vertices, edges)
+    // maxDriverEdges = 0 forces the distributed loop — the doubling
+    // budget is the contract under test (the fast path never loops)
+    val labels = Dedup.connectedComponents(vertices, edges,
+        maxDriverEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(labels.length == n)
     assert(labels.forall(_._2 == 0L),
@@ -139,9 +142,32 @@ class DedupSpec extends AnyFunSuite {
     import spark.implicits._
     val vertices = spark.range(40L).toDF("id")
     val edges = spark.range(39L).select($"id".as("id_a"), ($"id" + 1L).as("id_b"))
+    // maxDriverEdges = 0 forces the distributed hook/double loop — the
+    // contract under test; the bounded union-find fast path solves this
+    // graph exactly and never unconverges
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(vertices, edges, maxIter = 2).collect()
+      Dedup.connectedComponents(vertices, edges, maxIter = 2,
+        maxDriverEdges = 0L).collect()
     }
+  }
+
+  test("connected components: bounded union-find fast path matches the " +
+      "distributed loop label-for-label (r17 optimization)") {
+    import spark.implicits._
+    // chain + star + isolated vertices + a cycle — every shape in one graph
+    val vertices = spark.range(30L).toDF("id")
+    val edges = (Seq((0L, 1L), (1L, 2L), (2L, 3L),        // chain → 0
+      (10L, 11L), (10L, 12L), (10L, 13L),                  // star → 10
+      (20L, 21L), (21L, 22L), (22L, 20L))                  // cycle → 20
+      ).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = Dedup.connectedComponents(vertices, edges,
+        maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == loop)
+    assert(fast(3L) == 0L && fast(13L) == 10L && fast(22L) == 20L &&
+      fast(29L) == 29L)
   }
 
   test("reliable checkpoint dir produces identical clusters (Stage.cut contract)") {
