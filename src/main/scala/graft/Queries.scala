@@ -3698,8 +3698,15 @@ object Queries {
       Knn.appendToIvfIndex(emb.filter($"vec_id" % 2 === 1), "vec_id",
         "embedding", ivfTbl)
     }
-    graft.sources.Snapshots.tagStack(spark,
-      Seq(bmTbl -> 2, ivfTbl -> 1), "stack_v1")
+    // the stack tag is minted ONCE per JVM with the layouts it names
+    // (r18): tagging is idempotent (same state ⇒ same value rewritten),
+    // so re-tagging on every run only re-paid two manifest collects and
+    // two catalog ALTERs per invocation — the operator under test is
+    // the tag-addressed two-leg probe below, which runs every time
+    cachedLayout(s"q192_stacktag_${sfDir.hashCode.toHexString}") { _ =>
+      graft.sources.Snapshots.tagStack(spark,
+        Seq(bmTbl -> 2, ivfTbl -> 1), "stack_v1")
+    }
     val (bm, ivf) = constructConcurrently(
       graft.operators.Bm25
         .topKAgainstIndex(bm25QueryBatch(spark, sfDir), bmTbl, k = 10,

@@ -15,6 +15,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-JVM cache of each input file's parquet schema: every
+    * `spark.read.parquet(path)` without an explicit schema runs a
+    * 1-task footer-read job, and nearly every query constructs 1-3
+    * input frames — ~100 ms of fixed driver round-trip per query at
+    * the bench SF (r18 measurement: JobProfile showed the footer job
+    * as the first job of every query). The schema is immutable
+    * metadata of an immutable input file, so caching it changes no
+    * result — the data is still read from parquet on every run. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+  private def readWithCachedSchema(spark: SparkSession,
+      path: String): DataFrame = {
+    val s = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(s).parquet(path)
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
@@ -22,7 +39,7 @@ object Tables {
       // — adapt to whichever layout is on disk (the driver regenerates the
       // tables between rounds and the writer's type has changed before).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      val raw = readWithCachedSchema(spark, s"$sfDir/$name.parquet")
       import org.apache.spark.sql.functions.{col, expr}
       import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       raw.schema("ts").dataType match {
@@ -38,7 +55,7 @@ object Tables {
         case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
         case _ => raw
       }
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    } else readWithCachedSchema(spark, s"$sfDir/$name.parquet")
   }
 
   /** Register every table as a temp view (for `spark.sql` surfaces). */

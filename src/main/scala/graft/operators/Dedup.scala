@@ -409,9 +409,9 @@ object Dedup {
         asOfCommits, asOfTimestamp, asOfTag)
     def member(live: String): org.apache.spark.sql.DataFrame =
       resolved.get(live).map(_.read(spark)).getOrElse(spark.table(live))
-    def sTbl = member(s"${table}_sigs")
-    def bTbl = member(s"${table}_buckets")
-    def mTbl = member(s"${table}_meta")
+    lazy val sTbl = member(s"${table}_sigs")
+    lazy val bTbl = member(s"${table}_buckets")
+    lazy val mTbl = member(s"${table}_meta")
     val meta = mTbl.collect()
     require(meta.length == 1, s"index ${table}_meta must hold exactly 1 row")
     val (shingleSize, numHashes, bands) =

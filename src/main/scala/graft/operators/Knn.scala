@@ -550,8 +550,8 @@ object Knn {
         asOfCommits, asOfTimestamp, asOfTag)
     def member(live: String): DataFrame =
       resolved.get(live).map(_.read(spark)).getOrElse(spark.table(live))
-    def cTbl = member(s"${table}_cells")
-    def cenTbl = member(s"${table}_centroids")
+    lazy val cTbl = member(s"${table}_cells")
+    lazy val cenTbl = member(s"${table}_centroids")
     // tombstones (deleteFromIvfIndex): deleted vectors are out of every
     // result immediately — the cell scan anti-joins the list (read at
     // its historical generation under time travel)

@@ -121,7 +121,13 @@ object Snapshots {
     val loc = Generations.location(spark, gen)
     val schema = spark.table(gen).schema
     if (files.isEmpty) spark.table(gen).limit(0)
-    else spark.read.option("basePath", loc)
+    // the catalog schema is passed EXPLICITLY: a schema-less
+    // spark.read.parquet runs a footer-read job per call, and probes
+    // construct each historical member read fresh — one job per member
+    // per probe at KB volumes (r18 JobProfile). Partition columns in
+    // the schema are filled from the directory values as before; the
+    // cast-select normalization is unchanged.
+    else spark.read.option("basePath", loc).schema(schema)
       .parquet(files.map(f => s"$loc/$f"): _*)
       .select(schema.fields.toSeq
         .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
@@ -736,7 +742,16 @@ object Snapshots {
     * (refuse clock addressing loudly) from "this row is NULL". */
   private def collectedCommitsTs(spark: SparkSession, index: String)
       : Array[(Long, String, Boolean, Seq[(String, String)], Option[Long])] = {
-    val df = history(spark, index)
+    // the manifest is tiny by construction — collect UNSORTED in one
+    // narrow job and order on the driver (r18: `history()`'s orderBy
+    // planned a range exchange + sort, 2-3 AQE jobs per resolve on
+    // KB-sized metadata; newest-first is a driver sort of tens of rows)
+    val live = logTable(index)
+    require(exists(spark, live),
+      s"index $index has no snapshot log ($live) — it predates the " +
+        "snapshot-log format; rebuild it to enable time travel")
+    Generations.refreshTables(spark, live)
+    val df = spark.table(live)
     val hasTs = df.columns.contains("ts")
     val proj =
       if (hasTs) df.select(col("commit_id"), col("op"), col("revertible"),
@@ -748,6 +763,7 @@ object Snapshots {
         r.getSeq[org.apache.spark.sql.Row](3)
           .map(m => (m.getString(0), m.getString(1))),
         if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .sortBy(-_._1)
   }
 
   /** Whether the manifest schema carries the wall-clock column —
@@ -763,41 +779,47 @@ object Snapshots {
     val targetGens: Map[String, String] = target._4.toMap
     val crossedNonRevertible = commits.take(back).filter(!_._3)
     val lf = logFilesTable(index)
-    // ONE job answers all three driver-bounded questions (r17
-    // optimization round; supersedes the r17-build two-pass): which
-    // members were EVER tracked, each one's governing base commit at or
-    // before the target, AND the fold window's rows. The stats
-    // aggregate rides the same collect as the windowed rows via a
-    // tagged union; superseded base rows — the ones carrying 10⁵–10⁶
-    // paths each at the stated scale — still never reach the driver
-    // (the join bounds each member's rows at its governing base id),
-    // and the windowed side still reads through [[memberLogRows]], so
-    // the member/commit filters stay pushed into the parquet scan
-    // (spec-pinned).
+    // TWO NARROW collects answer the three driver-bounded questions
+    // (r18, supersedes the r17 tagged-union job): the union shape
+    // planned a groupBy exchange + a join exchange — 3-4 shuffle-width
+    // AQE jobs over KB-sized log metadata on EVERY time-travel probe
+    // (the bench's worst 8-vs-32-core scalers). Job 1 collects only
+    // (commit_id, member, kind) — the files column is PRUNED at the
+    // parquet scan, so superseded base rows' 10⁵–10⁶-path lists never
+    // reach the driver — and the per-member governing base ids fold in
+    // Scala. Job 2 reads through [[memberLogRows]] (member/commit
+    // filters pushed into the scan — spec-pinned) plus a driver-built
+    // per-member `commit_id >= base_id(m)` disjunction, so exactly the
+    // fold window's rows are collected: same rows as the join produced,
+    // zero exchanges, scan→filter→collect only.
     val targetMembers = target._4.map(_._1)
     val (memberStats, rows): (Map[String, Option[Long]],
         Seq[(Long, String, String, String, Seq[String])]) =
       if (!exists(spark, lf)) (Map.empty, Seq.empty)
       else {
-        val stats = fileLogRows(spark, lf)
-          .groupBy(col("member"))
-          .agg(max(when(col("kind") === "base" &&
-            col("commit_id") <= targetId, col("commit_id"))).as("base_id"))
-        val statRows = stats.select(lit(-1L).as("commit_id"),
-          col("member"), lit("").as("gen"), lit("__stats").as("kind"),
-          lit(null).cast("array<string>").as("files"), col("base_id"))
-        val dataRows = memberLogRows(spark, lf, targetMembers, targetId)
-          .join(stats.filter(col("base_id").isNotNull), Seq("member"))
-          .filter(col("commit_id") >= col("base_id"))
-          .select(col("commit_id"), col("member"), col("gen"),
-            col("kind"), col("files"), col("base_id"))
-        val all = statRows.unionByName(dataRows).collect()
-        (all.filter(_.getString(3) == "__stats")
-          .map(r => r.getString(1) ->
-            (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap,
-          all.filter(_.getString(3) != "__stats")
+        val meta = fileLogRows(spark, lf)
+          .select(col("commit_id"), col("member"), col("kind"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        val stats: Map[String, Option[Long]] =
+          meta.groupBy(_._2).map { case (m, rs) =>
+            val baseIds = rs.filter(r => r._3 == "base" && r._1 <= targetId)
+            m -> (if (baseIds.isEmpty) None else Some(baseIds.map(_._1).max))
+          }
+        val wanted = targetMembers
+          .flatMap(m => stats.getOrElse(m, None).map(m -> _))
+        val dataRows =
+          if (wanted.isEmpty) Seq.empty
+          else memberLogRows(spark, lf, wanted.map(_._1), targetId)
+            .filter(wanted.map { case (m, baseId) =>
+              col("member") === m && col("commit_id") >= baseId
+            }.reduce(_ || _))
+            .select(col("commit_id"), col("member"), col("gen"),
+              col("kind"), col("files"))
+            .collect()
             .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-              r.getString(3), r.getSeq[String](4).toSeq)).toSeq)
+              r.getString(3), r.getSeq[String](4).toSeq)).toSeq
+        (stats, dataRows)
       }
     val trackedEver: Set[String] = memberStats.keySet
     if (trackedEver.isEmpty) {
@@ -1127,11 +1149,15 @@ object Snapshots {
       asOfTag != null && asOfTag.nonEmpty)
     require(set.count(identity) <= 1,
       "set at most ONE of asOfCommits / asOfTimestamp / asOfTag")
-    val ids = history(spark, index).select(col("commit_id"))
-      .collect().map(_.getLong(0)) // newest first; retention-bounded
+    // ONE narrow manifest collect serves every addressing mode (r18 —
+    // the timestamp branch used to re-collect via backForTimestamp, and
+    // the id projection ran history()'s distributed orderBy)
+    val commitsTs = collectedCommitsTs(spark, index)
+    val ids = commitsTs.map(_._1) // newest first; retention-bounded
     require(ids.nonEmpty, s"index $index has an empty snapshot log")
     if (asOfTimestamp != 0L)
-      ids(backForTimestamp(spark, index, asOfTimestamp))
+      ids(backForTimestampIn(index, commitsTs,
+        manifestHasTs(spark, index), asOfTimestamp))
     else if (asOfTag != null && asOfTag.nonEmpty) {
       val t = tags(spark, index).getOrElse(asOfTag,
         throw new IllegalArgumentException(

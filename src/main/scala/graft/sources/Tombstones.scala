@@ -177,7 +177,29 @@ object Tombstones {
     if (!exists(spark, genTable)) return None
     spark.catalog.refreshTable(genTable)
     val df = spark.table(genTable)
-    val n = df.count()
+    // row count from the parquet footers, driver-side: the list is a
+    // tiny 1-file table and the common historical state is EMPTY — a
+    // count() job per time-travel probe was pure job latency (r18).
+    // Footer row counts are exact (parquet metadata), so this equals
+    // df.count() on any data; a read failure falls back to the job.
+    val n = try {
+      val loc = new org.apache.hadoop.fs.Path(
+        Generations.location(spark, genTable))
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(loc).filter { s =>
+        val nm = s.getPath.getName
+        s.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+      }.map { s =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            s.getPath, spark.sessionState.newHadoopConf()))
+        try rd.getRecordCount finally rd.close()
+      }.sum
+    } catch { case e: Throwable =>
+      logger.warn(s"tombstones: footer count of $genTable failed ($e) — " +
+        "falling back to a count job")
+      df.count()
+    }
     if (n == 0L) None else Some((df, n))
   }
 

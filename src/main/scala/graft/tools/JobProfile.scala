@@ -29,8 +29,14 @@ object JobProfile {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = if (record)
         jobs.synchronized {
-          jobs += ((js.jobId, System.nanoTime(),
-            Option(js.properties.getProperty("callSite.short")).getOrElse("?")))
+          // the first graft frame in the job's submission stack names the
+          // operator-level call that launched it (callSite.short is often
+          // unset under runMain)
+          val site = js.stageInfos.headOption.map(_.details).flatMap(d =>
+            d.linesIterator.find(l => l.contains("graft.") &&
+              !l.contains("JobProfile"))).getOrElse("?").trim
+          val tasks = js.stageInfos.map(_.numTasks).sum
+          jobs += ((js.jobId, System.nanoTime(), s"[$tasks t] $site"))
         }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = if (record)
         ends.synchronized { ends(je.jobId) = System.nanoTime() }
