@@ -2419,20 +2419,30 @@ object Queries {
     * components, reachability) run on Spark. */
   def recursiveWalk(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.registerAll(spark, sfDir)
+    // the successor-edge and root tables are LOOP INVARIANTS: inside the
+    // recursive CTE each iteration re-planned and re-computed both
+    // subqueries (join+aggregate over nation — 4-5 jobs per frontier
+    // step, r18 JobProfile). Materialize each once (Stage.cut) and let
+    // the recursion join the staged frames — identical rows per the
+    // published recursion (the oracle replays the original CTE text),
+    // one bounded job per step. Same shape at scale: iterative graph
+    // walks always stage their edge table before the loop.
+    graft.operators.Stage.cut(spark.sql(
+      """SELECT a.n_nationkey AS src, MIN(b.n_nationkey) AS dst
+        |FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey AND b.n_nationkey > a.n_nationkey
+        |GROUP BY a.n_nationkey""".stripMargin))
+      .createOrReplaceTempView("graft_q108_edges")
+    graft.operators.Stage.cut(spark.sql(
+      """SELECT n_regionkey AS region, MIN(n_nationkey) AS nk FROM nation
+        |GROUP BY n_regionkey""".stripMargin))
+      .createOrReplaceTempView("graft_q108_roots")
     spark.sql(
-      """WITH RECURSIVE edges AS (
-        |  SELECT a.n_nationkey AS src, MIN(b.n_nationkey) AS dst
-        |  FROM nation a JOIN nation b
-        |    ON a.n_regionkey = b.n_regionkey AND b.n_nationkey > a.n_nationkey
-        |  GROUP BY a.n_nationkey),
-        |roots AS (
-        |  SELECT n_regionkey AS region, MIN(n_nationkey) AS nk FROM nation
-        |  GROUP BY n_regionkey),
-        |reach(region, nk, depth) AS (
-        |  SELECT region, nk, 0 FROM roots
+      """WITH RECURSIVE reach(region, nk, depth) AS (
+        |  SELECT region, nk, 0 FROM graft_q108_roots
         |  UNION ALL
         |  SELECT r.region, e.dst, r.depth + 1
-        |  FROM reach r JOIN edges e ON e.src = r.nk)
+        |  FROM reach r JOIN graft_q108_edges e ON e.src = r.nk)
         |SELECT region, CAST(COUNT(*) AS BIGINT) AS n_reached,
         |  CAST(MAX(depth) AS INT) AS max_depth,
         |  CAST(SUM(nk) AS BIGINT) AS sum_keys
@@ -2626,18 +2636,23 @@ object Queries {
   def sketchGoldenOn(spark: SparkSession, input: DataFrame): DataFrame = {
     import spark.implicits._
     val acc = lit(SketchGolden.Accuracy)
-    // staged: the per-group sketch aggregation feeds BOTH the ALL-row
-    // union leg (via hll_union_agg over `sk`) and the final projection —
-    // without the cut the full four-sketch pass over the input runs
-    // twice (r17 optimization round; content and partitioning are
-    // unchanged, so every estimate is bit-identical)
-    val perGrp = graft.operators.Stage.cut(
+    // NOT staged (r18, reverting the r17 Stage.cut): the per-group
+    // aggregation does feed both the ALL-row union leg and the final
+    // projection, but q130's input is the CONSTRUCTED 20k-row golden —
+    // constant at every scale factor — so recomputing the 13-row
+    // aggregate twice inside one job costs microseconds, while the
+    // eager localCheckpoint round-trip cost ~0.6 s of driver latency
+    // (the r17 driver measured the cut as a 1.7→2.3 s regression).
+    // The 100 TB save-a-pass rationale never applies here: the input
+    // does not scale. Estimates stay bit-identical either way (same
+    // content, same partitioning into the aggregation).
+    val perGrp =
       input.groupBy($"grp".cast("string").as("grp"))
       .agg(
         countDistinct($"user").as("exact_users"),
         hll_sketch_agg($"user", lit(12)).as("sk"),
         approx_count_distinct($"user", 0.02).as("acd_users"),
-        approx_percentile($"chars", lit(0.5), acc).as("p50")))
+        approx_percentile($"chars", lit(0.5), acc).as("p50"))
     val allRow = perGrp
       .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(true)))
         .cast("bigint").as("hll_users"))

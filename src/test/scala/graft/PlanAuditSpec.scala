@@ -248,6 +248,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected ScalaUDF in: ${offenders.mkString(", ")}")
   }
 
+  test("bm25 fanout gate: spread engages above the threshold, never below") {
+    // r17/r18 directive: q152's scoring fanout must never run in ONE
+    // task when the fanout is large (AQE byte-coalescing is blind to
+    // join-fanout work), and conversely small probes must not pay an
+    // always-on spread exchange. The gate is exact driver arithmetic
+    // (Σ_t df(t)·|qids sharing t|) against `spreadMinFanout`; pin BOTH
+    // sides of it on the same corpus and that the rows are identical.
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir, "documents")
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(slice(graft.operators.CorpusFilters.words(col("text")), 1, 6))
+          .as("term"))
+      .distinct()
+    def planOf(spreadMin: Long): (String, Array[org.apache.spark.sql.Row]) = {
+      val df = graft.operators.Bm25.topK(docs, "doc_id", "text", queries,
+        k = 5, spreadMinFanout = spreadMin)
+        .orderBy(col("qid"), col("rank"))
+      (df.queryExecution.executedPlan.toString, df.collect())
+    }
+    val (spreadPlan, spreadRows) = planOf(0L) // always spread
+    val (noSpreadPlan, noSpreadRows) = planOf(Long.MaxValue) // never
+    assert(spreadPlan.contains("RoundRobinPartitioning"),
+      s"fanout >= threshold must spread the staged postings:\n$spreadPlan")
+    assert(!noSpreadPlan.contains("RoundRobinPartitioning"),
+      s"fanout < threshold must not pay a spread exchange:\n$noSpreadPlan")
+    assert(spreadRows.sameElements(noSpreadRows),
+      "spread is a distribution choice only — rows must be identical")
+  }
+
   test("column pruning reaches the scan: battery queries read only needed columns") {
     // a scan that reads every column for a 2-column aggregate multiplies
     // 100 TB of IO for nothing — pin ReadSchema for representative shapes
